@@ -1,0 +1,286 @@
+"""HTML main-content extraction kernel (pure Python, stdlib only).
+
+The Spark-native analog of the reference's OCR text-extraction stage
+(``services/surya/surya_service.py:102-125``): where the reference runs a
+vision model over an image and emits ordered text lines, we run a DOM
+parse with Boilerpipe/trafilatura-style densitometric block scoring over
+a Common-Crawl-style HTML payload and emit ordered main-content blocks
+plus character-span offsets.
+
+Deterministic, dependency-free (``html.parser``), and tolerant of
+malformed markup: a failing document returns an error record instead of
+raising (mirrors the reference's error-as-record discipline,
+``surya_service.py:150-158``).
+
+Pipeline (one document):
+  1. charset sniff + decode     (analog of PIL decode, surya_service.py:102-104)
+  2. DOM walk -> flat block list with per-block text/link char counts
+  3. densitometric classification: boilerplate-ancestor pruning,
+     link-density < LINK_DENSITY_MAX, word-count >= MIN_WORDS with a
+     neighbor-rescue pass for short headings/list items
+  4. block join with '\n' (analog of line assembly, surya_service.py:117-124)
+     + char spans per block
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# --- tuning constants (fixed; part of the golden contract once frozen) ---
+LINK_DENSITY_MAX = 0.33
+MIN_WORDS = 8           # long-block threshold (word units)
+NEIGHBOR_MIN_WORDS = 2  # short blocks rescued next to content need this many
+
+# elements whose entire subtree is never content
+SKIP_TAGS = frozenset({
+    "script", "style", "noscript", "template", "head", "svg", "iframe",
+    "button", "select", "option", "textarea", "object", "embed", "canvas",
+})
+# elements that are boilerplate containers by construction
+BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside", "form"})
+# class/id tokens that mark a subtree as boilerplate
+BOILERPLATE_TOKENS = frozenset({
+    "nav", "navbar", "menu", "footer", "header", "sidebar", "side",
+    "ad", "ads", "advert", "advertisement", "banner", "cookie", "cookies",
+    "comment", "comments", "share", "social", "breadcrumb", "breadcrumbs",
+    "related", "promo", "popup", "modal", "widget", "pagination",
+})
+# block-level boundaries (flush the current text run)
+BLOCK_TAGS = frozenset({
+    "p", "div", "section", "article", "main", "body", "html",
+    "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "dl", "dt", "dd",
+    "td", "th", "tr", "table", "thead", "tbody", "tfoot",
+    "blockquote", "pre", "figure", "figcaption", "br", "hr",
+    "nav", "header", "footer", "aside", "form", "fieldset", "address",
+})
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+_WS_RE = re.compile(r"\s+")
+_TOKEN_SPLIT_RE = re.compile(r"[^0-9a-zA-Z]+")
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I)
+
+
+@dataclass
+class Block:
+    """One candidate text block, in document order."""
+    block_id: int
+    kind: str                    # heading | para | list | table | other
+    parts: list[str] = field(default_factory=list)
+    link_chars: int = 0
+    boilerplate: bool = False
+    _text: str | None = None
+
+    @property
+    def text(self) -> str:
+        if self._text is None:
+            self._text = _WS_RE.sub(" ", "".join(self.parts)).strip()
+        return self._text
+
+    @property
+    def n_chars(self) -> int:
+        return len(self.text)
+
+    @property
+    def word_units(self) -> int:
+        """ASCII-ish words + CJK chars/2 (zh text has no spaces)."""
+        t = self.text
+        words = len([w for w in t.split(" ") if w])
+        cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+        return words + cjk // 2
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.n_chars if self.n_chars else 0.0
+
+
+class _BlockParser(HTMLParser):
+    """Single-pass DOM walk producing the flat block list."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._cur: Block | None = None
+        self._skip_depth = 0          # inside SKIP_TAGS subtree
+        self._boiler_depth = 0        # inside boilerplate subtree
+        self._link_depth = 0          # inside <a>
+        self._kind_stack: list[str] = []
+        self._boiler_tags: list[str] = []  # open tags that set boilerplate
+
+    # -- helpers ---------------------------------------------------------
+    def _flush(self) -> None:
+        if self._cur is not None and self._cur.text:
+            self.blocks.append(self._cur)
+        self._cur = None
+
+    def _block(self) -> Block:
+        if self._cur is None:
+            self._cur = Block(
+                block_id=len(self.blocks),
+                kind=self._kind_stack[-1] if self._kind_stack else "other",
+                boilerplate=self._boiler_depth > 0,
+            )
+        return self._cur
+
+    @staticmethod
+    def _is_boiler_attrs(attrs: list[tuple[str, str | None]]) -> bool:
+        for k, v in attrs:
+            if k in ("class", "id", "role") and v:
+                for tok in _TOKEN_SPLIT_RE.split(v.lower()):
+                    if tok in BOILERPLATE_TOKENS:
+                        return True
+        return False
+
+    @staticmethod
+    def _kind_of(tag: str) -> str | None:
+        if tag in HEADING_TAGS:
+            return "heading"
+        if tag == "p":
+            return "para"
+        if tag in ("li", "dt", "dd"):
+            return "list"
+        if tag in ("td", "th"):
+            return "table"
+        return None
+
+    # -- HTMLParser callbacks ---------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag in BOILERPLATE_TAGS or self._is_boiler_attrs(attrs):
+                self._boiler_depth += 1
+                self._boiler_tags.append(tag)
+            k = self._kind_of(tag)
+            if k:
+                self._kind_stack.append(k)
+        elif self._is_boiler_attrs(attrs):
+            # inline boilerplate marker (e.g. <span class="ad">)
+            self._boiler_depth += 1
+            self._boiler_tags.append(tag)
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if self._kind_of(tag) and self._kind_stack:
+                self._kind_stack.pop()
+        if self._boiler_tags and self._boiler_tags[-1] == tag:
+            self._boiler_tags.pop()
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "br":
+            self._flush()
+
+    def handle_data(self, data):
+        if self._skip_depth or not data or data.isspace():
+            return
+        b = self._block()
+        b.parts.append(data)
+        b._text = None
+        if self._link_depth:
+            b.link_chars += len(_WS_RE.sub(" ", data).strip())
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def sniff_decode(payload: bytes) -> str:
+    """Charset sniff + decode (analog of the reference's PIL decode +
+    RGBA->RGB normalization, surya_service.py:102-104)."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload.decode("utf-8-sig", errors="replace")
+    if payload.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return payload.decode("utf-16", errors="replace")
+    m = _META_CHARSET_RE.search(payload[:2048])
+    if m:
+        enc = m.group(1).decode("ascii", "replace").lower()
+        try:
+            return payload.decode(enc, errors="replace")
+        except LookupError:
+            pass
+    return payload.decode("utf-8", errors="replace")
+
+
+def classify_blocks(blocks: list[Block]) -> list[bool]:
+    """Densitometric content classification (Boilerpipe-style).
+
+    Pass 1: a block is content if it is not under a boilerplate ancestor,
+    its link density is < LINK_DENSITY_MAX and it has >= MIN_WORDS word
+    units. Pass 2 (neighbor rescue): short non-boilerplate blocks
+    (headings, list items, table cells) adjacent to a content block are
+    promoted. Deterministic two-pass over document order.
+    """
+    n = len(blocks)
+    content = [
+        (not b.boilerplate)
+        and b.link_density < LINK_DENSITY_MAX
+        and b.word_units >= MIN_WORDS
+        for b in blocks
+    ]
+    rescued = list(content)
+    for i, b in enumerate(blocks):
+        if content[i] or b.boilerplate:
+            continue
+        if b.link_density >= LINK_DENSITY_MAX:
+            continue
+        if b.word_units < NEIGHBOR_MIN_WORDS and b.kind != "heading":
+            continue
+        prev_c = i > 0 and rescued[i - 1]   # cascades over short runs
+        next_c = i + 1 < n and content[i + 1]
+        if prev_c or next_c:
+            rescued[i] = True
+    return rescued
+
+
+def extract_html(payload: bytes) -> dict:
+    """Extract main text + spans from one HTML payload.
+
+    Returns ``{text, spans, n_blocks, status, error}`` where ``spans`` is
+    a list of ``(start, end, block_id, kind)`` char offsets into ``text``
+    (the span-offsets contract of the golden fixtures) and ``status`` /
+    ``error`` follow the reference's OCRResponse shape
+    (surya_service.py:47-53).
+    """
+    try:
+        doc = sniff_decode(payload)
+        parser = _BlockParser()
+        parser.feed(doc)
+        parser.close()
+        keep = classify_blocks(parser.blocks)
+        out_blocks = [b for b, k in zip(parser.blocks, keep) if k]
+        spans = []
+        pieces = []
+        pos = 0
+        for b in out_blocks:
+            t = b.text
+            spans.append({"start": pos, "end": pos + len(t),
+                          "block_id": b.block_id, "kind": b.kind})
+            pieces.append(t)
+            pos += len(t) + 1  # '\n' separator
+        return {
+            "text": "\n".join(pieces),
+            "spans": spans,
+            "n_blocks": len(out_blocks),
+            "status": "success",
+            "error": None,
+        }
+    except Exception as exc:  # poison-row tolerance
+        return {"text": None, "spans": [], "n_blocks": 0,
+                "status": "error", "error": str(exc)}

@@ -1,0 +1,210 @@
+"""PDF layout-analysis kernel (pure Python, minimal uncompressed subset).
+
+The pdfminer-style path of the extraction stage: where the reference OCRs
+rasterized PDF pages (its golden multi-page PDFs join pages with the
+``--- PAGE BREAK ---`` sentinel, ``benchmark_output_ground_truth/
+raw_text_ground_truth.json:28``), we parse the PDF text layer directly:
+
+  1. object scan: ``N 0 obj ... endobj`` table, /Pages kids order,
+     page -> /Contents stream resolution (page ORDER comes from the
+     /Kids array, not file byte order)
+  2. content-stream parse: BT/ET text objects, Tf (font size),
+     Td/TD/Tm positioning, Tj/TJ/' show-text operators with
+     paren-escaped literal strings
+  3. layout analysis: chars -> lines (y-band clustering by half the
+     font size) -> reading-order sort (-y, then x) -> blocks (vertical
+     gap > 1.8x leading splits a block)
+  4. page texts joined with '\\n\\n--- PAGE BREAK ---\\n\\n' byte-exactly
+
+Scope: uncompressed (no /Filter) streams, literal strings, Latin-1 text
+— exactly what the deterministic fixture corpus emits. Anything else
+degrades to an error record, never an exception (errors-are-data,
+surya_service.py:150-158).
+"""
+
+from __future__ import annotations
+
+import re
+
+PAGE_BREAK = "\n\n--- PAGE BREAK ---\n\n"
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\n?endstream", re.S)
+_PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b")
+_PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
+
+# content-stream tokens we understand
+_TOK_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)"      # literal string
+    rb"|/[A-Za-z0-9_.]+"          # name
+    rb"|[-+]?\d*\.?\d+"           # number
+    rb"|[A-Za-z'\"*]+"            # operator
+)
+
+
+def _unescape_pdf_string(raw: bytes) -> str:
+    """Decode a paren-delimited literal string body (PDF 32000 §7.3.4.2)."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c == 0x5C and i + 1 < len(raw):  # backslash
+            n = raw[i + 1]
+            esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+                   0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+            if n in esc:
+                out.append(esc[n]); i += 2; continue
+            if 0x30 <= n <= 0x37:  # octal
+                j = i + 1
+                oct_digits = b""
+                while j < len(raw) and len(oct_digits) < 3 and 0x30 <= raw[j] <= 0x37:
+                    oct_digits += bytes([raw[j]]); j += 1
+                out.append(int(oct_digits, 8) & 0xFF); i = j; continue
+            out.append(n); i += 2; continue
+        out.append(c); i += 1
+    return out.decode("latin-1")
+
+
+def _parse_content_stream(data: bytes) -> list[tuple[float, float, float, str]]:
+    """Yield (x, y, font_size, text) for each show-text op."""
+    shows: list[tuple[float, float, float, str]] = []
+    x = y = 0.0          # current text position
+    lx = ly = 0.0        # line start (Td/TD are relative to line start)
+    size = 12.0
+    stack: list = []
+    for m in _TOK_RE.finditer(data):
+        tok = m.group(0)
+        if tok.startswith(b"("):
+            stack.append(_unescape_pdf_string(tok[1:-1]))
+        elif tok.startswith(b"/"):
+            stack.append(tok)
+        elif tok[:1].isdigit() or tok[0] in b"-+." or (len(tok) > 1 and tok[1:2].isdigit()):
+            try:
+                stack.append(float(tok))
+            except ValueError:
+                stack.append(tok)
+        else:
+            op = tok
+            if op == b"Tf" and len(stack) >= 1 and isinstance(stack[-1], float):
+                size = stack[-1]
+            elif op in (b"Td", b"TD") and len(stack) >= 2:
+                try:
+                    lx += float(stack[-2]); ly += float(stack[-1])
+                    x, y = lx, ly
+                except (TypeError, ValueError):
+                    pass
+            elif op == b"Tm" and len(stack) >= 6:
+                try:
+                    lx, ly = float(stack[-2]), float(stack[-1])
+                    x, y = lx, ly
+                except (TypeError, ValueError):
+                    pass
+            elif op == b"T*":
+                ly -= size * 1.2
+                x, y = lx, ly
+            elif op in (b"Tj", b"'") and stack and isinstance(stack[-1], str):
+                if op == b"'":
+                    ly -= size * 1.2
+                    x, y = lx, ly
+                shows.append((x, y, size, stack[-1]))
+                x += sum(len(s) for s in [stack[-1]]) * size * 0.5
+            elif op == b"TJ":
+                # array form: strings already on the stack (numbers = kerning)
+                texts = [s for s in stack if isinstance(s, str)]
+                if texts:
+                    t = "".join(texts)
+                    shows.append((x, y, size, t))
+                    x += len(t) * size * 0.5
+            stack = []
+    return shows
+
+
+def _layout(shows: list[tuple[float, float, float, str]]) -> str:
+    """Chars/runs -> lines -> reading order -> blocks -> page text."""
+    if not shows:
+        return ""
+    # 1. cluster into lines by y-band (tolerance = half median font size)
+    med_size = sorted(s[2] for s in shows)[len(shows) // 2]
+    tol = max(med_size * 0.5, 1.0)
+    lines: list[dict] = []  # {y, items:[(x, text)]}
+    for x, y, size, text in shows:
+        target = None
+        for ln in lines:
+            if abs(ln["y"] - y) <= tol:
+                target = ln
+                break
+        if target is None:
+            target = {"y": y, "items": [], "size": size}
+            lines.append(target)
+        target["items"].append((x, text))
+    # 2. reading order: top-to-bottom (-y), left-to-right within line
+    lines.sort(key=lambda ln: -ln["y"])
+    line_texts: list[tuple[float, float, str]] = []
+    for ln in lines:
+        ln["items"].sort(key=lambda it: it[0])
+        line_texts.append(
+            (ln["y"], ln["size"], " ".join(t for _, t in ln["items"]).strip()))
+    # 3. blocks: vertical gap > 1.8x leading starts a new block
+    blocks: list[list[str]] = [[]]
+    prev_y = None
+    for y, size, text in line_texts:
+        leading = size * 1.2
+        if prev_y is not None and (prev_y - y) > 1.8 * leading:
+            blocks.append([])
+        blocks[-1].append(text)
+        prev_y = y
+    return "\n".join("\n".join(b) for b in blocks if b)
+
+
+def extract_pdf(payload: bytes) -> dict:
+    """Extract text + spans from one PDF payload.
+
+    Same return contract as ``html_extract.extract_html``; multi-page
+    documents join page texts with the PAGE_BREAK sentinel byte-exactly
+    (raw_text_ground_truth.json:28). Spans carry one entry per page
+    block with kind='page'.
+    """
+    try:
+        objs: dict[int, bytes] = {
+            int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)
+        }
+        # page order from the /Pages /Kids array (NOT file byte order)
+        page_ids: list[int] = []
+        for body in objs.values():
+            if _PAGES_TYPE_RE.search(body):
+                km = _KIDS_RE.search(body)
+                if km:
+                    page_ids = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+                break
+        if not page_ids:  # fallback: /Type /Page objects in id order
+            page_ids = sorted(
+                oid for oid, body in objs.items() if _PAGE_TYPE_RE.search(body))
+        page_texts: list[str] = []
+        for pid in page_ids:
+            body = objs.get(pid, b"")
+            cm = _CONTENTS_RE.search(body)
+            stream = b""
+            if cm and int(cm.group(1)) in objs:
+                sm = _STREAM_RE.search(objs[int(cm.group(1))])
+                if sm:
+                    stream = sm.group(1)
+            else:  # inline contents stream on the page object
+                sm = _STREAM_RE.search(body)
+                if sm:
+                    stream = sm.group(1)
+            page_texts.append(_layout(_parse_content_stream(stream)))
+        text = PAGE_BREAK.join(page_texts)
+        spans = []
+        pos = 0
+        for i, pt in enumerate(page_texts):
+            spans.append({"start": pos, "end": pos + len(pt),
+                          "block_id": i, "kind": "page"})
+            pos += len(pt) + len(PAGE_BREAK)
+        return {"text": text, "spans": spans, "n_blocks": len(page_texts),
+                "status": "success", "error": None}
+    except Exception as exc:
+        return {"text": None, "spans": [], "n_blocks": 0,
+                "status": "error", "error": str(exc)}
