@@ -1,0 +1,183 @@
+"""The extraction job: pages table -> extractions table.
+
+Spark lifecycle (the DataFrame mirror of the reference's POST /ocr path,
+``api_gateway.py:94-105`` -> ``services/surya/surya_service.py:83-135``):
+
+  read pages (url, warc_ts, html, text, lang)
+    -> payload-kind classification (magic bytes; JVM-side)
+    -> repartition(P, xxhash64(url))         # load-balance kernel cost
+    -> mapInPandas(extract_batch)            # ONE Arrow-batched Python
+         html: DOM parse + densitometric block scoring
+         pdf:  text-layer layout analysis
+         + clean_text (5-step pipeline) in the same pass
+         + per-doc timing, per-batch lineage counters
+    -> provider + structured-field columns   # JVM regexp_extract, T13
+    -> extractions DataFrame
+
+No per-row Python UDFs anywhere: the only Python stage is one
+``mapInPandas`` over whole Arrow batches (the reference's model-per-
+request becomes kernel-per-worker: module import = the analog of the
+reference's load-models-once-at-startup, surya_service.py:55-75).
+
+Errors are data: a malformed payload yields status='error' + error
+message, never a task failure (surya_service.py:150-158).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType, TimestampType,
+)
+
+from ocr_engine_spark.kernels.fields import FIELD_PATTERNS
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import SparkSession
+
+SPAN_TYPE = ArrayType(StructType([
+    StructField("start", LongType()),
+    StructField("end", LongType()),
+    StructField("block_id", LongType()),
+    StructField("kind", StringType()),
+]))
+
+# result contract (the reference's OCRResponse shape, surya_service.py:47-53,
+# widened with spans + lineage)
+EXTRACT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("lang", StringType()),
+    StructField("payload_kind", StringType()),
+    StructField("extracted_text", StringType()),
+    StructField("clean_text", StringType()),
+    StructField("spans", SPAN_TYPE),
+    StructField("n_blocks", IntegerType()),
+    StructField("status", StringType()),
+    StructField("error", StringType()),
+    StructField("processing_ms", DoubleType()),
+    StructField("partition_id", IntegerType()),
+    StructField("batch_seq", IntegerType()),
+])
+
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", BinaryType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+
+def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The Arrow-batched kernel stage. Kernels are imported lazily inside
+    the worker (per-worker one-time init = the reference's startup model
+    load, surya_service.py:55-75) and applied to every row of each batch.
+    """
+    # lazy per-worker init — executed once per Python worker process
+    from ocr_engine_spark.kernels.clean import clean_text
+    from ocr_engine_spark.kernels.html_extract import extract_html
+    from ocr_engine_spark.kernels.pdf_extract import extract_pdf
+
+    batch_seq = 0
+    for pdf_batch in batches:
+        n = len(pdf_batch)
+        rows = {
+            "url": pdf_batch["url"], "warc_ts": pdf_batch["warc_ts"],
+            "lang": pdf_batch["lang"],
+            "partition_id": pdf_batch["partition_id"],
+        }
+        kinds, texts, cleans, spans_col, n_blocks = [], [], [], [], []
+        statuses, errors, times = [], [], []
+        for payload in pdf_batch["html"]:
+            t0 = time.perf_counter()
+            raw = bytes(payload) if payload is not None else b""
+            if raw.startswith(b"%PDF"):
+                kind = "pdf"
+                res = extract_pdf(raw)
+            else:
+                kind = "html"
+                res = extract_html(raw)
+            txt = res["text"]
+            kinds.append(kind)
+            texts.append(txt)
+            cleans.append(clean_text(txt) if txt is not None else None)
+            spans_col.append(res["spans"])
+            n_blocks.append(res["n_blocks"])
+            statuses.append(res["status"])
+            errors.append(res["error"])
+            times.append((time.perf_counter() - t0) * 1000.0)
+        out = pd.DataFrame({
+            **{k: v.reset_index(drop=True) for k, v in rows.items()},
+            "payload_kind": kinds, "extracted_text": texts,
+            "clean_text": cleans, "spans": spans_col,
+            "n_blocks": pd.array(n_blocks, dtype="int32"),
+            "status": statuses, "error": errors,
+            "processing_ms": times,
+            "batch_seq": pd.array([batch_seq] * n, dtype="int32"),
+        })
+        batch_seq += 1
+        yield out[[f.name for f in EXTRACT_SCHEMA.fields]]
+
+
+def provider_col(url=None) -> F.Column:
+    """T11 — filename-substring provider detection (qwen_service.py:260),
+    as a pure JVM expression. (No module-level Column objects: executors
+    import this module inside the mapInPandas worker, where Column
+    construction is unavailable.)"""
+    u = F.lower(url if url is not None else F.col("url"))
+    return (F.when(u.contains("dewa"), F.lit("DEWA"))
+             .when(u.contains("sewa"), F.lit("SEWA"))
+             .otherwise(F.lit("Unknown")))
+
+
+def fields_columns(text_col: str = "clean_text") -> list[F.Column]:
+    """T13 — structured fields as JVM-side regexp_extract expressions
+    (shared pattern table with the pure kernel, kernels/fields.py)."""
+    cols = []
+    for name, (pattern, typ) in FIELD_PATTERNS.items():
+        c = F.regexp_extract(F.col(text_col), pattern, 1)
+        c = F.when(c == "", None).otherwise(c)
+        if typ == "long":
+            c = c.cast("long")
+        elif typ == "double":
+            c = c.cast("double")
+        cols.append(c.alias(name))
+    return cols
+
+
+def extract_pages(pages: DataFrame, *, partitions: int | None = None,
+                  with_fields: bool = True) -> DataFrame:
+    """pages DataFrame -> extractions DataFrame.
+
+    ``repartition(P, xxhash64(url))`` spreads per-document kernel cost
+    uniformly regardless of input file layout or per-host clustering
+    (urls are unique, so the hash key is skew-free by construction; for
+    host-keyed downstream ops use functions/skew.py salting).
+    """
+    spark = pages.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism * 2
+    staged = (
+        pages
+        .select("url", "warc_ts", "html", "lang")  # column pruning: never
+        # carry the naive `text` dump through the shuffle
+        .repartition(p, F.xxhash64("url"))
+        .withColumn("partition_id", F.spark_partition_id())
+    )
+    out = staged.mapInPandas(extract_batch, EXTRACT_SCHEMA)
+    out = out.withColumn("provider", provider_col())
+    if with_fields:
+        out = out.select("*", *fields_columns())
+    return out
+
+
+def read_pages(spark: "SparkSession", path: str) -> DataFrame:
+    """Catalog-agnostic pages scan (Iceberg table name or parquet path —
+    sandbox has no Iceberg jars; see engine/catalog.py seam)."""
+    return spark.read.schema(PAGES_SCHEMA).parquet(path)

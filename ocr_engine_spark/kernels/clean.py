@@ -1,4 +1,4 @@
-"""Text post-processing kernel — the byte-identity contract.
+r"""Text post-processing kernel — the byte-identity contract.
 
 Faithful re-implementation of the reference's 5-step cleanup pipeline
 (reference: ``test/ocr_postprocessing.py:85-102``), applied to extracted

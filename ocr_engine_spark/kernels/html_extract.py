@@ -268,10 +268,12 @@ def extract_html(payload: bytes) -> dict:
         spans = []
         pieces = []
         pos = 0
-        for b in out_blocks:
+        for out_id, b in enumerate(out_blocks):
             t = b.text
+            # block_id = index within the EMITTED text (span contract);
+            # the DOM ordinal stays available as Block.block_id internally
             spans.append({"start": pos, "end": pos + len(t),
-                          "block_id": b.block_id, "kind": b.kind})
+                          "block_id": out_id, "kind": b.kind})
             pieces.append(t)
             pos += len(t) + 1  # '\n' separator
         return {

@@ -1,0 +1,98 @@
+"""End-to-end Spark extraction job tests: the byte-identity gate."""
+
+import pyspark.sql.functions as F
+
+
+def test_extraction_byte_identical_on_clean_corpus(extractions_df, golden_df):
+    """Every clean page's extracted text must equal its golden byte-for-
+    byte — the north_rule invariant (the Spark analog of the reference's
+    CER==0 claim on its golden fixtures, README.md:8)."""
+    joined = extractions_df.join(
+        F.broadcast(golden_df.select("url", "raw_text", "clean_text"
+                                     ).withColumnRenamed("clean_text", "g_clean")),
+        "url", "inner")
+    n_golden = golden_df.count()
+    n_joined = joined.count()
+    assert n_joined == n_golden
+    mismatches = joined.filter(
+        (F.col("extracted_text") != F.col("raw_text"))
+        | (F.col("clean_text") != F.col("g_clean"))).count()
+    assert mismatches == 0
+    assert joined.filter(F.col("status") != "success").count() == 0
+
+
+def test_spans_match_golden(extractions_df, golden_df):
+    joined = extractions_df.select("url", "spans").join(
+        golden_df.select("url", F.col("spans").alias("g_spans")), "url")
+    bad = joined.filter(F.to_json("spans") != F.to_json("g_spans")).count()
+    assert bad == 0
+
+
+def test_fields_match_golden(extractions_df, golden_fields_df):
+    from ocr_engine_spark.kernels.fields import FIELD_PATTERNS
+    field_names = list(FIELD_PATTERNS)
+    ours = extractions_df.select("url", *field_names)
+    golden = golden_fields_df
+    joined = ours.join(
+        F.broadcast(golden.select(
+            "url", *[F.col(c).alias(f"g_{c}") for c in field_names])),
+        "url", "inner")
+    assert joined.count() == golden.count()
+    for c in field_names:
+        bad = joined.filter(
+            ~(F.col(c).eqNullSafe(F.col(f"g_{c}")))).count()
+        assert bad == 0, f"field mismatch: {c}"
+
+
+def test_provider_detection_column(extractions_df):
+    rows = extractions_df.filter(F.col("url").contains("/bills/")).select(
+        "url", "provider").collect()
+    assert rows
+    for r in rows:
+        assert (("dewa" in r.url) == (r.provider == "DEWA"))
+        assert (("sewa" in r.url) == (r.provider == "SEWA"))
+
+
+def test_errors_are_data_not_failures(spark):
+    """Poison payloads produce status='error' rows, never task failures
+    (surya_service.py:150-158 discipline)."""
+    import datetime
+    from ocr_engine_spark.engine.extract_job import PAGES_SCHEMA, extract_pages
+    ts = datetime.datetime(2025, 5, 1)
+    rows = [
+        ("u://good", ts, b"<body><p>good page with plenty of words to "
+                         b"pass the content threshold here</p></body>",
+         "", "en"),
+        ("u://null-payload", ts, None, "", "en"),
+        ("u://pdf-garbage.pdf", ts, b"%PDF-1.4\x00\xff garbage", "", "en"),
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = extract_pages(df).select("url", "status", "extracted_text").collect()
+    by_url = {r.url: r for r in out}
+    assert by_url["u://good"].status == "success"
+    assert len(out) == 3  # nothing dropped, nothing raised
+
+
+def test_no_per_row_python_in_plan(pages_df):
+    """The physical plan must contain exactly one Arrow-batched Python
+    stage (mapInPandas) and no row-at-a-time PythonUDF/BatchEvalPython
+    (input_hint: 'no per-row Python'). Also: the shuffle feeding the
+    kernel must never carry the naive `text` dump (column pruning)."""
+    from ocr_engine_spark.engine.extract_job import extract_pages
+    # partitions=7 keeps this logical plan distinct from the session-
+    # cached extractions_df fixture (no InMemoryRelation substitution)
+    df = extract_pages(pages_df, partitions=7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+    scan_line = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert ",text#" not in scan_line and "[text#" not in scan_line
+
+
+def test_lineage_columns_present(extractions_df):
+    import pyspark.sql.functions as F
+    stats = extractions_df.agg(
+        F.countDistinct("partition_id").alias("nparts"),
+        F.min("processing_ms").alias("min_ms")).collect()[0]
+    assert stats.nparts >= 1
+    assert stats.min_ms >= 0.0

@@ -1,0 +1,154 @@
+"""Unit tests for the HTML/PDF extraction + fields kernels (Spark-free)."""
+
+import random
+
+from ocr_engine_spark.fixtures.gen_pages import (
+    expected_pdf_text, generate, make_bill_blocks, make_pdf, make_pdf_blocks,
+)
+from ocr_engine_spark.kernels.clean import clean_text
+from ocr_engine_spark.kernels.fields import detect_provider, extract_fields
+from ocr_engine_spark.kernels.html_extract import extract_html, sniff_decode
+from ocr_engine_spark.kernels.pdf_extract import PAGE_BREAK, extract_pdf
+
+
+def test_html_basic_boilerplate_removal():
+    html = (b"<html><head><script>x</script></head><body>"
+            b"<nav><a href='/'>Home</a> <a href='/a'>A</a></nav>"
+            b"<main><h1>Title Here</h1>"
+            b"<p>A long paragraph with more than eight words of real "
+            b"content in it for sure.</p></main>"
+            b"<footer>short foot</footer></body></html>")
+    r = extract_html(html)
+    assert r["status"] == "success"
+    assert r["text"] == ("Title Here\nA long paragraph with more than eight "
+                         "words of real content in it for sure.")
+
+
+def test_html_spans_offsets_are_exact():
+    r = extract_html(
+        b"<body><h2>Head Line</h2><p>one two three four five six seven "
+        b"eight nine ten</p></body>")
+    text = r["text"]
+    for s in r["spans"]:
+        seg = text[s["start"]:s["end"]]
+        assert "\n" not in seg and seg == seg.strip()
+    assert r["spans"][0]["kind"] == "heading"
+
+
+def test_html_link_density_drops_linkfarms():
+    farm = b"".join(b'<a href="/%d">word link text</a> ' % i for i in range(9))
+    r = extract_html(b"<body><p>" + farm + b"</p></body>")
+    assert r["text"] == ""
+
+
+def test_html_entities_and_charset():
+    r = extract_html("<body><p>café &amp; thé with many words "
+                     "here to pass the threshold fine</p></body>"
+                     .encode("utf-8"))
+    assert "café & thé" in r["text"]
+    # meta-declared latin-1
+    doc = ("<html><head><meta charset=\"iso-8859-1\"></head><body>"
+           "<p>café latin one encoding with enough words to pass "
+           "threshold okay</p></body></html>").encode("iso-8859-1")
+    assert "café" in extract_html(doc)["text"]
+    assert sniff_decode(b"\xef\xbb\xbfhi") == "hi"
+
+
+def test_html_malformed_never_raises():
+    for payload in [b"", b"<p>broken", b"\xff\xfe\x00bad", b"<div" * 100,
+                    b"%PDFnot really"]:
+        r = extract_html(payload)
+        assert r["status"] in ("success", "error")
+
+
+def test_pdf_multipage_page_break_sentinel():
+    rng = random.Random(7)
+    pages = make_pdf_blocks(rng)
+    payload = make_pdf(pages, rng)
+    r = extract_pdf(payload)
+    assert r["status"] == "success"
+    assert r["text"] == expected_pdf_text(pages)
+    if len(pages) > 1:
+        assert PAGE_BREAK in r["text"]
+    assert [s["kind"] for s in r["spans"]] == ["page"] * len(pages)
+
+
+def test_pdf_kids_order_beats_file_order():
+    """Pages must come out in /Kids order even though object bytes are
+    shuffled in the file."""
+    rng = random.Random(3)
+    pages = [[["page one line"]], [["page two line"]], [["page three line"]]]
+    for _ in range(5):
+        payload = make_pdf(pages, rng)
+        assert extract_pdf(payload)["text"] == expected_pdf_text(pages)
+
+
+def test_pdf_reading_order_sort():
+    """Lines emitted out of y-order in the stream are re-sorted."""
+    body = (b"BT /F1 12 Tf\n"
+            b"1 0 0 1 72 700 Tm\n(middle) Tj\n"
+            b"1 0 0 1 72 760 Tm\n(top) Tj\n"
+            b"1 0 0 1 72 640 Tm\n(bottom) Tj\nET")
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(body)).encode() +
+           b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+           b"trailer << /Root 1 0 R >>\n%%EOF")
+    assert extract_pdf(pdf)["text"] == "top\nmiddle\nbottom"
+
+
+def test_pdf_string_escapes():
+    body = (b"BT /F1 12 Tf\n1 0 0 1 72 760 Tm\n"
+            br"(paren \( and \) back \\ done) Tj" + b"\nET")
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< >>\nstream\n" + body + b"\nendstream\nendobj\n")
+    assert extract_pdf(pdf)["text"] == "paren ( and ) back \\ done"
+
+
+def test_pdf_garbage_never_raises():
+    for payload in [b"%PDF-1.4", b"%PDF-1.4 junk", b"", b"%PDF\x00\x01"]:
+        r = extract_pdf(payload)
+        assert r["status"] in ("success", "error")
+
+
+def test_fields_roundtrip_from_generator():
+    rng = random.Random(11)
+    for provider in ("DEWA", "SEWA"):
+        blocks, fields = make_bill_blocks(rng, provider)
+        text = clean_text("\n".join(t for _, t in blocks))
+        got = extract_fields(text)
+        for k, v in fields.items():
+            assert got[k] == v, (k, got[k], v)
+
+
+def test_fields_missing_are_null():
+    got = extract_fields("no bill content here")
+    assert all(v is None for v in got.values())
+    assert all(v is None for v in extract_fields(None).values())
+
+
+def test_provider_detection():
+    assert detect_provider("https://x/bills/dewa/inv_1") == "DEWA"
+    assert detect_provider("https://x/bills/SEWA/inv_2") == "SEWA"
+    assert detect_provider("https://x/articles/s") == "Unknown"
+
+
+def test_corpus_nonperfect_degraded_variants():
+    """High-severity degradations must actually change extraction
+    (otherwise the robustness metrics are vacuous)."""
+    t = generate(120, 42)
+    pages = {r["url"]: r for r in t["pages"].to_pylist()}
+    golden = {r["url"]: r for r in t["golden_extractions"].to_pylist()}
+    degr = t["degradations"].to_pylist()
+    assert degr, "corpus must contain degraded variants"
+    changed = 0
+    for d in degr:
+        page = pages[d["url"]]
+        base_golden = golden[d["source_url"]]
+        r = extract_html(page["html"])
+        if r["text"] != base_golden["raw_text"]:
+            changed += 1
+    assert changed > 0

@@ -1,0 +1,53 @@
+"""Resumable-commit tests: kill mid-job, rerun, no dups, no gaps
+(north_rule: 'resumable from checkpoint with per-partition lineage')."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_engine_spark.engine.catalog import (
+    ManifestCatalog, run_resumable_extract,
+)
+
+
+def test_crash_then_resume_exactly_once(spark, corpus_dir, tmp_path):
+    pages_path = os.path.join(corpus_dir, "pages.parquet")
+    cat = ManifestCatalog(str(tmp_path / "warehouse"))
+    n_input = spark.read.parquet(pages_path).count()
+
+    # first run crashes after 3 committed batches
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable_extract(spark, pages_path, cat, n_batches=6,
+                              fail_after_batches=3)
+    committed_mid = cat.committed_batches("extractions")
+    assert len(committed_mid) == 3
+
+    # resume: only the remaining batches run
+    res = run_resumable_extract(spark, pages_path, cat, n_batches=6)
+    assert sorted(res["skipped"]) == sorted(committed_mid)
+    assert len(res["ran"]) == 3
+
+    out = cat.read_table(spark, "extractions")
+    assert out.count() == n_input
+    assert out.select("url").distinct().count() == n_input  # no dups
+
+    # idempotent: a third run does nothing
+    res3 = run_resumable_extract(spark, pages_path, cat, n_batches=6)
+    assert res3["ran"] == []
+    assert cat.read_table(spark, "extractions").count() == n_input
+
+
+def test_lineage_metrics_side_table(spark, corpus_dir, tmp_path):
+    pages_path = os.path.join(corpus_dir, "pages.parquet")
+    cat = ManifestCatalog(str(tmp_path / "wh2"))
+    run_resumable_extract(spark, pages_path, cat, n_batches=2)
+    metrics = cat.read_metrics(spark, "extractions")
+    cols = set(metrics.columns)
+    assert {"partition_id", "n_rows", "n_success", "avg_ms",
+            "batch_id"} <= cols
+    total = metrics.agg(F.sum("n_rows")).collect()[0][0]
+    assert total == spark.read.parquet(pages_path).count()
+    # commit json carries the same lineage
+    commit = cat.read_commit("extractions", 0)
+    assert commit["n_rows"] > 0 and commit["partitions"]
