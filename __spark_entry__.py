@@ -1,38 +1,551 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline smoke on /root/testdata/sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2
+plus the training-data-pipeline ops); each callable (spark, sf_dir) ->
+DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twins. Omitted only for ops
+whose hashing (xxhash64) or payload parsing (HTML/PDF kernels) DuckDB
+cannot reproduce — those get the driver's rows-only check and are
+byte-identity-tested against golden fixtures in tests/ instead.
+
+Column names are aliased identically on both sides (the driver hashes
+values under sorted column names). Doubles are rounded on both sides to
+absorb sub-ulp accumulation-order differences.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ocr_engine_spark.functions.text import (
+    STOPWORDS, fingerprint64_col, lang_guess_col, oracle_stopword_list,
+    quality_score_col, token_count_col,
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the extraction-analytics pipeline shape (clean -> text
+    metrics -> grouped summary) over the sf0.001 documents table."""
+    return q_doc_profile(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# relational operator inventory (SURVEY.md §2.1-2.8) over the TPC-H-ish
+# tables — every one oracle-checked
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: multi-aggregate hash groupBy (partial+final for free)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + A + O2: broadcast dim joins, revenue agg, deterministic top-k."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(10))
+
+
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim chain joins + rollup-style agg."""
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    supp = _read(spark, sf_dir, "supplier")
+    return (supp
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_suppliers"),
+                 F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"))
+            .orderBy("r_name"))
+
+
+def q_derived_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: join on a COMPUTED key (the reference's split('_')[0] motif,
+    comprehensive_evaluation.py:126-135): customer key parsed out of
+    c_name, then orders fan-in."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").withColumn(
+        "derived_key", F.split(F.col("c_name"), "#").getItem(1).cast("long"))
+    return (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.derived_key)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .orderBy("c_mktsegment"))
+
+
+def q_union_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: unionByName of two filtered subsets (eval.py:288 motif)."""
+    orders = _read(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW")
+    return (urgent.unionByName(low)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderpriority"))
+
+
+def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F6: predicate pushdown to the parquet scan (TPC-H Q6 shape)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_quantity") > 45)
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * F.col("l_discount")), 2).alias("revenue"),
+                 F.count("*").alias("n_rows")))
+
+
+def q_events_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group via window row_number (top-k-per-key pattern)."""
+    from pyspark.sql import Window
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_users_top"),
+                 F.round(F.sum("value"), 2).alias("sum_top_value"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# extraction-engine scalar pipeline (CER metric, evaluation aggs) on the
+# documents table — oracle-checked
+# ---------------------------------------------------------------------------
+
+def q_cer_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: the reference CER formula via built-in levenshtein
+    (comprehensive_evaluation.py:109-124) between each document and a
+    deterministic perturbation of it."""
+    from ocr_engine_spark.engine.evaluate import cer_col
+    docs = _read(spark, sf_dir, "documents")
+    hyp = F.regexp_replace(F.col("text"), "data", "dta")
+    d = docs.withColumn("cer", F.round(cer_col(F.col("text"), hyp), 4))
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("cer"), 4).alias("avg_cer"),
+                 F.sum((F.col("cer") < 2.0).cast("long"))
+                  .alias("n_meets_target"))
+            .orderBy("source"))
+
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis profile: token counts + quality + stopword signal,
+    grouped by source (the metrics-side-table shape)."""
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"))
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.avg("quality"), 4).alias("avg_quality"))
+            .orderBy("source"))
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID distribution over documents."""
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.select(lang_guess_col(F.col("text")).alias("guessed_lang"))
+            .groupBy("guessed_lang").agg(F.count("*").alias("n"))
+            .orderBy("guessed_lang"))
+
+
+def q_fingerprint_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 60-bit portable content hash."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fingerprint64_col(F.col("text"))).alias("n_distinct"))
+
+
+def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: duplicate the corpus, find every group (n_dups=2)."""
+    from ocr_engine_spark.functions.dedup import exact_duplicate_groups
+    docs = _read(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)
+    g = exact_duplicate_groups(doubled)
+    return g.agg(F.count("*").alias("n_groups"),
+                 F.sum("n_dups").alias("n_total_dups"),
+                 F.min("keep_id").alias("min_keep_id"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (exact verifier) on a bounded scope."""
+    from ocr_engine_spark.functions.dedup import jaccard_pairs
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return (jaccard_pairs(docs, threshold=0.03)
+            .select("id_a", "id_b", "jaccard")
+            .orderBy("id_a", "id_b"))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (query = vec_id 0)."""
+    from ocr_engine_spark.functions.similarity import brute_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first().embedding]
+    return brute_topk(emb, qv, k=10).select(
+        "vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-pairs on a bounded scope (verifier for the LSH
+    path, which is rows-only below)."""
+    from ocr_engine_spark.functions.similarity import cosine_col
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    l = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    r = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    pairs = l.join(r, F.col("id_a") < F.col("id_b"))
+    sim = cosine_col(F.col("va").cast("array<double>"),
+                     F.col("vb").cast("array<double>"))
+    return (pairs.select("id_a", "id_b", F.round(sim, 5).alias("cosine"))
+            .filter(F.col("cosine") >= 0.25)
+            .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (xxhash64 / HTML parsing): rows-only checks;
+# byte-identity + recall covered by pytest golden tests instead
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline over a doubled corpus: every doc
+    must pair with its copy (jaccard=1.0) — self-validating output."""
+    from ocr_engine_spark.functions.dedup import minhash_dedup_pairs
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    pairs = minhash_dedup_pairs(doubled, threshold=0.9)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("jaccard") == 1.0).cast("long")).alias("n_exact"))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on a doubled corpus (hamming=0 for copies)."""
+    from ocr_engine_spark.functions.dedup import simhash_near_pairs
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    pairs = simhash_near_pairs(doubled, max_hamming=0)
+    return pairs.agg(F.count("*").alias("n_pairs"))
+
+
+def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH cosine near-pairs (the scale path; exact verifier
+    is q_embedding_pairs)."""
+    from ocr_engine_spark.functions.similarity import cosine_near_pairs
+    emb = _read(spark, sf_dir, "embeddings")
+    return (cosine_near_pairs(emb, threshold=0.25, n_planes=6)
+            .orderBy("id_a", "id_b"))
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (probe path)."""
+    from ocr_engine_spark.functions.similarity import ivf_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first().embedding]
+    return ivf_topk(emb, qv, k=10, n_centroids=8, n_probe=4).select(
+        "vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship HTML/PDF extraction + evaluation over the generated
+    pages corpus (byte-identity vs goldens; DuckDB cannot parse payloads
+    -> rows-only here, full golden asserts in tests/)."""
+    from ocr_engine_spark.engine.evaluate import (
+        evaluate_extractions, summary_metrics,
+    )
+    from ocr_engine_spark.engine.extract_job import extract_pages, read_pages
+    from ocr_engine_spark.fixtures.gen_pages import write
+
+    corpus = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "fixtures_data", "sf_entry")
+    if not os.path.exists(os.path.join(corpus, "pages.parquet")):
+        write(corpus, n_pages=200, seed=42)
+    pages = read_pages(spark, os.path.join(corpus, "pages.parquet"))
+    golden = spark.read.parquet(
+        os.path.join(corpus, "golden_extractions.parquet"))
+    degr = spark.read.parquet(os.path.join(corpus, "degradations.parquet"))
+    ev = evaluate_extractions(extract_pages(pages), golden, degr)
+    return summary_metrics(ev).orderBy("scope")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "region_rollup": q_region_rollup,
+        "derived_key_join": q_derived_key_join,
+        "union_priorities": q_union_priorities,
+        "filter_pushdown": q_filter_pushdown,
+        "events_window_topk": q_events_window_topk,
+        "cer_metric": q_cer_metric,
+        "doc_profile": q_doc_profile,
+        "lang_guess": q_lang_guess,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "exact_dups": q_exact_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "embedding_pairs": q_embedding_pairs,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        "ivf_topk": q_ivf_topk,
+        "extraction_pipeline": q_extraction_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_EN = oracle_stopword_list("en")
+_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_NTOK = (r"(case when length(trim(text)) = 0 then 0 "
+         r"else len(string_split_regex(trim(text), '\s+')) end)")
+_QUALITY = f"""
+  round(
+    least({_NTOK} / 50.0, 1.0) * 0.4
+    + least((len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> w in ({_EN}))) * 1.0)
+            / greatest({_NTOK}, 1) * 4.0, 1.0) * 0.3
+    + (1.0 - least(((length(text) - length(regexp_replace(text,
+         '[,.;:!?()\\[\\]"'']', '', 'g'))) * 1.0)
+         / greatest(length(text), 1) * 8.0, 1.0)) * 0.2
+    + (case when ((length(text) - ({_NTOK} - 1)) * 1.0 / greatest({_NTOK}, 1))
+            between 3.0 and 10.0 then 1.0 else 0.0 end) * 0.1,
+  4)
+"""
+
+
+def _stop_count(lang: str) -> str:
+    words = oracle_stopword_list(lang)
+    return (r"len(list_filter(string_split_regex(trim(lower(text)), '\s+'), "
+            f"w -> w in ({words})))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "region_rollup": """
+            SELECT r_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "derived_key_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN (SELECT *, split_part(c_name, '#', 2)::BIGINT AS derived_key
+                  FROM customer) c
+              ON o_custkey = c.derived_key
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "union_priorities": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+                  UNION ALL
+                  SELECT * FROM orders WHERE o_orderpriority = '5-LOW')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "filter_pushdown": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_quantity > 45 AND l_discount >= 0.05
+              AND l_discount <= 0.07
+        """,
+        "events_window_topk": """
+            SELECT event_type, count(*) AS n_users_top,
+                   round(sum(value), 2) AS sum_top_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY value DESC, event_id ASC) AS rn FROM events)
+            WHERE rn = 1
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "cer_metric": r"""
+            WITH d AS (
+              SELECT source,
+                     round(
+                       CASE WHEN text = '' THEN
+                         CASE WHEN regexp_replace(text, 'data', 'dta', 'g')
+                              = '' THEN 0.0 ELSE 100.0 END
+                       ELSE
+                         levenshtein(
+                           trim(regexp_replace(text, '\s+', ' ', 'g')),
+                           trim(regexp_replace(
+                             regexp_replace(text, 'data', 'dta', 'g'),
+                             '\s+', ' ', 'g')))
+                         * 100.0
+                         / length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                       END, 4) AS cer
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   round(avg(cer), 4) AS avg_cer,
+                   sum(CASE WHEN cer < 2.0 THEN 1 ELSE 0 END)
+                       AS n_meets_target
+            FROM d GROUP BY source ORDER BY source
+        """,
+        "doc_profile": f"""
+            SELECT source, count(*) AS n_docs,
+                   sum({_NTOK}) AS total_tokens,
+                   round(avg({_QUALITY}), 4) AS avg_quality
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "lang_guess": f"""
+            WITH g AS (
+              SELECT CASE
+                WHEN (length(text) - length(regexp_replace(text,
+                     '[\\x{{0600}}-\\x{{06FF}}]', '', 'g'))) * 1.0
+                     / greatest(length(text), 1) > 0.08 THEN 'ar'
+                WHEN (length(text) - length(regexp_replace(text,
+                     '[\\x{{4E00}}-\\x{{9FFF}}]', '', 'g'))) * 1.0
+                     / greatest(length(text), 1) > 0.08 THEN 'zh'
+                WHEN {_stop_count('en')} >= {_stop_count('fr')}
+                 AND {_stop_count('en')} >= {_stop_count('de')}
+                 AND {_stop_count('en')} >= {_stop_count('es')} THEN 'en'
+                WHEN {_stop_count('fr')} >= {_stop_count('de')}
+                 AND {_stop_count('fr')} >= {_stop_count('es')} THEN 'fr'
+                WHEN {_stop_count('de')} >= {_stop_count('es')} THEN 'de'
+                ELSE 'es' END AS guessed_lang
+              FROM documents)
+            SELECT guessed_lang, count(*) AS n FROM g
+            GROUP BY guessed_lang ORDER BY guessed_lang
+        """,
+        "fingerprint_distinct": r"""
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT ('0x' || substr(md5(trim(regexp_replace(
+                     lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT)
+                       AS n_distinct
+            FROM documents
+        """,
+        "exact_dups": r"""
+            WITH doubled AS (SELECT * FROM documents
+                             UNION ALL SELECT * FROM documents),
+            g AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                          'g'))) AS fp,
+                         count(*) AS n_dups, min(doc_id) AS keep_id
+                  FROM doubled GROUP BY fp HAVING count(*) > 1)
+            SELECT count(*) AS n_groups, sum(n_dups) AS n_total_dups,
+                   min(keep_id) AS min_keep_id
+            FROM g
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE doc_id < 60),
+            sh AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 2, 0)),
+                         i -> array_to_string(t[i:i+2], ' '))) AS sh
+                FROM toks)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.03
+            ORDER BY id_a, id_b
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(round(list_cosine_similarity(
+                     embedding::DOUBLE[], q.qv), 6), 5) AS cosine
+            FROM embeddings, q
+            ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.qv),
+                           6) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id < 120)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.25
+            ORDER BY id_a, id_b
+        """,
+        # minhash_near_dups, simhash_near_dups, embedding_lsh_pairs,
+        # ivf_topk, extraction_pipeline: rows-only (xxhash64 / payload
+        # kernels not reproducible in DuckDB); golden-tested in tests/.
+    }

@@ -1,0 +1,108 @@
+r"""Text-analysis columns: token counting, quality scoring, language
+guessing, fingerprinting.
+
+All pure JVM expressions (no Python): these run on every document of a
+100 TB corpus, so they must stay inside whole-stage codegen. Each has an
+exactly-matching DuckDB SQL twin for the oracle gate (the arithmetic is
+integer/double IEEE ops identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# fixed stopword lists (deterministic; shared with the oracle SQL)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "with", "for", "on"],
+    "fr": ["le", "la", "les", "des", "et", "une", "avec", "sur", "dans", "du"],
+    "de": ["die", "der", "und", "mit", "von", "das", "ein", "für", "auf", "im"],
+    "es": ["el", "la", "los", "de", "y", "con", "en", "una", "por", "para"],
+}
+
+PUNCT_CLASS = r"[,.;:!?()\[\]\"']"
+
+
+def tokens_col(c: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(F.trim(c), r"\s+"))
+
+
+def token_count_col(c: Column) -> Column:
+    return F.size(tokens_col(c)).cast("long")
+
+
+def stopword_count_col(c: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(
+        tokens_col(F.lower(c)), lambda w: w.isin(*words))).cast("long")
+
+
+def punct_count_col(c: Column) -> Column:
+    return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))) \
+        .cast("long")
+
+
+def quality_score_col(c: Column) -> Column:
+    """Deterministic [0,1] quality score: length signal (40%), stopword
+    naturalness (30%), punctuation sanity (20%), mean-word-length sanity
+    (10%) — the classic Gopher/C4-style cheap filters, as one codegen'd
+    expression."""
+    n_tokens = token_count_col(c)
+    n_chars = F.length(c).cast("long")
+    n_stop = stopword_count_col(c, "en")
+    n_punct = punct_count_col(c)
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop.cast("double") / safe_tokens
+    punct_ratio = n_punct.cast("double") / safe_chars
+    mean_wlen = (n_chars - (n_tokens - 1)).cast("double") / safe_tokens
+    return F.round(
+        F.least(n_tokens.cast("double") / 50.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * 8.0, F.lit(1.0))) * 0.2
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(1.0))
+           .otherwise(F.lit(0.0)) * 0.1,
+        4)
+
+
+def lang_guess_col(c: Column) -> Column:
+    """n-gram-free heuristic language ID: script detection (Arabic/CJK
+    char ratio > 8% — script chars are decisive even when boilerplate
+    dilutes them) then stopword-count argmax over en/fr/de/es with a fixed
+    tie-break order. Deterministic; identical logic in the oracle SQL."""
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    n_ar = F.length(c) - F.length(F.regexp_replace(c, "[؀-ۿ]", ""))
+    n_cjk = F.length(c) - F.length(F.regexp_replace(c, "[一-鿿]", ""))
+    counts = {lang: stopword_count_col(c, lang) for lang in STOPWORDS}
+    return (
+        F.when(n_ar.cast("double") / n_chars > 0.08, F.lit("ar"))
+         .when(n_cjk.cast("double") / n_chars > 0.08, F.lit("zh"))
+         .when((counts["en"] >= counts["fr"]) & (counts["en"] >= counts["de"])
+               & (counts["en"] >= counts["es"]), F.lit("en"))
+         .when((counts["fr"] >= counts["de"]) & (counts["fr"] >= counts["es"]),
+               F.lit("fr"))
+         .when(counts["de"] >= counts["es"], F.lit("de"))
+         .otherwise(F.lit("es"))
+    )
+
+
+def normalized_col(c: Column) -> Column:
+    """Dedup normalization: lowercase + whitespace collapse + trim."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_col(c: Column) -> Column:
+    """128-bit content fingerprint (hex md5 of normalized text)."""
+    return F.md5(normalized_col(c))
+
+
+def fingerprint64_col(c: Column) -> Column:
+    """60-bit integer fingerprint: first 15 hex chars of md5, base-16 ->
+    base-10 (portable: same value via DuckDB's ('0x'||substr)::BIGINT)."""
+    return F.conv(F.substring(fingerprint_col(c), 1, 15), 16, 10).cast("long")
+
+
+def oracle_stopword_list(lang: str) -> str:
+    """Render the stopword set as a SQL IN-list (shared with oracles)."""
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])

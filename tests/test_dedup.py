@@ -1,0 +1,93 @@
+"""Dedup operator tests: exact, n-gram Jaccard, MinHash LSH, SimHash."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_engine_spark.functions.dedup import (
+    drop_exact_duplicates, exact_duplicate_groups, jaccard_pairs,
+    minhash_candidate_pairs, minhash_dedup_pairs, shingles_col,
+    simhash_col, simhash_near_pairs,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light")
+NEAR = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the evening sun light")
+OTHER = ("completely different content about distributed query engines "
+         "processing massive datasets with columnar storage formats fast")
+
+
+@pytest.fixture(scope="module")
+def mini(spark):
+    rows = [(0, BASE), (1, NEAR), (2, OTHER), (3, BASE),
+            (4, "the   QUICK brown fox jumps over the lazy dog while the "
+                "cat watches from the warm windowsill in the afternoon "
+                "sun light")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(mini):
+    groups = exact_duplicate_groups(mini).collect()
+    # 0, 3, 4 are identical after normalization (case + whitespace)
+    assert len(groups) == 1
+    assert groups[0].n_dups == 3 and groups[0].keep_id == 0
+    kept = drop_exact_duplicates(mini)
+    assert kept.count() == 3
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    sh = df.select(shingles_col(F.col("t"), 3).alias("s")).collect()[0].s
+    assert sh == ["a b c", "b c d"]
+    empty = spark.createDataFrame([("a b",)], ["t"]).select(
+        shingles_col(F.col("t"), 3).alias("s")).collect()[0].s
+    assert empty == []
+
+
+def test_jaccard_pairs_finds_near_dup(mini):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in jaccard_pairs(mini, threshold=0.3).collect()}
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0
+    assert pairs[(0, 3)] == 1.0
+    assert not any({a, b} == {0, 2} for a, b in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(mini):
+    """LSH candidates must contain every truly-similar pair (recall=1 on
+    this corpus) and the verified pipeline must agree with exact Jaccard."""
+    exact = {(r.id_a, r.id_b)
+             for r in jaccard_pairs(mini, threshold=0.5).collect()}
+    cands = {(r.id_a, r.id_b)
+             for r in minhash_candidate_pairs(mini).collect()}
+    assert exact <= cands
+    verified = {(r.id_a, r.id_b): r.jaccard
+                for r in minhash_dedup_pairs(mini, threshold=0.5).collect()}
+    assert set(verified) == exact
+
+
+def test_minhash_no_cross_join(mini):
+    plan = minhash_candidate_pairs(mini)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_simhash_properties(mini, spark):
+    sh = {r.doc_id: r.s for r in mini.select(
+        "doc_id", simhash_col(F.col("text")).alias("s")).collect()}
+    assert sh[0] == sh[3] == sh[4]  # normalization-equal docs
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_near_pairs(mini, max_hamming=16).collect()}
+    assert pairs.get((0, 3)) == 0
+    near = pairs.get((0, 1))
+    assert near is not None and near <= 16
+
+
+def test_dedup_on_driver_documents(spark):
+    from tests.conftest import TESTDATA_SF001
+    import os
+    docs = spark.read.parquet(os.path.join(TESTDATA_SF001,
+                                           "documents.parquet"))
+    # word-salad corpus: no exact dups expected, pipeline must still run
+    assert exact_duplicate_groups(docs).count() == 0
+    cands = minhash_candidate_pairs(docs.limit(100))
+    assert cands.count() >= 0

@@ -1,0 +1,63 @@
+"""Similarity-search tests: brute-force cosine top-k, IVF recall,
+hyperplane-LSH near-dup pairs — on the driver embeddings table."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_engine_spark.functions.similarity import (
+    brute_topk, cosine_col, cosine_near_pairs, ivf_topk,
+)
+from tests.conftest import TESTDATA_SF001
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(
+        os.path.join(TESTDATA_SF001, "embeddings.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    return [float(x) for x in emb.orderBy("vec_id").first().embedding]
+
+
+def test_cosine_column_math(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]),
+                                ([1.0, 2.0], [1.0, 2.0])], ["a", "b"])
+    got = [r[0] for r in df.select(
+        F.round(cosine_col(F.col("a"), F.col("b")), 6)).collect()]
+    assert got[0] == 0.0 and abs(got[1] - 1.0) < 1e-9
+
+
+def test_brute_topk_self_is_top(emb, query_vec):
+    top = brute_topk(emb, query_vec, k=5).collect()
+    assert len(top) == 5
+    assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
+    assert all(top[i].cosine >= top[i + 1].cosine for i in range(4))
+
+
+def test_brute_topk_plan_is_take_ordered(emb, query_vec):
+    plan = brute_topk(emb, query_vec, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_recall(emb, query_vec):
+    """IVF with half the cells probed must recover most of the exact
+    top-10 (recall@10 >= 0.5 on random data; typically much higher)."""
+    exact = {r.vec_id for r in brute_topk(emb, query_vec, k=10).collect()}
+    approx = {r.vec_id for r in
+              ivf_topk(emb, query_vec, k=10, n_centroids=8,
+                       n_probe=4).collect()}
+    assert len(approx & exact) >= 5
+
+
+def test_cosine_near_pairs_no_cross_join(emb):
+    q = cosine_near_pairs(emb.limit(200), threshold=0.8)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    rows = q.collect()
+    for r in rows:
+        assert r.cosine >= 0.8 and r.id_a < r.id_b

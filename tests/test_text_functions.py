@@ -1,0 +1,68 @@
+"""Text-analysis column tests (token count, quality, lang-id,
+fingerprint) on controlled inputs + the driver documents table."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_engine_spark.functions.text import (
+    fingerprint64_col, fingerprint_col, lang_guess_col, quality_score_col,
+    token_count_col,
+)
+from tests.conftest import TESTDATA_SF001
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(
+        os.path.join(TESTDATA_SF001, "documents.parquet"))
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("  ",), ("one",)], ["t"])
+    got = [r[0] for r in df.select(token_count_col(F.col("t"))).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_quality_score_ranges(docs):
+    stats = docs.select(quality_score_col(F.col("text")).alias("q")).agg(
+        F.min("q"), F.max("q")).collect()[0]
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def test_quality_prefers_natural_text(spark):
+    natural = ("the quick brown fox jumps over the lazy dog and runs to "
+               "the forest with a friend of the family for a while")
+    junk = "@@@ ### !!! ??? ;;; ::: ,,, ... ((( )))"
+    df = spark.createDataFrame([(natural,), (junk,)], ["t"])
+    q = [r[0] for r in df.select(quality_score_col(F.col("t"))).collect()]
+    assert q[0] > q[1]
+
+
+def test_lang_guess_on_fixture_corpus(spark, golden_df, pages_df):
+    """Language ID over the multilingual synthetic corpus must agree with
+    the generator's lang label on a strong majority of clean pages."""
+    joined = pages_df.join(golden_df.select("url"), "url")  # clean only
+    guessed = joined.select(
+        "lang", lang_guess_col(F.col("text")).alias("guess"))
+    agg = guessed.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("lang") == F.col("guess")).cast("long")).alias("ok"),
+    ).collect()[0]
+    assert agg.ok / agg.n > 0.9
+    # script-based languages must be exact
+    hard = guessed.filter(F.col("lang").isin("ar", "zh"))
+    bad = hard.filter(F.col("lang") != F.col("guess")).count()
+    assert bad == 0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("different",)], ["t"])
+    fps = [r[0] for r in df.select(fingerprint_col(F.col("t"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
+    f64 = [r[0] for r in df.select(fingerprint64_col(F.col("t"))).collect()]
+    assert f64[0] == f64[1] != f64[2]
+    assert all(isinstance(v, int) for v in f64)
