@@ -451,13 +451,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT source, count(*) AS n_docs,
                    round(avg(cer), 4) AS avg_cer,
-                   sum(CASE WHEN cer < 2.0 THEN 1 ELSE 0 END)
+                   sum(CASE WHEN cer < 2.0 THEN 1 ELSE 0 END)::BIGINT
                        AS n_meets_target
             FROM d GROUP BY source ORDER BY source
         """,
         "doc_profile": f"""
             SELECT source, count(*) AS n_docs,
-                   sum({_NTOK}) AS total_tokens,
+                   sum({_NTOK})::BIGINT AS total_tokens,
                    round(avg({_QUALITY}), 4) AS avg_quality
             FROM documents GROUP BY source ORDER BY source
         """,
@@ -495,7 +495,7 @@ def oracle_sql() -> dict[str, str]:
                           'g'))) AS fp,
                          count(*) AS n_dups, min(doc_id) AS keep_id
                   FROM doubled GROUP BY fp HAVING count(*) > 1)
-            SELECT count(*) AS n_groups, sum(n_dups) AS n_total_dups,
+            SELECT count(*) AS n_groups, sum(n_dups)::BIGINT AS n_total_dups,
                    min(keep_id) AS min_keep_id
             FROM g
         """,

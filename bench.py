@@ -1,0 +1,104 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The flagship number is the extraction job itself (docs/sec over a
+deterministically generated pages corpus scaled to the SF), plus the
+relational / text-pipeline / dedup / similarity headline queries from
+``__spark_entry__.queries()``. Scaling-efficiency evidence (local[8] vs
+local[32]) lives in tools/bench_scaling.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary", "top_customers", "derived_key_join",
+    "filter_pushdown", "events_window_topk",
+    "cer_metric", "doc_profile", "lang_guess", "fingerprint_distinct",
+    "exact_dups", "minhash_near_dups", "simhash_near_dups",
+    "embedding_topk", "embedding_lsh_pairs", "ivf_topk",
+]
+
+# pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000
+# docs (mixed HTML/PDF, boilerplate-wrapped, multi-KB payloads)
+PAGES_PER_SF = 30_000
+BENCH_PARTITIONS = None  # default: 2 x defaultParallelism (extract_pages)
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.1
+
+
+def _consume(df) -> int:
+    """Force full computation without driver-side materialization cost."""
+    return df.write.mode("overwrite").format("noop").save() or df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entrymod
+    from ocr_engine_spark.engine.extract_job import extract_pages, read_pages
+    from ocr_engine_spark.engine.session import build_session
+    from ocr_engine_spark.fixtures.gen_pages import write
+
+    spark = build_session("ocr-engine-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + Python workers once so per-query timings measure the
+    # plan, not session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: the extraction pipeline at a corpus scaled to the SF
+    n_pages = max(300, int(PAGES_PER_SF * sf))
+    corpus = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "fixtures_data", f"bench_{n_pages}")
+    if not os.path.exists(os.path.join(corpus, "pages.parquet")):
+        write(corpus, n_pages=n_pages, seed=42)
+    pages = read_pages(spark, os.path.join(corpus, "pages.parquet"))
+    t0 = time.perf_counter()
+    extracted = extract_pages(pages, partitions=BENCH_PARTITIONS)
+    n_out = extracted.count()
+    dt = time.perf_counter() - t0
+    timings["extraction_pipeline"] = round(dt, 3)
+    docs_per_sec = round(n_out / dt, 2)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline query suite wall time (extraction + relational"
+                  " + dedup + similarity)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "extraction_docs": n_out,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
