@@ -116,22 +116,43 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # MinHash + banded LSH (the scale path)
 # ---------------------------------------------------------------------------
 
+def shingle_hashes_col(c: Column, n: int = 3) -> Column:
+    """xxhash64 (mod p) of each distinct word n-gram shingle."""
+    return F.transform(shingles_col(c, n),
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+
+
+def minhash_sig_from_hashes_col(hashes: Column, num_perm: int = 64,
+                                seed: int = 42) -> Column:
+    """MinHash signature (array<long>) from a shingle-hash array column:
+    ONE aggregate fold with an array<long> accumulator, updated per
+    shingle via zip_with against the constant (a,b) parameter array.
+
+    Expression shape matters twice over: (1) a per-permutation
+    ``array_min(transform(inline_shingles, ...))`` inlines the whole
+    tokenize+shingle subtree num_perm times (HOFs are interpreted, never
+    codegen'd — measured ~25x slower); (2) even over a materialized
+    array, num_perm separate fold expressions make the plan-analysis
+    cost (driver-side) dominate small jobs — one fold keeps the tree
+    O(1) in num_perm. Empty array -> p per slot ('no shingles')."""
+    params = _perm_params(num_perm, seed)
+    ab = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                   for a, b in params])
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(MERSENNE_P).cast("long"), num_perm),
+        lambda acc, h: F.zip_with(
+            acc, ab,
+            lambda m, p: F.least(m, (h * p["a"] + p["b"]) % MERSENNE_P)))
+
+
 def minhash_signature_col(c: Column, num_perm: int = 64,
                           n: int = 3, seed: int = 42) -> Column:
-    """MinHash signature as array<long>: shingle -> xxhash64 -> per
-    permutation min((a*h+b) mod p). One pass over the shingle array per
-    permutation, all inside Catalyst (no Python)."""
-    hashes = F.transform(shingles_col(c, n),
-                         lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
-    sig = [
-        F.coalesce(
-            F.array_min(F.transform(
-                hashes,
-                lambda h: (h * F.lit(a) + F.lit(b)) % MERSENNE_P)),
-            F.lit(MERSENNE_P))
-        for a, b in _perm_params(num_perm, seed)
-    ]
-    return F.array(*sig)
+    """MinHash signature of raw text as one Column (convenience/test
+    surface). Hot paths go through lsh_bands(), which materializes the
+    shingle-hash array first so tokenization+shingling runs once."""
+    return minhash_sig_from_hashes_col(shingle_hashes_col(c, n),
+                                       num_perm, seed)
 
 
 def lsh_bands(df: DataFrame, id_col: str = "doc_id",
@@ -140,9 +161,15 @@ def lsh_bands(df: DataFrame, id_col: str = "doc_id",
     """Banded bucketing: (id, band_id, band_hash). Same-bucket docs are
     near-dup candidates. r = num_perm/bands rows per band."""
     assert num_perm % bands == 0
+    d = df.select(F.col(id_col).alias("id"),
+                  minhash_signature_col(F.col(text_col), num_perm, n, seed)
+                  .alias("sig"))
+    return _band_rows(d, num_perm, bands)
+
+
+def _band_rows(sig_df: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, sig) -> (id, band_id, band_hash), one row per band."""
     r = num_perm // bands
-    sig = minhash_signature_col(F.col(text_col), num_perm, n, seed)
-    d = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
     band_cols = [
         F.struct(F.lit(bi).alias("band_id"),
                  F.xxhash64(F.concat_ws(
@@ -150,18 +177,16 @@ def lsh_bands(df: DataFrame, id_col: str = "doc_id",
                             for j in range(r)])).alias("band_hash"))
         for bi in range(bands)
     ]
-    return (d.select("id", F.explode(F.array(*band_cols)).alias("b"))
-             .select("id", F.col("b.band_id").alias("band_id"),
-                     F.col("b.band_hash").alias("band_hash")))
+    return (sig_df.select("id", F.explode(F.array(*band_cols)).alias("b"))
+            .select("id", F.col("b.band_id").alias("band_id"),
+                    F.col("b.band_hash").alias("band_hash")))
 
 
-def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
-                            text_col: str = "text", num_perm: int = 64,
-                            bands: int = 16, n: int = 3,
-                            seed: int = 42) -> DataFrame:
+def _bands_to_candidates(sig_df: DataFrame, num_perm: int,
+                         bands: int) -> DataFrame:
     """Distinct candidate pairs from any shared LSH bucket — ONE shuffle
     on (band_id, band_hash); never a full cross join."""
-    b = lsh_bands(df, id_col, text_col, num_perm, bands, n, seed)
+    b = _band_rows(sig_df, num_perm, bands)
     l, r_ = b.alias("l"), b.alias("r")
     return (l.join(r_, ["band_id", "band_hash"])
              .filter(F.col("l.id") < F.col("r.id"))
@@ -170,36 +195,76 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
              .distinct())
 
 
+def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", num_perm: int = 64,
+                            bands: int = 16, n: int = 3,
+                            seed: int = 42) -> DataFrame:
+    """Distinct near-dup candidate pairs via banded MinHash LSH."""
+    d = df.select(F.col(id_col).alias("id"),
+                  minhash_signature_col(F.col(text_col), num_perm, n, seed)
+                  .alias("sig"))
+    return _bands_to_candidates(d, num_perm, bands)
+
+
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.5,
                         num_perm: int = 64, bands: int = 16,
                         n: int = 3, seed: int = 42) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify
-    (join back to shingles only for candidate ids)."""
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_perm, bands,
-                                    n, seed)
-    cand_ids = (cands.select(F.col("id_a").alias("id"))
-                .union(cands.select("id_b")).distinct())
-    scoped = df.join(cand_ids.withColumnRenamed("id", id_col), id_col)
-    verified = jaccard_pairs(scoped, id_col, text_col, n, threshold)
-    return verified.join(cands, ["id_a", "id_b"])
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
+
+    The shingle arrays are materialized ONCE (persisted) and reused by
+    both the signature/banding pass and the verify step; verification is
+    per-candidate-pair ``array_intersect`` on the two arrays (the arrays
+    are already distinct), NOT a second explode+equi-join pipeline —
+    one fewer shuffle and no shingle recompute. At 10^12 rows the
+    persist becomes a written intermediate table; candidates ≪ corpus,
+    so the two verify joins shuffle only candidate rows."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles_col(F.col(text_col), n).alias("sh")).persist()
+    hashed = sh.select(
+        "id",
+        F.transform("sh", lambda s: F.pmod(F.xxhash64(s),
+                                           F.lit(MERSENNE_P))).alias("__sh"))
+    cands = _bands_to_candidates(
+        hashed.select("id",
+                      minhash_sig_from_hashes_col(F.col("__sh"), num_perm,
+                                                  seed).alias("sig")),
+        num_perm, bands)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .withColumn("inter", inter)
+            .withColumn("n_a", F.size("sh_a"))
+            .withColumn("n_b", F.size("sh_b"))
+            .withColumn("jaccard",
+                        F.round(F.col("inter").cast("double")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard"))
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_col(c: Column, bits: int = 64) -> Column:
-    """SimHash: per token, xxhash64 bit j votes +1/-1; signature bit j is
-    the sign of the vote sum. Pure Catalyst expression: one token-hash
-    array, then ``bits`` aggregate folds with literal shift amounts
-    (shiftright needs a Python int), OR-combined into one 64-bit value
-    (bit 63 via its signed two's-complement literal)."""
-    hashes = F.transform(tokens_col(F.lower(c)), lambda t: F.xxhash64(t))
+def token_hashes_col(c: Column) -> Column:
+    """xxhash64 of each whitespace token (SimHash's per-token votes)."""
+    return F.transform(tokens_col(F.lower(c)), lambda t: F.xxhash64(t))
+
+
+def simhash_from_hashes_col(hashes: Column, bits: int = 64) -> Column:
+    """Assemble the SimHash signature from a MATERIALIZED token-hash
+    array column: 64 scalar aggregate folds (one per bit, literal shift
+    amounts) OR-combined. Pass an attribute reference, not an inline
+    expression — each fold re-evaluates its input, which is free for a
+    materialized array and ~64x tokenization for an inline one. Bit 63
+    enters as its signed two's-complement literal."""
 
     def _vote(j: int):
-        # closure factory: higher-order-function lambdas must have exactly
-        # 2 params (pyspark inspects arity; default args break it)
+        # closure factory: HOF lambdas must have exactly 2 params
+        # (pyspark inspects arity; default args break it)
         return lambda acc, h: acc + (
             F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
 
@@ -213,6 +278,25 @@ def simhash_col(c: Column, bits: int = 64) -> Column:
     return sig
 
 
+def simhash_col(c: Column, bits: int = 64) -> Column:
+    """SimHash of raw text as one Column (convenience/test surface).
+    Hot paths should go through with_simhash(), which materializes the
+    token-hash array first — inline, the 64 folds each re-tokenize."""
+    return simhash_from_hashes_col(token_hashes_col(c), bits)
+
+
+def with_simhash(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(id, sh) with the signature computed over a materialized hash
+    array. Two projections on purpose: Catalyst's CollapseProject keeps
+    them separate because the hash array is a non-cheap expression
+    referenced 64 times — so tokenization runs ONCE per document."""
+    d = df.select(F.col(id_col).alias("id"),
+                  token_hashes_col(F.col(text_col)).alias("__th"))
+    return d.select("id",
+                    simhash_from_hashes_col(F.col("__th"), bits).alias("sh"))
+
+
 def simhash_hamming_col(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -223,8 +307,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
     (the classic rotate-and-block trick, one rotation here), then exact
     hamming filter within blocks — avoids the cross join."""
-    d = df.select(F.col(id_col).alias("id"),
-                  simhash_col(F.col(text_col)).alias("sh"))
+    d = with_simhash(df, id_col, text_col)
     d = d.withColumn("blk", F.shiftrightunsigned(F.col("sh"),
                                                  64 - prefix_bits))
     l, r = d.alias("l"), d.alias("r")

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -50,22 +50,35 @@ def brute_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 def ivf_assign(embeddings: DataFrame, centroids: list[tuple[int, list[float]]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign every vector to its nearest centroid: broadcast the (tiny)
-    centroid table, crossJoin, window argmin. One narrow shuffle on the
-    window key; at scale the assignment is written once and bucketed by
-    ``cell`` so probes prune partitions."""
-    spark = embeddings.sparkSession
-    cdf = spark.createDataFrame(
-        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
-        "cell int, centroid array<double>")
-    sim = cosine_col(F.col(vec_col).cast("array<double>"), F.col("centroid"))
-    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(),
-                                           F.col("cell").asc())
-    return (embeddings.crossJoin(F.broadcast(cdf))
-            .withColumn("dist", -sim)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn", "centroid", "dist"))
+    """Assign every vector to its nearest centroid — MAP-ONLY: the
+    centroid table is a constant array<struct<cell, unit-centroid>>
+    literal and the argmax is one aggregate fold per row. No crossJoin,
+    no window, no shuffle: at 10^12 rows assignment is embarrassingly
+    parallel and the shuffle (if any) is the caller's bucketed write.
+
+    Centroids are L2-normalized driver-side so per-row score =
+    dot(v, unit_centroid); dividing by |v| (common positive factor)
+    cannot change the argmax, so cosine order is preserved exactly.
+    Ties break to the lowest cell id (centroid array order)."""
+    import math
+    cstructs = []
+    for cid, vec in centroids:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+        cstructs.append(F.struct(
+            F.lit(int(cid)).alias("cell"),
+            F.array(*[F.lit(float(x) / nrm) for x in vec]).alias("cv")))
+    cent_lit = F.array(*cstructs)
+    v = F.col(vec_col).cast("array<double>")
+    scored = F.transform(
+        cent_lit,
+        lambda ct: F.struct(ct["cell"].alias("cell"),
+                            dot_col(v, ct["cv"]).alias("s")))
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-1).alias("cell"),
+                 F.lit(float("-inf")).alias("s")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc))
+    return embeddings.withColumn("cell", best["cell"])
 
 
 def pick_centroids(embeddings: DataFrame, n_centroids: int = 8,

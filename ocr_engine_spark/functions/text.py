@@ -70,20 +70,37 @@ def lang_guess_col(c: Column) -> Column:
     """n-gram-free heuristic language ID: script detection (Arabic/CJK
     char ratio > 8% — script chars are decisive even when boilerplate
     dilutes them) then stopword-count argmax over en/fr/de/es with a fixed
-    tie-break order. Deterministic; identical logic in the oracle SQL."""
+    tie-break order. Deterministic; identical logic in the oracle SQL.
+
+    The argmax is ONE aggregate fold over a constant
+    array<struct<lang, words>> (first-wins on ties == the oracle's
+    ordered when-chain en>fr>de>es). The naive per-lang
+    ``stopword_count_col`` when-chain inlines the tokenizer ~12x —
+    higher-order functions don't codegen, so that re-tokenizes every
+    document a dozen times (measured ~20x slower)."""
     n_chars = F.greatest(F.length(c), F.lit(1))
     n_ar = F.length(c) - F.length(F.regexp_replace(c, "[؀-ۿ]", ""))
     n_cjk = F.length(c) - F.length(F.regexp_replace(c, "[一-鿿]", ""))
-    counts = {lang: stopword_count_col(c, lang) for lang in STOPWORDS}
+    order = ["en", "fr", "de", "es"]
+    lang_words = F.array(*[
+        F.struct(F.lit(lang).alias("lang"),
+                 F.array(*[F.lit(w) for w in STOPWORDS[lang]]).alias("words"))
+        for lang in order])
+    toks = tokens_col(F.lower(c))
+    scored = F.transform(
+        lang_words,
+        lambda lw: F.struct(
+            lw["lang"].alias("lang"),
+            F.size(F.filter(toks, lambda t: F.array_contains(lw["words"], t)))
+             .alias("n")))
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit("").alias("lang"), F.lit(-1).alias("n")),
+        lambda acc, x: F.when(x["n"] > acc["n"], x).otherwise(acc))["lang"]
     return (
         F.when(n_ar.cast("double") / n_chars > 0.08, F.lit("ar"))
          .when(n_cjk.cast("double") / n_chars > 0.08, F.lit("zh"))
-         .when((counts["en"] >= counts["fr"]) & (counts["en"] >= counts["de"])
-               & (counts["en"] >= counts["es"]), F.lit("en"))
-         .when((counts["fr"] >= counts["de"]) & (counts["fr"] >= counts["es"]),
-               F.lit("fr"))
-         .when(counts["de"] >= counts["es"], F.lit("de"))
-         .otherwise(F.lit("es"))
+         .otherwise(best)
     )
 
 
