@@ -129,6 +129,27 @@ def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_rows")))
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (north_rule skew handling):
+    l_returnflag has 3 values, so a direct groupBy sends ~1/3 of the
+    table to each of 3 reducers; the salted form shares each hot key
+    across 16. Result must be row-identical to the plain GROUP BY (the
+    oracle)."""
+    from ocr_engine_spark.functions.skew import salted_agg
+    li = _read(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li, "l_returnflag",
+        F.concat_ws("|", "l_orderkey", "l_linenumber"),
+        [("l_quantity", "sum", "raw_sum_qty"),
+         ("l_quantity", "count", "n_rows"),
+         ("l_extendedprice", "max", "max_price")],
+        n_salt=16)
+    return (out.select("l_returnflag",
+                       F.round("raw_sum_qty", 2).alias("sum_qty"),
+                       "n_rows", F.round("max_price", 2).alias("max_price"))
+            .orderBy("l_returnflag"))
+
+
 def q_events_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1-per-group via window row_number (top-k-per-key pattern)."""
     from pyspark.sql import Window
@@ -289,6 +310,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.round("cosine", 5).alias("cosine"))
 
 
+def q_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns: decode typed metadata from opaque binary
+    image/audio/video payloads (deterministic fake codec; real Spark
+    plumbing) and profile per kind. Rows-only check — binary header
+    parsing is not DuckDB-expressible; full asserts in
+    tests/test_multimodal.py."""
+    from ocr_engine_spark.functions.multimodal import decode_media, media_df
+    meta = decode_media(media_df(spark, n=200, seed=42))
+    return (meta.groupBy("kind")
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.sum((F.col("status") == "error").cast("long"))
+                  .alias("n_errors"),
+                 F.max("width").alias("max_width"),
+                 F.max("n_frames").alias("max_frames"))
+            .orderBy("kind"))
+
+
 def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship HTML/PDF extraction + evaluation over the generated
     pages corpus (byte-identity vs goldens; DuckDB cannot parse payloads
@@ -319,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_key_join": q_derived_key_join,
         "union_priorities": q_union_priorities,
         "filter_pushdown": q_filter_pushdown,
+        "salted_agg": q_salted_agg,
         "events_window_topk": q_events_window_topk,
         "cer_metric": q_cer_metric,
         "doc_profile": q_doc_profile,
@@ -332,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "ivf_topk": q_ivf_topk,
+        "media_profile": q_media_profile,
         "extraction_pipeline": q_extraction_pipeline,
     }
 
@@ -423,6 +464,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_quantity > 45 AND l_discount >= 0.05
               AND l_discount <= 0.07
+        """,
+        "salted_agg": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(l_quantity) AS n_rows,
+                   round(max(l_extendedprice), 2) AS max_price
+            FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "events_window_topk": """
             SELECT event_type, count(*) AS n_users_top,

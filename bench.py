@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "pricing_summary", "top_customers", "derived_key_join",
-    "filter_pushdown", "events_window_topk",
+    "filter_pushdown", "salted_agg", "events_window_topk",
     "cer_metric", "doc_profile", "lang_guess", "fingerprint_distinct",
     "exact_dups", "minhash_near_dups", "simhash_near_dups",
     "embedding_topk", "embedding_lsh_pairs", "ivf_topk",

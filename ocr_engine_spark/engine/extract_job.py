@@ -162,7 +162,10 @@ def extract_pages(pages: DataFrame, *, partitions: int | None = None,
     host-keyed downstream ops use functions/skew.py salting).
     """
     spark = pages.sparkSession
-    p = partitions or spark.sparkContext.defaultParallelism * 2
+    # 4 tasks per slot: per-doc kernel cost varies ~10x (PDF layout vs
+    # HTML), so finer tasks amortize stragglers in the final wave
+    # (measured: 4x beats 2x by ~15% wall at local[32])
+    p = partitions or spark.sparkContext.defaultParallelism * 4
     staged = (
         pages
         .select("url", "warc_ts", "html", "lang")  # column pruning: never

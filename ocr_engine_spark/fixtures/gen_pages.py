@@ -97,13 +97,17 @@ def _linkfarm(rng: random.Random) -> str:
     return f'<div class="related"><p>{links}</p></div>'
 
 
-def make_article_blocks(rng: random.Random, lang: str) -> list[tuple[str, str]]:
-    """Known main content: list of (kind, single-line normalized text)."""
+def make_article_blocks(rng: random.Random, lang: str,
+                        para_scale: int = 1) -> list[tuple[str, str]]:
+    """Known main content: list of (kind, single-line normalized text).
+    ``para_scale`` multiplies paragraph counts to synthesize
+    realistically heavy pages (real crawl pages are 10-100 KB; the
+    default-1 stream is byte-identical to the frozen golden corpus)."""
     blocks: list[tuple[str, str]] = []
     title = _sentence(rng, lang, rng.randint(3, 6)).title() if lang not in (
         "ar", "zh") else _sentence(rng, lang, 4)
     blocks.append(("heading", title))
-    for _ in range(rng.randint(2, 5)):
+    for _ in range(rng.randint(2 * para_scale, 5 * para_scale)):
         blocks.append(("para", _sentence(rng, lang, rng.randint(12, 40))))
     if rng.random() < 0.4:
         for _ in range(rng.randint(2, 4)):
@@ -239,12 +243,13 @@ def make_pdf(pages: list[list[list[str]]], rng: random.Random) -> bytes:
     return b"\n".join(out)
 
 
-def make_pdf_blocks(rng: random.Random) -> list[list[list[str]]]:
+def make_pdf_blocks(rng: random.Random,
+                    para_scale: int = 1) -> list[list[list[str]]]:
     """Known PDF content: pages of blocks of single-line ASCII text."""
     pages = []
     for _ in range(rng.randint(1, 4)):
         blocks = []
-        for _ in range(rng.randint(1, 3)):
+        for _ in range(rng.randint(1, 3 * para_scale)):
             blocks.append([_sentence(rng, "en", rng.randint(4, 9))
                            for _ in range(rng.randint(2, 6))])
         pages.append(blocks)
@@ -290,7 +295,8 @@ DEGRADATION_SEVERITY = {
 # corpus assembly
 # ---------------------------------------------------------------------------
 
-def generate(n_pages: int = 500, seed: int = SEED) -> dict[str, pa.Table]:
+def generate(n_pages: int = 500, seed: int = SEED,
+             para_scale: int = 1) -> dict[str, pa.Table]:
     rng = random.Random(seed)
     langs = ["en", "en", "en", "fr", "de", "es", "ar", "zh"]
 
@@ -349,14 +355,14 @@ def generate(n_pages: int = 500, seed: int = SEED) -> dict[str, pa.Table]:
             fields_rows.append((url, *[fields[k] for k in FIELD_ORDER]))
             base_pages.append((url, payload, expected, "en"))
         elif r < 0.20:  # PDF page
-            pdf_pages = make_pdf_blocks(rng)
+            pdf_pages = make_pdf_blocks(rng, para_scale)
             payload = make_pdf(pdf_pages, rng)
             expected = expected_pdf_text(pdf_pages)
             url = f"https://{host}/docs/report_{i:05d}.pdf"
             add_page(url, i, payload, expected, "en", "Unknown")
         else:  # article page
             lang = rng.choice(langs)
-            blocks = make_article_blocks(rng, lang)
+            blocks = make_article_blocks(rng, lang, para_scale)
             payload = render_html(rng, blocks, lang)
             url = f"https://{host}/{lang}/articles/story_{i:05d}"
             expected = "\n".join(t for _, t in blocks)
@@ -430,14 +436,17 @@ FIELD_ORDER = ["account_number", "invoice_number", "bill_date",
                "vat_number"]
 
 
-def write(outdir: str, n_pages: int = 500, seed: int = SEED) -> dict[str, str]:
+def write(outdir: str, n_pages: int = 500, seed: int = SEED,
+          para_scale: int = 1, row_group_size: int = 512) -> dict[str, str]:
+    # small row groups on purpose: parquet splits on row-group
+    # boundaries, so a single-row-group file caps scan parallelism at 1
     import os
     os.makedirs(outdir, exist_ok=True)
-    tables = generate(n_pages, seed)
+    tables = generate(n_pages, seed, para_scale)
     paths = {}
     for name, tbl in tables.items():
         p = os.path.join(outdir, f"{name}.parquet")
-        pq.write_table(tbl, p)
+        pq.write_table(tbl, p, row_group_size=row_group_size)
         paths[name] = p
     return paths
 

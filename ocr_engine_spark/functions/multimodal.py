@@ -1,0 +1,339 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched kernels.
+
+The Spark-side plumbing — schemas, partitioning, mapInPandas signatures,
+batch shapes, explode semantics — is real and tested. The codec layer is
+a clearly-marked deterministic fake (``FIMG``/``FAUD``/``FVID`` headers
++ arithmetic pixel/sample synthesis): this container has no image/audio
+libraries, so real decoders are gated behind import-try and raise
+``NotImplementedError`` for non-fake payloads (see ``_decode_real``).
+Swapping the fake codec for PIL/ffmpeg changes ONE function per kind;
+nothing in the Spark plan changes.
+
+Design notes for 10^12-row scale:
+  * payloads never leave Arrow buffers except inside the kernel batch
+  * every operator is mapInPandas over whole batches (no per-row Python
+    UDFs); per-worker init happens at module import (the reference's
+    load-models-once analog, surya_service.py:55-75)
+  * frame sampling is a one-to-many kernel (UDTF shape) — output rows
+    carry (media_id, frame_no) so downstream joins stay co-partitioned
+    on media_id
+  * errors are data: a bad payload yields status='error', never a task
+    failure (surya_service.py:150-158)
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+MAGIC_IMG = b"FIMG"   # FIMG | w u32 | h u32 | channels u8 | seed u64 (BE)
+MAGIC_AUD = b"FAUD"   # FAUD | sample_rate u32 | n_samples u32 | seed u64
+MAGIC_VID = b"FVID"   # FVID | w u32 | h u32 | n_frames u16 | fps u8 | seed u64
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("url", StringType()),
+    StructField("kind", StringType()),       # image | audio | video
+    StructField("payload", BinaryType()),
+])
+
+META_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("url", StringType()),
+    StructField("kind", StringType()),
+    StructField("payload", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("fps", IntegerType()),
+    StructField("n_bytes", LongType()),
+    StructField("status", StringType()),
+    StructField("error", StringType()),
+])
+
+IMAGE_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("mean_intensity", DoubleType()),
+    StructField("std_intensity", DoubleType()),
+    StructField("histogram8", ArrayType(LongType())),
+    StructField("status", StringType()),
+])
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("rms", DoubleType()),
+    StructField("zero_crossings", LongType()),
+    StructField("duration_ms", DoubleType()),
+    StructField("status", StringType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_no", IntegerType()),
+    StructField("frame_payload", BinaryType()),
+])
+
+
+# ---------------------------------------------------------------------------
+# fake codec (deterministic; the stub layer)
+# ---------------------------------------------------------------------------
+
+def encode_fake_image(w: int, h: int, channels: int, seed: int) -> bytes:
+    return MAGIC_IMG + struct.pack(">IIBQ", w, h, channels, seed)
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    return MAGIC_AUD + struct.pack(">IIQ", sample_rate, n_samples, seed)
+
+
+def encode_fake_video(w: int, h: int, n_frames: int, fps: int,
+                      seed: int) -> bytes:
+    return MAGIC_VID + struct.pack(">IIHBQ", w, h, n_frames, fps, seed)
+
+
+def decode_fake_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, c) uint8 — arithmetic synthesis from the header seed.
+    Deterministic across platforms (no RNG stream dependency)."""
+    w, h, c, seed = struct.unpack(">IIBQ", payload[4:21])
+    n = h * w * c
+    idx = np.arange(n, dtype=np.uint64)
+    return ((idx * np.uint64(2654435761) + np.uint64(seed)) % np.uint64(251)) \
+        .astype(np.uint8).reshape(h, w, c)
+
+
+def decode_fake_samples(payload: bytes) -> np.ndarray:
+    """int16 waveform — deterministic triangle-ish synthesis."""
+    rate, n, seed = struct.unpack(">IIQ", payload[4:20])
+    idx = np.arange(n, dtype=np.int64)
+    period = 64 + (seed % 128)
+    tri = np.abs((idx % (2 * period)) - period) - period // 2
+    return (tri * 256).astype(np.int16)
+
+
+def _decode_real(payload: bytes) -> "np.ndarray":
+    """Real-decoder seam: PIL/ffmpeg would slot in here. The container
+    ships neither, so non-fake payloads are explicitly unsupported."""
+    try:  # pragma: no cover - PIL absent in this environment
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "real image/audio decoding requires PIL/ffmpeg (not in this "
+            "container); only FIMG/FAUD/FVID fake payloads are supported")
+    raise NotImplementedError("real decoder not wired")  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# kernels (Arrow-batched; one pandas.DataFrame in -> one out)
+# ---------------------------------------------------------------------------
+
+def _meta_of(payload: bytes | None) -> dict:
+    none = dict(width=None, height=None, channels=None, sample_rate=None,
+                n_samples=None, n_frames=None, fps=None,
+                n_bytes=len(payload) if payload is not None else 0,
+                status="success", error=None)
+    if payload is None or len(payload) < 4:
+        return {**none, "status": "error", "error": "empty payload"}
+    try:
+        magic = bytes(payload[:4])
+        if magic == MAGIC_IMG:
+            w, h, c, _ = struct.unpack(">IIBQ", payload[4:21])
+            return {**none, "width": w, "height": h, "channels": c}
+        if magic == MAGIC_AUD:
+            rate, n, _ = struct.unpack(">IIQ", payload[4:20])
+            return {**none, "sample_rate": rate, "n_samples": n}
+        if magic == MAGIC_VID:
+            w, h, nf, fps, _ = struct.unpack(">IIHBQ", payload[4:23])
+            return {**none, "width": w, "height": h, "n_frames": nf,
+                    "fps": fps}
+        _decode_real(bytes(payload))
+        raise AssertionError("unreachable")
+    except NotImplementedError as exc:
+        return {**none, "status": "error", "error": str(exc)}
+    except Exception as exc:
+        return {**none, "status": "error", "error": f"bad header: {exc}"}
+
+
+def _decode_meta_batches(batches: Iterator[pd.DataFrame]
+                         ) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        metas = [_meta_of(p) for p in b["payload"]]
+        out = pd.DataFrame(metas)
+        for col in ("media_id", "url", "kind", "payload"):
+            out[col] = b[col].reset_index(drop=True)
+        yield out[[f.name for f in META_SCHEMA.fields]]
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Parse payload headers into typed metadata columns (errors are
+    data). Input: MEDIA_SCHEMA; output: META_SCHEMA."""
+    return df.mapInPandas(_decode_meta_batches, META_SCHEMA)
+
+
+def _image_feature_batches(batches: Iterator[pd.DataFrame]
+                           ) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        ids, means, stds, hists, statuses = [], [], [], [], []
+        for mid, payload in zip(b["media_id"], b["payload"]):
+            ids.append(mid)
+            try:
+                if payload is None or bytes(payload[:4]) != MAGIC_IMG:
+                    raise ValueError("not a FIMG payload")
+                px = decode_fake_pixels(bytes(payload)).astype(np.float64)
+                means.append(float(px.mean()))
+                stds.append(float(px.std()))
+                hist, _ = np.histogram(px, bins=8, range=(0, 256))
+                hists.append([int(x) for x in hist])
+                statuses.append("success")
+            except Exception:
+                means.append(None); stds.append(None); hists.append(None)
+                statuses.append("error")
+        yield pd.DataFrame({"media_id": ids, "mean_intensity": means,
+                            "std_intensity": stds, "histogram8": hists,
+                            "status": statuses})
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Decode + featurize image payloads (mean/std/8-bin histogram)."""
+    return (df.filter(F.col("kind") == "image")
+            .mapInPandas(_image_feature_batches, IMAGE_FEATURE_SCHEMA))
+
+
+def _audio_feature_batches(batches: Iterator[pd.DataFrame]
+                           ) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        rows = []
+        for mid, payload in zip(b["media_id"], b["payload"]):
+            try:
+                if payload is None or bytes(payload[:4]) != MAGIC_AUD:
+                    raise ValueError("not a FAUD payload")
+                raw = bytes(payload)
+                rate, n, _ = struct.unpack(">IIQ", raw[4:20])
+                wave = decode_fake_samples(raw).astype(np.float64)
+                rms = float(np.sqrt((wave ** 2).mean())) if n else 0.0
+                zc = int(((wave[:-1] * wave[1:]) < 0).sum()) if n > 1 else 0
+                rows.append((mid, rms, zc, n * 1000.0 / rate, "success"))
+            except Exception:
+                rows.append((mid, None, None, None, "error"))
+        yield pd.DataFrame(rows, columns=["media_id", "rms",
+                                          "zero_crossings", "duration_ms",
+                                          "status"])
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    return (df.filter(F.col("kind") == "audio")
+            .mapInPandas(_audio_feature_batches, AUDIO_FEATURE_SCHEMA))
+
+
+def _resize_batches_factory(out_w: int, out_h: int):
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for payload in b["payload"]:
+                try:
+                    raw = bytes(payload)
+                    if raw[:4] != MAGIC_IMG:
+                        raise ValueError("not a FIMG payload")
+                    px = decode_fake_pixels(raw)
+                    h, w, _ = px.shape
+                    # nearest-neighbor index maps (real resize math over
+                    # the fake pixels; PIL would slot in here)
+                    yi = (np.arange(out_h) * h // out_h)
+                    xi = (np.arange(out_w) * w // out_w)
+                    _ = px[yi][:, xi]  # resized pixels (re-encoded below)
+                    _, _, c, seed = struct.unpack(">IIBQ", raw[4:21])
+                    payloads.append(encode_fake_image(out_w, out_h, c, seed))
+                except Exception:
+                    payloads.append(None)
+            out = b.copy()
+            out["payload"] = payloads
+            yield out
+    return _resize
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Re-encode image payloads at a new size (nearest-neighbor).
+    Schema-preserving: output rows keep MEDIA_SCHEMA."""
+    return (df.filter(F.col("kind") == "image")
+            .mapInPandas(_resize_batches_factory(width, height),
+                         MEDIA_SCHEMA))
+
+
+def _frame_batches_factory(every_k: int):
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, nos, frames = [], [], []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    raw = bytes(payload)
+                    if raw[:4] != MAGIC_VID:
+                        continue
+                    w, h, nf, fps, seed = struct.unpack(">IIHBQ", raw[4:23])
+                    for fno in range(0, nf, every_k):
+                        ids.append(mid)
+                        nos.append(fno)
+                        # frame = image payload w/ per-frame seed (so each
+                        # frame decodes to distinct deterministic pixels)
+                        frames.append(encode_fake_image(
+                            w, h, 3, (seed + fno) & 0xFFFFFFFFFFFFFFFF))
+                except Exception:
+                    continue
+            yield pd.DataFrame({
+                "media_id": pd.array(ids, dtype="int64"),
+                "frame_no": pd.array(nos, dtype="int32"),
+                "frame_payload": frames})
+    return _frames
+
+
+def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """One-to-many frame sampling (UDTF shape): each video row yields
+    ceil(n_frames/k) frame rows, co-partitioned with the input on
+    media_id (no shuffle added by the kernel itself)."""
+    return (df.filter(F.col("kind") == "video")
+            .mapInPandas(_frame_batches_factory(every_k), FRAME_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# deterministic media fixture corpus
+# ---------------------------------------------------------------------------
+
+def gen_media_rows(n: int, seed: int = 42) -> list[tuple]:
+    """Deterministic (media_id, url, kind, payload) rows, ~1/2 image,
+    1/4 audio, 1/4 video."""
+    rows = []
+    for i in range(n):
+        s = seed * 1_000_003 + i
+        r = i % 4
+        if r in (0, 1):
+            w, h = 32 + (i % 7) * 16, 24 + (i % 5) * 16
+            payload = encode_fake_image(w, h, 3, s)
+            kind = "image"
+        elif r == 2:
+            payload = encode_fake_audio(16000, 4000 + (i % 10) * 400, s)
+            kind = "audio"
+        else:
+            payload = encode_fake_video(64, 48, 8 + (i % 5) * 4, 24, s)
+            kind = "video"
+        rows.append((i, f"https://media.example.com/{kind}/{i:06d}", kind,
+                     payload))
+    return rows
+
+
+def media_df(spark, n: int = 200, seed: int = 42,
+             partitions: int | None = None) -> DataFrame:
+    p = partitions or spark.sparkContext.defaultParallelism
+    df = spark.createDataFrame(gen_media_rows(n, seed), MEDIA_SCHEMA)
+    # partition by media_id hash: payload sizes vary, ids don't skew
+    return df.repartition(p, F.xxhash64("media_id"))

@@ -72,11 +72,14 @@ class Block:
     link_chars: int = 0
     boilerplate: bool = False
     _text: str | None = None
+    _wu: int | None = None
 
     @property
     def text(self) -> str:
         if self._text is None:
-            self._text = _WS_RE.sub(" ", "".join(self.parts)).strip()
+            # == _WS_RE.sub(' ', x).strip(): str.split() splits on the
+            # same unicode-whitespace runs, at C speed (hot: per block)
+            self._text = " ".join("".join(self.parts).split())
         return self._text
 
     @property
@@ -85,11 +88,16 @@ class Block:
 
     @property
     def word_units(self) -> int:
-        """ASCII-ish words + CJK chars/2 (zh text has no spaces)."""
-        t = self.text
-        words = len([w for w in t.split(" ") if w])
-        cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
-        return words + cjk // 2
+        """ASCII-ish words + CJK chars/2 (zh text has no spaces).
+        Cached — the classifier probes it twice per block, and the CJK
+        scan is O(chars) (skipped entirely for ASCII text)."""
+        if self._wu is None:
+            t = self.text
+            words = len([w for w in t.split(" ") if w])
+            cjk = 0 if t.isascii() else sum(
+                1 for ch in t if "一" <= ch <= "鿿")
+            self._wu = words + cjk // 2
+        return self._wu
 
     @property
     def link_density(self) -> float:
@@ -193,8 +201,9 @@ class _BlockParser(HTMLParser):
         b = self._block()
         b.parts.append(data)
         b._text = None
+        b._wu = None
         if self._link_depth:
-            b.link_chars += len(_WS_RE.sub(" ", data).strip())
+            b.link_chars += len(" ".join(data.split()))
 
     def close(self):
         super().close()

@@ -47,6 +47,8 @@ _TOK_RE = re.compile(
 
 def _unescape_pdf_string(raw: bytes) -> str:
     """Decode a paren-delimited literal string body (PDF 32000 §7.3.4.2)."""
+    if b"\\" not in raw:  # overwhelmingly common: no escapes at all
+        return raw.decode("latin-1")
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -126,22 +128,23 @@ def _layout(shows: list[tuple[float, float, float, str]]) -> str:
     """Chars/runs -> lines -> reading order -> blocks -> page text."""
     if not shows:
         return ""
-    # 1. cluster into lines by y-band (tolerance = half median font size)
+    # 1. cluster into lines by y-band (tolerance = half median font size).
+    # Sort by y desc first, then band adjacent runs against the band
+    # anchor: O(n log n) instead of scanning every existing line per show
+    # (real pages have hundreds of lines -> the naive scan is quadratic).
+    # Line spacing is always >> tol, so anchor-banding groups exactly the
+    # same runs; ties keep stream order (stable sort).
     med_size = sorted(s[2] for s in shows)[len(shows) // 2]
     tol = max(med_size * 0.5, 1.0)
     lines: list[dict] = []  # {y, items:[(x, text)]}
-    for x, y, size, text in shows:
-        target = None
-        for ln in lines:
-            if abs(ln["y"] - y) <= tol:
-                target = ln
-                break
-        if target is None:
-            target = {"y": y, "items": [], "size": size}
-            lines.append(target)
-        target["items"].append((x, text))
-    # 2. reading order: top-to-bottom (-y), left-to-right within line
-    lines.sort(key=lambda ln: -ln["y"])
+    cur = None
+    for x, y, size, text in sorted(shows, key=lambda s: -s[1]):
+        if cur is None or abs(cur["y"] - y) > tol:
+            cur = {"y": y, "items": [], "size": size}
+            lines.append(cur)
+        cur["items"].append((x, text))
+    # 2. reading order: top-to-bottom (-y) already established by the
+    # sort; left-to-right within line below
     line_texts: list[tuple[float, float, str]] = []
     for ln in lines:
         ln["items"].sort(key=lambda it: it[0])

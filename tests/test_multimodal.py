@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: schemas, batch shapes, explode semantics,
+determinism, and the errors-are-data discipline. The codec is the
+deterministic fake (FIMG/FAUD/FVID); real decoders are explicitly
+NotImplemented in this container (see functions/multimodal.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_engine_spark.functions.multimodal import (
+    audio_features, decode_fake_pixels, decode_media, encode_fake_image,
+    gen_media_rows, image_features, media_df, resize_images, sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = media_df(spark, n=120, seed=42).cache()
+    df.count()
+    return df
+
+
+def test_corpus_deterministic():
+    assert gen_media_rows(10, 42) == gen_media_rows(10, 42)
+    assert gen_media_rows(10, 42) != gen_media_rows(10, 43)
+
+
+def test_decode_media_metadata(media):
+    meta = decode_media(media)
+    rows = {r.media_id: r for r in meta.collect()}
+    assert len(rows) == 120
+    assert all(r.status == "success" for r in rows.values())
+    # kind-specific metadata present / absent
+    img = rows[0]
+    assert img.kind == "image" and img.width and img.height \
+        and img.channels == 3 and img.sample_rate is None
+    aud = rows[2]
+    assert aud.kind == "audio" and aud.sample_rate == 16000 \
+        and aud.n_samples and aud.width is None
+    vid = rows[3]
+    assert vid.kind == "video" and vid.n_frames and vid.fps == 24
+
+
+def test_decode_errors_are_data(spark):
+    from ocr_engine_spark.functions.multimodal import MEDIA_SCHEMA
+    bad = spark.createDataFrame(
+        [(1, "u1", "image", b"JPEG not really"), (2, "u2", "image", None)],
+        MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in decode_media(bad).collect()}
+    assert rows[1].status == "error"
+    assert "FIMG" in rows[1].error or "payload" in rows[1].error
+    assert rows[2].status == "error"
+
+
+def test_image_features_deterministic(media):
+    f1 = {r.media_id: r for r in image_features(media).collect()}
+    f2 = {r.media_id: r for r in image_features(media).collect()}
+    assert f1.keys() == f2.keys() and len(f1) == 60  # half the corpus
+    r = f1[0]
+    assert r.status == "success"
+    assert 0 < r.mean_intensity < 255 and r.std_intensity > 0
+    assert len(r.histogram8) == 8
+    # histogram mass == pixel count
+    px = decode_fake_pixels(gen_media_rows(1, 42)[0][3])
+    assert sum(r.histogram8) == px.size
+    assert f1[0].histogram8 == f2[0].histogram8
+
+
+def test_audio_features(media):
+    rows = {r.media_id: r for r in audio_features(media).collect()}
+    assert len(rows) == 30
+    r = rows[2]
+    assert r.status == "success" and r.rms > 0 and r.duration_ms > 0
+
+
+def test_resize_roundtrip(media):
+    out = resize_images(media, 16, 12)
+    metas = decode_media(out)
+    rows = metas.collect()
+    assert len(rows) == 60
+    assert all(r.width == 16 and r.height == 12 and r.status == "success"
+               for r in rows)
+
+
+def test_frame_sampling_counts(media):
+    vids = {r.media_id: r for r in decode_media(media).collect()
+            if r.kind == "video"}
+    frames = sample_frames(media, every_k=2).collect()
+    by_id: dict[int, list] = {}
+    for fr in frames:
+        by_id.setdefault(fr.media_id, []).append(fr)
+    assert set(by_id) == set(vids)
+    for mid, frs in by_id.items():
+        expect = (vids[mid].n_frames + 1) // 2
+        assert len(frs) == expect
+        assert sorted(f.frame_no for f in frs) == list(
+            range(0, vids[mid].n_frames, 2))
+    # frames decode to distinct deterministic pixels
+    f0, f2 = sorted(by_id[3], key=lambda f: f.frame_no)[:2]
+    p0 = decode_fake_pixels(bytes(f0.frame_payload))
+    p2 = decode_fake_pixels(bytes(f2.frame_payload))
+    assert p0.shape == p2.shape and not np.array_equal(p0, p2)
+
+
+def test_no_python_row_udfs_in_plan(media):
+    """The multimodal plan uses Arrow-batched MapInPandas, never
+    row-at-a-time BatchEvalPython."""
+    plan = image_features(media)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,116 @@
+"""Physical-plan audits: the properties that matter at 100 TB, enforced
+as tests so they can't regress silently.
+
+- filters/column pruning reach the parquet scan (PushedFilters/ReadSchema)
+- small dims broadcast (no sort-merge shuffle for dim joins)
+- relational paths stay in WholeStageCodegen
+- the only Python in any plan is Arrow-batched (MapInPandas /
+  ArrowEvalPython), never row-at-a-time BatchEvalPython
+- top-k compiles to TakeOrderedAndProject (no global sort)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF001", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as e
+    return e
+
+
+def test_filter_pushdown_reaches_scan(spark, entrymod):
+    df = entrymod.q_filter_pushdown(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    # at least one of the predicates is pushed, not just residual
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_scan(spark, entrymod):
+    df = entrymod.q_pricing_summary(spark, SF_DIR)
+    plan = _plan(df)
+    # scan schema must exclude untouched wide columns like l_comment
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_comment" not in scan
+    assert "l_quantity" in scan
+
+
+def test_dim_joins_broadcast(spark, entrymod):
+    plan = _plan(entrymod.q_top_customers(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark, entrymod):
+    plan = _plan(entrymod.q_top_customers(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_relational_plans_have_codegen_and_no_python(spark, entrymod):
+    for name in ("pricing_summary", "top_customers", "region_rollup",
+                 "union_priorities", "filter_pushdown",
+                 "events_window_topk", "cer_metric", "doc_profile",
+                 "lang_guess", "fingerprint_distinct", "exact_dups"):
+        df = entrymod.queries()[name](spark, SF_DIR)
+        df.collect()  # AQE decorates codegen only in the FINAL plan
+        plan = _plan(df)
+        # '*(n)' is WholeStageCodegen's marker in the simple plan string
+        assert "*(" in plan, name
+        assert "BatchEvalPython" not in plan, name  # no row-Python ever
+        assert "EvalPython" not in plan, name       # no Python at all
+
+
+def test_extraction_python_is_arrow_batched_only(spark, pages_df):
+    from ocr_engine_spark.engine.extract_job import extract_pages
+    # .limit() keeps this plan from unifying with the session-scoped
+    # cached extraction (InMemoryTableScan would hide the Python node)
+    plan = _plan(extract_pages(pages_df.limit(7)))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    # exactly ONE Python stage: kernels are fused into a single pass
+    assert plan.count("MapInPandas") == 1
+
+
+def test_extraction_prunes_naive_text_column(spark, pages_df):
+    """The crawler's naive `text` dump must never be read or shuffled:
+    column pruning has to reach the pages scan."""
+    from ocr_engine_spark.engine.extract_job import extract_pages
+    plan = _plan(extract_pages(pages_df.limit(7)))
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "html:binary" in scan
+    assert "text:string" not in scan.replace("extracted_text:string", "") \
+        .replace("clean_text:string", "")
+
+
+def test_minhash_no_cartesian(spark):
+    from ocr_engine_spark.functions.dedup import minhash_candidate_pairs
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(minhash_candidate_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assign_is_map_only(spark):
+    from ocr_engine_spark.functions.similarity import ivf_assign
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    first = emb.select("embedding").first()
+    cents = [(0, [float(x) for x in first[0]]),
+             (1, [float(x) + 0.1 for x in first[0]])]
+    plan = _plan(ivf_assign(emb, cents))
+    assert "Exchange" not in plan  # no shuffle: pure map-side argmax
+    assert "Window" not in plan
