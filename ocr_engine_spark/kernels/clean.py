@@ -71,7 +71,11 @@ _DECIMAL_PAIR_RE = re.compile(r"(\d+)\.(\d+)\s+(\d+)\.(\d+)")
 
 
 def remove_html_tags(text: str) -> str:
-    """Step 1 — ocr_postprocessing.py:43-48."""
+    """Step 1 — ocr_postprocessing.py:43-48. The guard is a pure
+    fast path: every pattern needs '<' or '\\', so absent both the 11
+    passes are identity (extracted web text rarely contains either)."""
+    if "<" not in text and "\\" not in text:
+        return text
     for rx in _TAG_RES:
         text = rx.sub("", text)
     return text
@@ -92,10 +96,14 @@ def apply_ocr_corrections(text: str) -> str:
 
 
 def fix_table_formatting(text: str) -> str:
-    """Step 4 — ocr_postprocessing.py:74-83."""
-    text = _KWH_BOX_RE.sub(r"\1 kWh", text)
-    text = _KWH_MATH_RE.sub(r"\1 kWh", text)
-    text = _DECIMAL_PAIR_RE.sub(r"\1.\2    \3.\4", text)
+    """Step 4 — ocr_postprocessing.py:74-83. Guards are pure fast
+    paths: each pattern requires its literal ('kWh' / '.'), so skipping
+    the scan when absent is output-identical."""
+    if "kWh" in text:
+        text = _KWH_BOX_RE.sub(r"\1 kWh", text)
+        text = _KWH_MATH_RE.sub(r"\1 kWh", text)
+    if "." in text:
+        text = _DECIMAL_PAIR_RE.sub(r"\1.\2    \3.\4", text)
     return text
 
 

