@@ -75,7 +75,7 @@ def test_errors_are_data_not_failures(spark):
 
 def test_no_per_row_python_in_plan(pages_df):
     """The physical plan must contain exactly one Arrow-batched Python
-    stage (mapInPandas) and no row-at-a-time PythonUDF/BatchEvalPython
+    stage (mapInArrow) and no row-at-a-time PythonUDF/BatchEvalPython
     (input_hint: 'no per-row Python'). Also: the shuffle feeding the
     kernel must never carry the naive `text` dump (column pruning)."""
     from ocr_engine_spark.engine.extract_job import extract_pages
@@ -84,7 +84,7 @@ def test_no_per_row_python_in_plan(pages_df):
     df = extract_pages(pages_df, partitions=7)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInArrow") == 1
     scan_line = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
     assert ",text#" not in scan_line and "[text#" not in scan_line
 

@@ -80,10 +80,10 @@ def test_extraction_python_is_arrow_batched_only(spark, pages_df):
     # .limit() keeps this plan from unifying with the session-scoped
     # cached extraction (InMemoryTableScan would hide the Python node)
     plan = _plan(extract_pages(pages_df.limit(7)))
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
     assert "BatchEvalPython" not in plan
     # exactly ONE Python stage: kernels are fused into a single pass
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInArrow") == 1
 
 
 def test_extraction_prunes_naive_text_column(spark, pages_df):
