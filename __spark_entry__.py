@@ -22,8 +22,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_engine_spark.functions.text import (
-    STOPWORDS, fingerprint64_col, lang_guess_col, oracle_stopword_list,
-    quality_score_col, token_count_col,
+    BPE_PATTERN, STOPWORDS, bpe_token_count_col, fingerprint64_col,
+    lang_guess_col, oracle_stopword_list, quality_score_col,
+    token_count_col, with_rolling_fingerprints,
 )
 
 
@@ -208,6 +209,34 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("guessed_lang"))
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware (BPE-pretoken) token counting per source — one
+    JVM regexp_count, lookahead-free pattern shared verbatim with the
+    RE2-based oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select("source",
+                    bpe_token_count_col(F.col("text")).alias("n_bpe"))
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_bpe").alias("total_bpe_tokens"),
+                 F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"))
+            .orderBy("source"))
+
+
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing-family
+    content-defined sampling of 16-gram hashes, 1/64 rate)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = with_rolling_fingerprints(docs, "text", k=16, mod=64)
+    ex = d.select("doc_id", F.explode_outer("fingerprints").alias("fp"))
+    return ex.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("fp").alias("total_fps"),
+        F.countDistinct("fp").alias("n_distinct_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"))
+
+
 def q_fingerprint_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: 60-bit portable content hash."""
     docs = _read(spark, sf_dir, "documents")
@@ -363,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cer_metric": q_cer_metric,
         "doc_profile": q_doc_profile,
         "lang_guess": q_lang_guess,
+        "bpe_token_count": q_bpe_token_count,
+        "rolling_fingerprints": q_rolling_fingerprints,
         "fingerprint_distinct": q_fingerprint_distinct,
         "exact_dups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -529,6 +560,36 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT guessed_lang, count(*) AS n FROM g
             GROUP BY guessed_lang ORDER BY guessed_lang
+        """,
+        "bpe_token_count": f"""
+            WITH d AS (
+              SELECT source,
+                     len(regexp_extract_all(text,
+                         '{BPE_PATTERN.replace(chr(39), chr(39) * 2)}'))
+                         AS n_bpe
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   sum(n_bpe)::BIGINT AS total_bpe_tokens,
+                   round(avg(n_bpe), 4) AS avg_bpe_tokens
+            FROM d GROUP BY source ORDER BY source
+        """,
+        "rolling_fingerprints": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents WHERE doc_id < 200),
+            g AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(substr(t, i, 16)), 1, 15))::BIGINT
+                         AS h
+              FROM n, LATERAL unnest(generate_series(
+                       1, greatest(length(t) - 15, 0))) AS u(i)),
+            f AS (SELECT doc_id, h FROM g WHERE h % 64 = 0)
+            SELECT (SELECT count(*) FROM n) AS n_docs,
+                   count(h) AS total_fps,
+                   count(DISTINCT h) AS n_distinct_fps,
+                   min(h) AS min_fp, max(h) AS max_fp
+            FROM f
         """,
         "fingerprint_distinct": r"""
             SELECT count(*) AS n_docs,

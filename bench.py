@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "pricing_summary", "top_customers", "derived_key_join",
     "filter_pushdown", "salted_agg", "events_window_topk",
-    "cer_metric", "doc_profile", "lang_guess", "fingerprint_distinct",
+    "cer_metric", "doc_profile", "lang_guess", "bpe_token_count",
+    "rolling_fingerprints", "fingerprint_distinct",
     "exact_dups", "minhash_near_dups", "simhash_near_dups",
     "embedding_topk", "embedding_lsh_pairs", "ivf_topk",
 ]

@@ -104,6 +104,55 @@ def lang_guess_col(c: Column) -> Column:
     )
 
 
+# BPE-style pretokenizer (GPT-2 family), lookahead-free so the same
+# pattern runs under Java regex (Spark) and RE2 (DuckDB oracle):
+# contractions | space?+letters | space?+digits | space?+other | spaces
+BPE_PATTERN = (r"'(?:[sdmt]|ll|ve|re)"
+               r"| ?\p{L}+"
+               r"| ?\p{N}+"
+               r"| ?[^\s\p{L}\p{N}]+"
+               r"|\s+")
+
+
+def bpe_token_count_col(c: Column) -> Column:
+    """Tokenizer-aware token count: number of BPE pretokens (the unit a
+    GPT-style tokenizer splits on before merges). One JVM regexp_count —
+    no Python, no vocab needed for COUNTING purposes (merges only join
+    bytes WITHIN a pretoken... they reduce counts; this is the standard
+    cheap upper-bound token estimate for corpus budgeting)."""
+    return F.regexp_count(c, F.lit(BPE_PATTERN)).cast("long")
+
+
+def with_rolling_fingerprints(df, text_col: str = "text",
+                              k: int = 16, mod: int = 64,
+                              out: str = "fingerprints"):
+    """Content-defined document fingerprints (winnowing-family): hash
+    every k-char gram of the normalized text, keep those where
+    hash % mod == 0 (~1/mod content-defined sampling). Near-identical
+    documents share most selected fingerprints regardless of alignment —
+    the classic rolling-hash sketch for plagiarism/near-dup detection.
+    md5-based so the DuckDB oracle reproduces the values exactly.
+
+    DataFrame-level on purpose: the normalized text must be MATERIALIZED
+    in its own projection (it is referenced by the sequence bound and by
+    every lambda element; inlined it would re-normalize per gram —
+    O(n^2) per document; see functions/dedup.py on the HOF-inlining
+    trap)."""
+    norm = f"__norm_{out}"
+    d = df.withColumn(norm, normalized_col(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(F.col(norm), i, k)), 1, 15),
+            16, 10).cast("long"))
+    # guard: sequence(1, n) counts DOWN when n < 1 — short docs need an
+    # explicit empty array
+    hashes = F.when(F.length(norm) < k,
+                    F.array().cast("array<long>")).otherwise(grams)
+    return d.withColumn(out, F.filter(hashes, lambda h: h % mod == 0)) \
+            .drop(norm)
+
+
 def normalized_col(c: Column) -> Column:
     """Dedup normalization: lowercase + whitespace collapse + trim."""
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))

@@ -66,3 +66,40 @@ def test_fingerprint_normalization(spark):
     f64 = [r[0] for r in df.select(fingerprint64_col(F.col("t"))).collect()]
     assert f64[0] == f64[1] != f64[2]
     assert all(isinstance(v, int) for v in f64)
+
+
+def test_bpe_token_count_examples(spark):
+    from ocr_engine_spark.functions.text import bpe_token_count_col
+    rows = spark.createDataFrame(
+        [("Hello, world!",),       # Hello | , | _world | !
+         ("it's 42 degrees",),     # it | 's | _42 | _degrees
+         ("",), ("   ",)],         # empty -> 0; spaces -> 1 run
+        "text string")
+    got = [r.n for r in rows.select(
+        bpe_token_count_col(F.col("text")).alias("n")).collect()]
+    assert got == [4, 4, 0, 1]
+
+
+def test_rolling_fingerprints_shift_invariant(spark):
+    """Content-defined sampling: prepending text leaves the shared
+    suffix's fingerprints intact (alignment-free near-dup signal)."""
+    from ocr_engine_spark.functions.text import with_rolling_fingerprints
+    base = ("the quick brown fox jumps over the lazy dog while analytics "
+            "engines process billions of documents every single day with "
+            "careful partitioning and vectorized execution " * 4)
+    shifted = "PREPENDED HEADER LINE " + base
+    df = spark.createDataFrame([(0, base), (1, shifted)], "doc_id long, text string")
+    fps = {r.doc_id: set(r.fingerprints) for r in
+           with_rolling_fingerprints(df).collect()}
+    assert fps[0], "base doc must yield fingerprints"
+    shared = fps[0] & fps[1]
+    assert len(shared) / len(fps[0]) > 0.8  # fixed hashes, not positions
+
+
+def test_rolling_fingerprints_short_doc_empty(spark):
+    from ocr_engine_spark.functions.text import with_rolling_fingerprints
+    df = spark.createDataFrame([(0, "short"), (1, "")],
+                               "doc_id long, text string")
+    fps = {r.doc_id: r.fingerprints for r in
+           with_rolling_fingerprints(df).collect()}
+    assert fps[0] == [] and fps[1] == []
