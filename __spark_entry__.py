@@ -259,8 +259,8 @@ def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (exact verifier) on a bounded scope."""
     from ocr_engine_spark.functions.dedup import jaccard_pairs
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    return (jaccard_pairs(docs, threshold=0.03)
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return (jaccard_pairs(docs, threshold=0.01)
             .select("id_a", "id_b", "jaccard")
             .orderBy("id_a", "id_b"))
 
@@ -613,7 +613,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                      string_split_regex(trim(lower(text)), '\s+') AS t
-              FROM documents WHERE doc_id < 60),
+              FROM documents WHERE doc_id < 120),
             sh AS (
               SELECT DISTINCT doc_id, sh FROM (
                 SELECT doc_id,
@@ -632,7 +632,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-            WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.03
+            WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.01
             ORDER BY id_a, id_b
         """,
         "embedding_topk": """
