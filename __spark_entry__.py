@@ -265,6 +265,28 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level cross-engine check of the MinHash math itself: md5
+    shingle hashes (bit-identical in DuckDB) -> 16-permutation
+    signatures -> exploded stats. The xxhash64 scale path shares every
+    line of code except the hash primitive."""
+    from ocr_engine_spark.functions.dedup import (
+        minhash_sig_from_hashes_col, shingle_hashes_col,
+    )
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    hashed = docs.select(
+        "doc_id", shingle_hashes_col(F.col("text"), 3, "md5").alias("sh"))
+    sig = hashed.select(
+        "doc_id",
+        minhash_sig_from_hashes_col(F.col("sh"), 16, 42).alias("sig"))
+    ex = sig.selectExpr("doc_id", "posexplode(sig) as (perm, mh)")
+    return ex.agg(F.count("*").alias("n_rows"),
+                  F.countDistinct("mh").alias("n_distinct_mh"),
+                  F.min("mh").alias("min_mh"),
+                  F.max("mh").alias("max_mh"),
+                  F.sum("mh").alias("total_mh"))
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline (query = vec_id 0)."""
     from ocr_engine_spark.functions.similarity import brute_topk
@@ -397,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_distinct": q_fingerprint_distinct,
         "exact_dups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
         "embedding_topk": q_embedding_topk,
         "embedding_pairs": q_embedding_pairs,
         "minhash_near_dups": q_minhash_near_dups,
@@ -429,6 +452,43 @@ _QUALITY = f"""
             between 3.0 and 10.0 then 1.0 else 0.0 end) * 0.1,
   4)
 """
+
+
+def _minhash_signatures_oracle() -> str:
+    from ocr_engine_spark.functions.dedup import MERSENNE_P, _perm_params
+    perms = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
+                      for i, (a, b) in enumerate(_perm_params(16, 42)))
+    p = MERSENNE_P
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents WHERE doc_id < 50),
+        sh AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(t) - 2, 0)),
+                     i -> array_to_string(t[i:i+2], ' '))) AS sh
+            FROM toks)),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(sh), 1, 15))::BIGINT % {p} AS hv
+          FROM sh),
+        perms(perm, a, b) AS (VALUES {perms}),
+        sig AS (
+          SELECT d.doc_id, perms.perm,
+                 coalesce(min((h.hv * perms.a + perms.b) % {p}), {p}) AS mh
+          FROM (SELECT DISTINCT doc_id FROM toks) d
+          CROSS JOIN perms
+          LEFT JOIN h ON h.doc_id = d.doc_id
+          GROUP BY d.doc_id, perms.perm)
+        SELECT count(*) AS n_rows,
+               count(DISTINCT mh) AS n_distinct_mh,
+               min(mh) AS min_mh, max(mh) AS max_mh,
+               sum(mh)::BIGINT AS total_mh
+        FROM sig
+    """
 
 
 def _stop_count(lang: str) -> str:
@@ -635,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.01
             ORDER BY id_a, id_b
         """,
+        "minhash_signatures": _minhash_signatures_oracle(),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

@@ -116,8 +116,21 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # MinHash + banded LSH (the scale path)
 # ---------------------------------------------------------------------------
 
-def shingle_hashes_col(c: Column, n: int = 3) -> Column:
-    """xxhash64 (mod p) of each distinct word n-gram shingle."""
+def shingle_hashes_col(c: Column, n: int = 3,
+                       hash_fn: str = "xxhash64") -> Column:
+    """Hash (mod p) of each distinct word n-gram shingle.
+
+    ``xxhash64`` (default) is the scale path — JVM-native, no string
+    materialization. ``md5`` is the PORTABLE variant (first 15 hex chars
+    as int): bit-identical in DuckDB via ('0x'||substr(md5(s),1,15)),
+    used by the oracle-checked signature query so the MinHash math gets
+    a value-level cross-engine check, not just a rows-only one."""
+    if hash_fn == "md5":
+        return F.transform(
+            shingles_col(c, n),
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                F.lit(MERSENNE_P)))
     return F.transform(shingles_col(c, n),
                        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
 
