@@ -34,6 +34,9 @@ def cer_col(reference: Column, hypothesis: Column) -> Column:
     hyp_n = normalize_text_col(hyp)
     return (
         F.when(ref == "", F.when(hyp == "", F.lit(0.0)).otherwise(F.lit(100.0)))
+         # equality fast path: levenshtein(x, x) == 0 but still costs
+         # O(n*m) in the JVM; most documents pass extraction unchanged
+         .when(ref_n == hyp_n, F.lit(0.0))
          .otherwise(F.levenshtein(ref_n, hyp_n) / F.length(ref_n) * 100.0)
     )
 
