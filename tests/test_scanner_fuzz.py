@@ -1,0 +1,68 @@
+"""Property-based parity fuzz: the regex scanner must agree with the
+stdlib html.parser path on arbitrary WELL-FORMED markup (the golden
+corpus covers realistic pages; this covers the space between), and
+extract_html must never raise on arbitrary bytes (errors-are-data)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+import ocr_engine_spark.kernels.html_extract as hx
+
+TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters="<>&",  # markup built explicitly below
+    ),
+    min_size=0, max_size=40)
+
+TAGS = ["p", "div", "span", "li", "ul", "h1", "h2", "em", "strong",
+        "main", "nav", "footer", "aside", "td", "table", "blockquote"]
+ATTRS = ["", ' class="content"', ' class="sidebar ad"', ' id="nav"',
+         " class='x y'", ' role="navigation"', ' data-k="v"']
+ENTITIES = ["&amp;", "&#32;", "&lt;", "&quot;", "&nbsp;", "&#x41;"]
+
+
+@st.composite
+def markup(draw, depth=0):
+    n = draw(st.integers(0, 3 if depth < 3 else 0))
+    parts = [draw(TEXT)]
+    for _ in range(n):
+        kind = draw(st.integers(0, 3))
+        if kind == 0 and depth < 3:
+            tag = draw(st.sampled_from(TAGS))
+            attr = draw(st.sampled_from(ATTRS))
+            inner = draw(markup(depth=depth + 1))
+            parts.append(f"<{tag}{attr}>{inner}</{tag}>")
+        elif kind == 1:
+            parts.append(draw(st.sampled_from(ENTITIES)))
+        elif kind == 2:
+            parts.append(f"<!-- {draw(TEXT)} -->")
+        else:
+            parts.append("<br/>")
+        parts.append(draw(TEXT))
+    return "".join(parts)
+
+
+def _blocks(cls, doc):
+    p = cls()
+    p.feed(doc)
+    p.close()
+    return [(b.text, b.kind, b.boilerplate, b.link_chars) for b in p.blocks]
+
+
+@settings(max_examples=200, deadline=None)
+@given(markup())
+def test_scanner_parity_on_wellformed_markup(body):
+    doc = f"<html><body>{body}</body></html>"
+    assert _blocks(hx._FastBlockParser, doc) == _blocks(hx._BlockParser, doc)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_html_never_raises(payload):
+    res = hx.extract_html(payload)
+    assert res["status"] in ("success", "error")
+    if res["status"] == "success":
+        assert res["text"] is not None
+        assert len(res["spans"]) == res["n_blocks"]
