@@ -113,7 +113,12 @@ def extract_batch_arrow(batches):
             txt = res["text"]
             kinds.append(kind)
             texts.append(txt)
-            cleans.append(clean_text(txt) if txt is not None else None)
+            # delta encoding: clean_text crosses the Arrow socket only
+            # when it differs from extracted_text (usually it doesn't —
+            # extraction output is already tidy); the JVM-side coalesce
+            # in extract_pages restores the full column byte-identically
+            cleaned = clean_text(txt) if txt is not None else None
+            cleans.append(cleaned if cleaned != txt else None)
             spans_col.append([(s["start"], s["end"], s["block_id"],
                                s["kind"]) for s in res["spans"]])
             n_blocks.append(res["n_blocks"])
@@ -247,6 +252,10 @@ def extract_pages(pages: DataFrame, *, partitions: int | None = None,
         .withColumn("partition_id", F.spark_partition_id())
     )
     out = staged.mapInArrow(extract_batch_arrow, EXTRACT_SCHEMA)
+    # undo the kernel's clean_text delta encoding (null == "same as
+    # extracted_text"); error rows have both null, which coalesce keeps
+    out = out.withColumn("clean_text",
+                         F.coalesce("clean_text", "extracted_text"))
     out = out.withColumn("provider", provider_col())
     if with_fields:
         out = out.select("*", *fields_columns())
