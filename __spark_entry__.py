@@ -130,6 +130,21 @@ def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_rows")))
 
 
+def q_cube_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube crosstab (SURVEY.md §2.5 optional note: the severity x type
+    crosstab generalized): event_type x hour-of-day with all subtotal
+    combinations; grouping_id distinguishes subtotal levels from real
+    null keys."""
+    ev = _read(spark, sf_dir, "events")
+    d = ev.select("event_type", F.hour("ts").alias("hr"), "value")
+    return (d.cube("event_type", "hr")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"),
+                 F.grouping_id().alias("gid"))
+            .orderBy(F.col("gid"), F.col("event_type").asc_nulls_first(),
+                     F.col("hr").asc_nulls_first()))
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase salted aggregation (north_rule skew handling):
     l_returnflag has 3 values, so a direct groupBy sends ~1/3 of the
@@ -409,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_key_join": q_derived_key_join,
         "union_priorities": q_union_priorities,
         "filter_pushdown": q_filter_pushdown,
+        "cube_crosstab": q_cube_crosstab,
         "salted_agg": q_salted_agg,
         "events_window_topk": q_events_window_topk,
         "cer_metric": q_cer_metric,
@@ -555,6 +571,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_quantity > 45 AND l_discount >= 0.05
               AND l_discount <= 0.07
+        """,
+        "cube_crosstab": """
+            SELECT event_type, hour(ts)::INT AS hr,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total_value,
+                   grouping(event_type, hour(ts)::INT) AS gid
+            FROM events
+            GROUP BY CUBE(event_type, hour(ts)::INT)
+            ORDER BY gid, event_type ASC NULLS FIRST, hr ASC NULLS FIRST
         """,
         "salted_agg": """
             SELECT l_returnflag,
