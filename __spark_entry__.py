@@ -130,6 +130,28 @@ def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_rows")))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator as a built-in-op composition,
+    functions/asof.py) checked against DuckDB's NATIVE ASOF JOIN:
+    even-id events are queries, odd-id events are quotes (deduped per
+    (user, ts)); each query takes the user's latest quote at-or-before
+    its timestamp."""
+    from ocr_engine_spark.functions.asof import as_of_join
+    ev = _read(spark, sf_dir, "events")
+    queries = (ev.filter(F.col("event_id") % 2 == 0)
+               .select("event_id", "user_id", "ts", "event_type"))
+    quotes = (ev.filter(F.col("event_id") % 2 == 1)
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("quote")))
+    j = as_of_join(queries, quotes, on="user_id", left_ts="ts",
+                   right_ts="ts", value_cols=["quote"])
+    return (j.groupBy("event_type")
+            .agg(F.count("*").alias("n_queries"),
+                 F.count("quote").alias("n_matched"),
+                 F.round(F.sum("quote"), 2).alias("total_quote"))
+            .orderBy("event_type"))
+
+
 def q_cube_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cube crosstab (SURVEY.md §2.5 optional note: the severity x type
     crosstab generalized): event_type x hour-of-day with all subtotal
@@ -424,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_key_join": q_derived_key_join,
         "union_priorities": q_union_priorities,
         "filter_pushdown": q_filter_pushdown,
+        "asof_join": q_asof_join,
         "cube_crosstab": q_cube_crosstab,
         "salted_agg": q_salted_agg,
         "events_window_topk": q_events_window_topk,
@@ -571,6 +594,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_quantity > 45 AND l_discount >= 0.05
               AND l_discount <= 0.07
+        """,
+        "asof_join": """
+            WITH q AS (SELECT event_id, user_id, ts, event_type
+                       FROM events WHERE event_id % 2 = 0),
+            r AS (SELECT user_id, ts, max(value) AS quote
+                  FROM events WHERE event_id % 2 = 1
+                  GROUP BY user_id, ts)
+            SELECT event_type, count(*) AS n_queries,
+                   count(r.quote) AS n_matched,
+                   round(sum(r.quote), 2) AS total_quote
+            FROM q ASOF LEFT JOIN r
+              ON q.user_id = r.user_id AND q.ts >= r.ts
+            GROUP BY event_type ORDER BY event_type
         """,
         "cube_crosstab": """
             SELECT event_type, hour(ts)::INT AS hr,
