@@ -34,17 +34,12 @@ HEADLINE = [
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000
 # docs (mixed HTML/PDF, boilerplate-wrapped, multi-KB payloads)
 PAGES_PER_SF = 30_000
-BENCH_PARTITIONS = None  # default: 2 x defaultParallelism (extract_pages)
+BENCH_PARTITIONS = None  # default: 4 x defaultParallelism (extract_pages)
 
 
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
     return float(m.group(1)) if m else 0.1
-
-
-def _consume(df) -> int:
-    """Force full computation without driver-side materialization cost."""
-    return df.write.mode("overwrite").format("noop").save() or df.count()
 
 
 def main() -> None:

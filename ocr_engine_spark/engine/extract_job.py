@@ -218,6 +218,11 @@ def fields_columns(text_col: str = "clean_text") -> list[F.Column]:
     for name, (pattern, typ) in FIELD_PATTERNS.items():
         m = _LITERAL_PREFIX_RE.match(pattern)
         needle = m.group(0) if m else ""
+        # a literal whose last char is quantified (e.g. r'Fees?: ') is
+        # NOT implied by a match — drop it from the required substring
+        if needle and len(pattern) > len(needle) \
+                and pattern[len(needle)] in "?*{":
+            needle = needle[:-1]
         c = F.regexp_extract(F.col(text_col), pattern, 1)
         if needle:
             c = F.when(F.col(text_col).contains(needle), c)

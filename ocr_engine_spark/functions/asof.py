@@ -27,8 +27,17 @@ def as_of_join(left: DataFrame, right: DataFrame, *, on: str,
                value_cols: list[str]) -> DataFrame:
     """Backward as-of join. Right rows tie-sorted BEFORE left rows at
     equal timestamps, so a right row at exactly left_ts is matched
-    (the >= convention). Right (key, ts) pairs should be unique —
-    pre-aggregate duplicates or the carried value is sort-ambiguous."""
+    (the >= convention). Preconditions (divergences from DuckDB ASOF /
+    pandas merge_asof if violated):
+
+      * right (key, ts) pairs unique — pre-aggregate duplicates or the
+        carried value is sort-ambiguous;
+      * right value columns non-null — ``last(ignorenulls=True)`` would
+        carry the PREVIOUS quote past a legitimately-null row instead
+        of matching it as null;
+      * join keys non-null — null keys group together here, whereas
+        DuckDB/pandas never match them.
+    """
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn(
         "__tag", F.lit(1))
     rt = (right.select(F.col(on),

@@ -231,7 +231,13 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     are already distinct), NOT a second explode+equi-join pipeline —
     one fewer shuffle and no shingle recompute. At 10^12 rows the
     persist becomes a written intermediate table; candidates ≪ corpus,
-    so the two verify joins shuffle only candidate rows."""
+    so the two verify joins shuffle only candidate rows.
+
+    Cache lifecycle: the persist is released by Spark's ContextCleaner
+    once the returned plan is garbage-collected driver-side; a
+    long-lived session issuing many calls should materialize the result
+    and then call ``spark.catalog.clearCache()`` for deterministic
+    release."""
     sh = df.select(F.col(id_col).alias("id"),
                    shingles_col(F.col(text_col), n).alias("sh")).persist()
     hashed = sh.select(

@@ -244,10 +244,11 @@ class _FastBlockParser(_BlockParser):
                 self.handle_endtag(name)
                 continue
             rawattrs = m.group("attrs") or ""
+            # case-insensitive gate (CLASS="nav" must parse like the
+            # stdlib path, which lowercases attr names)
             attrs = ([(a[0].lower(), a[1] or a[2] or a[3])
                       for a in _ATTR_RE.findall(rawattrs)]
-                     if ("class" in rawattrs or "id" in rawattrs
-                         or "role" in rawattrs) else [])
+                     if _ATTR_GATE_RE.search(rawattrs) else [])
             if m.group("selfclose"):
                 self.handle_startendtag(name, attrs)
                 continue
@@ -284,6 +285,9 @@ _MARKUP_RE = re.compile(
     re.S)
 _ATTR_RE = re.compile(
     r"([a-zA-Z-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))")
+# only tags whose raw attr text could carry class/id/role pay the full
+# attr parse (pure fast path: _is_boiler_attrs only reads those three)
+_ATTR_GATE_RE = re.compile(r"class|id|role", re.I)
 _CDATA_CLOSE = {t: re.compile(rf"</{t}(?:\s[^>]*)?>", re.I)
                 for t in ("script", "style")}
 
