@@ -370,13 +370,21 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs on a doubled corpus (hamming=0 for copies)."""
+    """SimHash near-dup pairs at max_hamming=3 via pigeonhole blocking
+    (recall 1 by construction — the DuckDB oracle computes the
+    brute-force all-pairs hamming filter, so any blocked-out pair would
+    hash-mismatch). Corpus: docs < 80 doubled, copies perturbed with an
+    appended token so nonzero hammings are exercised; md5-portable token
+    hashes make the signatures bit-identical across engines."""
     from ocr_engine_spark.functions.dedup import simhash_near_pairs
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
     doubled = docs.unionByName(
-        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
-    pairs = simhash_near_pairs(doubled, max_hamming=0)
-    return pairs.agg(F.count("*").alias("n_pairs"))
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz"))))
+    pairs = simhash_near_pairs(doubled, max_hamming=3, hash_fn="md5")
+    return (pairs.select("id_a", "id_b",
+                         F.col("hamming").cast("long").alias("hamming"))
+            .orderBy("id_a", "id_b"))
 
 
 def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,6 +535,40 @@ def _minhash_signatures_oracle() -> str:
                min(mh) AS min_mh, max(mh) AS max_mh,
                sum(mh)::BIGINT AS total_mh
         FROM sig
+    """
+
+
+def _simhash_near_dups_oracle() -> str:
+    """Brute-force SimHash + hamming in DuckDB: per-bit majority votes
+    over md5-60-bit token hashes (sum of distinct powers of two == the
+    OR assembly on the Spark side), then ALL-pairs bit_count(xor) —
+    no blocking, so this doubles as the recall proof for the pigeonhole
+    construction in functions/dedup.py:simhash_near_pairs."""
+    bit_terms = "\n + ".join(
+        f"(CASE WHEN sum(((hv >> {j}) & 1) * 2 - 1) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(60))  # md5-60-bit: bits 60..63 always vote -1 -> 0
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' zz'
+          FROM documents WHERE doc_id < 80),
+        toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+          FROM base),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+          FROM toks),
+        sig AS (
+          SELECT doc_id, {bit_terms} AS sh
+          FROM h GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        ORDER BY id_a, id_b
     """
 
 
@@ -757,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "minhash_signatures": _minhash_signatures_oracle(),
+        "simhash_near_dups": _simhash_near_dups_oracle(),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

@@ -268,9 +268,22 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def token_hashes_col(c: Column) -> Column:
-    """xxhash64 of each whitespace token (SimHash's per-token votes)."""
-    return F.transform(tokens_col(F.lower(c)), lambda t: F.xxhash64(t))
+def token_hashes_col(c: Column, hash_fn: str = "xxhash64") -> Column:
+    """Per-token hashes (SimHash's per-token votes), one per OCCURRENCE
+    (repeated tokens vote with their multiplicity, classic Charikar).
+
+    ``xxhash64`` (default) is the scale path. ``md5`` is the PORTABLE
+    variant (first 15 hex chars as a 60-bit int — bits 60..63 of the
+    resulting signature are always 0 since every vote for them is -1),
+    reproducible in DuckDB via ('0x'||substr(md5(t),1,15))::BIGINT, so
+    the whole SimHash pipeline gets a value-level cross-engine oracle."""
+    toks = tokens_col(F.lower(c))
+    if hash_fn == "md5":
+        return F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                       .cast("long"))
+    return F.transform(toks, lambda t: F.xxhash64(t))
 
 
 def simhash_from_hashes_col(hashes: Column, bits: int = 64) -> Column:
@@ -297,21 +310,23 @@ def simhash_from_hashes_col(hashes: Column, bits: int = 64) -> Column:
     return sig
 
 
-def simhash_col(c: Column, bits: int = 64) -> Column:
+def simhash_col(c: Column, bits: int = 64,
+                hash_fn: str = "xxhash64") -> Column:
     """SimHash of raw text as one Column (convenience/test surface).
     Hot paths should go through with_simhash(), which materializes the
     token-hash array first — inline, the 64 folds each re-tokenize."""
-    return simhash_from_hashes_col(token_hashes_col(c), bits)
+    return simhash_from_hashes_col(token_hashes_col(c, hash_fn), bits)
 
 
 def with_simhash(df: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text", bits: int = 64) -> DataFrame:
+                 text_col: str = "text", bits: int = 64,
+                 hash_fn: str = "xxhash64") -> DataFrame:
     """(id, sh) with the signature computed over a materialized hash
     array. Two projections on purpose: Catalyst's CollapseProject keeps
     them separate because the hash array is a non-cheap expression
     referenced 64 times — so tokenization runs ONCE per document."""
     d = df.select(F.col(id_col).alias("id"),
-                  token_hashes_col(F.col(text_col)).alias("__th"))
+                  token_hashes_col(F.col(text_col), hash_fn).alias("__th"))
     return d.select("id",
                     simhash_from_hashes_col(F.col("__th"), bits).alias("sh"))
 
@@ -321,18 +336,47 @@ def simhash_hamming_col(a: Column, b: Column) -> Column:
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 8,
-                       prefix_bits: int = 12) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
-    (the classic rotate-and-block trick, one rotation here), then exact
-    hamming filter within blocks — avoids the cross join."""
-    d = with_simhash(df, id_col, text_col)
-    d = d.withColumn("blk", F.shiftrightunsigned(F.col("sh"),
-                                                 64 - prefix_bits))
-    l, r = d.alias("l"), d.alias("r")
-    return (l.join(r, "blk")
-             .filter(F.col("l.id") < F.col("r.id"))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     simhash_hamming_col(F.col("l.sh"), F.col("r.sh"))
-                     .alias("hamming"))
-             .filter(F.col("hamming") <= max_hamming))
+                       text_col: str = "text", max_hamming: int = 3,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs by SimHash with PIGEONHOLE blocking — exact, not
+    probabilistic: split the 64 bits into (max_hamming + 1) disjoint
+    segments; two signatures within hamming ``k`` MUST agree exactly on
+    at least one segment (k differing bits cannot touch all k+1
+    segments), so a per-segment equi-join has recall 1 by construction
+    and the result is identical to the brute-force all-pairs hamming
+    filter (which is what the DuckDB oracle computes).
+
+    Plan shape: explode each signature into k+1 (segment_id, segment
+    value) rows — ONE shuffle on that pair, distinct candidates, exact
+    ``bit_count(xor)`` verify. Never a cross join. At 10^12 docs the
+    shuffle carries (k+1) x 16 bytes per doc; candidate volume is
+    governed by segment width 64/(k+1) — keep max_hamming small (<=7)
+    or pre-partition by a coarser prefix first."""
+    nb = max_hamming + 1
+    assert 1 <= nb <= 32, "max_hamming must be in [0, 31]"
+    width = 64 // nb
+    d = with_simhash(df, id_col, text_col, hash_fn=hash_fn)
+    segs = []
+    for i in range(nb):
+        lo = i * width
+        w = width if i < nb - 1 else 64 - lo  # last segment absorbs rest
+        val = F.shiftrightunsigned(F.col("sh"), lo)
+        if w < 64:
+            val = val.bitwiseAND(F.lit((1 << w) - 1))
+        segs.append(F.struct(F.lit(i).alias("si"), val.alias("sv")))
+    e = (d.select("id", "sh", F.explode(F.array(*segs)).alias("s"))
+         .select("id", "sh", F.col("s.si").alias("si"),
+                 F.col("s.sv").alias("sv")))
+    l, r = e.alias("l"), e.alias("r")
+    cands = (l.join(r, ["si", "sv"])
+              .filter(F.col("l.id") < F.col("r.id"))
+              .select(F.col("l.id").alias("id_a"),
+                      F.col("r.id").alias("id_b"),
+                      F.col("l.sh").alias("sh_a"),
+                      F.col("r.sh").alias("sh_b"))
+              .distinct())
+    return (cands
+            .select("id_a", "id_b",
+                    simhash_hamming_col(F.col("sh_a"), F.col("sh_b"))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -82,6 +82,29 @@ def test_simhash_properties(mini, spark):
     assert near is not None and near <= 16
 
 
+def test_simhash_pigeonhole_equals_bruteforce(mini, spark):
+    """The (k+1)-segment pigeonhole blocking is EXACT: its output must
+    equal the all-pairs hamming filter for every k, and its plan must
+    never fall back to a cross join."""
+    from ocr_engine_spark.functions.dedup import with_simhash
+    d = with_simhash(mini)
+    l, r_ = d.alias("l"), d.alias("r")
+    all_pairs = (l.join(r_, F.col("l.id") < F.col("r.id"))
+                 .select(F.col("l.id").alias("id_a"),
+                         F.col("r.id").alias("id_b"),
+                         F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+                         .alias("hamming")))
+    for k in (0, 3, 16):
+        blocked = {(r.id_a, r.id_b): r.hamming
+                   for r in simhash_near_pairs(mini, max_hamming=k).collect()}
+        brute = {(r.id_a, r.id_b): r.hamming
+                 for r in all_pairs.filter(F.col("hamming") <= k).collect()}
+        assert blocked == brute
+    plan = simhash_near_pairs(mini, max_hamming=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_dedup_on_driver_documents(spark):
     from tests.conftest import TESTDATA_SF001
     import os
