@@ -388,11 +388,15 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH cosine near-pairs (the scale path; exact verifier
-    is q_embedding_pairs)."""
+    """Banded hyperplane-LSH cosine near-pairs (the scale path; exact
+    verifier is q_embedding_pairs, recall floor asserted in
+    tests/test_similarity.py). Oracle: DuckDB replays the same 16
+    hyperplanes as literals — band buckets, candidate union, exact
+    verify, value-identical."""
     from ocr_engine_spark.functions.similarity import cosine_near_pairs
     emb = _read(spark, sf_dir, "embeddings")
-    return (cosine_near_pairs(emb, threshold=0.25, n_planes=6)
+    return (cosine_near_pairs(emb, threshold=0.25, n_bands=8,
+                              rows_per_band=2)
             .orderBy("id_a", "id_b"))
 
 
@@ -535,6 +539,39 @@ def _minhash_signatures_oracle() -> str:
                min(mh) AS min_mh, max(mh) AS max_mh,
                sum(mh)::BIGINT AS total_mh
         FROM sig
+    """
+
+
+def _embedding_lsh_pairs_oracle(dim: int = 64, n_bands: int = 8,
+                                rows_per_band: int = 2,
+                                threshold: float = 0.25) -> str:
+    """Replay the banded hyperplane LSH in DuckDB: the same
+    ``hyperplanes(dim, 16, seed=42)`` inlined as DOUBLE[] literals
+    (repr round-trips each double exactly), per-band sign buckets, OR
+    over bands for candidacy, exact cosine verify. dim pinned to the
+    testdata embedding width."""
+    from ocr_engine_spark.functions.similarity import hyperplanes
+    planes = hyperplanes(dim, n_bands * rows_per_band, seed=42)
+
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    band_exprs = []
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(planes[b * rows_per_band + j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(rows_per_band))
+        band_exprs.append(f"({bits}) AS bkt{b}")
+    any_band = " OR ".join(f"a.bkt{b} = c.bkt{b}" for b in range(n_bands))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {', '.join(band_exprs)} FROM e)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+        FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({any_band})
+        WHERE round(list_cosine_similarity(a.v, c.v), 6) >= {threshold}
+        ORDER BY id_a, id_b
     """
 
 
@@ -800,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _minhash_signatures_oracle(),
         "simhash_near_dups": _simhash_near_dups_oracle(),
+        "embedding_lsh_pairs": _embedding_lsh_pairs_oracle(),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

@@ -137,22 +137,64 @@ def lsh_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def lsh_recall_estimate(threshold: float, n_bands: int,
+                        rows_per_band: int) -> float:
+    """Worst-case (boundary) recall of the banded OR-construction: a
+    pair at exactly ``cosine = threshold`` collides in one band with
+    probability p^r where p = 1 - acos(t)/pi, and is a candidate if ANY
+    band collides: 1 - (1 - p^r)^b. Pairs above the threshold do
+    strictly better. Used to size (b, r) and asserted in tests."""
+    import math
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    return 1.0 - (1.0 - p ** rows_per_band) ** n_bands
+
+
 def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
-                      n_planes: int = 12, seed: int = 42,
+                      n_bands: int = 8, rows_per_band: int = 2,
+                      seed: int = 42,
                       id_col: str = "vec_id", vec_col: str = "embedding"
                       ) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH-bucket equi-join (same sign
-    pattern) then exact cosine verify — never a cross join."""
+    """Embedding near-duplicate pairs via BANDED random-hyperplane LSH
+    (OR-construction): b independent bands of r sign bits each; a pair
+    is a candidate if it agrees on ALL bits of ANY band, then exact
+    cosine verifies. A single AND-band (the naive form) has boundary
+    recall p^r — e.g. ~4% for 6 planes at threshold 0.25; the banded
+    union is 1-(1-p^r)^b (see ``lsh_recall_estimate``; defaults give
+    0.96+ at 0.25 and ~1.0 at 0.9).
+
+    Plan shape: ONE shuffle on (band_id, bucket) for candidates (never a
+    cross join), then two equi-joins back to the persisted (id, vector)
+    projection for the verify — candidates ≪ corpus, so the verify
+    joins shuffle only candidate rows. Lower thresholds need smaller r /
+    more bands (more candidates — inherent LSH cost); at 10^12 rows run
+    near-dup detection at thresholds >= 0.7 where r can grow.
+
+    Cache lifecycle: the persisted projection is released by Spark's
+    ContextCleaner once the returned plan is GC'd; call
+    ``spark.catalog.clearCache()`` for deterministic release."""
     first = embeddings.select(vec_col).first()
     dim = len(first[0])
-    planes = hyperplanes(dim, n_planes, seed)
-    d = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col),
-                          lsh_bucket_col(F.col(vec_col), planes).alias("bkt"))
-    l, r = d.alias("l"), d.alias("r")
-    pair_cos = cosine_col(F.col(f"l.{vec_col}").cast("array<double>"),
-                          F.col(f"r.{vec_col}").cast("array<double>"))
-    return (l.join(r, "bkt")
-             .filter(F.col("l.id") < F.col("r.id"))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     F.round(pair_cos, 6).alias("cosine"))
-             .filter(F.col("cosine") >= threshold))
+    planes = hyperplanes(dim, n_bands * rows_per_band, seed)
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v")).persist()
+    bands = []
+    for b in range(n_bands):
+        sub = planes[b * rows_per_band:(b + 1) * rows_per_band]
+        bands.append(F.struct(
+            F.lit(b).alias("bi"),
+            lsh_bucket_col(F.col("v"), sub).alias("bv")))
+    e = (base.select("id", F.explode(F.array(*bands)).alias("b"))
+         .select("id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")))
+    l, r = e.alias("l"), e.alias("r")
+    cands = (l.join(r, ["bi", "bv"])
+              .filter(F.col("l.id") < F.col("r.id"))
+              .select(F.col("l.id").alias("id_a"),
+                      F.col("r.id").alias("id_b"))
+              .distinct())
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    bb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pair_cos = cosine_col(F.col("va"), F.col("vb"))
+    return (cands.join(a, "id_a").join(bb, "id_b")
+            .select("id_a", "id_b", F.round(pair_cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

@@ -61,3 +61,27 @@ def test_cosine_near_pairs_no_cross_join(emb):
     rows = q.collect()
     for r in rows:
         assert r.cosine >= 0.8 and r.id_a < r.id_b
+
+
+def test_cosine_lsh_recall_floor(emb):
+    """Banded OR-construction recall vs the exact verifier: >= 0.9 at
+    threshold 0.25 on the driver corpus (boundary-pair analytic floor
+    with b=8, r=2 is 0.96 — lsh_recall_estimate)."""
+    from ocr_engine_spark.functions.similarity import lsh_recall_estimate
+    assert lsh_recall_estimate(0.25, 8, 2) >= 0.95
+    scope = emb.filter(F.col("vec_id") < 120)
+    l = scope.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("va"))
+    r_ = scope.select(F.col("vec_id").alias("id_b"),
+                      F.col("embedding").alias("vb"))
+    sim = cosine_col(F.col("va").cast("array<double>"),
+                     F.col("vb").cast("array<double>"))
+    exact = {(r.id_a, r.id_b) for r in
+             l.join(r_, F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+              .filter(F.col("cosine") >= 0.25).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           cosine_near_pairs(scope, threshold=0.25, n_bands=8,
+                             rows_per_band=2).collect()}
+    assert lsh <= exact  # precision 1 by construction (exact verify)
+    assert len(lsh & exact) / max(len(exact), 1) >= 0.9
