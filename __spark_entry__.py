@@ -401,7 +401,10 @@ def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (probe path)."""
+    """IVF-bucketed approximate top-k (probe path). Fully deterministic
+    — hash-sampled centroids, tie-broken argmax assignment, ranked
+    probes — so the DuckDB oracle replays the whole query (centroid
+    pick, normalization, assignment, probe, top-k) value-for-value."""
     from ocr_engine_spark.functions.similarity import ivf_topk
     emb = _read(spark, sf_dir, "embeddings")
     qv = [float(x) for x in
@@ -539,6 +542,54 @@ def _minhash_signatures_oracle() -> str:
                min(mh) AS min_mh, max(mh) AS max_mh,
                sum(mh)::BIGINT AS total_mh
         FROM sig
+    """
+
+
+def _ivf_topk_oracle(n_centroids: int = 8, n_probe: int = 4,
+                     k: int = 10, n_assign: int = 2) -> str:
+    """Replay the deterministic IVF query in DuckDB: hash-sampled
+    centroids (same portable md5 order key as
+    similarity.sample_hash_col), driver-side L2 normalization, top-2
+    redundant assignment with ties to the lowest cell, top-n_probe
+    cells by query-centroid cosine, exact top-k within probed cells."""
+    hash_key = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = 0),
+        c0 AS (
+          SELECT vec_id, embedding::DOUBLE[] AS cv
+          FROM embeddings
+          ORDER BY {hash_key} ASC, vec_id ASC
+          LIMIT {n_centroids}),
+        c AS (
+          SELECT row_number() OVER (ORDER BY {hash_key} ASC, vec_id ASC)
+                   - 1 AS cell,
+                 cv,
+                 list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+                   AS ucv
+          FROM c0),
+        probe AS (
+          SELECT cell FROM c, q
+          ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cell ASC
+          LIMIT {n_probe}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assign AS (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.ucv) DESC, c.cell ASC)
+                   AS rn
+          FROM e CROSS JOIN c),
+        scoped AS (
+          SELECT DISTINCT a.vec_id FROM assign a
+          WHERE a.rn <= {n_assign}
+            AND a.cell IN (SELECT cell FROM probe))
+        SELECT e.vec_id,
+               round(round(list_cosine_similarity(e.v, q.qv), 6), 5)
+                   AS cosine
+        FROM scoped s JOIN e ON e.vec_id = s.vec_id, q
+        ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                 e.vec_id ASC
+        LIMIT {k}
     """
 
 
@@ -838,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_signatures_oracle(),
         "simhash_near_dups": _simhash_near_dups_oracle(),
         "embedding_lsh_pairs": _embedding_lsh_pairs_oracle(),
+        "ivf_topk": _ivf_topk_oracle(),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

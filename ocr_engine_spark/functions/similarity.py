@@ -49,8 +49,9 @@ def brute_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 # ---------------------------------------------------------------------------
 
 def ivf_assign(embeddings: DataFrame, centroids: list[tuple[int, list[float]]],
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign every vector to its nearest centroid — MAP-ONLY: the
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               n_assign: int = 1) -> DataFrame:
+    """Assign every vector to its nearest centroid(s) — MAP-ONLY: the
     centroid table is a constant array<struct<cell, unit-centroid>>
     literal and the argmax is one aggregate fold per row. No crossJoin,
     no window, no shuffle: at 10^12 rows assignment is embarrassingly
@@ -59,8 +60,15 @@ def ivf_assign(embeddings: DataFrame, centroids: list[tuple[int, list[float]]],
     Centroids are L2-normalized driver-side so per-row score =
     dot(v, unit_centroid); dividing by |v| (common positive factor)
     cannot change the argmax, so cosine order is preserved exactly.
-    Ties break to the lowest cell id (centroid array order)."""
+    Ties break to the lowest cell id (centroid array order).
+
+    ``n_assign=2`` (redundant/spill assignment) emits one row per
+    vector per its top-2 cells: a boundary vector — whose neighbors
+    straddle two cells — is findable from either, which is what lifts
+    probe recall on weakly-clustered corpora. Costs 2x index storage;
+    probes must dedupe on id (IvfIndex.topk / ivf_topk do)."""
     import math
+    assert n_assign in (1, 2)
     cstructs = []
     for cid, vec in centroids:
         nrm = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
@@ -73,44 +81,150 @@ def ivf_assign(embeddings: DataFrame, centroids: list[tuple[int, list[float]]],
         cent_lit,
         lambda ct: F.struct(ct["cell"].alias("cell"),
                             dot_col(v, ct["cv"]).alias("s")))
-    best = F.aggregate(
+    neg_inf = float("-inf")
+    if n_assign == 1:
+        best = F.aggregate(
+            scored,
+            F.struct(F.lit(-1).alias("cell"),
+                     F.lit(neg_inf).alias("s")),
+            lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc))
+        return embeddings.withColumn("cell", best["cell"])
+    # top-2 fold: strict > keeps the LOWEST cell on exact score ties
+    # (same order as a row_number over (score DESC, cell ASC))
+    best2 = F.aggregate(
         scored,
-        F.struct(F.lit(-1).alias("cell"),
-                 F.lit(float("-inf")).alias("s")),
-        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc))
-    return embeddings.withColumn("cell", best["cell"])
+        F.struct(F.lit(-1).alias("c1"), F.lit(neg_inf).alias("s1"),
+                 F.lit(-1).alias("c2"), F.lit(neg_inf).alias("s2")),
+        lambda acc, x: (
+            F.when(x["s"] > acc["s1"],
+                   F.struct(x["cell"].alias("c1"), x["s"].alias("s1"),
+                            acc["c1"].alias("c2"), acc["s1"].alias("s2")))
+             .when(x["s"] > acc["s2"],
+                   F.struct(acc["c1"].alias("c1"), acc["s1"].alias("s1"),
+                            x["cell"].alias("c2"), x["s"].alias("s2")))
+             .otherwise(acc)))
+    return embeddings.withColumn(
+        "cell", F.explode(F.array(best2["c1"], best2["c2"])))
+
+
+def sample_hash_col(id_col: str) -> Column:
+    """Portable deterministic pseudo-random order key: 60-bit int from
+    md5 of the id rendered as a string — identical in DuckDB via
+    ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+        16, 10).cast("long")
 
 
 def pick_centroids(embeddings: DataFrame, n_centroids: int = 8,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
-    """Deterministic centroid seed: the n lowest-id vectors (k-means init
-    analog; good enough for bucketing, and reproducible)."""
-    rows = (embeddings.orderBy(F.col(id_col).asc()).limit(n_centroids)
-            .select(vec_col).collect())
+    """Deterministic UNIFORM centroid seed: order by a hash of the id
+    and take the first n — a reproducible random sample of the corpus
+    (a lowest-id prefix is layout-correlated and seeds clustered,
+    overlapping cells). One TakeOrdered job, n rows to the driver;
+    reproducible in SQL, so the whole IVF query is oracle-checkable."""
+    rows = (embeddings
+            .orderBy(sample_hash_col(id_col).asc(), F.col(id_col).asc())
+            .limit(n_centroids).select(vec_col).collect())
     return [(i, [float(x) for x in r[0]]) for i, r in enumerate(rows)]
 
 
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              n_centroids: int = 8, n_probe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             centroids: list[tuple[int, list[float]]] | None = None
-             ) -> DataFrame:
+             centroids: list[tuple[int, list[float]]] | None = None,
+             n_assign: int = 2) -> DataFrame:
     """Approximate top-k: score only vectors in the ``n_probe`` cells
-    nearest the query. Recall measured against brute_topk in tests."""
+    nearest the query (with redundant assignment by default — see
+    ivf_assign). Recall floor asserted against brute_topk in tests.
+    One-shot convenience; the build-once lifecycle is IvfIndex."""
     cents = centroids or pick_centroids(embeddings, n_centroids, id_col,
                                         vec_col)
-    import math
-    def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb) if na and nb else 0.0
-    probe = sorted(cents, key=lambda c: -cos(c[1], query_vec))[:n_probe]
-    probe_ids = [c[0] for c in probe]
-    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    probe_ids = IvfIndex("", cents, id_col, vec_col) \
+        .probe_cells(query_vec, n_probe)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col, n_assign)
     scoped = assigned.filter(F.col("cell").isin(probe_ids))
+    if n_assign > 1:
+        scoped = scoped.dropDuplicates([id_col])
     return brute_topk(scoped, query_vec, k, id_col, vec_col)
+
+
+class IvfIndex:
+    """Build-once / probe-many IVF lifecycle (the 10^12-row shape):
+    ``build`` assigns every vector to its nearest centroid ONCE and
+    writes the assignment ``partitionBy("cell")``, so each probe reads
+    only ``n_probe / n_centroids`` of the data via PARTITION PRUNING at
+    the scan (plan-asserted in tests) — no per-query assignment
+    recompute, no crossJoin, no full-table read. Centroids persist as
+    JSON next to the data (the 'index metadata' analog of an Iceberg
+    table property)."""
+
+    def __init__(self, path: str,
+                 centroids: list[tuple[int, list[float]]],
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_assign: int = 1):
+        self.path = path
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_assign = n_assign
+
+    @property
+    def assignment_path(self) -> str:
+        import os
+        return os.path.join(self.path, "assignment")
+
+    @classmethod
+    def build(cls, embeddings: DataFrame, path: str, n_centroids: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              n_assign: int = 2) -> "IvfIndex":
+        import json
+        import os
+        cents = pick_centroids(embeddings, n_centroids, id_col, vec_col)
+        idx = cls(path, cents, id_col, vec_col, n_assign)
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col, n_assign)
+        assigned.write.partitionBy("cell").mode("overwrite") \
+            .parquet(idx.assignment_path)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "centroids.json"), "w") as fh:
+            json.dump({"n_assign": n_assign,
+                       "centroids": [[cid, vec] for cid, vec in cents]}, fh)
+        return idx
+
+    @classmethod
+    def load(cls, path: str, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> "IvfIndex":
+        import json
+        import os
+        with open(os.path.join(path, "centroids.json")) as fh:
+            meta = json.load(fh)
+        cents = [(int(cid), [float(x) for x in vec])
+                 for cid, vec in meta["centroids"]]
+        return cls(path, cents, id_col, vec_col,
+                   int(meta.get("n_assign", 1)))
+
+    def probe_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
+        import math
+
+        def cos(a: list[float], b: list[float]) -> float:
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb) if na and nb else 0.0
+
+        ranked = sorted(self.centroids,
+                        key=lambda c: -cos(c[1], query_vec))[:n_probe]
+        return [c[0] for c in ranked]
+
+    def topk(self, spark, query_vec: list[float], k: int = 10,
+             n_probe: int = 2) -> DataFrame:
+        cells = self.probe_cells(query_vec, n_probe)
+        scoped = (spark.read.parquet(self.assignment_path)
+                  .filter(F.col("cell").isin(cells)))  # partition pruning
+        if self.n_assign > 1:
+            scoped = scoped.dropDuplicates([self.id_col])
+        return brute_topk(scoped, query_vec, k, self.id_col, self.vec_col)
 
 
 # ---------------------------------------------------------------------------

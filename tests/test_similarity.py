@@ -44,14 +44,40 @@ def test_brute_topk_plan_is_take_ordered(emb, query_vec):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_ivf_recall(emb, query_vec):
-    """IVF with half the cells probed must recover most of the exact
-    top-10 (recall@10 >= 0.5 on random data; typically much higher)."""
-    exact = {r.vec_id for r in brute_topk(emb, query_vec, k=10).collect()}
-    approx = {r.vec_id for r in
+def test_ivf_recall(emb):
+    """IVF (hash-sampled centroids + top-2 redundant assignment) at
+    half the cells probed: mean recall@10 >= 0.8 over a query panel,
+    no query below 0.5 — on a weakly-clustered (near-random) corpus."""
+    recalls = []
+    for qid in (0, 7, 23, 101, 250):
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).first().embedding]
+        exact = {r.vec_id for r in brute_topk(emb, qv, k=10).collect()}
+        approx = {r.vec_id for r in
+                  ivf_topk(emb, qv, k=10, n_centroids=8,
+                           n_probe=4).collect()}
+        recalls.append(len(approx & exact) / 10)
+    assert min(recalls) >= 0.5
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ivf_index_lifecycle(emb, query_vec, tmp_path):
+    """Build-once / probe-many: the persisted index must return exactly
+    what the one-shot ivf_topk computes, reload from disk, and prune
+    partitions at the scan (only the probed cells are read)."""
+    from ocr_engine_spark.functions.similarity import IvfIndex
+    spark = emb.sparkSession
+    idx = IvfIndex.build(emb, str(tmp_path / "ivf"), n_centroids=8)
+    via_fn = [(r.vec_id, r.cosine) for r in
               ivf_topk(emb, query_vec, k=10, n_centroids=8,
-                       n_probe=4).collect()}
-    assert len(approx & exact) >= 5
+                       n_probe=4).collect()]
+    reloaded = IvfIndex.load(str(tmp_path / "ivf"))
+    assert reloaded.n_assign == 2
+    q = reloaded.topk(spark, query_vec, k=10, n_probe=4)
+    assert [(r.vec_id, r.cosine) for r in q.collect()] == via_fn
+    # partition pruning: the probed-cell filter must reach the scan
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
 
 
 def test_cosine_near_pairs_no_cross_join(emb):
