@@ -357,16 +357,24 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pipeline over a doubled corpus: every doc
-    must pair with its copy (jaccard=1.0) — self-validating output."""
+    """Full MinHash-LSH near-dup pipeline (xxhash64 scale path) over a
+    doubled corpus. Oracle: DuckDB computes the BRUTE-FORCE exact
+    Jaccard pairs at the same threshold — they must agree exactly
+    because banded LSH recall at jaccard >= 0.9 is 1 - 3.9e-8 per pair
+    (16 bands x 4 rows) and exact-copy pairs (identical signatures)
+    are candidates with certainty; any systematic recall loss or
+    verify-math drift hash-mismatches here."""
     from ocr_engine_spark.functions.dedup import minhash_dedup_pairs
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     doubled = docs.unionByName(
         docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     pairs = minhash_dedup_pairs(doubled, threshold=0.9)
-    return pairs.agg(
-        F.count("*").alias("n_pairs"),
-        F.sum((F.col("jaccard") == 1.0).cast("long")).alias("n_exact"))
+    return (pairs.select("id_a", "id_b",
+                         F.col("inter").cast("long").alias("inter"),
+                         F.col("n_a").cast("long").alias("n_a"),
+                         F.col("n_b").cast("long").alias("n_b"),
+                         "jaccard")
+            .orderBy("id_a", "id_b"))
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,6 +895,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "minhash_signatures": _minhash_signatures_oracle(),
+        "minhash_near_dups": r"""
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id + 1000000, text
+              FROM documents WHERE doc_id < 100),
+            toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM doubled),
+            sh AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 2, 0)),
+                         i -> array_to_string(t[i:i+2], ' '))) AS sh
+                FROM toks)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, inter::BIGINT AS inter,
+                   sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b,
+                   round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
+                  >= 0.9
+            ORDER BY id_a, id_b
+        """,
         "simhash_near_dups": _simhash_near_dups_oracle(),
         "embedding_lsh_pairs": _embedding_lsh_pairs_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
