@@ -7,7 +7,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from ocr_engine_spark.engine.catalog import (
-    ManifestCatalog, run_resumable_extract,
+    IcebergCatalog, ManifestCatalog, iceberg_available,
+    run_resumable_extract,
 )
 
 
@@ -48,6 +49,17 @@ def test_lineage_metrics_side_table(spark, corpus_dir, tmp_path):
             "batch_id"} <= cols
     total = metrics.agg(F.sum("n_rows")).collect()[0][0]
     assert total == spark.read.parquet(pages_path).count()
-    # commit json carries the same lineage
+    # commit json carries the same lineage; observe()-based totals must
+    # agree with the per-partition sum (no count() scan behind them)
     commit = cat.read_commit("extractions", 0)
     assert commit["n_rows"] > 0 and commit["partitions"]
+    assert commit["n_rows"] == sum(p["n_rows"] for p in commit["partitions"])
+
+
+def test_iceberg_catalog_gate(spark):
+    """No Iceberg jars in this sandbox: the class must refuse cleanly
+    (pointing at ManifestCatalog) rather than fail at first write."""
+    if iceberg_available(spark):  # pragma: no cover - not in sandbox
+        pytest.skip("iceberg on classpath; gate not exercisable")
+    with pytest.raises(RuntimeError, match="ManifestCatalog"):
+        IcebergCatalog(spark)
