@@ -408,6 +408,29 @@ def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REALISTIC embedding-dedup regime: high threshold (0.7), r=8
+    sign bits x 32 bands (boundary recall ~0.96, buckets selective
+    enough that candidates ≪ all pairs — at threshold 0.25 LSH
+    degenerates to all-pairs, see q_embedding_lsh_pairs). Corpus:
+    embeddings doubled with a deterministic +0.05 shift so every copy
+    pair lands near cosine ~0.99 and must be recovered."""
+    from ocr_engine_spark.functions.similarity import cosine_near_pairs
+    emb = _read(spark, sf_dir, "embeddings")
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.05))
+         .alias("embedding"))
+    doubled = emb.select("vec_id", "embedding").unionByName(shifted)
+    pairs = cosine_near_pairs(doubled, threshold=0.7, n_bands=32,
+                              rows_per_band=8)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("id_b") - F.col("id_a") == 1_000_000).cast("long"))
+         .alias("n_copy_pairs"),
+        F.round(F.min("cosine"), 5).alias("min_cosine"))
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (probe path). Fully deterministic
     — hash-sampled centroids, tie-broken argmax assignment, ranked
@@ -487,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
         "media_profile": q_media_profile,
         "extraction_pipeline": q_extraction_pipeline,
@@ -932,6 +956,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dups": _simhash_near_dups_oracle(),
         "embedding_lsh_pairs": _embedding_lsh_pairs_oracle(),
+        # brute-force oracle is exact here: copy pairs sit at cosine
+        # >= 0.917 (recall 1 - 3e-6 per pair at b=32, r=8) and the
+        # nearest non-copy pair is at 0.603 — no boundary pairs exist
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            doubled AS (
+              SELECT vec_id, v FROM e
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(v, x -> x + 0.05) FROM e),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         round(list_cosine_similarity(a.v, b.v), 6)
+                             AS cosine
+                  FROM doubled a JOIN doubled b ON a.vec_id < b.vec_id)
+            SELECT count(*) AS n_pairs,
+                   sum(CASE WHEN id_b - id_a = 1000000 THEN 1 ELSE 0
+                       END)::BIGINT AS n_copy_pairs,
+                   round(min(cosine), 5) AS min_cosine
+            FROM p WHERE cosine >= 0.7
+        """,
         "ivf_topk": _ivf_topk_oracle(),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

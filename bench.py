@@ -28,7 +28,8 @@ HEADLINE = [
     "cer_metric", "doc_profile", "lang_guess", "bpe_token_count",
     "rolling_fingerprints", "fingerprint_distinct",
     "exact_dups", "minhash_near_dups", "simhash_near_dups",
-    "embedding_topk", "embedding_lsh_pairs", "ivf_topk",
+    "embedding_topk", "embedding_lsh_pairs", "embedding_near_dups",
+    "ivf_topk",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000

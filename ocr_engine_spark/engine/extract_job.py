@@ -59,6 +59,9 @@ EXTRACT_SCHEMA = StructType([
     StructField("clean_text", StringType()),
     StructField("spans", SPAN_TYPE),
     StructField("n_blocks", IntegerType()),
+    # T4: mean per-block densitometric score — the OCRResponse.confidence
+    # analog (surya_service.py:47-53, :119-127); null when no blocks
+    StructField("confidence", DoubleType()),
     StructField("status", StringType()),
     StructField("error", StringType()),
     StructField("processing_ms", DoubleType()),
@@ -100,7 +103,7 @@ def extract_batch_arrow(batches):
         names = rb.schema.names
         col = {n: rb.column(i) for i, n in enumerate(names)}
         kinds, texts, cleans, spans_col, n_blocks = [], [], [], [], []
-        statuses, errors, times = [], [], []
+        confs, statuses, errors, times = [], [], [], []
         for payload in col["html"]:
             t0 = time.perf_counter()
             raw = payload.as_py() or b""
@@ -122,6 +125,7 @@ def extract_batch_arrow(batches):
             spans_col.append([(s["start"], s["end"], s["block_id"],
                                s["kind"]) for s in res["spans"]])
             n_blocks.append(res["n_blocks"])
+            confs.append(res["confidence"])
             statuses.append(res["status"])
             errors.append(res["error"])
             times.append((time.perf_counter() - t0) * 1000.0)
@@ -133,6 +137,7 @@ def extract_batch_arrow(batches):
             pa.array(cleans, pa.string()),
             pa.array(spans_col, span_t),
             pa.array(n_blocks, pa.int32()),
+            pa.array(confs, pa.float64()),
             pa.array(statuses, pa.string()),
             pa.array(errors, pa.string()),
             pa.array(times, pa.float64()),
@@ -160,7 +165,7 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "partition_id": pdf_batch["partition_id"],
         }
         kinds, texts, cleans, spans_col, n_blocks = [], [], [], [], []
-        statuses, errors, times = [], [], []
+        confs, statuses, errors, times = [], [], [], []
         for payload in pdf_batch["html"]:
             t0 = time.perf_counter()
             raw = bytes(payload) if payload is not None else b""
@@ -176,6 +181,7 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cleans.append(clean_text(txt) if txt is not None else None)
             spans_col.append(res["spans"])
             n_blocks.append(res["n_blocks"])
+            confs.append(res["confidence"])
             statuses.append(res["status"])
             errors.append(res["error"])
             times.append((time.perf_counter() - t0) * 1000.0)
@@ -184,6 +190,7 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "payload_kind": kinds, "extracted_text": texts,
             "clean_text": cleans, "spans": spans_col,
             "n_blocks": pd.array(n_blocks, dtype="int32"),
+            "confidence": pd.array(confs, dtype="float64"),
             "status": statuses, "error": errors,
             "processing_ms": times,
             "batch_seq": pd.array([batch_seq] * n, dtype="int32"),
@@ -235,27 +242,81 @@ def fields_columns(text_col: str = "clean_text") -> list[F.Column]:
     return cols
 
 
+def raw_response_col(text_col: str = "clean_text") -> F.Column:
+    """T13 fallback — the reference returns ``{"raw_response": raw_text}``
+    when the LLM output fails to parse (qwen_service.py:245-252). Our
+    deterministic analog: a provider-detected (bill-like) document on
+    which EVERY field regex missed keeps its full cleaned text in
+    ``raw_response`` (null otherwise — a non-bill page is never a parse
+    *failure*, and carrying the text twice for every crawl page would
+    double the sink at table scale)."""
+    all_null = None
+    for c in fields_columns(text_col):
+        isnull = c.isNull()
+        all_null = isnull if all_null is None else (all_null & isnull)
+    bill_like = provider_col() != "Unknown"
+    return F.when(bill_like & all_null, F.col(text_col))
+
+
+def _estimated_scan_splits(df: DataFrame) -> int:
+    """Metadata-only estimate of how many scan splits the source yields
+    (total input bytes / spark.sql.files.maxPartitionBytes — file
+    listing only, no job). In-memory sources (no files) and unreadable
+    paths estimate 0, i.e. 'under-parallelized' — the safe local
+    answer; a table-scale source estimates millions and is never
+    shuffled for balance."""
+    import os
+    import re as _re
+    from urllib.parse import unquote, urlparse
+    files = df.inputFiles()
+    conf = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes",
+                                    "134217728")
+    m = _re.match(r"(\d+)", str(conf))
+    max_bytes = int(m.group(1)) if m else 134_217_728
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return 1 << 30  # remote store: trust the scan's own splits
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return 0
+    return -(-total // max_bytes) if total else 0
+
+
 def extract_pages(pages: DataFrame, *, partitions: int | None = None,
+                  balance: bool | str = "auto",
                   with_fields: bool = True) -> DataFrame:
     """pages DataFrame -> extractions DataFrame.
 
-    ``repartition(P, xxhash64(url))`` spreads per-document kernel cost
-    uniformly regardless of input file layout or per-host clustering
-    (urls are unique, so the hash key is skew-free by construction; for
-    host-keyed downstream ops use functions/skew.py salting).
+    Load-balancing (``balance``): the kernel stage wants ~4 tasks per
+    slot (per-doc cost varies ~10x between PDF layout and HTML; finer
+    tasks amortize stragglers — measured 4x beats 2x by ~15% wall at
+    local[32]). But an unconditional ``repartition`` shuffles the FULL
+    payload bytes — at table scale that is a 100 TB shuffle bought only
+    for load-balancing. Default ``"auto"`` therefore shuffles ONLY when
+    the scan under-parallelizes (input partitions < executor slots —
+    true for a small/one-file corpus, never true for a 10^12-row table
+    whose scan yields millions of size-bounded splits). ``True``/
+    ``partitions=N`` force the shuffle (layout-known-bad inputs),
+    ``False`` never shuffles. Hash key xxhash64(url) is skew-free by
+    construction (urls unique); for host-keyed downstream ops use
+    functions/skew.py salting.
     """
     spark = pages.sparkSession
-    # 4 tasks per slot: per-doc kernel cost varies ~10x (PDF layout vs
-    # HTML), so finer tasks amortize stragglers in the final wave
-    # (measured: 4x beats 2x by ~15% wall at local[32])
-    p = partitions or spark.sparkContext.defaultParallelism * 4
-    staged = (
-        pages
-        .select("url", "warc_ts", "html", "lang")  # column pruning: never
-        # carry the naive `text` dump through the shuffle
-        .repartition(p, F.xxhash64("url"))
-        .withColumn("partition_id", F.spark_partition_id())
-    )
+    slots = spark.sparkContext.defaultParallelism
+    staged = pages.select("url", "warc_ts", "html", "lang")  # column
+    # pruning: never carry the naive `text` dump into the kernel stage
+    do_shuffle = balance is True or partitions is not None
+    if balance == "auto" and partitions is None and not staged.isStreaming:
+        # (streaming input: micro-batch sizing governs parallelism —
+        # never buy a balance shuffle, and inputFiles() is undefined)
+        do_shuffle = _estimated_scan_splits(staged) < slots
+    if do_shuffle:
+        p = partitions or slots * 4
+        staged = staged.repartition(p, F.xxhash64("url"))
+    staged = staged.withColumn("partition_id", F.spark_partition_id())
     out = staged.mapInArrow(extract_batch_arrow, EXTRACT_SCHEMA)
     # undo the kernel's clean_text delta encoding (null == "same as
     # extracted_text"); error rows have both null, which coalesce keeps
@@ -263,7 +324,8 @@ def extract_pages(pages: DataFrame, *, partitions: int | None = None,
                          F.coalesce("clean_text", "extracted_text"))
     out = out.withColumn("provider", provider_col())
     if with_fields:
-        out = out.select("*", *fields_columns())
+        out = out.select("*", *fields_columns(),
+                         raw_response_col().alias("raw_response"))
     return out
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -26,6 +27,31 @@ def norm_col(a: Column) -> Column:
 
 def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_pairs_udf():
+    """Arrow-batched vectorized cosine for the CANDIDATE-VERIFY hot
+    path. Catalyst higher-order functions are interpreted (never
+    codegen'd) — ~3 folds x 64 elements per pair; with millions of LSH
+    candidates the verify dominates wall time. One numpy einsum over
+    the whole Arrow batch is ~50x faster and stays batch-at-a-time
+    (no per-row Python). Scalar one-vs-all paths (brute_topk) keep the
+    pure-JVM expression — there the scan, not the math, dominates."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(va.to_numpy())
+        b = np.stack(vb.to_numpy())
+        num = np.einsum("ij,ij->i", a, b)
+        den = (np.sqrt(np.einsum("ij,ij->i", a, a))
+               * np.sqrt(np.einsum("ij,ij->i", b, b)))
+        return pd.Series(num / den)
+
+    return _cos
 
 
 def _vec_lit(vec: list[float]) -> Column:
@@ -308,7 +334,7 @@ def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
               .distinct())
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     bb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    pair_cos = cosine_col(F.col("va"), F.col("vb"))
+    pair_cos = cosine_pairs_udf()(F.col("va"), F.col("vb"))
     return (cands.join(a, "id_a").join(bb, "id_b")
             .select("id_a", "id_b", F.round(pair_cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))

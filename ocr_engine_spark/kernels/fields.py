@@ -61,12 +61,20 @@ def _cast(val: str, typ: str):
     return val
 
 
-def extract_fields(text: str | None) -> dict:
-    """One regex probe per field; missing fields are None (the reference
-    returns ``{"raw_response": ...}`` on parse failure,
-    qwen_service.py:245-252 — our analog is all-null fields)."""
+def extract_fields(text: str | None, url: str | None = None) -> dict:
+    """One regex probe per field; missing fields are None. With a
+    ``url``, mirrors the reference's parse-failure fallback
+    (``{"raw_response": raw_text}``, qwen_service.py:245-252): a
+    provider-detected (bill-like) document where every field missed
+    keeps its full text under ``raw_response`` (None otherwise) — same
+    rule as the Spark-side ``extract_job.raw_response_col``."""
     out: dict = {}
     for name, (rx, typ) in _COMPILED.items():
         m = rx.search(text) if text else None
         out[name] = _cast(m.group(1), typ) if m else None
+    if url is not None:
+        all_null = all(v is None for v in out.values())
+        out["raw_response"] = (
+            text if all_null and detect_provider(url) != "Unknown"
+            else None)
     return out

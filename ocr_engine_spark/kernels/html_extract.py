@@ -345,11 +345,17 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
 def extract_html(payload: bytes) -> dict:
     """Extract main text + spans from one HTML payload.
 
-    Returns ``{text, spans, n_blocks, status, error}`` where ``spans`` is
-    a list of ``(start, end, block_id, kind)`` char offsets into ``text``
-    (the span-offsets contract of the golden fixtures) and ``status`` /
-    ``error`` follow the reference's OCRResponse shape
-    (surya_service.py:47-53).
+    Returns ``{text, spans, n_blocks, confidence, status, error}`` where
+    ``spans`` is a list of ``(start, end, block_id, kind)`` char offsets
+    into ``text`` (the span-offsets contract of the golden fixtures) and
+    ``status`` / ``error`` follow the reference's OCRResponse shape
+    (surya_service.py:47-53). ``confidence`` is the T4 analog of the
+    reference's mean per-line OCR confidence (surya_service.py:119-127,
+    OCRResponse.confidence :47-53): the mean over emitted blocks of a
+    deterministic densitometric block score
+    ``(1 - link_density) * min(1, word_units / (2*MIN_WORDS))`` — how
+    decisively each block passed classification — and ``None`` when no
+    blocks were emitted (the reference's confidence_count == 0 case).
     """
     try:
         doc = sniff_decode(payload)
@@ -361,6 +367,7 @@ def extract_html(payload: bytes) -> dict:
         spans = []
         pieces = []
         pos = 0
+        score_total = 0.0
         for out_id, b in enumerate(out_blocks):
             t = b.text
             # block_id = index within the EMITTED text (span contract);
@@ -369,13 +376,17 @@ def extract_html(payload: bytes) -> dict:
                           "block_id": out_id, "kind": b.kind})
             pieces.append(t)
             pos += len(t) + 1  # '\n' separator
+            score_total += (1.0 - b.link_density) * min(
+                1.0, b.word_units / (2.0 * MIN_WORDS))
         return {
             "text": "\n".join(pieces),
             "spans": spans,
             "n_blocks": len(out_blocks),
+            "confidence": (score_total / len(out_blocks)
+                           if out_blocks else None),
             "status": "success",
             "error": None,
         }
     except Exception as exc:  # poison-row tolerance
         return {"text": None, "spans": [], "n_blocks": 0,
-                "status": "error", "error": str(exc)}
+                "confidence": None, "status": "error", "error": str(exc)}

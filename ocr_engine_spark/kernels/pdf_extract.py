@@ -202,12 +202,20 @@ def extract_pdf(payload: bytes) -> dict:
         text = PAGE_BREAK.join(page_texts)
         spans = []
         pos = 0
+        score_total = 0.0
         for i, pt in enumerate(page_texts):
             spans.append({"start": pos, "end": pos + len(pt),
                           "block_id": i, "kind": "page"})
             pos += len(pt) + len(PAGE_BREAK)
+            # layout confidence (T4 analog, surya_service.py:119-127):
+            # a page whose stream yielded several clustered lines parsed
+            # decisively; empty/one-line pages score low
+            n_lines = pt.count("\n") + 1 if pt else 0
+            score_total += min(1.0, n_lines / 8.0)
         return {"text": text, "spans": spans, "n_blocks": len(page_texts),
+                "confidence": (score_total / len(page_texts)
+                               if page_texts else None),
                 "status": "success", "error": None}
     except Exception as exc:
         return {"text": None, "spans": [], "n_blocks": 0,
-                "status": "error", "error": str(exc)}
+                "confidence": None, "status": "error", "error": str(exc)}

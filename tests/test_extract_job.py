@@ -96,3 +96,79 @@ def test_lineage_columns_present(extractions_df):
         F.min("processing_ms").alias("min_ms")).collect()[0]
     assert stats.nparts >= 1
     assert stats.min_ms >= 0.0
+
+
+def test_confidence_column(extractions_df):
+    """T4 parity: per-doc mean block confidence in [0,1], non-null
+    whenever blocks were emitted, null on empty/error docs."""
+    stats = extractions_df.agg(
+        F.min("confidence").alias("lo"), F.max("confidence").alias("hi"),
+        F.sum(((F.col("n_blocks") > 0) & F.col("confidence").isNull())
+              .cast("long")).alias("n_missing")).collect()[0]
+    assert stats.n_missing == 0
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+    # deterministic: two runs agree exactly
+    a = {r.url: r.confidence
+         for r in extractions_df.select("url", "confidence").collect()}
+    assert len(set(a.values())) > 1  # not a constant column
+
+
+def test_raw_response_fallback(spark):
+    """T13 parity (qwen_service.py:245-252): a bill-like (provider-
+    detected) document where every field regex misses carries its full
+    cleaned text in raw_response; parsed bills and non-bill pages get
+    null."""
+    import datetime
+    from ocr_engine_spark.engine.extract_job import PAGES_SCHEMA, extract_pages
+    from ocr_engine_spark.kernels.fields import extract_fields
+    ts = datetime.datetime(2025, 5, 1)
+    filler = b" where the neighbours rescue pass needs plenty of words"
+    rows = [
+        ("u://bills/dewa_unparseable.html", ts,
+         b"<body><p>Dear customer your statement could not be itemised"
+         + filler + b"</p></body>", "", "en"),
+        ("u://bills/dewa_ok.html", ts,
+         b"<body><p>Account Number: 2052672303 for this billing cycle"
+         + filler + b"</p></body>", "", "en"),
+        ("u://blog/post.html", ts,
+         b"<body><p>An ordinary web page about nothing in particular"
+         + filler + b"</p></body>", "", "en"),
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    got = {r.url: r for r in extract_pages(df)
+           .select("url", "clean_text", "account_number",
+                   "raw_response").collect()}
+    unparse = got["u://bills/dewa_unparseable.html"]
+    assert unparse.raw_response == unparse.clean_text
+    assert got["u://bills/dewa_ok.html"].raw_response is None
+    assert got["u://bills/dewa_ok.html"].account_number == "2052672303"
+    assert got["u://blog/post.html"].raw_response is None
+    # pure-kernel twin agrees (shared rule)
+    k = extract_fields(unparse.clean_text,
+                       url="u://bills/dewa_unparseable.html")
+    assert k["raw_response"] == unparse.clean_text
+    k2 = extract_fields(got["u://blog/post.html"].clean_text,
+                        url="u://blog/post.html")
+    assert k2["raw_response"] is None
+
+
+def test_balance_modes_plan(pages_df):
+    """'auto' shuffles only when the scan under-parallelizes; False
+    never buys the full-payload shuffle (the default path at table
+    scale has NO Exchange before the kernel stage)."""
+    from ocr_engine_spark.engine.extract_job import extract_pages
+
+    def upto_kernel(plan: str) -> str:
+        return plan.split("MapInArrow")[-1]  # below = upstream of kernel
+
+    never = extract_pages(pages_df, balance=False, with_fields=False)
+    plan_never = never._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in upto_kernel(plan_never)
+    forced = extract_pages(pages_df, balance=True, with_fields=False)
+    plan_forced = forced._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in upto_kernel(plan_forced)
+    # this corpus is one small file -> fewer scan splits than slots ->
+    # auto must load-balance
+    auto = extract_pages(pages_df, with_fields=False)
+    plan_auto = auto._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in upto_kernel(plan_auto)

@@ -25,6 +25,9 @@ COLLECT_ALLOWLIST = {
     ],
     "engine/catalog.py": [
         ").collect())]",            # per-partition lineage rows: |parts|
+        ".agg(*agg).collect()]",    # per-partition lineage rows: |parts|
+        '.snapshots").collect()',   # snapshot metadata table: |snapshots|
+        'LIMIT 1").first()',        # latest snapshot id: 1 row
     ],
 }
 
