@@ -462,24 +462,30 @@ def q_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("kind"))
 
 
+_ENTRY_CORPUS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "fixtures_data", "sf_entry")
+
+
 def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship HTML/PDF extraction + evaluation over the generated
-    pages corpus (byte-identity vs goldens; DuckDB cannot parse payloads
-    -> rows-only here, full golden asserts in tests/)."""
+    pages corpus. Oracle: DuckDB runs the SAME evaluation + grouped
+    summary SQL over a kernel-direct frozen extraction parquet
+    (fixtures/frozen.py — pure-Python kernels, no Spark), so the whole
+    distributed plumbing (Arrow kernel stage, delta decode, broadcast
+    joins, unioned scoped aggregates) is value-checked end to end;
+    payload-parse byte-identity is separately golden-tested in tests/."""
     from ocr_engine_spark.engine.evaluate import (
         evaluate_extractions, summary_metrics,
     )
     from ocr_engine_spark.engine.extract_job import extract_pages, read_pages
-    from ocr_engine_spark.fixtures.gen_pages import write
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
 
-    corpus = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "fixtures_data", "sf_entry")
-    if not os.path.exists(os.path.join(corpus, "pages.parquet")):
-        write(corpus, n_pages=200, seed=42)
-    pages = read_pages(spark, os.path.join(corpus, "pages.parquet"))
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = read_pages(spark, os.path.join(_ENTRY_CORPUS, "pages.parquet"))
     golden = spark.read.parquet(
-        os.path.join(corpus, "golden_extractions.parquet"))
-    degr = spark.read.parquet(os.path.join(corpus, "degradations.parquet"))
+        os.path.join(_ENTRY_CORPUS, "golden_extractions.parquet"))
+    degr = spark.read.parquet(
+        os.path.join(_ENTRY_CORPUS, "degradations.parquet"))
     ev = evaluate_extractions(extract_pages(pages), golden, degr)
     return summary_metrics(ev).orderBy("scope")
 
@@ -689,6 +695,68 @@ def _simhash_near_dups_oracle() -> str:
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
         ORDER BY id_a, id_b
+    """
+
+
+def _extraction_pipeline_oracle() -> str:
+    """The evaluation + summary math of engine/evaluate.py as DuckDB
+    SQL over the kernel-direct frozen extractions (fixtures/frozen.py):
+    derived-key golden join, failed-override, byte-identity flag, and
+    the overall/type/severity scoped union. Per-url CER comes from the
+    independently-computed frozen_cer table (frozen.freeze_cer —
+    char-level levenshtein; DuckDB's own levenshtein is BYTE-based and
+    diverges on non-ASCII degraded pages), rounded here so both engines
+    round the same double identically."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+
+    def p(name: str) -> str:
+        return os.path.join(_ENTRY_CORPUS, name).replace("'", "''")
+
+    aggs = """
+        count(*)::BIGINT AS n_files,
+        sum(CASE WHEN status = 'success' THEN 1 ELSE 0 END)::BIGINT
+            AS n_success,
+        round(avg(CASE WHEN status = 'success' THEN cer END), 4)
+            AS avg_cer,
+        sum(CASE WHEN cer < 2.0 THEN 1 ELSE 0 END)::BIGINT
+            AS n_meets_target,
+        sum(CASE WHEN byte_identical THEN 1 ELSE 0 END)::BIGINT
+            AS n_byte_identical"""
+    return rf"""
+        WITH ext AS (
+          SELECT url, extracted_text, clean_text, status,
+                 regexp_replace(url, '_degraded_\d+$', '') AS base_url,
+                 CASE WHEN regexp_matches(url, '_degraded_\d+$')
+                      THEN 'synthetic' ELSE 'original' END AS type
+          FROM read_parquet('{p("frozen_extractions.parquet")}')),
+        g AS (SELECT url AS base_url, raw_text AS golden_text,
+                     clean_text AS golden_clean
+              FROM read_parquet('{p("golden_extractions.parquet")}')),
+        fc AS (SELECT url, cer_raw
+               FROM read_parquet('{p("frozen_cer.parquet")}')),
+        ev AS (
+          SELECT e.url, e.type,
+                 coalesce(e.extracted_text = g.golden_text, false)
+                     AS byte_identical,
+                 CASE WHEN coalesce(e.clean_text, '') = ''
+                      THEN 'failed' ELSE e.status END AS status,
+                 round(fc.cer_raw, 2) AS cer
+          FROM ext e JOIN g USING (base_url)
+          JOIN fc ON fc.url = e.url),
+        evd AS (
+          SELECT ev.*, d.severity FROM ev
+          LEFT JOIN (SELECT url, severity
+                     FROM read_parquet('{p("degradations.parquet")}')) d
+            USING (url))
+        SELECT * FROM (
+          SELECT 'overall' AS scope, {aggs} FROM evd
+          UNION ALL
+          SELECT 'type:' || type AS scope, {aggs} FROM evd GROUP BY type
+          UNION ALL
+          SELECT 'severity:' || severity AS scope, {aggs} FROM evd
+          WHERE severity IS NOT NULL GROUP BY severity)
+        ORDER BY scope
     """
 
 
@@ -998,7 +1066,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.25
             ORDER BY id_a, id_b
         """,
-        # minhash_near_dups, simhash_near_dups, embedding_lsh_pairs,
-        # ivf_topk, extraction_pipeline: rows-only (xxhash64 / payload
-        # kernels not reproducible in DuckDB); golden-tested in tests/.
+        "extraction_pipeline": _extraction_pipeline_oracle(),
+        # media_profile: rows-only (binary header parsing is not
+        # DuckDB-expressible); full asserts in tests/test_multimodal.py.
     }

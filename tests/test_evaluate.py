@@ -79,3 +79,19 @@ def test_golden_join_is_broadcast(extractions_df, golden_df):
     ev = evaluate_extractions(extractions_df, golden_df)
     plan = ev._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_frozen_char_levenshtein_paths():
+    """The independent char-level levenshtein used by the flagship
+    oracle (fixtures/frozen.py): remapped-byte DuckDB path and the
+    pure-Python DP fallback must agree, at character (not byte)
+    granularity."""
+    import duckdb
+    from ocr_engine_spark.fixtures.frozen import _char_levenshtein
+    con = duckdb.connect()
+    cases = [("kitten", "sitting", 3), ("", "abc", 3), ("abc", "abc", 0),
+             ("اب", "b", 2),   # 2 CHARS away, 3 bytes away
+             ("café", "cafe", 1)]
+    for a, b, want in cases:
+        assert _char_levenshtein(a, b, con) == want
+        assert _char_levenshtein(a, b, None) == want  # DP fallback
