@@ -490,6 +490,43 @@ def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary_metrics(ev).orderBy("scope")
 
 
+def q_nested_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested provider schema (DEWA_Schema.json:3-48 3-level carbon-
+    accounting shape): flat extraction fields -> nested struct -> leaf
+    projections, value-checked per url against the fields ground truth
+    in DuckDB. Proves the nested mapping AND the field extraction."""
+    from ocr_engine_spark.engine.extract_job import extract_pages, read_pages
+    from ocr_engine_spark.engine.schemas import nested_bill_struct
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = read_pages(spark, os.path.join(_ENTRY_CORPUS, "pages.parquet"))
+    gf = spark.read.parquet(
+        os.path.join(_ENTRY_CORPUS, "golden_fields.parquet")).select("url")
+    nested = (extract_pages(pages).join(F.broadcast(gf), "url")
+              .withColumn("doc", nested_bill_struct()))
+    d = F.col("doc")
+    return (nested.select(
+        "url",
+        d["extractedData"]["billInfo"]["providerName"].alias("provider_name"),
+        d["extractedData"]["billInfo"]["accountNumber"]
+            .alias("account_number"),
+        d["extractedData"]["billInfo"]["billingPeriod"]["startDate"]
+            .alias("period_start"),
+        d["extractedData"]["billInfo"]["billingPeriod"]["endDate"]
+            .alias("period_end"),
+        d["extractedData"]["consumptionData"]["electricity"]["value"]
+            .alias("kwh"),
+        d["extractedData"]["consumptionData"]["electricity"]["meterReading"]
+            ["current"].alias("current_reading"),
+        d["extractedData"]["consumptionData"]["water"]["value"]
+            .alias("water_m3"),
+        d["extractedData"]["emissionsData"]["scope2"]["totalCO2e"]["value"]
+            .alias("co2e"),
+        d["validation"]["manualVerificationRequired"].alias("needs_manual"))
+        .orderBy("url"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -520,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "media_profile": q_media_profile,
         "extraction_pipeline": q_extraction_pipeline,
+        "nested_fields": q_nested_fields,
     }
 
 
@@ -757,6 +795,37 @@ def _extraction_pipeline_oracle() -> str:
           SELECT 'severity:' || severity AS scope, {aggs} FROM evd
           WHERE severity IS NOT NULL GROUP BY severity)
         ORDER BY scope
+    """
+
+
+def _nested_fields_oracle() -> str:
+    """Leaf-for-leaf twin of q_nested_fields straight from the fields
+    ground truth (golden_fields.parquet) — the Spark side must extract
+    the fields AND route them through the 3-level nested struct to the
+    same values."""
+    from ocr_engine_spark.engine.schemas import PROVIDER_NAMES
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    gf = os.path.join(_ENTRY_CORPUS,
+                      "golden_fields.parquet").replace("'", "''")
+    return f"""
+        SELECT url,
+               CASE WHEN contains(lower(url), 'dewa')
+                      THEN '{PROVIDER_NAMES["DEWA"]}'
+                    WHEN contains(lower(url), 'sewa')
+                      THEN '{PROVIDER_NAMES["SEWA"]}'
+                    ELSE 'Unknown' END AS provider_name,
+               account_number,
+               split_part(billing_period, ' to ', 1) AS period_start,
+               split_part(billing_period, ' to ', 2) AS period_end,
+               electricity_kwh::DOUBLE AS kwh,
+               current_reading::VARCHAR AS current_reading,
+               water_m3::DOUBLE AS water_m3,
+               carbon_kg_co2e::DOUBLE AS co2e,
+               (account_number IS NULL OR total_amount IS NULL
+                OR electricity_kwh IS NULL) AS needs_manual
+        FROM read_parquet('{gf}')
+        ORDER BY url
     """
 
 
@@ -1067,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "extraction_pipeline": _extraction_pipeline_oracle(),
+        "nested_fields": _nested_fields_oracle(),
         # media_profile: rows-only (binary header parsing is not
         # DuckDB-expressible); full asserts in tests/test_multimodal.py.
     }

@@ -114,3 +114,34 @@ def test_ivf_assign_is_map_only(spark):
     plan = _plan(ivf_assign(emb, cents))
     assert "Exchange" not in plan  # no shuffle: pure map-side argmax
     assert "Window" not in plan
+
+
+def test_nested_struct_schema_pruning(spark, tmp_path):
+    """The 3-level nested bill struct must be columnar all the way
+    down: reading ONE leaf from the written nested parquet prunes the
+    scan schema to just that branch (nested-schema-pruning), so a
+    per-leaf analytics query over a 10^12-row nested table never reads
+    sibling leaves."""
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.engine.schemas import nested_bill_struct
+    rows = [("u://bills/dewa_1", "DEWA", "123", "01/01/2025 to 31/01/2025",
+             "21/05/2025", 97.35, 299, 12.5, 120, 19462, 19163, 0.9)]
+    cols = ["url", "provider", "account_number", "billing_period",
+            "bill_date", "total_amount", "electricity_kwh", "water_m3",
+            "carbon_kg_co2e", "current_reading", "previous_reading",
+            "confidence"]
+    df = spark.createDataFrame(rows, cols).withColumn(
+        "doc", nested_bill_struct())
+    # depth: 4 nested levels exist (extractedData...meterReading.current)
+    got = df.select(
+        F.col("doc.extractedData.consumptionData.electricity.meterReading"
+              ".current")).first()[0]
+    assert got == "19462"
+    out = str(tmp_path / "nested")
+    df.select("url", "doc").write.parquet(out)
+    rd = spark.read.parquet(out).select(
+        F.col("doc.extractedData.billInfo.accountNumber").alias("acct"))
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "accountNumber" in scan
+    assert "meterReading" not in scan and "emissionsData" not in scan
