@@ -23,13 +23,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    "pricing_summary", "top_customers", "derived_key_join",
-    "filter_pushdown", "salted_agg", "events_window_topk",
+    "pricing_summary", "top_customers", "region_rollup",
+    "derived_key_join", "union_priorities", "filter_pushdown",
+    "asof_join", "cube_crosstab", "salted_agg", "events_window_topk",
     "cer_metric", "doc_profile", "lang_guess", "bpe_token_count",
     "rolling_fingerprints", "fingerprint_distinct",
-    "exact_dups", "minhash_near_dups", "simhash_near_dups",
-    "embedding_topk", "embedding_lsh_pairs", "embedding_near_dups",
-    "ivf_topk",
+    "exact_dups", "ngram_jaccard", "minhash_near_dups",
+    "simhash_near_dups", "embedding_topk", "embedding_pairs",
+    "embedding_lsh_pairs", "embedding_near_dups", "ivf_topk",
+    "nested_fields",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000

@@ -78,10 +78,13 @@ def salted_agg(df: DataFrame, key: str, identity: Column,
 
 def key_histogram(df: DataFrame, key: Column, top_k: int = 10) -> DataFrame:
     """Diagnostic: heaviest keys + their share of all rows (drives the
-    choice of n_salt; at 10^12 rows run it on a sample)."""
+    choice of n_salt; at 10^12 rows run it on a sample). ONE scan: the
+    total comes from summing the per-key counts over an empty window,
+    not a second df.count() pass."""
+    from pyspark.sql import Window
     counts = df.groupBy(key.alias("key")).agg(F.count("*").alias("n_rows"))
-    total = df.count()
+    total = F.sum("n_rows").over(Window.partitionBy())
     return (counts
-            .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 4))
+            .withColumn("share", F.round(F.col("n_rows") / total, 4))
             .orderBy(F.col("n_rows").desc(), F.col("key").asc())
             .limit(top_k))
