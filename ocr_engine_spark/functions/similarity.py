@@ -264,6 +264,29 @@ def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42
             for _ in range(n_planes)]
 
 
+def lsh_band_buckets_udf(planes: list[list[float]], n_bands: int,
+                         rows_per_band: int):
+    """Arrow-batched band-bucket assignment: all b*r sign bits of a
+    batch in one matmul, packed into one int per band. Returns a UDF
+    producing ``array<long>`` of length n_bands (index = band id)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype="float64").T  # dim x (b*r)
+    W = (1 << np.arange(rows_per_band, dtype="int64"))
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        M = np.stack(v.to_numpy())                       # n x dim
+        S = (M @ P) > 0                                  # n x (b*r)
+        B = S.reshape(len(M), n_bands, rows_per_band) @ W  # n x b
+        return pd.Series(list(B.astype("int64")))
+
+    return _buckets
+
+
 def lsh_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit i = 1 if dot(v, plane_i) > 0."""
     bits = [
@@ -318,14 +341,14 @@ def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
     base = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v")).persist()
-    bands = []
-    for b in range(n_bands):
-        sub = planes[b * rows_per_band:(b + 1) * rows_per_band]
-        bands.append(F.struct(
-            F.lit(b).alias("bi"),
-            lsh_bucket_col(F.col("v"), sub).alias("bv")))
-    e = (base.select("id", F.explode(F.array(*bands)).alias("b"))
-         .select("id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")))
+    # bucketing = O(rows x bands x r x dim) sign-dots — the map-side
+    # cost of the whole operator at table scale. One numpy matmul per
+    # Arrow batch (n x dim @ dim x b*r) replaces b*r interpreted HOF
+    # folds per row (~50x); sign parity vs the fold is exact except
+    # for |dot| within accumulation noise of 0 (measure-zero inputs).
+    bkts = lsh_band_buckets_udf(planes, n_bands, rows_per_band)
+    e = (base.select("id", bkts(F.col("v")).alias("bs"))
+         .select("id", F.posexplode("bs").alias("bi", "bv")))
     l, r = e.alias("l"), e.alias("r")
     cands = (l.join(r, ["bi", "bv"])
               .filter(F.col("l.id") < F.col("r.id"))
