@@ -235,6 +235,28 @@ class ManifestCatalog:
         shutil.rmtree(self.table_path(table), ignore_errors=True)
 
 
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
+                   path: str) -> None:
+    """Persist a table BUCKETED (+ sorted) by the join key. Two tables
+    bucketed the same way join with NO Exchange on either side — the
+    co-located join the task brief calls for: at 10^12 rows the
+    repeated evaluation joins (extractions x goldens x metrics) pay the
+    partitioning once at write time instead of shuffling per query.
+    (The remaining per-partition Sort is streaming and shuffle-free;
+    Spark 3+ only reuses the on-disk sort order behind
+    spark.sql.legacy.bucketedTableScan.outputOrdering.)
+    Plan-asserted in tests/test_plans.py.
+
+    The pre-write ``repartition(n_buckets, key)`` uses the same Murmur3
+    hash as the bucket spec, so every task holds exactly one bucket and
+    writes ONE file per bucket — required both for the reader to elide
+    the Sort (multi-file buckets force a re-sort) and to avoid the
+    tasks x buckets small-file explosion at scale."""
+    (df.repartition(n_buckets, F.col(key))
+       .write.mode("overwrite").option("path", path)
+       .bucketBy(n_buckets, key).sortBy(key).saveAsTable(table))
+
+
 def run_resumable_extract(spark: SparkSession, pages_path: str,
                           catalog: "ManifestCatalog | IcebergCatalog", *,
                           table: str = "extractions",

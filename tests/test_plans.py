@@ -145,3 +145,33 @@ def test_nested_struct_schema_pruning(spark, tmp_path):
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "accountNumber" in scan
     assert "meterReading" not in scan and "emissionsData" not in scan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located join via bucketing (engine/catalog.py:write_bucketed):
+    two tables bucketed on the same key join as a SortMergeJoin with NO
+    Exchange on either side — the write paid the partitioning once,
+    every later join is shuffle-free (the in-partition Sort remains:
+    Spark 3+ keys sort-order reuse behind a legacy flag)."""
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.engine.catalog import write_bucketed
+    a = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bkt_a", "k", 8, str(tmp_path / "a"))
+    write_bucketed(b, "bkt_b", "k", 8, str(tmp_path / "b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        assert j.count() == 10_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
