@@ -83,6 +83,70 @@ def windowed_metrics_stream(pages_stream: DataFrame, *,
                     "payload_kind", "n_docs", "n_success", "avg_ms"))
 
 
+def host_sessions_stream(pages_stream: DataFrame, *, gap_min: int = 30,
+                         watermark: str = "1 minute") -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR (task brief: applyInPandasWithState):
+    crawl sessionization per host — consecutive captures from one host
+    with event-time gaps under ``gap_min`` form one session; a session
+    row (host, start, end, n_pages, total_bytes) is emitted when the
+    watermark passes its gap timeout and the state is dropped.
+
+    Scale shape: state is ONE fixed-size tuple per live host (bounded
+    by host cardinality, evicted on timeout — never per-event state);
+    the input reaches the operator as Arrow batches per host group, so
+    the Python stage is batch-at-a-time like every other kernel here.
+    Event-time timeout + watermark give deterministic, replayable
+    session closure from the checkpoint."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def session_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, end, n, nbytes = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "host": [key[0]],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(end, unit="us")],
+                "n_pages": [n],
+                "total_bytes": [nbytes],
+            })
+            return
+        start = end = None
+        n = nbytes = 0
+        if state.exists:
+            start, end, n, nbytes = state.get
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts = pdf["warc_ts"].astype("int64") // 1000  # ns -> us
+            lo, hi = int(ts.min()), int(ts.max())
+            start = lo if start is None else min(start, lo)
+            end = hi if end is None else max(end, hi)
+            n += len(pdf)
+            nbytes += int(pdf["n_bytes"].fillna(0).sum())
+        if start is not None:
+            state.update((start, end, n, nbytes))
+            # close the session once the watermark passes end + gap
+            state.setTimeoutTimestamp(end // 1000 + gap_min * 60_000)
+        yield from ()
+
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    return (pages_stream
+            .select(host.alias("host"), "warc_ts",
+                    F.length("html").cast("long").alias("n_bytes"))
+            .withWatermark("warc_ts", watermark)
+            .groupBy("host")
+            .applyInPandasWithState(
+                session_fn,
+                outputStructType=("host string, session_start timestamp, "
+                                  "session_end timestamp, n_pages long, "
+                                  "total_bytes long"),
+                stateStructType="start long, end long, n long, nbytes long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
 def start_windowed_metrics_stream(pages_stream: DataFrame, output_path: str,
                                   checkpoint_path: str, *,
                                   window: str = "1 day",

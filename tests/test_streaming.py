@@ -90,3 +90,72 @@ def test_windowed_metrics_finalize(spark, workdir):
             .collect()} <= {"html", "pdf"}
     assert m.filter(F.col("n_docs") <= 0).count() == 0
     assert m.filter(F.col("n_success") > F.col("n_docs")).count() == 0
+
+
+def test_host_sessions_stateful_operator(spark, tmp_path):
+    """applyInPandasWithState sessionization: host A's burst closes
+    (emits one session row with the right bounds/counts) once later
+    batches push the watermark past its gap timeout; still-live hosts
+    emit nothing."""
+    import datetime
+    import time
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocr_engine_spark.streaming.stream_job import host_sessions_stream
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    t0 = datetime.datetime(2025, 5, 1, 12, 0, 0)
+
+    def page(host, path, ts, body):
+        return {"url": f"https://{host}/{path}", "warc_ts": ts,
+                "html": body, "text": "", "lang": "en"}
+
+    def write_file(name, rows):
+        tbl = pa.table({
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        })
+        pq.write_table(tbl, str(src / name))
+        time.sleep(0.05)  # distinct mtimes -> deterministic file order
+
+    # burst from host A: 3 pages in 10 minutes (one session)
+    write_file("f1.parquet", [
+        page("a.example.com", "1", t0, b"<p>one</p>"),
+        page("a.example.com", "2", t0 + datetime.timedelta(minutes=5),
+             b"<p>two longer</p>"),
+        page("a.example.com", "3", t0 + datetime.timedelta(minutes=10),
+             b"<p>three</p>")])
+    # host B two days later: advances the watermark past A's timeout
+    write_file("f2.parquet", [
+        page("b.example.com", "1", t0 + datetime.timedelta(days=2),
+             b"<p>b</p>")])
+    # third batch: A's event-time timeout fires under the f2 watermark
+    write_file("f3.parquet", [
+        page("b.example.com", "2", t0 + datetime.timedelta(days=2,
+                                                           minutes=1),
+             b"<p>b2</p>")])
+
+    stream = (spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string").option("maxFilesPerTrigger", "1")
+        .parquet(str(src)))
+    sessions = host_sessions_stream(stream, gap_min=30,
+                                    watermark="1 minute")
+    q = (sessions.writeStream.format("memory").queryName("sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sess").collect()
+    by_host = {r.host: r for r in rows}
+    assert "a.example.com" in by_host            # closed by timeout
+    a = by_host["a.example.com"]
+    assert a.n_pages == 3
+    assert a.session_start == t0
+    assert a.session_end == t0 + datetime.timedelta(minutes=10)
+    assert a.total_bytes == len(b"<p>one</p>") + len(
+        b"<p>two longer</p>") + len(b"<p>three</p>")
+    assert "b.example.com" not in by_host        # still live, no emit
