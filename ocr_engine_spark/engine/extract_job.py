@@ -69,6 +69,10 @@ EXTRACT_SCHEMA = StructType([
     StructField("batch_seq", IntegerType()),
 ])
 
+# parity with the reference's upload size guard (Claude.md:204 — 50 MB
+# max file size): oversized payloads become error RECORDS, not failures
+MAX_PAYLOAD_BYTES = 50 * 1024 * 1024
+
 PAGES_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("warc_ts", TimestampType()),
@@ -107,7 +111,13 @@ def extract_batch_arrow(batches):
         for payload in col["html"]:
             t0 = time.perf_counter()
             raw = payload.as_py() or b""
-            if raw.startswith(b"%PDF"):
+            if len(raw) > MAX_PAYLOAD_BYTES:
+                kind = "oversize"
+                res = {"text": None, "spans": [], "n_blocks": 0,
+                       "confidence": None, "status": "error",
+                       "error": f"payload exceeds {MAX_PAYLOAD_BYTES} "
+                                f"bytes"}
+            elif raw.startswith(b"%PDF"):
                 kind = "pdf"
                 res = extract_pdf(raw)
             else:
@@ -169,7 +179,13 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for payload in pdf_batch["html"]:
             t0 = time.perf_counter()
             raw = bytes(payload) if payload is not None else b""
-            if raw.startswith(b"%PDF"):
+            if len(raw) > MAX_PAYLOAD_BYTES:
+                kind = "oversize"
+                res = {"text": None, "spans": [], "n_blocks": 0,
+                       "confidence": None, "status": "error",
+                       "error": f"payload exceeds {MAX_PAYLOAD_BYTES} "
+                                f"bytes"}
+            elif raw.startswith(b"%PDF"):
                 kind = "pdf"
                 res = extract_pdf(raw)
             else:

@@ -172,3 +172,24 @@ def test_balance_modes_plan(pages_df):
     auto = extract_pages(pages_df, with_fields=False)
     plan_auto = auto._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in upto_kernel(plan_auto)
+
+
+def test_oversize_payload_guard(monkeypatch):
+    """Reference parity (Claude.md:204, 50 MB upload cap): oversized
+    payloads become error records without entering the kernels. Tested
+    through the in-process pandas kernel with a lowered cap."""
+    import pandas as pd
+    from ocr_engine_spark.engine import extract_job as ej
+    monkeypatch.setattr(ej, "MAX_PAYLOAD_BYTES", 4096)
+    pdf = pd.DataFrame({
+        "url": ["u://big", "u://ok"],
+        "warc_ts": [pd.Timestamp("2025-05-01")] * 2,
+        "html": [b"x" * 5000,
+                 b"<p>small page with plenty of words to pass the "
+                 b"content threshold in one block</p>"],
+        "lang": ["en", "en"], "partition_id": [0, 0]})
+    out = next(ej.extract_batch(iter([pdf])))
+    big, ok = out.iloc[0], out.iloc[1]
+    assert big.status == "error" and "exceeds" in big.error
+    assert big.payload_kind == "oversize" and big.extracted_text is None
+    assert ok.status == "success"
