@@ -490,6 +490,31 @@ def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary_metrics(ev).orderBy("scope")
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-profiling aggregate surface: exact linear-interpolation
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``),
+    min/max/avg document length and distinct-source count per language
+    — the stats a 100 TB ingest would publish to its metrics table.
+    Percentiles hash-match because both engines sort-then-interpolate
+    exactly (no sketch)."""
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select("lang", "source",
+                    F.length("text").cast("long").alias("n_chars"))
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.round(F.percentile("n_chars", F.lit(0.5)), 4)
+                  .alias("p50_chars"),
+                 F.round(F.percentile("n_chars", F.lit(0.9)), 4)
+                  .alias("p90_chars"),
+                 F.round(F.percentile("n_chars", F.lit(0.99)), 4)
+                  .alias("p99_chars"))
+            .orderBy("lang"))
+
+
 def q_nested_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested provider schema (DEWA_Schema.json:3-48 3-level carbon-
     accounting shape): flat extraction fields -> nested struct -> leaf
@@ -558,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_profile": q_media_profile,
         "extraction_pipeline": q_extraction_pipeline,
         "nested_fields": q_nested_fields,
+        "corpus_stats": q_corpus_stats,
     }
 
 
@@ -1137,6 +1163,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extraction_pipeline": _extraction_pipeline_oracle(),
         "nested_fields": _nested_fields_oracle(),
+        "corpus_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   min(length(text))::BIGINT AS min_chars,
+                   max(length(text))::BIGINT AS max_chars,
+                   round(avg(length(text)), 4) AS avg_chars,
+                   round(quantile_cont(length(text), 0.5), 4)
+                       AS p50_chars,
+                   round(quantile_cont(length(text), 0.9), 4)
+                       AS p90_chars,
+                   round(quantile_cont(length(text), 0.99), 4)
+                       AS p99_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
         # media_profile: rows-only (binary header parsing is not
         # DuckDB-expressible); full asserts in tests/test_multimodal.py.
     }

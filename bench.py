@@ -28,7 +28,7 @@ HEADLINE = [
     "asof_join", "cube_crosstab", "salted_agg", "events_window_topk",
     "cer_metric", "doc_profile", "lang_guess", "bpe_token_count",
     "rolling_fingerprints", "fingerprint_distinct",
-    "exact_dups", "ngram_jaccard", "minhash_near_dups",
+    "exact_dups", "ngram_jaccard", "minhash_near_dups", "corpus_stats",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",
     "embedding_lsh_pairs", "embedding_near_dups", "ivf_topk",
     "nested_fields",
