@@ -13,6 +13,11 @@ Subcommands:
   evaluate  broadcast-join goldens + CER metrics over a catalog's
             extractions table
   stream    continuous/backfill ingest via Structured Streaming
+  sessions  stateful per-host crawl sessionization stream
+  dedup     exact + MinHash-LSH near-dup pass over a documents table
+  index     build a persisted IVF index over an embeddings table
+  search    approximate top-k against a built IVF index
+  profile   corpus text-quality / language / token profile
 
 Also runnable without spark-submit: ``python run_job.py ...`` builds a
 local session from SPARK_GRAFT_MASTER / SPARK_GRAFT_CPUS.
@@ -51,6 +56,37 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--continuous", action="store_true",
                     help="keep running (default: drain available + stop)")
 
+    se = sub.add_parser("sessions", help="per-host crawl sessionization")
+    se.add_argument("--input", required=True, help="pages directory")
+    se.add_argument("--output", required=True)
+    se.add_argument("--checkpoint", required=True)
+    se.add_argument("--gap-min", type=int, default=30)
+    se.add_argument("--continuous", action="store_true")
+
+    dd = sub.add_parser("dedup", help="exact + near-dup pass")
+    dd.add_argument("--input", required=True, help="documents parquet")
+    dd.add_argument("--output", required=True, help="output dir")
+    dd.add_argument("--threshold", type=float, default=0.8)
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+
+    ib = sub.add_parser("index", help="build persisted IVF index")
+    ib.add_argument("--input", required=True, help="embeddings parquet")
+    ib.add_argument("--output", required=True, help="index dir")
+    ib.add_argument("--centroids", type=int, default=64)
+
+    qs = sub.add_parser("search", help="IVF top-k probe")
+    qs.add_argument("--index", required=True, help="index dir")
+    qs.add_argument("--input", required=True, help="embeddings parquet "
+                    "(query vector source)")
+    qs.add_argument("--query-id", type=int, required=True)
+    qs.add_argument("--k", type=int, default=10)
+    qs.add_argument("--probes", type=int, default=8)
+
+    pf = sub.add_parser("profile", help="corpus text profile")
+    pf.add_argument("--input", required=True, help="documents parquet")
+    pf.add_argument("--output", required=True, help="metrics parquet dir")
+
     args = ap.parse_args(argv)
 
     from ocr_engine_spark.engine.session import build_session
@@ -84,6 +120,69 @@ def main(argv: list[str] | None = None) -> int:
             read_pages_stream(spark, args.input), args.output,
             args.checkpoint, available_now=not args.continuous)
         q.awaitTermination()
+    elif args.cmd == "sessions":
+        from ocr_engine_spark.streaming.stream_job import (
+            host_sessions_stream, read_pages_stream,
+        )
+        s = host_sessions_stream(read_pages_stream(spark, args.input),
+                                 gap_min=args.gap_min)
+        w = (s.writeStream.format("parquet").option("path", args.output)
+             .option("checkpointLocation", args.checkpoint)
+             .outputMode("append"))
+        if not args.continuous:
+            w = w.trigger(availableNow=True)
+        w.start().awaitTermination()
+    elif args.cmd == "dedup":
+        from ocr_engine_spark.functions.dedup import (
+            exact_duplicate_groups, minhash_dedup_pairs,
+        )
+        docs = spark.read.parquet(args.input)
+        groups = exact_duplicate_groups(docs, args.text_col, args.id_col)
+        groups.write.mode("overwrite").parquet(
+            os.path.join(args.output, "exact_groups"))
+        pairs = minhash_dedup_pairs(docs, id_col=args.id_col,
+                                    text_col=args.text_col,
+                                    threshold=args.threshold)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(args.output, "near_dup_pairs"))
+        print(json.dumps({
+            "exact_groups": spark.read.parquet(
+                os.path.join(args.output, "exact_groups")).count(),
+            "near_dup_pairs": spark.read.parquet(
+                os.path.join(args.output, "near_dup_pairs")).count()}))
+    elif args.cmd == "index":
+        from ocr_engine_spark.functions.similarity import IvfIndex
+        emb = spark.read.parquet(args.input)
+        IvfIndex.build(emb, args.output, n_centroids=args.centroids)
+        print(json.dumps({"index": args.output,
+                          "n_centroids": args.centroids}))
+    elif args.cmd == "search":
+        from pyspark.sql import functions as F
+        from ocr_engine_spark.functions.similarity import IvfIndex
+        idx = IvfIndex.load(args.index)
+        emb = spark.read.parquet(args.input)
+        qv = [float(x) for x in emb.filter(
+            F.col(idx.id_col) == args.query_id).first()[idx.vec_col]]
+        rows = idx.topk(spark, qv, k=args.k, n_probe=args.probes).collect()
+        print(json.dumps([{"vec_id": r[0], "cosine": r[1]}
+                          for r in rows]))
+    elif args.cmd == "profile":
+        from pyspark.sql import functions as F
+        from ocr_engine_spark.functions.text import (
+            bpe_token_count_col, lang_guess_col, quality_score_col,
+            token_count_col,
+        )
+        docs = spark.read.parquet(args.input)
+        prof = docs.select(
+            "doc_id", "source",
+            lang_guess_col(F.col("text")).alias("guessed_lang"),
+            token_count_col(F.col("text")).alias("n_tokens"),
+            bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+            quality_score_col(F.col("text")).alias("quality"))
+        prof.write.mode("overwrite").parquet(args.output)
+        prof.groupBy("guessed_lang").agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality")).show()
     spark.stop()
     return 0
 
