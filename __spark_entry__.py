@@ -490,6 +490,26 @@ def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary_metrics(ev).orderBy("scope")
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape over the part table (conditional aggregation
+    through a broadcast dim join): promo-branded share of revenue per
+    month."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type").startswith("PROMO")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+            .agg(F.round(F.sum(F.when(promo, rev).otherwise(0.0)), 2)
+                 .alias("promo_revenue"),
+                 F.round(F.sum(rev), 2).alias("total_revenue"),
+                 F.count("*").alias("n_items"))
+            .withColumn("promo_share",
+                        F.round(F.col("promo_revenue")
+                                / F.col("total_revenue"), 6))
+            .orderBy("month"))
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-profiling aggregate surface: exact linear-interpolation
     percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``),
@@ -584,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_pipeline": q_extraction_pipeline,
         "nested_fields": q_nested_fields,
         "corpus_stats": q_corpus_stats,
+        "promo_revenue": q_promo_revenue,
     }
 
 
@@ -1163,6 +1184,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extraction_pipeline": _extraction_pipeline_oracle(),
         "nested_fields": _nested_fields_oracle(),
+        "promo_revenue": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                   round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END), 2) AS promo_revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue,
+                   count(*) AS n_items,
+                   round(round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END), 2)
+                         / round(sum(l_extendedprice * (1 - l_discount)),
+                                 2), 6) AS promo_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1 ORDER BY 1
+        """,
         "corpus_stats": """
             SELECT lang, count(*) AS n_docs,
                    count(DISTINCT source) AS n_sources,

@@ -26,6 +26,7 @@ HEADLINE = [
     "pricing_summary", "top_customers", "region_rollup",
     "derived_key_join", "union_priorities", "filter_pushdown",
     "asof_join", "cube_crosstab", "salted_agg", "events_window_topk",
+    "promo_revenue",
     "cer_metric", "doc_profile", "lang_guess", "bpe_token_count",
     "rolling_fingerprints", "fingerprint_distinct",
     "exact_dups", "ngram_jaccard", "minhash_near_dups", "corpus_stats",
