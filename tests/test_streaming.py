@@ -159,3 +159,63 @@ def test_host_sessions_stateful_operator(spark, tmp_path):
     assert a.total_bytes == len(b"<p>one</p>") + len(
         b"<p>two longer</p>") + len(b"<p>three</p>")
     assert "b.example.com" not in by_host        # still live, no emit
+
+
+def test_host_sessions_state_survives_restart(spark, tmp_path):
+    """The sessionization state must recover from the checkpoint: run
+    the stream over two batches, STOP it, drop in a third file, restart
+    from the same checkpoint — host A's session (built entirely in the
+    first run) closes in the second run with the right bounds."""
+    import datetime
+    import time
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocr_engine_spark.streaming.stream_job import host_sessions_stream
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "sessions_ckpt")
+    t0 = datetime.datetime(2025, 5, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        tbl = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([""] * len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, str(src / name))
+        time.sleep(0.05)
+
+    def run_once():
+        stream = (spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string").option("maxFilesPerTrigger", "1")
+            .parquet(str(src)))
+        q = (host_sessions_stream(stream, gap_min=30, watermark="1 minute")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    write_file("f1.parquet", [
+        ("https://a.example.com/1", t0, b"<p>one</p>"),
+        ("https://a.example.com/2", t0 + datetime.timedelta(minutes=9),
+         b"<p>two</p>")])
+    write_file("f2.parquet", [
+        ("https://b.example.com/1", t0 + datetime.timedelta(days=2),
+         b"<p>b</p>")])
+    run_once()  # A's state built + timeout armed, nothing emitted yet
+    write_file("f3.parquet", [
+        ("https://b.example.com/2",
+         t0 + datetime.timedelta(days=2, minutes=1), b"<p>b2</p>")])
+    run_once()  # restart from checkpoint: A's timeout fires
+    rows = spark.read.parquet(out).collect()
+    by_host = {r.host: r for r in rows}
+    assert "a.example.com" in by_host
+    a = by_host["a.example.com"]
+    assert a.n_pages == 2
+    assert a.session_start == t0
+    assert a.session_end == t0 + datetime.timedelta(minutes=9)
