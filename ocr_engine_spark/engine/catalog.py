@@ -96,10 +96,15 @@ class IcebergCatalog:
         else:
             writer.create()
         # lineage over ONLY the just-committed increment (incremental
-        # snapshot read parent -> new; first snapshot == whole table)
+        # snapshot read parent -> new; first snapshot == whole table).
+        # Resolve OUR snapshot by its batch property — commit timestamps
+        # tie at millisecond granularity and other writers may commit
+        # concurrently, so ORDER BY committed_at alone is ambiguous.
         snap = self.spark.sql(
             f"SELECT snapshot_id, parent_id FROM {ident}.snapshots "
-            f"ORDER BY committed_at DESC LIMIT 1").first()
+            f"WHERE summary['{BATCH_PROP}'] = '{batch_id}' "
+            f"ORDER BY committed_at DESC, snapshot_id DESC "
+            f"LIMIT 1").first()
         reader = self.spark.read.format("iceberg")
         if snap is not None and snap.parent_id is not None:
             reader = (reader

@@ -265,12 +265,16 @@ def raw_response_col(text_col: str = "clean_text") -> F.Column:
     which EVERY field regex missed keeps its full cleaned text in
     ``raw_response`` (null otherwise — a non-bill page is never a parse
     *failure*, and carrying the text twice for every crawl page would
-    double the sink at table scale)."""
+    double the sink at table scale).
+
+    References the field and provider columns BY NAME, so it must be
+    applied downstream of ``fields_columns()`` — each regex is then
+    evaluated exactly once, never re-instantiated for the null check."""
     all_null = None
-    for c in fields_columns(text_col):
-        isnull = c.isNull()
+    for name in FIELD_PATTERNS:
+        isnull = F.col(name).isNull()
         all_null = isnull if all_null is None else (all_null & isnull)
-    bill_like = provider_col() != "Unknown"
+    bill_like = F.col("provider") != "Unknown"
     return F.when(bill_like & all_null, F.col(text_col))
 
 
@@ -287,8 +291,13 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     files = df.inputFiles()
     conf = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes",
                                     "134217728")
-    m = _re.match(r"(\d+)", str(conf))
-    max_bytes = int(m.group(1)) if m else 134_217_728
+    # Spark size-config strings keep their suffix ('128m', '64MB', ...)
+    m = _re.match(r"(\d+)\s*([kmgt]?)b?$", str(conf).strip().lower())
+    if m:
+        max_bytes = int(m.group(1)) * (
+            1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[m.group(2)])
+    else:
+        max_bytes = 134_217_728
     total = 0
     for f in files:
         u = urlparse(f)
@@ -340,8 +349,8 @@ def extract_pages(pages: DataFrame, *, partitions: int | None = None,
                          F.coalesce("clean_text", "extracted_text"))
     out = out.withColumn("provider", provider_col())
     if with_fields:
-        out = out.select("*", *fields_columns(),
-                         raw_response_col().alias("raw_response"))
+        out = (out.select("*", *fields_columns())
+               .withColumn("raw_response", raw_response_col()))
     return out
 
 

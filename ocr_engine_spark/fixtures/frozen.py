@@ -43,6 +43,7 @@ def freeze_extractions(corpus_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from ocr_engine_spark.engine.extract_job import MAX_PAYLOAD_BYTES
     from ocr_engine_spark.kernels.clean import clean_text
     from ocr_engine_spark.kernels.html_extract import extract_html
     from ocr_engine_spark.kernels.pdf_extract import extract_pdf
@@ -53,6 +54,17 @@ def freeze_extractions(corpus_dir: str) -> str:
     for url, payload in zip(pages.column("url").to_pylist(),
                             pages.column("html").to_pylist()):
         raw = payload or b""
+        if len(raw) > MAX_PAYLOAD_BYTES:  # same guard as extract_batch
+            kind, res = "oversize", {
+                "text": None, "clean": None, "confidence": None,
+                "status": "error"}
+            urls.append(url)
+            kinds.append(kind)
+            texts.append(None)
+            cleans.append(None)
+            confs.append(None)
+            statuses.append("error")
+            continue
         if raw.startswith(b"%PDF"):
             kind, res = "pdf", extract_pdf(raw)
         else:
@@ -141,8 +153,14 @@ def freeze_cer(corpus_dir: str) -> str:
         else:
             rn = ws.sub(" ", ref).strip(" ")
             hn = ws.sub(" ", hyp).strip(" ")
-            cer = (0.0 if rn == hn else
-                   _char_levenshtein(rn, hn, con) / len(rn) * 100.0)
+            if rn == hn:
+                cer = 0.0
+            elif len(rn) == 0:
+                # whitespace-only reference: Spark's lev/length(ref_n)
+                # divides by zero -> NULL (non-ANSI); mirror that
+                cer = None
+            else:
+                cer = _char_levenshtein(rn, hn, con) / len(rn) * 100.0
         urls.append(url)
         cers.append(cer)
     out = pa.table({"url": pa.array(urls, pa.string()),

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ocr_engine_spark.functions.text import (
-    fingerprint_col, normalized_col, tokens_col,
+    fingerprint_col, md5_int60_col, normalized_col, tokens_col,
 )
 
 # universal-hash constants for MinHash permutations (fixed seed story:
@@ -128,9 +128,7 @@ def shingle_hashes_col(c: Column, n: int = 3,
     if hash_fn == "md5":
         return F.transform(
             shingles_col(c, n),
-            lambda s: F.pmod(
-                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-                F.lit(MERSENNE_P)))
+            lambda s: F.pmod(md5_int60_col(s), F.lit(MERSENNE_P)))
     return F.transform(shingles_col(c, n),
                        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
 
@@ -279,10 +277,7 @@ def token_hashes_col(c: Column, hash_fn: str = "xxhash64") -> Column:
     the whole SimHash pipeline gets a value-level cross-engine oracle."""
     toks = tokens_col(F.lower(c))
     if hash_fn == "md5":
-        return F.transform(
-            toks,
-            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
-                       .cast("long"))
+        return F.transform(toks, lambda t: md5_int60_col(t))
     return F.transform(toks, lambda t: F.xxhash64(t))
 
 

@@ -134,12 +134,11 @@ def ivf_assign(embeddings: DataFrame, centroids: list[tuple[int, list[float]]],
 
 
 def sample_hash_col(id_col: str) -> Column:
-    """Portable deterministic pseudo-random order key: 60-bit int from
-    md5 of the id rendered as a string — identical in DuckDB via
-    ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT."""
-    return F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-        16, 10).cast("long")
+    """Portable deterministic pseudo-random order key: md5_int60_col of
+    the id rendered as a string (DuckDB twin:
+    ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT)."""
+    from ocr_engine_spark.functions.text import md5_int60_col
+    return md5_int60_col(F.col(id_col).cast("string"))
 
 
 def pick_centroids(embeddings: DataFrame, n_centroids: int = 8,

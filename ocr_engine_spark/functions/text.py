@@ -142,9 +142,7 @@ def with_rolling_fingerprints(df, text_col: str = "text",
     d = df.withColumn(norm, normalized_col(F.col(text_col)))
     grams = F.transform(
         F.sequence(F.lit(1), F.length(norm) - (k - 1)),
-        lambda i: F.conv(
-            F.substring(F.md5(F.substring(F.col(norm), i, k)), 1, 15),
-            16, 10).cast("long"))
+        lambda i: md5_int60_col(F.substring(F.col(norm), i, k)))
     # guard: sequence(1, n) counts DOWN when n < 1 — short docs need an
     # explicit empty array
     hashes = F.when(F.length(norm) < k,
@@ -158,15 +156,24 @@ def normalized_col(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def md5_int60_col(c: Column) -> Column:
+    """THE portable cross-engine hash primitive: first 15 hex chars of
+    md5 as a 60-bit non-negative int — bit-identical in DuckDB via
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``. Single definition on
+    purpose: every md5-backed oracle contract (fingerprints, rolling
+    grams, portable MinHash/SimHash token hashes, IVF centroid
+    sampling) routes through this one expression."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def fingerprint_col(c: Column) -> Column:
     """128-bit content fingerprint (hex md5 of normalized text)."""
     return F.md5(normalized_col(c))
 
 
 def fingerprint64_col(c: Column) -> Column:
-    """60-bit integer fingerprint: first 15 hex chars of md5, base-16 ->
-    base-10 (portable: same value via DuckDB's ('0x'||substr)::BIGINT)."""
-    return F.conv(F.substring(fingerprint_col(c), 1, 15), 16, 10).cast("long")
+    """60-bit integer fingerprint of normalized text (md5_int60_col)."""
+    return md5_int60_col(normalized_col(c))
 
 
 def oracle_stopword_list(lang: str) -> str:

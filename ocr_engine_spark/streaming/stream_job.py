@@ -83,13 +83,29 @@ def windowed_metrics_stream(pages_stream: DataFrame, *,
                     "payload_kind", "n_docs", "n_success", "avg_ms"))
 
 
+def _gap_runs(sorted_ts, gap_us: int):
+    """Yield [lo, hi) index runs of a SORTED int timestamp array such
+    that consecutive elements within a run are <= gap_us apart."""
+    lo = 0
+    for i in range(1, len(sorted_ts)):
+        if sorted_ts[i] - sorted_ts[i - 1] > gap_us:
+            yield lo, i
+            lo = i
+    yield lo, len(sorted_ts)
+
+
 def host_sessions_stream(pages_stream: DataFrame, *, gap_min: int = 30,
                          watermark: str = "1 minute") -> DataFrame:
     """CUSTOM STATEFUL OPERATOR (task brief: applyInPandasWithState):
     crawl sessionization per host — consecutive captures from one host
-    with event-time gaps under ``gap_min`` form one session; a session
-    row (host, start, end, n_pages, total_bytes) is emitted when the
-    watermark passes its gap timeout and the state is dropped.
+    with event-time gaps under ``gap_min`` form one session. A session
+    row (host, start, end, n_pages, total_bytes) is emitted either when
+    a LATER event proves the gap (in-batch split on the sorted event
+    times) or when the watermark passes the open session's gap timeout;
+    either way the closed session leaves the state. Events older than
+    the watermark are dropped by the engine before reaching the
+    operator, so a closed session cannot be reopened by data the
+    watermark contract still admits.
 
     Scale shape: state is ONE fixed-size tuple per live host (bounded
     by host cardinality, evicted on timeout — never per-event state);
@@ -100,36 +116,56 @@ def host_sessions_stream(pages_stream: DataFrame, *, gap_min: int = 30,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    gap_us = gap_min * 60_000_000
+
     def session_fn(key, pdfs, state: GroupState):
+        def row(sess):
+            start, end, n, nbytes = sess
+            return {"host": key[0],
+                    "session_start": pd.Timestamp(start, unit="us"),
+                    "session_end": pd.Timestamp(end, unit="us"),
+                    "n_pages": n, "total_bytes": nbytes}
+
         if state.hasTimedOut:
-            start, end, n, nbytes = state.get
+            sess = state.get
             state.remove()
-            yield pd.DataFrame({
-                "host": [key[0]],
-                "session_start": [pd.Timestamp(start, unit="us")],
-                "session_end": [pd.Timestamp(end, unit="us")],
-                "n_pages": [n],
-                "total_bytes": [nbytes],
-            })
+            yield pd.DataFrame([row(sess)])
             return
-        start = end = None
-        n = nbytes = 0
-        if state.exists:
-            start, end, n, nbytes = state.get
+        import numpy as np
+        ts_parts, byte_parts = [], []
         for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            ts = pdf["warc_ts"].astype("int64") // 1000  # ns -> us
-            lo, hi = int(ts.min()), int(ts.max())
-            start = lo if start is None else min(start, lo)
-            end = hi if end is None else max(end, hi)
-            n += len(pdf)
-            nbytes += int(pdf["n_bytes"].fillna(0).sum())
-        if start is not None:
-            state.update((start, end, n, nbytes))
-            # close the session once the watermark passes end + gap
-            state.setTimeoutTimestamp(end // 1000 + gap_min * 60_000)
-        yield from ()
+            if len(pdf):
+                ts_parts.append(pdf["warc_ts"].astype("int64").to_numpy()
+                                // 1000)  # ns -> us
+                byte_parts.append(
+                    pdf["n_bytes"].fillna(0).astype("int64").to_numpy())
+        if not ts_parts:
+            yield from ()
+            return
+        ts = np.concatenate(ts_parts)
+        nb = np.concatenate(byte_parts)
+        order = np.argsort(ts, kind="stable")
+        ts, nb = ts[order], nb[order]
+        # split the sorted batch into gap-free runs; a session carried
+        # in state is the seed run (extended if the first new event is
+        # within the gap, closed and emitted otherwise)
+        closed = []
+        cur = state.get if state.exists else None  # (start,end,n,bytes)
+        for lo, hi in _gap_runs(ts, gap_us):
+            run = (int(ts[lo]), int(ts[hi - 1]), int(hi - lo),
+                   int(nb[lo:hi].sum()))
+            if cur is not None and run[0] - cur[1] <= gap_us:
+                cur = (min(cur[0], run[0]), max(cur[1], run[1]),
+                       cur[2] + run[2], cur[3] + run[3])
+            else:
+                if cur is not None:
+                    closed.append(cur)
+                cur = run
+        state.update(cur)
+        # close the open session once the watermark passes end + gap
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_min * 60_000)
+        if closed:
+            yield pd.DataFrame([row(s) for s in closed])
 
     host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
     return (pages_stream

@@ -161,8 +161,13 @@ def main(argv: list[str] | None = None) -> int:
         from ocr_engine_spark.functions.similarity import IvfIndex
         idx = IvfIndex.load(args.index)
         emb = spark.read.parquet(args.input)
-        qv = [float(x) for x in emb.filter(
-            F.col(idx.id_col) == args.query_id).first()[idx.vec_col]]
+        qrow = emb.filter(F.col(idx.id_col) == args.query_id).first()
+        if qrow is None:
+            print(f"error: --query-id {args.query_id} not found in "
+                  f"{args.input}", file=sys.stderr)
+            spark.stop()
+            return 2
+        qv = [float(x) for x in qrow[idx.vec_col]]
         rows = idx.topk(spark, qv, k=args.k, n_probe=args.probes).collect()
         print(json.dumps([{"vec_id": r[0], "cosine": r[1]}
                           for r in rows]))

@@ -219,3 +219,62 @@ def test_host_sessions_state_survives_restart(spark, tmp_path):
     assert a.n_pages == 2
     assert a.session_start == t0
     assert a.session_end == t0 + datetime.timedelta(minutes=9)
+
+
+def test_host_sessions_split_on_in_batch_gap(spark, tmp_path):
+    """A gap larger than gap_min WITHIN one micro-batch must split into
+    two sessions — the earlier one emits as soon as a later event
+    proves the gap, the later one closes by watermark timeout."""
+    import datetime
+    import time
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocr_engine_spark.streaming.stream_job import host_sessions_stream
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    t0 = datetime.datetime(2025, 5, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        tbl = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([""] * len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, str(src / name))
+        time.sleep(0.05)
+
+    write_file("f1.parquet", [
+        ("https://a.example.com/1", t0, b"<p>s1a</p>"),
+        ("https://a.example.com/2", t0 + datetime.timedelta(minutes=5),
+         b"<p>s1b</p>"),
+        # 6-hour gap >> 30-min gap_min: second session, same batch
+        ("https://a.example.com/3", t0 + datetime.timedelta(hours=6),
+         b"<p>s2a</p>")])
+    write_file("f2.parquet", [
+        ("https://b.example.com/1", t0 + datetime.timedelta(days=2),
+         b"<p>b</p>")])
+    write_file("f3.parquet", [
+        ("https://b.example.com/2",
+         t0 + datetime.timedelta(days=2, minutes=1), b"<p>b2</p>")])
+
+    stream = (spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string").option("maxFilesPerTrigger", "1")
+        .parquet(str(src)))
+    q = (host_sessions_stream(stream, gap_min=30, watermark="1 minute")
+         .writeStream.format("memory").queryName("sess_split")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    a_rows = sorted(
+        [r for r in spark.sql("SELECT * FROM sess_split").collect()
+         if r.host == "a.example.com"],
+        key=lambda r: r.session_start)
+    assert len(a_rows) == 2
+    s1, s2 = a_rows
+    assert s1.n_pages == 2 and s1.session_start == t0
+    assert s1.session_end == t0 + datetime.timedelta(minutes=5)
+    assert s2.n_pages == 1
+    assert s2.session_start == t0 + datetime.timedelta(hours=6)
