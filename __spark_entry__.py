@@ -4,10 +4,13 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2
 plus the training-data-pipeline ops); each callable (spark, sf_dir) ->
 DataFrame.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL twins. Omitted only for ops
-whose hashing (xxhash64) or payload parsing (HTML/PDF kernels) DuckDB
-cannot reproduce — those get the driver's rows-only check and are
-byte-identity-tested against golden fixtures in tests/ instead.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twins for EVERY query.
+Non-SQL-native ops get an independent twin instead of a transliterated
+one: brute-force ground truth where the operator is probabilistic
+(MinHash/SimHash blocking), generator-arithmetic expectations where the
+operator parses binary (media headers), and kernel-direct frozen
+fixtures where the operator runs the extraction kernels (the flagship
+pipeline).
 
 Column names are aliased identically on both sides (the driver hashes
 values under sorted column names). Doubles are rounded on both sides to
@@ -336,7 +339,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-pairs on a bounded scope (verifier for the LSH
-    path, which is rows-only below)."""
+    path)."""
     from ocr_engine_spark.functions.similarity import cosine_col
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
     l = emb.select(F.col("vec_id").alias("id_a"),
@@ -352,8 +355,8 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible ops (xxhash64 / HTML parsing): rows-only checks;
-# byte-identity + recall covered by pytest golden tests instead
+# probabilistic / binary / kernel-backed ops — oracled via independent
+# twins (brute force, generator arithmetic, frozen kernel fixtures)
 # ---------------------------------------------------------------------------
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,9 +450,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal columns: decode typed metadata from opaque binary
     image/audio/video payloads (deterministic fake codec; real Spark
-    plumbing) and profile per kind. Rows-only check — binary header
-    parsing is not DuckDB-expressible; full asserts in
-    tests/test_multimodal.py."""
+    plumbing) and profile per kind. Oracle: DuckDB derives the SAME
+    expected metadata straight from the generator's arithmetic
+    (multimodal.gen_media_rows) — the Spark side must round-trip it
+    through binary encode + Arrow-batched header parse to match; a
+    parse bug surfaces as n_errors/width drift."""
     from ocr_engine_spark.functions.multimodal import decode_media, media_df
     meta = decode_media(media_df(spark, n=200, seed=42))
     return (meta.groupBy("kind")
@@ -457,8 +462,8 @@ def q_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_bytes").alias("total_bytes"),
                  F.sum((F.col("status") == "error").cast("long"))
                   .alias("n_errors"),
-                 F.max("width").alias("max_width"),
-                 F.max("n_frames").alias("max_frames"))
+                 F.max("width").cast("long").alias("max_width"),
+                 F.max("n_frames").cast("long").alias("max_frames"))
             .orderBy("kind"))
 
 
@@ -1183,6 +1188,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "extraction_pipeline": _extraction_pipeline_oracle(),
+        # expected metadata from the generator's arithmetic (kind by
+        # i%4; image 21-byte / audio 20-byte / video 23-byte headers;
+        # width 32+(i%7)*16 for images, 64 for videos; n_frames
+        # 8+(i%5)*4) — the Spark side must parse it back out of the
+        # binary payloads to agree
+        "media_profile": """
+            WITH m AS (
+              SELECT i,
+                CASE WHEN i % 4 IN (0, 1) THEN 'image'
+                     WHEN i % 4 = 2 THEN 'audio' ELSE 'video' END AS kind,
+                CASE WHEN i % 4 IN (0, 1) THEN 21
+                     WHEN i % 4 = 2 THEN 20 ELSE 23 END AS n_bytes,
+                CASE WHEN i % 4 IN (0, 1) THEN 32 + (i % 7) * 16
+                     WHEN i % 4 = 3 THEN 64 END AS width,
+                CASE WHEN i % 4 = 3 THEN 8 + (i % 5) * 4 END AS n_frames
+              FROM generate_series(0, 199) t(i))
+            SELECT kind, count(*) AS n,
+                   sum(n_bytes)::BIGINT AS total_bytes,
+                   0::BIGINT AS n_errors,
+                   max(width)::BIGINT AS max_width,
+                   max(n_frames)::BIGINT AS max_frames
+            FROM m GROUP BY kind ORDER BY kind
+        """,
         "nested_fields": _nested_fields_oracle(),
         "promo_revenue": """
             SELECT strftime(l_shipdate, '%Y-%m') AS month,
@@ -1214,6 +1242,4 @@ def oracle_sql() -> dict[str, str]:
                        AS p99_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
-        # media_profile: rows-only (binary header parsing is not
-        # DuckDB-expressible); full asserts in tests/test_multimodal.py.
     }
