@@ -495,6 +495,22 @@ def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary_metrics(ev).orderBy("scope")
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (tokenizer-pipeline op): token frequency +
+    document frequency over the corpus, Zipf head — one explode + one
+    map-side-combined groupBy + TakeOrdered; at table scale this is the
+    classic vocab/IDF job."""
+    from ocr_engine_spark.functions.text import tokens_col
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"))
+    return (toks.groupBy("tok")
+            .agg(F.count("*").alias("tf"),
+                 F.countDistinct("doc_id").alias("df"))
+            .orderBy(F.col("tf").desc(), F.col("tok").asc())
+            .limit(50))
+
+
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape over the part table (conditional aggregation
     through a broadcast dim join): promo-branded share of revenue per
@@ -610,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_fields": q_nested_fields,
         "corpus_stats": q_corpus_stats,
         "promo_revenue": q_promo_revenue,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -1212,6 +1229,18 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY kind ORDER BY kind
         """,
         "nested_fields": _nested_fields_oracle(),
+        "vocab_topk": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                         AS tok
+              FROM documents)
+            SELECT tok, count(*) AS tf,
+                   count(DISTINCT doc_id) AS df
+            FROM t GROUP BY tok
+            ORDER BY tf DESC, tok ASC
+            LIMIT 50
+        """,
         "promo_revenue": """
             SELECT strftime(l_shipdate, '%Y-%m') AS month,
                    round(sum(CASE WHEN p_type LIKE 'PROMO%'

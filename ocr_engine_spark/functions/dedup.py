@@ -262,6 +262,111 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard"))
 
 
+class MinHashIndex:
+    """Build-once / probe-many near-dup index — the INCREMENTAL dedup
+    lifecycle at corpus scale: signatures + band rows of the historical
+    corpus are computed ONCE and persisted ``partitionBy("band_id")``
+    together with the shingle arrays; deduping a new crawl batch then
+    costs only the batch's own signatures + one equi-join per probe
+    against the stored band rows (partition-pruned) + exact Jaccard
+    verify against the stored shingles. The 100 TB history is never
+    re-shingled per batch.
+
+    Same banding parameters must be used at build and probe time; they
+    are persisted alongside the data (index.json)."""
+
+    def __init__(self, path: str, num_perm: int = 64, bands: int = 16,
+                 n: int = 3, seed: int = 42,
+                 hash_fn: str = "xxhash64") -> None:
+        self.path = path
+        self.num_perm = num_perm
+        self.bands = bands
+        self.n = n
+        self.seed = seed
+        self.hash_fn = hash_fn
+
+    def _p(self, name: str) -> str:
+        import os
+        return os.path.join(self.path, name)
+
+    def _shingled(self, df: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+        return df.select(F.col(id_col).alias("id"),
+                         shingles_col(F.col(text_col), self.n).alias("sh"))
+
+    def _bands_of(self, sh_df: DataFrame) -> DataFrame:
+        hash_one = ((lambda s: F.pmod(md5_int60_col(s), F.lit(MERSENNE_P)))
+                    if self.hash_fn == "md5"
+                    else (lambda s: F.pmod(F.xxhash64(s),
+                                           F.lit(MERSENNE_P))))
+        hashed = sh_df.select(
+            "id", F.transform("sh", hash_one).alias("__sh"))
+        sigs = hashed.select(
+            "id", minhash_sig_from_hashes_col(
+                F.col("__sh"), self.num_perm, self.seed).alias("sig"))
+        return _band_rows(sigs, self.num_perm, self.bands)
+
+    @classmethod
+    def build(cls, corpus: DataFrame, path: str, *, id_col: str = "doc_id",
+              text_col: str = "text", num_perm: int = 64, bands: int = 16,
+              n: int = 3, seed: int = 42,
+              hash_fn: str = "xxhash64") -> "MinHashIndex":
+        import json
+        import os
+        idx = cls(path, num_perm, bands, n, seed, hash_fn)
+        sh = idx._shingled(corpus, id_col, text_col).persist()
+        idx._bands_of(sh).write.partitionBy("band_id") \
+            .mode("overwrite").parquet(idx._p("bands"))
+        sh.write.mode("overwrite").parquet(idx._p("shingles"))
+        sh.unpersist()
+        os.makedirs(path, exist_ok=True)
+        with open(idx._p("index.json"), "w") as fh:
+            json.dump({"num_perm": num_perm, "bands": bands, "n": n,
+                       "seed": seed, "hash_fn": hash_fn}, fh)
+        return idx
+
+    @classmethod
+    def load(cls, path: str) -> "MinHashIndex":
+        import json
+        import os
+        with open(os.path.join(path, "index.json")) as fh:
+            m = json.load(fh)
+        return cls(path, m["num_perm"], m["bands"], m["n"], m["seed"],
+                   m["hash_fn"])
+
+    def find_dups(self, batch: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  threshold: float = 0.8) -> DataFrame:
+        """Near-dup pairs (batch_id, corpus_id, jaccard) between a NEW
+        batch and the indexed corpus. Cost: batch shingling + one
+        equi-join on (band_id, band_hash) against the stored band rows
+        + exact verify against stored shingles — candidates ≪ corpus,
+        the index is never recomputed."""
+        spark = batch.sparkSession
+        sh_new = self._shingled(batch, id_col, text_col).persist()
+        b_new = self._bands_of(sh_new) \
+            .withColumnRenamed("id", "batch_id")
+        b_idx = (spark.read.parquet(self._p("bands"))
+                 .withColumnRenamed("id", "corpus_id"))
+        cands = (b_new.join(b_idx, ["band_id", "band_hash"])
+                 .select("batch_id", "corpus_id").distinct())
+        sh_idx = (spark.read.parquet(self._p("shingles"))
+                  .select(F.col("id").alias("corpus_id"),
+                          F.col("sh").alias("sh_c")))
+        a = sh_new.select(F.col("id").alias("batch_id"),
+                          F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_b", "sh_c"))
+        return (cands.join(a, "batch_id").join(sh_idx, "corpus_id")
+                .withColumn("inter", inter)
+                .withColumn(
+                    "jaccard",
+                    F.round(F.col("inter").cast("double")
+                            / (F.size("sh_b") + F.size("sh_c")
+                               - F.col("inter")), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("batch_id", "corpus_id", "jaccard"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

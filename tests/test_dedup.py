@@ -114,3 +114,32 @@ def test_dedup_on_driver_documents(spark):
     assert exact_duplicate_groups(docs).count() == 0
     cands = minhash_candidate_pairs(docs.limit(100))
     assert cands.count() >= 0
+
+
+def test_minhash_index_incremental_dedup(spark, tmp_path):
+    """Build-once near-dup index: a new batch dedupes against the
+    persisted corpus signatures/shingles without recomputing them —
+    every copied document must pair with its corpus original at
+    jaccard 1.0, and unrelated docs must not cross the threshold."""
+    import os
+    from tests.conftest import TESTDATA_SF001
+    from ocr_engine_spark.functions.dedup import MinHashIndex
+    docs = spark.read.parquet(
+        os.path.join(TESTDATA_SF001, "documents.parquet")).filter(
+        F.col("doc_id") < 100)
+    idx = MinHashIndex.build(docs, str(tmp_path / "mhidx"))
+    batch = (docs.filter(F.col("doc_id") < 20)
+             .withColumn("doc_id", F.col("doc_id") + 5000))
+    dups = MinHashIndex.load(str(tmp_path / "mhidx")).find_dups(
+        batch, threshold=0.9)
+    got = {(r.batch_id, r.corpus_id): r.jaccard for r in dups.collect()}
+    for i in range(20):
+        assert got.get((i + 5000, i)) == 1.0
+    # exactness: the incremental result equals the brute-force exact
+    # Jaccard between batch and corpus (the corpus contains genuine
+    # near-dup families beyond the injected copies — they must appear)
+    union = docs.unionByName(batch)
+    brute = {(r.id_b, r.id_a): r.jaccard
+             for r in jaccard_pairs(union, threshold=0.9).collect()
+             if r.id_b >= 5000 and r.id_a < 5000}
+    assert got == brute and len(got) > 20
