@@ -495,6 +495,104 @@ def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary_metrics(ev).orderBy("scope")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data cleaning op): deterministic PII is
+    injected per doc_id residue class, then redacted with the ordered
+    pattern table (functions/scrub.py). The md5-int sum over the
+    SCRUBBED text value-checks every redacted byte cross-engine."""
+    from ocr_engine_spark.functions.scrub import (
+        pii_counts_cols, scrub_pii_col,
+    )
+    from ocr_engine_spark.functions.text import md5_int60_col
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" reach me at user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com")))\
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"), F.lit(" server 10.0."),
+                       (F.col("doc_id") % 256).cast("string"),
+                       F.lit(".7 up")))\
+        .otherwise(F.concat(F.col("text"), F.lit(" call +97150"),
+                            (F.col("doc_id") % 10_000_000).cast("string")))
+    d = docs.select("source", injected.alias("t"))
+    d = d.select("source", *pii_counts_cols(F.col("t")),
+                 scrub_pii_col(F.col("t")).alias("scrubbed"))
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_emails").alias("total_emails"),
+                 F.sum("n_ips").alias("total_ips"),
+                 F.sum("n_phones").alias("total_phones"),
+                 F.sum(F.length("scrubbed").cast("long"))
+                  .alias("total_scrubbed_chars"),
+                 # mod a prime before summing: 300 raw 60-bit ints would
+                 # overflow int64 (ANSI) — the mod-sum still pins every
+                 # scrubbed byte
+                 F.sum(F.pmod(md5_int60_col(F.col("scrubbed")),
+                              F.lit(1_000_000_007)))
+                  .alias("scrubbed_hash_sum"))
+            .orderBy("source"))
+
+
+def q_line_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document frequent-line (boilerplate) pruning, CCNet-style:
+    injected cookie-banner/footer lines recur across docs and must be
+    removed; unique body lines must survive byte-identically (md5-int
+    sum over the pruned text checks every byte)."""
+    from ocr_engine_spark.functions.scrub import prune_frequent_lines
+    from ocr_engine_spark.functions.text import md5_int60_col
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    banner = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("ACCEPT COOKIES TO CONTINUE\n"), F.col("text")))\
+        .otherwise(F.col("text"))
+    trailer = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(banner, F.lit("\nALL RIGHTS RESERVED")))\
+        .otherwise(banner)
+    d = docs.select("doc_id", trailer.alias("text"))
+    pruned = prune_frequent_lines(d, min_docs=5)
+    return pruned.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("chars_before"),
+        F.sum(F.length("pruned_text").cast("long")).alias("chars_after"),
+        F.sum(F.pmod(md5_int60_col(F.col("pruned_text")),
+                     F.lit(1_000_000_007))).alias("pruned_hash_sum"))
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signal: duplicate
+    3-gram fraction, profiled per source (plus a doubled-text probe on
+    a slice so nonzero ratios are exercised)."""
+    from ocr_engine_spark.functions.text import with_repetition_ratio
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # doc_id % 5 == 0 -> text repeated twice: every 3-gram of the second
+    # copy (and the seam) duplicates an earlier one
+    t = F.when(F.col("doc_id") % 5 == 0,
+               F.concat_ws(" ", F.col("text"), F.col("text")))\
+        .otherwise(F.col("text"))
+    d = with_repetition_ratio(
+        docs.select("source", t.alias("text")), "text", n=3)
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("rep_ratio"), 6).alias("avg_rep"),
+                 F.round(F.max("rep_ratio"), 6).alias("max_rep"),
+                 F.sum((F.col("rep_ratio") > 0.4).cast("long"))
+                  .alias("n_flagged"))
+            .orderBy("source"))
+
+
+def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL host parsing + corpus skew report over the pages fixture
+    corpus (the hot-host motif: one host carries ~30% of the crawl) —
+    the probe that sizes n_salt for host-keyed operators."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import host_skew_report
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = spark.read.parquet(os.path.join(_ENTRY_CORPUS, "pages.parquet"))
+    return host_skew_report(pages, top_k=8)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building (tokenizer-pipeline op): token frequency +
     document frequency over the corpus, Zipf head — one explode + one
@@ -627,6 +725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "promo_revenue": q_promo_revenue,
         "vocab_topk": q_vocab_topk,
+        "pii_scrub": q_pii_scrub,
+        "line_prune": q_line_prune,
+        "repetition_ratio": q_repetition_ratio,
+        "host_skew": q_host_skew,
     }
 
 
@@ -864,6 +966,122 @@ def _extraction_pipeline_oracle() -> str:
           SELECT 'severity:' || severity AS scope, {aggs} FROM evd
           WHERE severity IS NOT NULL GROUP BY severity)
         ORDER BY scope
+    """
+
+
+def _pii_scrub_oracle() -> str:
+    from ocr_engine_spark.functions.scrub import PII_PATTERNS
+    pats = {t: p.replace("'", "''") for t, p in PII_PATTERNS}
+    scrub = "t"
+    for token, p in PII_PATTERNS:
+        scrub = (f"regexp_replace({scrub}, '{p}', "
+                 f"'{token}', 'g')")
+    return f"""
+        WITH base AS (
+          SELECT source, doc_id,
+            CASE WHEN doc_id % 3 = 0
+                   THEN text || ' reach me at user' || doc_id::VARCHAR
+                        || '@example.com'
+                 WHEN doc_id % 3 = 1
+                   THEN text || ' server 10.0.'
+                        || (doc_id % 256)::VARCHAR || '.7 up'
+                 ELSE text || ' call +97150'
+                      || (doc_id % 10000000)::VARCHAR END AS t
+          FROM documents WHERE doc_id < 300),
+        c AS (
+          SELECT source,
+            len(regexp_extract_all(t, '{pats["<EMAIL>"]}')) AS n_emails,
+            len(regexp_extract_all(t, '{pats["<IP>"]}')) AS n_ips,
+            len(regexp_extract_all(t, '{pats["<PHONE>"]}')) AS n_phones,
+            {scrub} AS scrubbed
+          FROM base)
+        SELECT source, count(*) AS n_docs,
+               sum(n_emails)::BIGINT AS total_emails,
+               sum(n_ips)::BIGINT AS total_ips,
+               sum(n_phones)::BIGINT AS total_phones,
+               sum(length(scrubbed))::BIGINT AS total_scrubbed_chars,
+               sum(('0x' || substr(md5(scrubbed), 1, 15))::BIGINT
+                   % 1000000007)::BIGINT AS scrubbed_hash_sum
+        FROM c GROUP BY source ORDER BY source
+    """
+
+
+_LINE_PRUNE_ORACLE = r"""
+    WITH d0 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0
+             THEN 'ACCEPT COOKIES TO CONTINUE' || chr(10) || text
+             ELSE text END AS t1
+      FROM documents WHERE doc_id < 150),
+    d AS (SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN t1 || chr(10) || 'ALL RIGHTS RESERVED'
+                      ELSE t1 END AS text
+          FROM d0),
+    l0 AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM d),
+    lines AS (
+      SELECT doc_id, i AS pos, ls[i] AS line
+      FROM l0, LATERAL unnest(generate_series(1, len(ls))) u(i)),
+    freq AS (SELECT line FROM lines WHERE trim(line) <> ''
+             GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+    kept AS (SELECT doc_id, pos, line FROM lines
+             WHERE line NOT IN (SELECT line FROM freq)),
+    reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS pt
+            FROM kept GROUP BY doc_id),
+    out AS (SELECT d.doc_id, d.text, coalesce(reb.pt, '') AS pruned
+            FROM d LEFT JOIN reb USING (doc_id))
+    SELECT count(*) AS n_docs,
+           sum(length(text))::BIGINT AS chars_before,
+           sum(length(pruned))::BIGINT AS chars_after,
+           sum(('0x' || substr(md5(pruned), 1, 15))::BIGINT
+               % 1000000007)::BIGINT AS pruned_hash_sum
+    FROM out
+"""
+
+
+_REPETITION_ORACLE = r"""
+    WITH d AS (
+      SELECT source,
+        CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text
+             ELSE text END AS text
+      FROM documents WHERE doc_id < 200),
+    t AS (SELECT source,
+                 string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM d),
+    g AS (SELECT source, len(toks) - 2 AS ng,
+                 list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> array_to_string(toks[i:i+2], ' ')) AS grams
+          FROM t),
+    r AS (SELECT source,
+                 CASE WHEN ng < 1 THEN 0.0
+                      ELSE round(1.0 - len(list_distinct(grams))
+                                 / ng::DOUBLE, 6) END AS rep
+          FROM g)
+    SELECT source, count(*) AS n_docs,
+           round(avg(rep), 6) AS avg_rep,
+           round(max(rep), 6) AS max_rep,
+           sum(CASE WHEN rep > 0.4 THEN 1 ELSE 0 END)::BIGINT
+               AS n_flagged
+    FROM r GROUP BY source ORDER BY source
+"""
+
+
+def _host_skew_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    return f"""
+        WITH h AS (
+          SELECT lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+          FROM read_parquet('{pages}')),
+        c AS (SELECT host, count(*) AS n_pages FROM h GROUP BY host),
+        t AS (SELECT sum(n_pages) AS total FROM c)
+        SELECT host, n_pages, round(n_pages / total, 6) AS share
+        FROM c, t
+        ORDER BY n_pages DESC, host ASC
+        LIMIT 8
     """
 
 
@@ -1229,6 +1447,10 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY kind ORDER BY kind
         """,
         "nested_fields": _nested_fields_oracle(),
+        "pii_scrub": _pii_scrub_oracle(),
+        "line_prune": _LINE_PRUNE_ORACLE,
+        "repetition_ratio": _REPETITION_ORACLE,
+        "host_skew": _host_skew_oracle(),
         "vocab_topk": r"""
             WITH t AS (
               SELECT doc_id,

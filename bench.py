@@ -30,7 +30,8 @@ HEADLINE = [
     "cer_metric", "doc_profile", "lang_guess", "bpe_token_count",
     "rolling_fingerprints", "fingerprint_distinct",
     "exact_dups", "ngram_jaccard", "minhash_near_dups", "corpus_stats",
-    "vocab_topk",
+    "vocab_topk", "pii_scrub", "line_prune", "repetition_ratio",
+    "host_skew",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",
     "embedding_lsh_pairs", "embedding_near_dups", "ivf_topk",
     "nested_fields",

@@ -1,0 +1,127 @@
+r"""Corpus-cleaning operators for training-data pipelines: PII
+scrubbing, cross-document frequent-line (boilerplate) pruning, and URL
+canonicalization / host skew reporting.
+
+All pure JVM expressions (regexp_replace / explode / groupBy) — these
+run over every document of a 100 TB corpus, so no Python anywhere.
+Every regex is RE2-compatible (no lookarounds, no backrefs) so the
+DuckDB oracles run the IDENTICAL patterns.
+
+Reference points (public corpus-cleaning practice): C4/CCNet-style
+line-level boilerplate removal by cross-document line frequency,
+Gopher-style repetition signals (functions/text.py), standard PII
+redaction-by-pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# ordered pattern table: (token, RE2+Java-compatible pattern). Email
+# runs FIRST so phone-like digit runs inside addresses are gone before
+# the phone pass; the order is part of the contract.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("<PHONE>", r"\+?\d[\d().-]{7,14}\d"),
+]
+
+
+def scrub_pii_col(c: Column) -> Column:
+    """Redact emails / IPv4s / phone-like digit runs with typed tokens,
+    in the documented order."""
+    out = c
+    for token, pattern in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts_cols(c: Column) -> list[Column]:
+    """Per-document match counts (pre-scrub), one column per pattern."""
+    names = {"<EMAIL>": "n_emails", "<IP>": "n_ips", "<PHONE>": "n_phones"}
+    return [F.regexp_count(c, F.lit(p)).cast("long").alias(names[t])
+            for t, p in PII_PATTERNS]
+
+
+# ---------------------------------------------------------------------------
+# cross-document frequent-line pruning (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def prune_frequent_lines(df: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_docs: int = 2,
+                         out_col: str = "pruned_text") -> DataFrame:
+    """Remove every line that occurs (byte-identically) in >= min_docs
+    DISTINCT documents — the classic cross-document boilerplate filter
+    (cookie banners, nav footers) of C4/CCNet-family pipelines.
+
+    Plan shape: posexplode lines -> one shuffle on the line value for
+    document frequencies -> join back (frequent lines ≪ distinct lines,
+    so the frequency side broadcasts in practice) -> reassemble in
+    original order with a sort_array over collected (pos, line) structs
+    (one groupBy shuffle on the doc id). Blank lines never count toward
+    frequency and are always kept. A document whose every line is
+    pruned keeps an empty string."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+         .alias("__pos", "__line"))
+    freq = (lines.filter(F.trim("__line") != "")
+            .groupBy("__line")
+            .agg(F.countDistinct("__id").alias("__df"))
+            .filter(F.col("__df") >= min_docs))
+    kept = (lines.join(freq, "__line", "left_anti"))
+    rebuilt = (kept.groupBy("__id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("__pos"), F.col("__line")))),
+                       lambda s: s["__line"]),
+                   "\n").alias(out_col)))
+    return df.join(rebuilt, df[id_col] == rebuilt["__id"], "left") \
+             .drop("__id") \
+             .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + host skew report
+# ---------------------------------------------------------------------------
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+
+def host_col(url: Column) -> Column:
+    """Lowercased host (authority) of a URL; empty string if no scheme
+    prefix parses."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Deterministic URL canonicalization for crawl keys: lowercase the
+    scheme+host, drop the fragment, drop a trailing slash. (Query-param
+    reordering is deliberately NOT done — parameter order can be
+    semantic.)"""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    lowered = F.concat(
+        F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_extract(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1))
+    return F.regexp_replace(lowered, r"/$", "")
+
+
+def host_skew_report(df: DataFrame, url_col: str = "url",
+                     top_k: int = 10) -> DataFrame:
+    """Pages per host + share of the corpus — the skew probe that
+    drives n_salt for host-keyed work (functions/skew.py). One shuffle;
+    total from a window sum, not a second scan."""
+    from pyspark.sql import Window
+    counts = (df.select(host_col(F.col(url_col)).alias("host"))
+              .groupBy("host").agg(F.count("*").alias("n_pages")))
+    total = F.sum("n_pages").over(Window.partitionBy())
+    return (counts
+            .withColumn("share", F.round(F.col("n_pages") / total, 6))
+            .orderBy(F.col("n_pages").desc(), F.col("host").asc())
+            .limit(top_k))

@@ -151,6 +151,27 @@ def with_rolling_fingerprints(df, text_col: str = "text",
             .drop(norm)
 
 
+def with_repetition_ratio(df, text_col: str = "text", n: int = 3,
+                          out: str = "rep_ratio"):
+    """Gopher-style within-document repetition signal: the fraction of
+    word n-grams that are duplicates of an earlier n-gram in the same
+    document (0 = no repetition, ->1 = loops/spam). DataFrame-level on
+    purpose: the token array is MATERIALIZED in its own projection —
+    referenced by the sequence bound and every gram lambda, inlined it
+    would re-tokenize per gram (the HOF O(n^2) trap; see
+    functions/dedup.py)."""
+    toks = f"__toks_{out}"
+    d = df.withColumn(toks, tokens_col(F.lower(F.col(text_col))))
+    n_grams = F.size(F.col(toks)) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.concat_ws(" ", F.slice(F.col(toks), i, n)))
+    ratio = F.when(n_grams < 1, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(grams))
+                / n_grams.cast("double"), 6))
+    return d.withColumn(out, ratio).drop(toks)
+
+
 def normalized_col(c: Column) -> Column:
     """Dedup normalization: lowercase + whitespace collapse + trim."""
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))

@@ -1,0 +1,77 @@
+"""Corpus-cleaning operator tests: PII scrub, frequent-line pruning,
+repetition ratio, URL canonicalization / host skew."""
+
+import pyspark.sql.functions as F
+
+from ocr_engine_spark.functions.scrub import (
+    canonical_url_col, host_col, host_skew_report, prune_frequent_lines,
+    scrub_pii_col,
+)
+from ocr_engine_spark.functions.text import with_repetition_ratio
+
+
+def test_scrub_pii(spark):
+    rows = [
+        ("mail me at a.b+c@ex-ample.co.uk thanks",),
+        ("server 192.168.0.1 and phone +971 (0)50-123-4567",),
+        ("no pii here at all",),
+    ]
+    got = [r.s for r in spark.createDataFrame(rows, ["t"]).select(
+        scrub_pii_col(F.col("t")).alias("s")).collect()]
+    assert got[0] == "mail me at <EMAIL> thanks"
+    assert "<IP>" in got[1] and "192.168" not in got[1]
+    assert "<PHONE>" in got[1] and "123-4567" not in got[1]
+    assert got[2] == "no pii here at all"
+
+
+def test_prune_frequent_lines(spark):
+    banner = "ACCEPT COOKIES"
+    rows = [(i, f"{banner}\nunique body line {i}\n\ntail {i}")
+            for i in range(4)] + [(9, "no banner doc")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.pruned_text
+           for r in prune_frequent_lines(df, min_docs=3).collect()}
+    for i in range(4):
+        # banner removed; body lines + blank line survive in order
+        assert out[i] == f"unique body line {i}\n\ntail {i}"
+    assert out[9] == "no banner doc"
+    # a doc that is ONLY boilerplate prunes to empty string
+    df2 = df.unionByName(
+        spark.createDataFrame([(99, banner)], ["doc_id", "text"]))
+    out2 = {r.doc_id: r.pruned_text
+            for r in prune_frequent_lines(df2, min_docs=3).collect()}
+    assert out2[99] == ""
+
+
+def test_repetition_ratio(spark):
+    rows = [(0, "a b c d e f"),            # all 3-grams unique -> 0
+            (1, "a b c a b c a b c"),      # heavy repetition
+            (2, "x y")]                    # too short -> 0
+    d = with_repetition_ratio(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "text", n=3)
+    got = {r.doc_id: r.rep_ratio for r in d.collect()}
+    assert got[0] == 0.0 and got[2] == 0.0
+    # 7 grams, 3 distinct -> 1 - 3/7
+    assert abs(got[1] - (1 - 3 / 7)) < 1e-6
+
+
+def test_url_helpers(spark):
+    rows = [("HTTPS://Example.COM/Path/?q=1#frag",),
+            ("https://a.example.com/x/",),
+            ("not a url",)]
+    df = spark.createDataFrame(rows, ["url"])
+    got = df.select(host_col(F.col("url")).alias("h"),
+                    canonical_url_col(F.col("url")).alias("c")).collect()
+    assert got[0].h == "example.com"
+    assert got[0].c == "https://example.com/Path/?q=1"
+    assert got[1].c == "https://a.example.com/x"
+    assert got[2].h == ""
+
+
+def test_host_skew_report(spark):
+    rows = [(f"https://hot.example.com/{i}",) for i in range(6)] + \
+           [(f"https://cold{i}.example.org/x",) for i in range(4)]
+    rep = host_skew_report(spark.createDataFrame(rows, ["url"]),
+                           top_k=3).collect()
+    assert rep[0].host == "hot.example.com"
+    assert rep[0].n_pages == 6 and abs(rep[0].share - 0.6) < 1e-9
