@@ -582,6 +582,37 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style filter CHAIN composed from the standalone
+    signals (length, quality score, repetition): per-rule drop counts +
+    kept-corpus stats in one pass — the decision report a 100 TB ingest
+    publishes next to its output. Repetition is injected for
+    doc_id % 7 == 0 so that rule actually fires."""
+    from ocr_engine_spark.functions.text import with_repetition_ratio
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat_ws(" ", F.col("text"), F.col("text")))\
+        .otherwise(F.col("text"))
+    d = with_repetition_ratio(
+        docs.select("doc_id", t.alias("text")), "text", n=3)
+    d = d.select(
+        token_count_col(F.col("text")).alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"),
+        F.col("rep_ratio"))
+    short = F.col("n_tokens") < 25
+    low_q = F.col("quality") < 0.35
+    repetitive = F.col("rep_ratio") > 0.4
+    kept = ~(short | low_q | repetitive)
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(short.cast("long")).alias("n_short"),
+        F.sum(low_q.cast("long")).alias("n_low_quality"),
+        F.sum(repetitive.cast("long")).alias("n_repetitive"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.round(F.avg(F.when(kept, F.col("quality"))), 4)
+         .alias("avg_kept_quality"))
+
+
 def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL host parsing + corpus skew report over the pages fixture
     corpus (the hot-host motif: one host carries ~30% of the crawl) —
@@ -727,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "pii_scrub": q_pii_scrub,
         "line_prune": q_line_prune,
+        "quality_filter": q_quality_filter,
         "repetition_ratio": q_repetition_ratio,
         "host_skew": q_host_skew,
     }
@@ -1449,6 +1481,43 @@ def oracle_sql() -> dict[str, str]:
         "nested_fields": _nested_fields_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "line_prune": _LINE_PRUNE_ORACLE,
+        "quality_filter": f"""
+            WITH d AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+                     ELSE text END AS text
+              FROM documents WHERE doc_id < 400),
+            t AS (SELECT doc_id, text,
+                         string_split_regex(trim(lower(text)), '\\s+')
+                             AS toks
+                  FROM d),
+            g AS (SELECT doc_id, text, len(toks) - 2 AS ng,
+                         list_transform(
+                           generate_series(1, greatest(len(toks) - 2, 0)),
+                           i -> array_to_string(toks[i:i+2], ' '))
+                             AS grams
+                  FROM t),
+            q AS (SELECT {_NTOK} AS n_tokens, {_QUALITY} AS quality,
+                         CASE WHEN ng < 1 THEN 0.0
+                              ELSE round(1.0 - len(list_distinct(grams))
+                                         / ng::DOUBLE, 6) END AS rep
+                  FROM g)
+            SELECT count(*) AS n_docs,
+                   sum(CASE WHEN n_tokens < 25 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_short,
+                   sum(CASE WHEN quality < 0.35 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_low_quality,
+                   sum(CASE WHEN rep > 0.4 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_repetitive,
+                   sum(CASE WHEN NOT (n_tokens < 25 OR quality < 0.35
+                                      OR rep > 0.4)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   round(avg(CASE WHEN NOT (n_tokens < 25
+                                            OR quality < 0.35
+                                            OR rep > 0.4)
+                             THEN quality END), 4) AS avg_kept_quality
+            FROM q
+        """,
         "repetition_ratio": _REPETITION_ORACLE,
         "host_skew": _host_skew_oracle(),
         "vocab_topk": r"""
