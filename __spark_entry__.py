@@ -582,6 +582,26 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (functions/pack.py): docs -> deterministic
+    token ids -> two-phase global prefix sum -> fixed-length training
+    sequences. The checksum sums every token id of every COMPLETE
+    sequence, so off-by-one offsets, a mis-sliced boundary, or a lost
+    EOD all hash-mismatch against the DuckDB replay."""
+    from ocr_engine_spark.functions.pack import EOD_ID, pack_sequences
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    seqs = pack_sequences(docs, seq_len=128)
+    seq_sum = F.aggregate("tokens", F.lit(0).cast("long"),
+                          lambda a, x: a + x)
+    n_eod = F.size(F.filter("tokens", lambda t: t == EOD_ID))
+    return seqs.agg(
+        F.count("*").alias("n_sequences"),
+        F.min("seq_id").alias("min_seq"),
+        F.max("seq_id").alias("max_seq"),
+        F.sum(seq_sum).alias("token_checksum"),
+        F.sum(n_eod.cast("long")).alias("n_eod"))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style filter CHAIN composed from the standalone
     signals (length, quality score, repetition): per-rule drop counts +
@@ -759,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "line_prune": q_line_prune,
         "quality_filter": q_quality_filter,
+        "pack_sequences": q_pack_sequences,
         "repetition_ratio": q_repetition_ratio,
         "host_skew": q_host_skew,
     }
@@ -998,6 +1019,44 @@ def _extraction_pipeline_oracle() -> str:
           SELECT 'severity:' || severity AS scope, {aggs} FROM evd
           WHERE severity IS NOT NULL GROUP BY severity)
         ORDER BY scope
+    """
+
+
+def _pack_sequences_oracle(seq_len: int = 128) -> str:
+    from ocr_engine_spark.functions.pack import EOD_ID, VOCAB_SIZE
+    bpe = BPE_PATTERN.replace(chr(39), chr(39) * 2)
+    return rf"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        tok AS (
+          SELECT doc_id,
+                 list_append(
+                   list_transform(
+                     regexp_extract_all(text, '{bpe}'),
+                     t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
+                          % {VOCAB_SIZE}),
+                   {EOD_ID}::BIGINT) AS ids
+          FROM d),
+        n AS (SELECT doc_id, ids, len(ids) AS n FROM tok),
+        o AS (SELECT doc_id, ids, n,
+                     (sum(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW))::BIGINT - n AS start
+              FROM n),
+        e AS (SELECT start + i - 1 AS gpos, ids[i] AS tid
+              FROM o, LATERAL unnest(generate_series(1, n)) u(i)),
+        s AS (SELECT gpos // {seq_len} AS seq_id, tid FROM e),
+        c AS (SELECT seq_id, count(*) AS n_slots,
+                     sum(tid) AS tok_sum,
+                     sum(CASE WHEN tid = {EOD_ID} THEN 1 ELSE 0 END)
+                         AS eod
+              FROM s GROUP BY seq_id
+              HAVING count(*) = {seq_len})
+        SELECT count(*) AS n_sequences,
+               min(seq_id)::BIGINT AS min_seq,
+               max(seq_id)::BIGINT AS max_seq,
+               sum(tok_sum)::BIGINT AS token_checksum,
+               sum(eod)::BIGINT AS n_eod
+        FROM c
     """
 
 
@@ -1481,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         "nested_fields": _nested_fields_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "line_prune": _LINE_PRUNE_ORACLE,
+        "pack_sequences": _pack_sequences_oracle(),
         "quality_filter": f"""
             WITH d AS (
               SELECT doc_id,

@@ -31,7 +31,7 @@ HEADLINE = [
     "rolling_fingerprints", "fingerprint_distinct",
     "exact_dups", "ngram_jaccard", "minhash_near_dups", "corpus_stats",
     "vocab_topk", "pii_scrub", "line_prune", "repetition_ratio",
-    "quality_filter",
+    "quality_filter", "pack_sequences",
     "host_skew",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",
     "embedding_lsh_pairs", "embedding_near_dups", "ivf_topk",

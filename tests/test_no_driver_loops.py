@@ -23,6 +23,9 @@ COLLECT_ALLOWLIST = {
         ".select(vec_col).collect())",  # centroid seed: limit(n) upstream
         "embeddings.select(vec_col).first()",  # dim probe: 1 row
     ],
+    "functions/pack.py": [
+        '.orderBy("__bkt").collect())',  # per-bucket totals: n/bucket_size
+    ],
     "engine/catalog.py": [
         ").collect())]",            # per-partition lineage rows: |parts|
         ".agg(*agg).collect()]",    # per-partition lineage rows: |parts|
