@@ -73,6 +73,10 @@ def main() -> None:
         t0 = time.perf_counter()
         df.collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # LSH/minhash queries persist intermediate projections whose
+        # release normally waits on driver GC; free them eagerly so
+        # later queries aren't timed under accumulated heap pressure
+        spark.catalog.clearCache()
 
     # flagship: the extraction pipeline at a corpus scaled to the SF
     n_pages = max(300, int(PAGES_PER_SF * sf))
