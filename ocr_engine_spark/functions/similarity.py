@@ -314,8 +314,8 @@ def lsh_recall_estimate(threshold: float, n_bands: int,
 def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
                       n_bands: int = 8, rows_per_band: int = 2,
                       seed: int = 42,
-                      id_col: str = "vec_id", vec_col: str = "embedding"
-                      ) -> DataFrame:
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      broadcast_max_bytes: int = 256 << 20) -> DataFrame:
     """Embedding near-duplicate pairs via BANDED random-hyperplane LSH
     (OR-construction): b independent bands of r sign bits each; a pair
     is a candidate if it agrees on ALL bits of ANY band, then exact
@@ -324,12 +324,16 @@ def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
     union is 1-(1-p^r)^b (see ``lsh_recall_estimate``; defaults give
     0.96+ at 0.25 and ~1.0 at 0.9).
 
-    Plan shape: ONE shuffle on (band_id, bucket) for candidates (never a
-    cross join), then two equi-joins back to the persisted (id, vector)
-    projection for the verify — candidates ≪ corpus, so the verify
-    joins shuffle only candidate rows. Lower thresholds need smaller r /
-    more bands (more candidates — inherent LSH cost); at 10^12 rows run
-    near-dup detection at thresholds >= 0.7 where r can grow.
+    Plan shape: ONE shuffle on (band_id, bucket) for candidates (never
+    a cross join). Verify has two paths: when the vector matrix fits
+    ``broadcast_max_bytes`` it is broadcast once and only the candidate
+    ID PAIRS cross Arrow (16 B/pair instead of two full vectors —
+    dominant when candidates approach all-pairs); a table-scale corpus
+    takes the equi-join path, where candidates ≪ corpus so the verify
+    joins shuffle only candidate rows. Both paths run the same einsums
+    over the same rows — bit-equal results. Lower thresholds need
+    smaller r / more bands (more candidates — inherent LSH cost); at
+    10^12 rows run near-dup detection at thresholds >= 0.7.
 
     Cache lifecycle: the persisted projection is released by Spark's
     ContextCleaner once the returned plan is GC'd; call
@@ -354,6 +358,39 @@ def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
               .select(F.col("l.id").alias("id_a"),
                       F.col("r.id").alias("id_b"))
               .distinct())
+    n_vec = base.count()
+    if n_vec * dim * 8 <= broadcast_max_bytes:
+        # small/mid table: ship the WHOLE matrix to workers once and
+        # send only (id_a, id_b) through Arrow — the join path moves
+        # two full vectors per candidate pair (~1 KB/pair), which
+        # dominates wall time when candidates approach all-pairs.
+        # Identical arithmetic to the join path (same einsums over the
+        # same rows), so results are bit-equal. Guarded: a table-scale
+        # corpus exceeds the cap and takes the join path below.
+        import numpy as np
+        rows = base.collect()  # bounded by broadcast_max_bytes (guard)
+        index = {r["id"]: i for i, r in enumerate(rows)}
+        M = np.stack([np.asarray(r["v"], dtype="float64") for r in rows])
+        bc = embeddings.sparkSession.sparkContext.broadcast((index, M))
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _cos_by_id(ida: pd.Series, idb: pd.Series) -> pd.Series:
+            idx, mat = bc.value
+            if len(ida) == 0:
+                return pd.Series([], dtype="float64")
+            a = mat[[idx[i] for i in ida]]
+            b = mat[[idx[i] for i in idb]]
+            num = np.einsum("ij,ij->i", a, b)
+            den = (np.sqrt(np.einsum("ij,ij->i", a, a))
+                   * np.sqrt(np.einsum("ij,ij->i", b, b)))
+            return pd.Series(num / den)
+
+        pair_cos = _cos_by_id(F.col("id_a"), F.col("id_b"))
+        return (cands
+                .select("id_a", "id_b",
+                        F.round(pair_cos, 6).alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     bb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     pair_cos = cosine_pairs_udf()(F.col("va"), F.col("vb"))
