@@ -513,8 +513,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.concat(F.col("text"), F.lit(" server 10.0."),
                        (F.col("doc_id") % 256).cast("string"),
                        F.lit(".7 up")))\
-        .otherwise(F.concat(F.col("text"), F.lit(" call +97150"),
-                            (F.col("doc_id") % 10_000_000).cast("string")))
+        .otherwise(F.concat(
+            F.col("text"), F.lit(" call +97150"),
+            F.lpad((F.col("doc_id") % 10_000_000).cast("string"), 7, "0")))
     d = docs.select("source", injected.alias("t"))
     d = d.select("source", *pii_counts_cols(F.col("t")),
                  scrub_pii_col(F.col("t")).alias("scrubbed"))
@@ -1063,10 +1064,16 @@ def _pack_sequences_oracle(seq_len: int = 128) -> str:
 def _pii_scrub_oracle() -> str:
     from ocr_engine_spark.functions.scrub import PII_PATTERNS
     pats = {t: p.replace("'", "''") for t, p in PII_PATTERNS}
-    scrub = "t"
-    for token, p in PII_PATTERNS:
-        scrub = (f"regexp_replace({scrub}, '{p}', "
-                 f"'{token}', 'g')")
+    # progressive counting (mirror of pii_counts_cols): each pattern is
+    # counted on the text with all PREVIOUS redactions applied
+    stage = "t"
+    count_exprs = []
+    names = {"<EMAIL>": "n_emails", "<IP>": "n_ips", "<PHONE>": "n_phones"}
+    for token, _ in PII_PATTERNS:
+        p = pats[token]
+        count_exprs.append(
+            f"len(regexp_extract_all({stage}, '{p}')) AS {names[token]}")
+        stage = f"regexp_replace({stage}, '{p}', '{token}', 'g')"
     return f"""
         WITH base AS (
           SELECT source, doc_id,
@@ -1077,14 +1084,13 @@ def _pii_scrub_oracle() -> str:
                    THEN text || ' server 10.0.'
                         || (doc_id % 256)::VARCHAR || '.7 up'
                  ELSE text || ' call +97150'
-                      || (doc_id % 10000000)::VARCHAR END AS t
+                      || lpad((doc_id % 10000000)::VARCHAR, 7, '0')
+                 END AS t
           FROM documents WHERE doc_id < 300),
         c AS (
           SELECT source,
-            len(regexp_extract_all(t, '{pats["<EMAIL>"]}')) AS n_emails,
-            len(regexp_extract_all(t, '{pats["<IP>"]}')) AS n_ips,
-            len(regexp_extract_all(t, '{pats["<PHONE>"]}')) AS n_phones,
-            {scrub} AS scrubbed
+            {', '.join(count_exprs)},
+            {stage} AS scrubbed
           FROM base)
         SELECT source, count(*) AS n_docs,
                sum(n_emails)::BIGINT AS total_emails,
@@ -1585,7 +1591,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      unnest(string_split_regex(trim(lower(text)), '\s+'))
                          AS tok
-              FROM documents)
+              FROM documents
+              -- blank docs: Spark's tokens_col yields [] (no rows)
+              -- while string_split_regex('') yields [''] - guard them
+              WHERE length(trim(text)) > 0)
             SELECT tok, count(*) AS tf,
                    count(DISTINCT doc_id) AS df
             FROM t GROUP BY tok

@@ -69,9 +69,12 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
+        # the timer wraps CONSTRUCTION + collect: several queries do
+        # real driver-side work while building the plan (IVF centroid
+        # sampling, pack-sequence bucket offsets, LSH broadcast-verify
+        # setup) — excluding it would under-report those operators
         t0 = time.perf_counter()
-        df.collect()
+        qs[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         # LSH/minhash queries persist intermediate projections whose
         # release normally waits on driver GC; free them eagerly so

@@ -116,6 +116,15 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # MinHash + banded LSH (the scale path)
 # ---------------------------------------------------------------------------
 
+def _shingle_hash_fn(hash_fn: str):
+    """THE per-shingle hash lambda (mod p) — single definition shared
+    by shingle_hashes_col, minhash_dedup_pairs and MinHashIndex, so
+    index files and ad-hoc runs can never drift apart."""
+    if hash_fn == "md5":
+        return lambda s: F.pmod(md5_int60_col(s), F.lit(MERSENNE_P))
+    return lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
+
+
 def shingle_hashes_col(c: Column, n: int = 3,
                        hash_fn: str = "xxhash64") -> Column:
     """Hash (mod p) of each distinct word n-gram shingle.
@@ -125,12 +134,19 @@ def shingle_hashes_col(c: Column, n: int = 3,
     as int): bit-identical in DuckDB via ('0x'||substr(md5(s),1,15)),
     used by the oracle-checked signature query so the MinHash math gets
     a value-level cross-engine check, not just a rows-only one."""
-    if hash_fn == "md5":
-        return F.transform(
-            shingles_col(c, n),
-            lambda s: F.pmod(md5_int60_col(s), F.lit(MERSENNE_P)))
-    return F.transform(shingles_col(c, n),
-                       lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+    return F.transform(shingles_col(c, n), _shingle_hash_fn(hash_fn))
+
+
+def with_jaccard(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """THE exact-verify formula over two (already-distinct) shingle
+    array columns: adds ``inter`` and ``jaccard`` — single definition
+    shared by minhash_dedup_pairs and MinHashIndex.find_dups."""
+    return (df.withColumn("inter",
+                          F.size(F.array_intersect(a_col, b_col)))
+            .withColumn("jaccard",
+                        F.round(F.col("inter").cast("double")
+                                / (F.size(a_col) + F.size(b_col)
+                                   - F.col("inter")), 6)))
 
 
 def minhash_sig_from_hashes_col(hashes: Column, num_perm: int = 64,
@@ -239,9 +255,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     sh = df.select(F.col(id_col).alias("id"),
                    shingles_col(F.col(text_col), n).alias("sh")).persist()
     hashed = sh.select(
-        "id",
-        F.transform("sh", lambda s: F.pmod(F.xxhash64(s),
-                                           F.lit(MERSENNE_P))).alias("__sh"))
+        "id", F.transform("sh", _shingle_hash_fn("xxhash64")).alias("__sh"))
     cands = _bands_to_candidates(
         hashed.select("id",
                       minhash_sig_from_hashes_col(F.col("__sh"), num_perm,
@@ -249,15 +263,10 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
         num_perm, bands)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (cands.join(a, "id_a").join(b, "id_b")
-            .withColumn("inter", inter)
+    return (with_jaccard(cands.join(a, "id_a").join(b, "id_b"),
+                         "sh_a", "sh_b")
             .withColumn("n_a", F.size("sh_a"))
             .withColumn("n_b", F.size("sh_b"))
-            .withColumn("jaccard",
-                        F.round(F.col("inter").cast("double")
-                                / (F.col("n_a") + F.col("n_b")
-                                   - F.col("inter")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard"))
 
@@ -273,7 +282,8 @@ class MinHashIndex:
     re-shingled per batch.
 
     Same banding parameters must be used at build and probe time; they
-    are persisted alongside the data (index.json)."""
+    are persisted alongside the data (a one-row ``params`` table,
+    written through Spark so object-store paths work like local ones)."""
 
     def __init__(self, path: str, num_perm: int = 64, bands: int = 16,
                  n: int = 3, seed: int = 42,
@@ -295,12 +305,9 @@ class MinHashIndex:
                          shingles_col(F.col(text_col), self.n).alias("sh"))
 
     def _bands_of(self, sh_df: DataFrame) -> DataFrame:
-        hash_one = ((lambda s: F.pmod(md5_int60_col(s), F.lit(MERSENNE_P)))
-                    if self.hash_fn == "md5"
-                    else (lambda s: F.pmod(F.xxhash64(s),
-                                           F.lit(MERSENNE_P))))
         hashed = sh_df.select(
-            "id", F.transform("sh", hash_one).alias("__sh"))
+            "id",
+            F.transform("sh", _shingle_hash_fn(self.hash_fn)).alias("__sh"))
         sigs = hashed.select(
             "id", minhash_sig_from_hashes_col(
                 F.col("__sh"), self.num_perm, self.seed).alias("sig"))
@@ -311,28 +318,24 @@ class MinHashIndex:
               text_col: str = "text", num_perm: int = 64, bands: int = 16,
               n: int = 3, seed: int = 42,
               hash_fn: str = "xxhash64") -> "MinHashIndex":
-        import json
-        import os
+        spark = corpus.sparkSession
         idx = cls(path, num_perm, bands, n, seed, hash_fn)
         sh = idx._shingled(corpus, id_col, text_col).persist()
         idx._bands_of(sh).write.partitionBy("band_id") \
             .mode("overwrite").parquet(idx._p("bands"))
         sh.write.mode("overwrite").parquet(idx._p("shingles"))
         sh.unpersist()
-        os.makedirs(path, exist_ok=True)
-        with open(idx._p("index.json"), "w") as fh:
-            json.dump({"num_perm": num_perm, "bands": bands, "n": n,
-                       "seed": seed, "hash_fn": hash_fn}, fh)
+        spark.createDataFrame(
+            [(num_perm, bands, n, seed, hash_fn)],
+            "num_perm int, bands int, n int, seed int, hash_fn string") \
+            .coalesce(1).write.mode("overwrite").parquet(idx._p("params"))
         return idx
 
     @classmethod
-    def load(cls, path: str) -> "MinHashIndex":
-        import json
+    def load(cls, spark, path: str) -> "MinHashIndex":
         import os
-        with open(os.path.join(path, "index.json")) as fh:
-            m = json.load(fh)
-        return cls(path, m["num_perm"], m["bands"], m["n"], m["seed"],
-                   m["hash_fn"])
+        m = spark.read.parquet(os.path.join(path, "params")).first()
+        return cls(path, m.num_perm, m.bands, m.n, m.seed, m.hash_fn)
 
     def find_dups(self, batch: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text",
@@ -355,14 +358,8 @@ class MinHashIndex:
                           F.col("sh").alias("sh_c")))
         a = sh_new.select(F.col("id").alias("batch_id"),
                           F.col("sh").alias("sh_b"))
-        inter = F.size(F.array_intersect("sh_b", "sh_c"))
-        return (cands.join(a, "batch_id").join(sh_idx, "corpus_id")
-                .withColumn("inter", inter)
-                .withColumn(
-                    "jaccard",
-                    F.round(F.col("inter").cast("double")
-                            / (F.size("sh_b") + F.size("sh_c")
-                               - F.col("inter")), 6))
+        return (with_jaccard(cands.join(a, "batch_id")
+                             .join(sh_idx, "corpus_id"), "sh_b", "sh_c")
                 .filter(F.col("jaccard") >= threshold)
                 .select("batch_id", "corpus_id", "jaccard"))
 

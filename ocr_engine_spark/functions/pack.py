@@ -53,26 +53,34 @@ def pack_sequences(df: DataFrame, seq_len: int, *, id_col: str = "doc_id",
     concatenated in ``id_col`` order with EOD separators, sliced into
     fixed-length sequences; the incomplete tail is dropped."""
     spark = df.sparkSession
-    d = df.select(F.col(id_col).alias("__id"),
-                  token_ids_col(F.col(text_col)).alias("__ids"))
-    d = d.withColumn("__n", F.size("__ids")) \
+    # persisted: phase 1 materializes the full tokenize for the bucket
+    # totals and phase 2 reuses it — without the persist the dominant
+    # map-side cost (regex + per-token md5) would run twice. Released
+    # by ContextCleaner once the returned plan is GC'd.
+    d = (df.select(F.col(id_col).alias("__id"),
+                   token_ids_col(F.col(text_col)).alias("__ids"))
+         .withColumn("__n", F.size("__ids"))
          .withColumn("__bkt", (F.col("__id") / bucket_size).cast("long"))
-    # phase 1: per-bucket totals -> driver running sum (<= n/bucket_size
-    # rows, the distributed-prefix-sum driver leg) -> literal map
+         .persist())
+    # phase 1: per-bucket totals -> driver running sum -> broadcast
+    # JOIN (never plan literals: the offset table has n_docs/bucket_size
+    # rows). Size bucket_size ~ sqrt(n_docs) so BOTH legs stay bounded
+    # (10^12 docs, bucket_size 10^6 -> 10^6 offset rows to the driver
+    # and 10^6-row window partitions).
     totals = (d.groupBy("__bkt").agg(F.sum("__n").alias("__t"))
               .orderBy("__bkt").collect())
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for r in totals:
-        offsets[r["__bkt"]] = acc
+        offsets.append((r["__bkt"], acc))
         acc += r["__t"]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv])
+    off_df = spark.createDataFrame(offsets, ["__bkt", "__bkt_off"])
     # phase 2: within-bucket prefix (partition bounded by bucket_size)
     w = (Window.partitionBy("__bkt").orderBy("__id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    d = d.withColumn(
-        "__start",
-        off_map[F.col("__bkt")] + F.sum("__n").over(w) - F.col("__n"))
+    d = (d.join(F.broadcast(off_df), "__bkt")
+         .withColumn("__start",
+                     F.col("__bkt_off") + F.sum("__n").over(w)
+                     - F.col("__n")))
     ex = d.select("__start", F.posexplode("__ids").alias("__pos", "__tid"))
     # integer `div`, not `/`: at 10^12-token scale a double division
     # loses exactness past 2^53

@@ -41,10 +41,19 @@ def scrub_pii_col(c: Column) -> Column:
 
 
 def pii_counts_cols(c: Column) -> list[Column]:
-    """Per-document match counts (pre-scrub), one column per pattern."""
+    """Per-document redaction counts, one column per pattern — counted
+    on the PROGRESSIVELY-SCRUBBED text (each pattern sees the previous
+    redactions applied), so the counts equal the tokens scrub_pii_col
+    actually emits: an IPv4 is n_ips=1 and NOT also a phone, because
+    the phone pass never sees its digits."""
     names = {"<EMAIL>": "n_emails", "<IP>": "n_ips", "<PHONE>": "n_phones"}
-    return [F.regexp_count(c, F.lit(p)).cast("long").alias(names[t])
-            for t, p in PII_PATTERNS]
+    cols = []
+    cur = c
+    for token, pattern in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pattern)).cast("long")
+                    .alias(names[token]))
+        cur = F.regexp_replace(cur, pattern, token)
+    return cols
 
 
 # ---------------------------------------------------------------------------
@@ -102,14 +111,20 @@ def host_col(url: Column) -> Column:
 
 def canonical_url_col(url: Column) -> Column:
     """Deterministic URL canonicalization for crawl keys: lowercase the
-    scheme+host, drop the fragment, drop a trailing slash. (Query-param
-    reordering is deliberately NOT done — parameter order can be
-    semantic.)"""
+    scheme+host, drop the fragment, drop a trailing PATH slash (never a
+    slash that ends a query-string value — query content is semantic,
+    which is also why parameters are not reordered). Inputs without a
+    scheme pass through unchanged (they are not URLs; collapsing them
+    all to one key would merge unrelated rows)."""
     no_frag = F.regexp_replace(url, r"#.*$", "")
     lowered = F.concat(
         F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
         F.regexp_extract(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1))
-    return F.regexp_replace(lowered, r"/$", "")
+    # strip '/' only at the end of the PATH (no '?' anywhere after it)
+    stripped = F.regexp_replace(lowered, r"/$", "")
+    return (F.when(host_col(url) == "", url)
+            .when(no_frag.contains("?"), lowered)
+            .otherwise(stripped))
 
 
 def host_skew_report(df: DataFrame, url_col: str = "url",

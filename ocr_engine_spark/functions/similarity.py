@@ -204,30 +204,33 @@ class IvfIndex:
     def build(cls, embeddings: DataFrame, path: str, n_centroids: int = 8,
               id_col: str = "vec_id", vec_col: str = "embedding",
               n_assign: int = 2) -> "IvfIndex":
-        import json
         import os
+        spark = embeddings.sparkSession
         cents = pick_centroids(embeddings, n_centroids, id_col, vec_col)
         idx = cls(path, cents, id_col, vec_col, n_assign)
         assigned = ivf_assign(embeddings, cents, id_col, vec_col, n_assign)
         assigned.write.partitionBy("cell").mode("overwrite") \
             .parquet(idx.assignment_path)
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "centroids.json"), "w") as fh:
-            json.dump({"n_assign": n_assign,
-                       "centroids": [[cid, vec] for cid, vec in cents]}, fh)
+        # index metadata through the SAME filesystem as the data (a
+        # driver-local open() would break on hdfs://- or s3a://-rooted
+        # index paths)
+        spark.createDataFrame(
+            [(cid, vec, n_assign) for cid, vec in cents],
+            "cell int, centroid array<double>, n_assign int") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "centroids"))
         return idx
 
     @classmethod
-    def load(cls, path: str, id_col: str = "vec_id",
+    def load(cls, spark, path: str, id_col: str = "vec_id",
              vec_col: str = "embedding") -> "IvfIndex":
-        import json
         import os
-        with open(os.path.join(path, "centroids.json")) as fh:
-            meta = json.load(fh)
-        cents = [(int(cid), [float(x) for x in vec])
-                 for cid, vec in meta["centroids"]]
+        rows = spark.read.parquet(os.path.join(path, "centroids")) \
+            .orderBy("cell").collect()
+        cents = [(int(r.cell), [float(x) for x in r.centroid])
+                 for r in rows]
         return cls(path, cents, id_col, vec_col,
-                   int(meta.get("n_assign", 1)))
+                   int(rows[0].n_assign) if rows else 1)
 
     def probe_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
         import math
@@ -315,7 +318,7 @@ def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
                       n_bands: int = 8, rows_per_band: int = 2,
                       seed: int = 42,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      broadcast_max_bytes: int = 256 << 20) -> DataFrame:
+                      broadcast_max_bytes: int = 64 << 20) -> DataFrame:
     """Embedding near-duplicate pairs via BANDED random-hyperplane LSH
     (OR-construction): b independent bands of r sign bits each; a pair
     is a candidate if it agrees on ALL bits of ANY band, then exact
@@ -336,8 +339,12 @@ def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
     10^12 rows run near-dup detection at thresholds >= 0.7.
 
     Cache lifecycle: the persisted projection is released by Spark's
-    ContextCleaner once the returned plan is GC'd; call
-    ``spark.catalog.clearCache()`` for deterministic release."""
+    ContextCleaner once the returned plan is GC'd;
+    ``spark.catalog.clearCache()`` releases it deterministically. The
+    broadcast-path matrix is ALSO freed only via ContextCleaner on GC
+    (clearCache does not touch broadcasts), and the driver transiently
+    holds Row objects several times the raw matrix bytes while
+    collecting — the conservative default cap accounts for both."""
     first = embeddings.select(vec_col).first()
     dim = len(first[0])
     planes = hyperplanes(dim, n_bands * rows_per_band, seed)

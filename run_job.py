@@ -159,7 +159,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "search":
         from pyspark.sql import functions as F
         from ocr_engine_spark.functions.similarity import IvfIndex
-        idx = IvfIndex.load(args.index)
+        idx = IvfIndex.load(spark, args.index)
         emb = spark.read.parquet(args.input)
         qrow = emb.filter(F.col(idx.id_col) == args.query_id).first()
         if qrow is None:

@@ -130,7 +130,7 @@ def test_minhash_index_incremental_dedup(spark, tmp_path):
     idx = MinHashIndex.build(docs, str(tmp_path / "mhidx"))
     batch = (docs.filter(F.col("doc_id") < 20)
              .withColumn("doc_id", F.col("doc_id") + 5000))
-    dups = MinHashIndex.load(str(tmp_path / "mhidx")).find_dups(
+    dups = MinHashIndex.load(spark, str(tmp_path / "mhidx")).find_dups(
         batch, threshold=0.9)
     got = {(r.batch_id, r.corpus_id): r.jaccard for r in dups.collect()}
     for i in range(20):

@@ -23,9 +23,13 @@ COLLECT_ALLOWLIST = {
         ".select(vec_col).collect())",  # centroid seed: limit(n) upstream
         "embeddings.select(vec_col).first()",  # dim probe: 1 row
         "rows = base.collect()",  # broadcast-verify matrix: size-guarded
+        '.orderBy("cell").collect()',  # index centroids: k rows
     ],
     "functions/pack.py": [
         '.orderBy("__bkt").collect())',  # per-bucket totals: n/bucket_size
+    ],
+    "functions/dedup.py": [
+        '"params")).first()',       # index params: 1 row
     ],
     "engine/catalog.py": [
         ").collect())]",            # per-partition lineage rows: |parts|

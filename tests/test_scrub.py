@@ -58,7 +58,9 @@ def test_repetition_ratio(spark):
 def test_url_helpers(spark):
     rows = [("HTTPS://Example.COM/Path/?q=1#frag",),
             ("https://a.example.com/x/",),
-            ("not a url",)]
+            ("not a url",),
+            ("https://e.com/p?next=/home/",),
+            ("example.com/schemeless/",)]
     df = spark.createDataFrame(rows, ["url"])
     got = df.select(host_col(F.col("url")).alias("h"),
                     canonical_url_col(F.col("url")).alias("c")).collect()
@@ -66,6 +68,10 @@ def test_url_helpers(spark):
     assert got[0].c == "https://example.com/Path/?q=1"
     assert got[1].c == "https://a.example.com/x"
     assert got[2].h == ""
+    # a slash ending a QUERY VALUE is semantic - never stripped
+    assert got[3].c == "https://e.com/p?next=/home/"
+    # schemeless inputs pass through unchanged (no collapsing to '')
+    assert got[4].c == "example.com/schemeless/"
 
 
 def test_host_skew_report(spark):
@@ -75,3 +81,18 @@ def test_host_skew_report(spark):
                            top_k=3).collect()
     assert rep[0].host == "hot.example.com"
     assert rep[0].n_pages == 6 and abs(rep[0].share - 0.6) < 1e-9
+
+
+def test_pii_counts_no_double_count(spark):
+    """Counts follow the progressive-scrub contract: an IPv4 counts as
+    one IP and zero phones (the phone pass never sees its digits), and
+    an injected 12-digit phone DOES fire the phone rule."""
+    from ocr_engine_spark.functions.scrub import pii_counts_cols
+    rows = [("server 10.0.145.7 up",),
+            ("call +971501234567 now",),
+            ("a@b.co and 10.1.1.1 and +971501234567",)]
+    df = spark.createDataFrame(rows, ["t"])
+    got = df.select(*pii_counts_cols(F.col("t"))).collect()
+    assert (got[0].n_ips, got[0].n_phones) == (1, 0)
+    assert (got[1].n_ips, got[1].n_phones) == (0, 1)
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (1, 1, 1)

@@ -71,7 +71,7 @@ def test_ivf_index_lifecycle(emb, query_vec, tmp_path):
     via_fn = [(r.vec_id, r.cosine) for r in
               ivf_topk(emb, query_vec, k=10, n_centroids=8,
                        n_probe=4).collect()]
-    reloaded = IvfIndex.load(str(tmp_path / "ivf"))
+    reloaded = IvfIndex.load(spark, str(tmp_path / "ivf"))
     assert reloaded.n_assign == 2
     q = reloaded.topk(spark, query_vec, k=10, n_probe=4)
     assert [(r.vec_id, r.cosine) for r in q.collect()] == via_fn
