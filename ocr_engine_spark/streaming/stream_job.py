@@ -94,6 +94,19 @@ def _gap_runs(sorted_ts, gap_us: int):
     yield lo, len(sorted_ts)
 
 
+def dedup_pages_stream(pages_stream: DataFrame, *,
+                       watermark: str = "1 day") -> DataFrame:
+    """Streaming URL dedup: re-crawled captures of the same url inside
+    the watermark horizon are dropped before extraction (the streaming
+    twin of the batch A7 guard). State is one (url, warc_ts) entry per
+    url, EVICTED once the watermark passes — bounded by the horizon's
+    crawl volume, never the full history; dedup beyond the horizon is
+    the batch MinHash/exact pass's job."""
+    return (pages_stream
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["url"]))
+
+
 def host_sessions_stream(pages_stream: DataFrame, *, gap_min: int = 30,
                          watermark: str = "1 minute") -> DataFrame:
     """CUSTOM STATEFUL OPERATOR (task brief: applyInPandasWithState):

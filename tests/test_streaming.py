@@ -278,3 +278,54 @@ def test_host_sessions_split_on_in_batch_gap(spark, tmp_path):
     assert s1.session_end == t0 + datetime.timedelta(minutes=5)
     assert s2.n_pages == 1
     assert s2.session_start == t0 + datetime.timedelta(hours=6)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-crawled urls within the watermark horizon are dropped with
+    state bounded by the horizon (dropDuplicatesWithinWatermark); the
+    first capture of each url survives."""
+    import datetime
+    import time
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocr_engine_spark.streaming.stream_job import dedup_pages_stream
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    t0 = datetime.datetime(2025, 5, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        tbl = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([""] * len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, str(src / name))
+        time.sleep(0.05)
+
+    write_file("f1.parquet", [
+        ("https://a.example.com/1", t0, b"<p>v1</p>"),
+        ("https://a.example.com/2", t0, b"<p>x</p>")])
+    write_file("f2.parquet", [
+        # re-crawl of /1 an hour later: inside the horizon -> dropped
+        ("https://a.example.com/1",
+         t0 + datetime.timedelta(hours=1), b"<p>v2</p>"),
+        ("https://a.example.com/3",
+         t0 + datetime.timedelta(hours=1), b"<p>y</p>")])
+
+    stream = (spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string").option("maxFilesPerTrigger", "1")
+        .parquet(str(src)))
+    q = (dedup_pages_stream(stream, watermark="1 day")
+         .writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT url, html FROM dedup_stream ORDER BY url").collect()
+    assert [r.url for r in rows] == [
+        "https://a.example.com/1", "https://a.example.com/2",
+        "https://a.example.com/3"]
+    assert bytes(rows[0].html) == b"<p>v1</p>"  # first capture kept
