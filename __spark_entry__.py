@@ -380,6 +380,23 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster RESOLUTION (pairs are not dedup): MinHash-LSH
+    pairs over the doubled corpus -> connected components (min-label
+    propagation + pointer jumping, functions/cluster.py) -> keep-one
+    decisions. Oracle: DuckDB recomputes the pairs brute-force and
+    resolves components with a recursive reachability CTE — cluster
+    labels and keep flags must match exactly."""
+    from ocr_engine_spark.functions.cluster import dedup_decisions
+    from ocr_engine_spark.functions.dedup import minhash_dedup_pairs
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    pairs = minhash_dedup_pairs(doubled, threshold=0.9)
+    return (dedup_decisions(pairs)
+            .orderBy("doc_id"))
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at max_hamming=3 via pigeonhole blocking
     (recall 1 by construction — the DuckDB oracle computes the
@@ -767,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_pairs": q_embedding_pairs,
         "minhash_near_dups": q_minhash_near_dups,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1474,6 +1492,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
                   >= 0.9
             ORDER BY id_a, id_b
+        """,
+        # independent cluster resolution: brute-force Jaccard pairs
+        # (no LSH) + recursive reachability CTE; min reachable id per
+        # node == the Spark min-label-propagation component
+        "dedup_clusters": r"""
+            WITH RECURSIVE doubled AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id + 1000000, text
+              FROM documents WHERE doc_id < 100),
+            toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM doubled),
+            sh AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 2, 0)),
+                         i -> array_to_string(t[i:i+2], ' '))) AS sh
+                FROM toks)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
+                    >= 0.9),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(n, r) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n)
+            SELECT n::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id,
+                   (n = min(r)) AS keep
+            FROM reach GROUP BY n ORDER BY doc_id
         """,
         "simhash_near_dups": _simhash_near_dups_oracle(),
         "embedding_lsh_pairs": _embedding_lsh_pairs_oracle(),

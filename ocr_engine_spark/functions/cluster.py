@@ -1,0 +1,128 @@
+"""Near-dup cluster resolution: pairs -> connected components -> keep-one.
+
+Every dedup family in this engine (MinHash-LSH, SimHash, cosine-LSH)
+emits *pairs*; a training-data pipeline has to turn those into dedup
+DECISIONS — the reference's keep-one guard motif (A7, ``dropDuplicates``
+in SURVEY.md §2.5) lifted from exact groups to near-dup graphs.
+
+``connected_components`` is iterative min-label propagation with
+POINTER JUMPING (path compression), the classic MapReduce/Pregel CC
+shape (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — the two-phase min-neighbor + label-jump iterate):
+
+  * labels start as each node's own id;
+  * each round folds in the minimum label over graph neighbors (one
+    shuffle on the edge key) AND then re-reads labels through the label
+    itself (``comp' = comp(comp)``) — pointer jumping halves label-chain
+    depth every round, so convergence is O(log d) rounds for graph
+    diameter d, not O(d) as plain propagation would be;
+  * per-round ``localCheckpoint`` truncates lineage (iterative plans
+    otherwise grow exponentially); on a real cluster with unreliable
+    local storage use ``spark.sparkContext.setCheckpointDir`` + reliable
+    ``checkpoint`` instead — same call site, noted below.
+
+Everything is DataFrame joins/aggregates — no driver-side graph, no
+RDDs. The only driver values are the per-round changed-row COUNT
+(convergence test) and the round counter. Near-dup clusters in web
+corpora are overwhelmingly tiny (pairs/stars), so rounds ~ 2-3 in
+practice; ``max_iter`` bounds pathological chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_engine_spark.functions.dedup import minhash_dedup_pairs
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", *,
+                         max_iter: int = 20) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``, where
+    ``component`` is the minimum node id reachable through pair edges.
+
+    Input pairs are treated as undirected edges; duplicates and
+    orientation don't matter. Nodes with no pairs are absent from the
+    output (they are their own singleton components by definition —
+    callers that need them can union them in, ``drop_near_duplicates``
+    doesn't because absent == kept).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge (a
+    component with label-chain depth > 2^max_iter — practically
+    unreachable for near-dup graphs).
+    """
+    e = pairs.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("d"))
+    edges = (e.unionByName(e.select(F.col("d").alias("s"),
+                                    F.col("s").alias("d")))
+             .filter(F.col("s") != F.col("d"))
+             .distinct()
+             .persist())
+    labels = (edges.select(F.col("s").alias("node"))
+              .distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        # round part 1: min label over graph neighbors — one shuffle on
+        # the edge endpoint, map-side partial min for free
+        nbr = (edges.join(labels, edges["d"] == labels["node"])
+               .groupBy(F.col("s").alias("node"))
+               .agg(F.min("comp").alias("nbr_comp")))
+        stepped = (labels.join(nbr, "node", "left")
+                   .select("node",
+                           F.col("comp").alias("old_comp"),
+                           F.least("comp", F.coalesce("nbr_comp", "comp"))
+                           .alias("comp")))
+        # round part 2: pointer jump — follow the label one hop
+        # (comp := comp(comp)); labels are node ids so the self-join
+        # always hits. This is what makes long chains collapse in
+        # O(log d) rounds.
+        lut = stepped.select(F.col("node").alias("comp"),
+                             F.col("comp").alias("jump"))
+        jumped = (stepped.join(lut, "comp")
+                  .select("node", "old_comp", F.col("jump").alias("comp")))
+        # localCheckpoint: truncate the iterative lineage (reliable
+        # `.checkpoint()` on a cluster with a checkpoint dir)
+        labels = jumped.localCheckpoint()
+        changed = labels.filter(F.col("comp") != F.col("old_comp")).count()
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    edges.unpersist()
+    return labels.select("node", "comp").withColumnRenamed("comp",
+                                                           "component")
+
+
+def dedup_decisions(pairs: DataFrame, src: str = "id_a",
+                    dst: str = "id_b", *,
+                    max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id, keep) — the keep-one-per-cluster resolution
+    of a near-dup pair set: ``keep`` is true exactly for the minimum
+    doc id of each cluster (the deterministic canonical-representative
+    rule; min-id matches the exact-dedup ``keep_id`` convention in
+    dedup.exact_duplicate_groups)."""
+    comp = connected_components(pairs, src, dst, max_iter=max_iter)
+    return comp.select(F.col("node").alias("doc_id"),
+                       F.col("component").alias("cluster_id"),
+                       (F.col("node") == F.col("component")).alias("keep"))
+
+
+def drop_near_duplicates(df: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text", threshold: float = 0.8,
+                         num_perm: int = 64, bands: int = 16,
+                         n: int = 3, seed: int = 42,
+                         max_iter: int = 20) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs -> connected components
+    -> drop everything but the min-id doc of each cluster. Docs with no
+    near-dup pair pass through untouched (left-anti join against the
+    loser set only — the 100 TB corpus never joins against itself)."""
+    pairs = minhash_dedup_pairs(df, id_col=id_col, text_col=text_col,
+                                threshold=threshold, num_perm=num_perm,
+                                bands=bands, n=n, seed=seed)
+    losers = (dedup_decisions(pairs, max_iter=max_iter)
+              .filter(~F.col("keep"))
+              .select(F.col("doc_id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")

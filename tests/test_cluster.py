@@ -1,0 +1,81 @@
+"""Near-dup cluster resolution: pairs -> connected components ->
+keep-one decisions (VERDICT r02 #1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_engine_spark.functions.cluster import (
+    connected_components, dedup_decisions, drop_near_duplicates,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_chain_topology_single_cluster(spark):
+    # a-b, b-c, c-d must collapse into ONE cluster labelled min id
+    comp = connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4)]))
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_clusters_and_orientation(spark):
+    # orientation and duplicate edges don't matter
+    comp = connected_components(
+        _pairs(spark, [(5, 2), (2, 5), (2, 9), (40, 30), (30, 40)]))
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert got == {2: 2, 5: 2, 9: 2, 30: 30, 40: 30}
+
+
+def test_long_path_converges_logarithmically(spark):
+    # 64-node path graph: plain min propagation needs ~63 rounds;
+    # pointer jumping must land it comfortably inside max_iter=10
+    comp = connected_components(
+        _pairs(spark, [(i, i + 1) for i in range(63)]), max_iter=10)
+    rows = comp.collect()
+    assert len(rows) == 64
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_empty_pairs(spark):
+    comp = connected_components(
+        _pairs(spark, []).filter(F.lit(False)))
+    assert comp.count() == 0
+
+
+def test_dedup_decisions_keep_min(spark):
+    dec = dedup_decisions(_pairs(spark, [(7, 3), (3, 11), (20, 21)]))
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dec.collect()}
+    assert got == {3: (3, True), 7: (3, False), 11: (3, False),
+                   20: (20, True), 21: (20, False)}
+
+
+def test_drop_near_duplicates_end_to_end(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again "
+            "every single day of the long week"),
+        (2, "completely different content about spark shuffle partitions "
+            "and broadcast joins at terabyte scale"),
+        (3, "a third unique document mentioning iceberg snapshots and "
+            "parquet row groups and bloom filters"),
+    ]
+    # near-copies of doc 1 and 2 (one trailing token changed)
+    dups = [(101, base[0][1] + " extra"), (102, base[1][1] + " extra")]
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    kept = drop_near_duplicates(df, threshold=0.5)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids == {1, 2, 3}
+    # idempotent: deduping the deduped corpus is a no-op (A7 guard)
+    again = drop_near_duplicates(kept, threshold=0.5)
+    assert {r["doc_id"] for r in again.select("doc_id").collect()} \
+        == kept_ids
+
+
+def test_drop_near_duplicates_passes_unique_docs(spark):
+    df = spark.createDataFrame(
+        [(i, f"unique document number {i} with entirely distinct words "
+             f"token{i}a token{i}b token{i}c token{i}d") for i in range(8)],
+        "doc_id long, text string")
+    assert drop_near_duplicates(df, threshold=0.5).count() == 8
