@@ -13,15 +13,18 @@ counts (every token needs its absolute position in the concatenated
 stream):
 
   * a single ``Window.orderBy(doc_id)`` computes it in ONE partition —
-    the classic scale killer. Instead: two-phase prefix sum. Docs are
-    grouped into fixed-width id buckets (deterministic — no sampled
-    range boundaries); per-bucket token totals (<= n_docs/bucket_size
-    rows) come to the driver once, their running sum is broadcast back,
-    and the per-doc offset is bucket_offset + a WITHIN-bucket window
-    (bounded by bucket_size rows per partition). Same shape as
+    the classic scale killer. Instead: RANGE-PARTITION prefix sum.
+    ``repartitionByRange(doc_id)`` gives ordered, bounded partitions
+    with NO assumption about id shape (dense serials, 60-bit hashes and
+    arbitrary sortable keys all work — a fixed-width id-bucket scheme
+    would put ~1 hashed doc per bucket and ship n_docs rows to the
+    driver); per-partition token totals (exactly one row per partition,
+    keyed by ``spark_partition_id``) come to the driver once, their
+    running sum is broadcast back, and the per-doc offset is
+    partition_offset + a WITHIN-partition window. Same shape as
     distributed scan/prefix algorithms.
-  * the only full-data shuffles are the within-bucket window and the
-    groupBy(seq_id) reassembly — both inherent to the reshape.
+  * the only full-data shuffles are the range partitioning (inherent:
+    it IS the global order) and the groupBy(seq_id) reassembly.
   * the ragged tail (final incomplete sequence) is dropped, the
     standard packing convention.
 """
@@ -48,40 +51,53 @@ def token_ids_col(c, vocab_size: int = VOCAB_SIZE):
 
 def pack_sequences(df: DataFrame, seq_len: int, *, id_col: str = "doc_id",
                    text_col: str = "text",
-                   bucket_size: int = 64) -> DataFrame:
+                   partitions: int | None = None) -> DataFrame:
     """(seq_id, tokens: array<long> of exactly seq_len) — documents
     concatenated in ``id_col`` order with EOD separators, sliced into
-    fixed-length sequences; the incomplete tail is dropped."""
+    fixed-length sequences; the incomplete tail is dropped.
+
+    ``partitions`` sizes the range partitioning (default: the session's
+    shuffle parallelism). Phase 1 ships exactly one total per partition
+    to the driver, so at 10^12 docs you size it like any other shuffle
+    (~10^5 partitions of ~10^7 docs), never by id arithmetic.
+    """
     spark = df.sparkSession
-    # persisted: phase 1 materializes the full tokenize for the bucket
-    # totals and phase 2 reuses it — without the persist the dominant
-    # map-side cost (regex + per-token md5) would run twice. Released
-    # by ContextCleaner once the returned plan is GC'd.
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # range partitioning = the global sort order, in bounded pieces; the
+    # partition id is captured right after so phases 1 and 2 agree on
+    # it. persisted: phase 1 materializes the full tokenize for the
+    # partition totals and phase 2 reuses it — without the persist the
+    # dominant map-side cost (regex + per-token md5) would run twice
+    # (and spark_partition_id would be recomputed, which is only safe
+    # because range boundaries are deterministic for the same input).
+    # Released by ContextCleaner once the returned plan is GC'd.
     d = (df.select(F.col(id_col).alias("__id"),
                    token_ids_col(F.col(text_col)).alias("__ids"))
+         .repartitionByRange(partitions, "__id")
+         .withColumn("__part", F.spark_partition_id())
          .withColumn("__n", F.size("__ids"))
-         .withColumn("__bkt", (F.col("__id") / bucket_size).cast("long"))
          .persist())
-    # phase 1: per-bucket totals -> driver running sum -> broadcast
-    # JOIN (never plan literals: the offset table has n_docs/bucket_size
-    # rows). Size bucket_size ~ sqrt(n_docs) so BOTH legs stay bounded
-    # (10^12 docs, bucket_size 10^6 -> 10^6 offset rows to the driver
-    # and 10^6-row window partitions).
-    totals = (d.groupBy("__bkt").agg(F.sum("__n").alias("__t"))
-              .orderBy("__bkt").collect())
+    # phase 1: per-partition totals -> driver running sum -> broadcast
+    # JOIN (never plan literals): exactly one row per non-empty
+    # partition reaches the driver, regardless of id density.
+    totals = (d.groupBy("__part").agg(F.sum("__n").alias("__t"))
+              .orderBy("__part").collect())
     offsets, acc = [], 0
     for r in totals:
-        offsets.append((r["__bkt"], acc))
+        offsets.append((r["__part"], acc))
         acc += r["__t"]
-    off_df = spark.createDataFrame(offsets, ["__bkt", "__bkt_off"])
-    # phase 2: within-bucket prefix (partition bounded by bucket_size)
-    w = (Window.partitionBy("__bkt").orderBy("__id")
+    off_df = spark.createDataFrame(offsets, "__part int, __part_off long")
+    # phase 2: within-partition prefix (bounded by the range partition
+    # size; range partitions are ordered, so partition_offset + local
+    # prefix IS the global prefix)
+    w = (Window.partitionBy("__part").orderBy("__id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    d = (d.join(F.broadcast(off_df), "__bkt")
-         .withColumn("__start",
-                     F.col("__bkt_off") + F.sum("__n").over(w)
-                     - F.col("__n")))
-    ex = d.select("__start", F.posexplode("__ids").alias("__pos", "__tid"))
+    d2 = (d.join(F.broadcast(off_df), "__part")
+          .withColumn("__start",
+                      F.col("__part_off") + F.sum("__n").over(w)
+                      - F.col("__n")))
+    ex = d2.select("__start", F.posexplode("__ids").alias("__pos", "__tid"))
     # integer `div`, not `/`: at 10^12-token scale a double division
     # loses exactness past 2^53
     ex = (ex.withColumn("__gpos", F.col("__start") + F.col("__pos"))

@@ -26,7 +26,7 @@ COLLECT_ALLOWLIST = {
         '.orderBy("cell").collect()',  # index centroids: k rows
     ],
     "functions/pack.py": [
-        '.orderBy("__bkt").collect())',  # per-bucket totals: n/bucket_size
+        '.orderBy("__part").collect())',  # per-partition totals: |parts|
     ],
     "functions/dedup.py": [
         '"params")).first()',       # index params: 1 row
