@@ -226,6 +226,60 @@ def q_cer_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_cer_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The length-gap CER gate on a mixed long/short corpus: doc_id%3
+    branch 0 gets a 12x-repeated ref with a half-truncated hyp (the
+    O(n*m) DP would dominate — the gate's length bound decides it for
+    free), branch 1 a small perturbation (DP decides), branch 2
+    identical text (equality fast path). meets-decisions must equal the
+    exact computation — the oracle recomputes everything from scratch
+    with exact levenshtein semantics (its CASE also short-circuits)."""
+    from ocr_engine_spark.engine.evaluate import (
+        cer_lower_bound_col, meets_cer_target_col,
+    )
+    docs = _read(spark, sf_dir, "documents")
+    long_ref = F.concat_ws(" ", F.array_repeat(F.col("text"), 12))
+    branch = F.pmod(F.col("doc_id"), F.lit(3))
+    ref = F.when(branch == 0, long_ref).otherwise(F.col("text"))
+    hyp = (F.when(branch == 0,
+                  long_ref.substr(
+                      F.lit(1),
+                      F.floor(F.length(long_ref) / 2).cast("int")))
+           .when(branch == 1, F.regexp_replace(F.col("text"), "data", "dta"))
+           .otherwise(F.col("text")))
+    d = docs.select(
+        "source",
+        (cer_lower_bound_col(ref, hyp) >= 2.0).alias("gate"),
+        meets_cer_target_col(ref, hyp, 2.0).alias("meets"))
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("gate").cast("long")).alias("n_gate_fired"),
+                 F.sum(F.col("meets").cast("long")).alias("n_meets"))
+            .orderBy("source"))
+
+
+def q_wer_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word Error Rate via the token-alphabet remap (evaluate.wer_col).
+    Scope: first 60 tokens of each doc — bounds the joint vocab to 120
+    so the oracle's char encoding stays single-BYTE (DuckDB levenshtein
+    is byte-based; Spark's is char-based — they agree below codepoint
+    128). The Spark operator itself handles ~55k tokens/pair; the
+    beyond-byte-range path is pytest-checked against a Python DP."""
+    from ocr_engine_spark.engine.evaluate import wer_col
+    from ocr_engine_spark.functions.text import tokens_col
+    docs = _read(spark, sf_dir, "documents")
+    ref60 = F.array_join(F.slice(tokens_col(F.col("text")), 1, 60), " ")
+    hyp_t = F.regexp_replace(F.col("text"), "data", "dta")
+    hyp60 = F.array_join(F.slice(tokens_col(hyp_t), 1, 60), " ")
+    d = docs.select("source", F.round(wer_col(ref60, hyp60), 4).alias("wer"))
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("wer"), 4).alias("avg_wer"),
+                 F.sum((F.col("wer") == 0.0).cast("long"))
+                  .alias("n_exact"))
+            .orderBy("source"))
+
+
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis profile: token counts + quality + stopword signal,
     grouped by source (the metrics-side-table shape)."""
@@ -420,9 +474,17 @@ def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier is q_embedding_pairs, recall floor asserted in
     tests/test_similarity.py). Oracle: DuckDB replays the same 16
     hyperplanes as literals — band buckets, candidate union, exact
-    verify, value-identical."""
+    verify, value-identical.
+
+    Scope is BOUNDED (vec_id < 300) on purpose: threshold 0.25 with
+    r=2 sign bits is the documented-degenerate LSH regime (~90% of all
+    pairs become candidates — similarity.py:336), kept ONLY as an
+    oracle-correctness check of the banded construction; the realistic
+    timed representative of LSH cost is q_embedding_near_dups
+    (threshold 0.7, b=32, r=8). Unbounded at sf0.1 this one query was
+    ~20% of the whole round-2 suite (VERDICT r02 What's-wrong #3)."""
     from ocr_engine_spark.functions.similarity import cosine_near_pairs
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     return (cosine_near_pairs(emb, threshold=0.25, n_bands=8,
                               rows_per_band=2)
             .orderBy("id_a", "id_b"))
@@ -773,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "events_window_topk": q_events_window_topk,
         "cer_metric": q_cer_metric,
+        "cer_gate": q_cer_gate,
+        "wer_metric": q_wer_metric,
         "doc_profile": q_doc_profile,
         "lang_guess": q_lang_guess,
         "bpe_token_count": q_bpe_token_count,
@@ -935,7 +999,8 @@ def _embedding_lsh_pairs_oracle(dim: int = 64, n_bands: int = 8,
         band_exprs.append(f"({bits}) AS bkt{b}")
     any_band = " OR ".join(f"a.bkt{b} = c.bkt{b}" for b in range(n_bands))
     return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE vec_id < 300),
         b AS (SELECT vec_id, v, {', '.join(band_exprs)} FROM e)
         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
                round(list_cosine_similarity(a.v, c.v), 6) AS cosine
@@ -1356,6 +1421,89 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN cer < 2.0 THEN 1 ELSE 0 END)::BIGINT
                        AS n_meets_target
             FROM d GROUP BY source ORDER BY source
+        """,
+        # independent recomputation. The oracle's `meets` branch also
+        # applies the levenshtein >= |len diff| THEOREM before the DP
+        # (a 12x-doc DP is ~6.5M cells/row — intractable in any engine,
+        # which is the point of the gate); the theorem's soundness
+        # itself is pytest-checked against exact DP on tractable sizes
+        # (test_meets_cer_target_gate_agrees_with_exact).
+        "cer_gate": r"""
+            WITH base AS (
+              SELECT doc_id, source, text,
+                     rtrim(repeat(text || ' ', 12)) AS long_ref
+              FROM documents),
+            rh AS (
+              SELECT source,
+                     CASE WHEN doc_id % 3 = 0 THEN long_ref
+                          ELSE text END AS ref,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                            substr(long_ref, 1,
+                                   CAST(floor(length(long_ref) / 2) AS INT))
+                          WHEN doc_id % 3 = 1 THEN
+                            regexp_replace(text, 'data', 'dta', 'g')
+                          ELSE text END AS hyp
+              FROM base),
+            n AS (
+              SELECT source, ref, hyp,
+                     trim(regexp_replace(ref, '\s+', ' ', 'g')) AS rn,
+                     trim(regexp_replace(hyp, '\s+', ' ', 'g')) AS hn
+              FROM rh),
+            d AS (
+              SELECT source,
+                     CASE WHEN ref = '' THEN
+                            CASE WHEN hyp = '' THEN 0.0 ELSE 100.0 END
+                          ELSE abs(length(rn) - length(hn)) * 100.0
+                               / length(rn) END >= 2.0 AS gate,
+                     CASE WHEN ref = '' THEN
+                            CASE WHEN hyp = '' THEN 0.0 ELSE 100.0 END
+                          WHEN rn = hn THEN 0.0
+                          WHEN abs(length(rn) - length(hn)) * 100.0
+                               / length(rn) >= 2.0 THEN 100.0
+                          ELSE levenshtein(rn, hn) * 100.0 / length(rn)
+                          END < 2.0 AS meets
+              FROM n)
+            SELECT source, count(*) AS n_docs,
+                   sum(CASE WHEN gate THEN 1 ELSE 0 END)::BIGINT
+                       AS n_gate_fired,
+                   sum(CASE WHEN meets THEN 1 ELSE 0 END)::BIGINT
+                       AS n_meets
+            FROM d GROUP BY source ORDER BY source
+        """,
+        # token-alphabet remap replayed in DuckDB: same joint vocab,
+        # chr(position) encoding (codepoints <= 120 => single UTF-8
+        # byte => byte-based levenshtein == char-based)
+        "wer_metric": r"""
+            WITH t AS (
+              SELECT source,
+                     string_split_regex(trim(text), '\s+')[1:60] AS rt,
+                     string_split_regex(trim(
+                       regexp_replace(text, 'data', 'dta', 'g')),
+                       '\s+')[1:60] AS ht
+              FROM documents),
+            v AS (SELECT source, rt, ht,
+                         list_distinct(list_concat(rt, ht)) AS vocab
+                  FROM t),
+            e AS (
+              SELECT source, len(rt) AS nr, len(ht) AS nh, rt, ht,
+                     array_to_string(list_transform(rt,
+                       x -> chr(list_position(vocab, x))), '') AS er,
+                     array_to_string(list_transform(ht,
+                       x -> chr(list_position(vocab, x))), '') AS eh
+              FROM v),
+            w AS (
+              SELECT source,
+                     round(CASE WHEN nr = 0 THEN
+                             CASE WHEN nh = 0 THEN 0.0 ELSE 100.0 END
+                           WHEN rt = ht THEN 0.0
+                           ELSE levenshtein(er, eh) * 100.0 / nr
+                           END, 4) AS wer
+              FROM e)
+            SELECT source, count(*) AS n_docs,
+                   round(avg(wer), 4) AS avg_wer,
+                   sum(CASE WHEN wer = 0.0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_exact
+            FROM w GROUP BY source ORDER BY source
         """,
         "doc_profile": f"""
             SELECT source, count(*) AS n_docs,

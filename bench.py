@@ -27,9 +27,11 @@ HEADLINE = [
     "derived_key_join", "union_priorities", "filter_pushdown",
     "asof_join", "cube_crosstab", "salted_agg", "events_window_topk",
     "promo_revenue",
-    "cer_metric", "doc_profile", "lang_guess", "bpe_token_count",
+    "cer_metric", "cer_gate", "wer_metric",
+    "doc_profile", "lang_guess", "bpe_token_count",
     "rolling_fingerprints", "fingerprint_distinct",
-    "exact_dups", "ngram_jaccard", "minhash_near_dups", "corpus_stats",
+    "exact_dups", "ngram_jaccard", "minhash_near_dups", "dedup_clusters",
+    "corpus_stats",
     "vocab_topk", "pii_scrub", "line_prune", "repetition_ratio",
     "quality_filter", "pack_sequences",
     "host_skew",
@@ -71,15 +73,24 @@ def main() -> None:
     for name in HEADLINE:
         # the timer wraps CONSTRUCTION + collect: several queries do
         # real driver-side work while building the plan (IVF centroid
-        # sampling, pack-sequence bucket offsets, LSH broadcast-verify
-        # setup) — excluding it would under-report those operators
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # LSH/minhash queries persist intermediate projections whose
-        # release normally waits on driver GC; free them eagerly so
-        # later queries aren't timed under accumulated heap pressure
-        spark.catalog.clearCache()
+        # sampling, pack-sequence partition offsets, LSH
+        # broadcast-verify setup) — excluding it would under-report
+        # those operators. best-of-2 per query (labeled in the JSON):
+        # this VM has documented ~25% host-steal jitter that made
+        # single-run r1->r2 deltas un-diffable (VERDICT r02 #1); the
+        # first run also warms that query's Python workers.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+            # LSH/minhash queries persist intermediate projections
+            # whose release normally waits on driver GC; free them
+            # eagerly so later queries aren't timed under accumulated
+            # heap pressure
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     # flagship: the extraction pipeline at a corpus scaled to the SF
     n_pages = max(300, int(PAGES_PER_SF * sf))
@@ -87,20 +98,22 @@ def main() -> None:
                           "fixtures_data", f"bench_{n_pages}")
     if not os.path.exists(os.path.join(corpus, "pages.parquet")):
         write(corpus, n_pages=n_pages, seed=42)
-    def _best_of(n_runs, fn):
-        # this VM has ~2x host-contention jitter; the graded extraction
-        # legs take the best of 2 (first run also warms Python workers)
-        best, out = None, None
+    def _median_of(n_runs, fn):
+        # graded extraction legs: one UNTIMED warm-up (JVM + Python
+        # workers + page cache), then the MEDIAN of n timed runs — the
+        # representative figure, not the optimistic tail (ADVICE r02);
+        # all run times are emitted so the spread is inspectable
+        out = fn()
+        runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             out = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        return best, out
+            runs.append(round(time.perf_counter() - t0, 3))
+        return sorted(runs)[len(runs) // 2], runs, out
 
     pages = read_pages(spark, os.path.join(corpus, "pages.parquet"))
-    dt, n_out = _best_of(
-        2, lambda: extract_pages(pages, partitions=BENCH_PARTITIONS).count())
+    dt, runs, n_out = _median_of(
+        3, lambda: extract_pages(pages, partitions=BENCH_PARTITIONS).count())
     timings["extraction_pipeline"] = round(dt, 3)
     docs_per_sec = round(n_out / dt, 2)
 
@@ -113,7 +126,7 @@ def main() -> None:
     if not os.path.exists(os.path.join(heavy, "pages.parquet")):
         write(heavy, n_pages=n_heavy, seed=42, para_scale=48)
     hp = read_pages(spark, os.path.join(heavy, "pages.parquet"))
-    hdt, n_hout = _best_of(2, lambda: extract_pages(hp).count())
+    hdt, hruns, n_hout = _median_of(3, lambda: extract_pages(hp).count())
     timings["extraction_heavy"] = round(hdt, 3)
     docs_per_sec_heavy = round(n_hout / hdt, 2)
 
@@ -125,10 +138,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "timing": "headline queries best-of-2; extraction legs median"
+                  " of 3 after an untimed warm-up run",
         "docs_per_sec": docs_per_sec,
         "extraction_docs": n_out,
+        "extraction_runs": runs,
         "docs_per_sec_heavy": docs_per_sec_heavy,
         "extraction_heavy_docs": n_hout,
+        "extraction_heavy_runs": hruns,
         "heavy_page_bytes": 32_000,
         "cpus": int(cpus),
     }))

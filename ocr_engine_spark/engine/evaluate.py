@@ -41,6 +41,86 @@ def cer_col(reference: Column, hypothesis: Column) -> Column:
     )
 
 
+def cer_lower_bound_col(reference: Column, hypothesis: Column) -> Column:
+    """Length-gap LOWER BOUND on CER: ``levenshtein(a, b) >=
+    |len(a) - len(b)|`` (every length difference costs at least one
+    insert/delete), so ``|len(ref_n) - len(hyp_n)| / len(ref_n) * 100``
+    bounds the CER from below — computable in O(1) per row vs the
+    O(n*m) DP. Same edge cases as ``cer_col``."""
+    ref = F.coalesce(reference, F.lit(""))
+    hyp = F.coalesce(hypothesis, F.lit(""))
+    ref_n = normalize_text_col(ref)
+    hyp_n = normalize_text_col(hyp)
+    return (
+        F.when(ref == "", F.when(hyp == "", F.lit(0.0)).otherwise(F.lit(100.0)))
+         .otherwise(F.abs(F.length(ref_n) - F.length(hyp_n))
+                    / F.length(ref_n) * 100.0)
+    )
+
+
+def meets_cer_target_col(reference: Column, hypothesis: Column,
+                         target: float = CER_TARGET) -> Column:
+    """``cer < target`` WITHOUT the levenshtein DP whenever the
+    length-gap bound already decides it (bound >= target => the exact
+    CER can only be higher => False). CASE WHEN branches evaluate
+    lazily per row in codegen, so gated rows never run the DP — the
+    100x lever for meets-target filters over long documents where the
+    value itself is not reported (VERDICT r02 #4). ``cer_col`` stays
+    the exact path wherever the value IS reported."""
+    return F.when(cer_lower_bound_col(reference, hypothesis) >= target,
+                  F.lit(False)) \
+            .otherwise(cer_col(reference, hypothesis) < target)
+
+
+def _chr_col(cp: Column) -> Column:
+    """Single-char string for any BMP non-surrogate codepoint. Spark's
+    ``char()`` wraps at 256 (``chr(n % 256)``) so it cannot carry a
+    token alphabet; 2-byte big-endian + UTF-16BE decode can."""
+    return F.decode(F.unhex(F.lpad(F.hex(cp), 4, "0")), "UTF-16BE")
+
+
+def wer_col(reference: Column, hypothesis: Column) -> Column:
+    """Word Error Rate — token-level edit distance / ref token count
+    * 100 (the CLAUDE.md:252 metric the reference documents but never
+    implemented; CER is comprehensive_evaluation.py:115-124, WER is
+    its token-alphabet lift).
+
+    No Spark builtin computes token-level Levenshtein, and a Python DP
+    would be row-at-a-time — so the token problem is REMAPPED to the
+    char problem entirely in Catalyst expressions: build the joint
+    token vocabulary of the pair (``array_distinct``), encode each
+    token as the single BMP char of its 1-based vocab position, and run
+    the built-in ``levenshtein`` on the two encoded strings. Char edits
+    on the encoding == token edits on the originals. Supports up to
+    ~55k distinct tokens per PAIR (codepoints stay below the surrogate
+    range; a pair beyond that returns null rather than a wrong value —
+    at ~6 chars/token that is a >300 KB document pair).
+
+    Edge cases mirror ``cer_col``: empty ref -> 100.0 if hyp has
+    tokens else 0.0."""
+    from ocr_engine_spark.functions.text import tokens_col
+    ref = F.coalesce(reference, F.lit(""))
+    hyp = F.coalesce(hypothesis, F.lit(""))
+    rt = tokens_col(ref)
+    ht = tokens_col(hyp)
+    vocab = F.array_distinct(F.concat(rt, ht))
+
+    def enc(toks: Column) -> Column:
+        return F.array_join(
+            F.transform(toks,
+                        lambda t: _chr_col(F.array_position(vocab, t))), "")
+
+    return (
+        F.when(F.size(rt) == 0,
+               F.when(F.size(ht) == 0, F.lit(0.0)).otherwise(F.lit(100.0)))
+         .when(F.size(vocab) >= 0xD800 - 1, F.lit(None).cast("double"))
+         # equality fast path, same rationale as cer_col
+         .when(rt == ht, F.lit(0.0))
+         .otherwise(F.levenshtein(enc(rt), enc(ht))
+                    / F.size(rt) * 100.0)
+    )
+
+
 def base_url_col(url: Column) -> Column:
     """J3 — the derived-key join: a degraded variant's golden lives under
     its base url (reference: ``name.split('_')[0] + '.png'``,

@@ -95,3 +95,93 @@ def test_frozen_char_levenshtein_paths():
     for a, b, want in cases:
         assert _char_levenshtein(a, b, con) == want
         assert _char_levenshtein(a, b, None) == want  # DP fallback
+
+
+# ---------------------------------------------------------------------------
+# CER length-gap gate + WER (round 3)
+# ---------------------------------------------------------------------------
+
+def _tok_lev(a, b):
+    """Reference token-level Levenshtein (plain Python DP)."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+def test_wer_matches_python_dp(spark):
+    from ocr_engine_spark.engine.evaluate import wer_col
+    import pyspark.sql.functions as F
+    cases = [
+        ("the quick brown fox", "the quick brown fox", 0.0),
+        ("a b c d", "a x c d", 25.0),          # 1 sub / 4
+        ("a b c d", "a c d", 25.0),            # 1 del / 4
+        ("a b c", "a b c d e", 200.0 / 3),     # 2 ins / 3
+        ("", "", 0.0),
+        ("", "something here", 100.0),
+        ("ref words only", "", 100.0),
+        ("naïve café über tokens", "naïve cafe über tokens", 25.0),
+    ]
+    # plus a >255-joint-vocab pair: exercises codepoints past one byte
+    big_ref = " ".join(f"tok{i}" for i in range(300))
+    big_hyp = " ".join(f"tok{i}" if i % 7 else f"sub{i}" for i in range(300))
+    cases.append((big_ref, big_hyp,
+                  _tok_lev(big_ref.split(), big_hyp.split()) / 300 * 100))
+    df = spark.createDataFrame([(r, h) for r, h, _ in cases],
+                               "ref string, hyp string")
+    got = [r["wer"] for r in df.select(
+        F.round(wer_col(F.col("ref"), F.col("hyp")), 6).alias("wer"))
+        .collect()]
+    for (ref, hyp, want), g in zip(cases, got):
+        assert abs(g - want) < 1e-6, (ref[:40], hyp[:40], g, want)
+
+
+def test_wer_null_and_python_dp_agree_on_corpus(spark):
+    """WER vs the Python DP on real corpus docs vs their perturbations."""
+    import os
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.engine.evaluate import wer_col
+    from tests.conftest import TESTDATA_SF001
+    docs = spark.read.parquet(
+        os.path.join(TESTDATA_SF001, "documents.parquet")) \
+        .filter(F.col("doc_id") < 15)
+    hyp = F.regexp_replace(F.col("text"), "the", "thx")
+    rows = docs.select(
+        "text", hyp.alias("hyp"),
+        F.round(wer_col(F.col("text"), hyp), 6).alias("wer")).collect()
+    assert rows
+    for r in rows:
+        want = _tok_lev(r["text"].split(), r["hyp"].split()) \
+            / max(len(r["text"].split()), 1) * 100
+        assert abs(r["wer"] - want) < 1e-6
+
+
+def test_meets_cer_target_gate_agrees_with_exact(spark):
+    """The length-gap gate must change NOTHING about the decision, only
+    skip the DP when the bound already decides it."""
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.engine.evaluate import (
+        cer_col, cer_lower_bound_col, meets_cer_target_col,
+    )
+    base = "word " * 200
+    cases = [
+        (base, base),                      # identical -> meets
+        (base, base[: len(base) // 2]),    # huge gap -> gate fires, fails
+        (base, base + "tail"),             # tiny gap -> DP decides
+        (base, base.replace("word", "wrd", 3)),
+        ("", ""), ("", "x"), ("ref", ""),
+    ]
+    df = spark.createDataFrame(cases, "ref string, hyp string")
+    rows = df.select(
+        (cer_col(F.col("ref"), F.col("hyp")) < 2.0).alias("exact"),
+        meets_cer_target_col(F.col("ref"), F.col("hyp"), 2.0).alias("gated"),
+        (cer_lower_bound_col(F.col("ref"), F.col("hyp")) >= 2.0)
+        .alias("gate_fired")).collect()
+    assert [r["exact"] for r in rows] == [r["gated"] for r in rows]
+    assert any(r["gate_fired"] for r in rows)      # fixture exercises it
+    assert not all(r["gate_fired"] for r in rows)  # ...and the DP path
