@@ -159,20 +159,27 @@ def host_sessions_stream(pages_stream: DataFrame, *, gap_min: int = 30,
         nb = np.concatenate(byte_parts)
         order = np.argsort(ts, kind="stable")
         ts, nb = ts[order], nb[order]
-        # split the sorted batch into gap-free runs; a session carried
-        # in state is the seed run (extended if the first new event is
-        # within the gap, closed and emitted otherwise)
+        # split the sorted batch into gap-free runs, then interval-merge
+        # them WITH the session carried in state in start order: the
+        # stored session is just another interval, so a late-but-
+        # admitted run that wholly precedes it (reachable when callers
+        # set watermark > gap_min) either truly bridges the gap on its
+        # near side or closes as its own earlier session — it is never
+        # absorbed across a proven gap (round-2 advice)
+        runs = [(int(ts[lo]), int(ts[hi - 1]), int(hi - lo),
+                 int(nb[lo:hi].sum()))
+                for lo, hi in _gap_runs(ts, gap_us)]
+        if state.exists:
+            runs.append(state.get)  # (start, end, n, bytes)
+            runs.sort(key=lambda r: (r[0], r[1]))
         closed = []
-        cur = state.get if state.exists else None  # (start,end,n,bytes)
-        for lo, hi in _gap_runs(ts, gap_us):
-            run = (int(ts[lo]), int(ts[hi - 1]), int(hi - lo),
-                   int(nb[lo:hi].sum()))
-            if cur is not None and run[0] - cur[1] <= gap_us:
+        cur = runs[0]
+        for run in runs[1:]:
+            if run[0] - cur[1] <= gap_us:  # true inter-interval gap
                 cur = (min(cur[0], run[0]), max(cur[1], run[1]),
                        cur[2] + run[2], cur[3] + run[3])
             else:
-                if cur is not None:
-                    closed.append(cur)
+                closed.append(cur)
                 cur = run
         state.update(cur)
         # close the open session once the watermark passes end + gap
@@ -180,9 +187,12 @@ def host_sessions_stream(pages_stream: DataFrame, *, gap_min: int = 30,
         if closed:
             yield pd.DataFrame([row(s) for s in closed])
 
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    # ONE host definition engine-wide (round-2 advice): scrub.host_col
+    # accepts any RFC-3986 scheme and lowercases, so batch skew reports
+    # and streaming session keys can never disagree on what a host is
+    from ocr_engine_spark.functions.scrub import host_col
     return (pages_stream
-            .select(host.alias("host"), "warc_ts",
+            .select(host_col(F.col("url")).alias("host"), "warc_ts",
                     F.length("html").cast("long").alias("n_bytes"))
             .withWatermark("warc_ts", watermark)
             .groupBy("host")
@@ -194,6 +204,57 @@ def host_sessions_stream(pages_stream: DataFrame, *, gap_min: int = 30,
                 stateStructType="start long, end long, n long, nbytes long",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def start_near_dedup_stream(pages_stream: DataFrame, index_path: str,
+                            output_root: str, checkpoint_path: str, *,
+                            table: str = "pages_deduped",
+                            id_col: str = "url", text_col: str = "text",
+                            threshold: float = 0.8,
+                            available_now: bool = True):
+    """Continuous-ingest NEAR-dedup (the incremental-dedup lifecycle,
+    streamed): every micro-batch probes the historical ``MinHashIndex``
+    — batch shingling + one partition-pruned equi-join against the
+    stored band rows + exact Jaccard verify (dedup.py MinHashIndex;
+    the 100 TB history is never re-shingled) — and only survivors are
+    committed. This catches re-crawls whose CONTENT near-duplicates the
+    corpus under a different url, which the watermark-bounded exact url
+    guard (``dedup_pages_stream``) cannot.
+
+    Exactly-once: ``foreachBatch`` replays an interrupted micro-batch
+    with the SAME batch_id after checkpoint recovery, and the
+    ``ManifestCatalog`` commit marker turns the replay into an
+    overwrite-then-commit no-op — the committed table never sees a row
+    twice. Within a batch, exact url dups are dropped first.
+
+    The index is intentionally NOT extended inside the stream: an
+    idempotent-looking index append replayed by foreachBatch would
+    duplicate shingle rows and corrupt verify cardinality. Growing the
+    index is the periodic batch job's move (rebuild or a compact-then-
+    swap), the standard lambda split."""
+    from ocr_engine_spark.engine.catalog import ManifestCatalog
+    from ocr_engine_spark.functions.dedup import MinHashIndex
+
+    cat = ManifestCatalog(output_root)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in cat.committed_batches(table):
+            return  # replayed after recovery; already committed
+        idx = MinHashIndex.load(batch_df.sparkSession, index_path)
+        b = batch_df.dropDuplicates([id_col])
+        dup_ids = (idx.find_dups(b, id_col=id_col, text_col=text_col,
+                                 threshold=threshold)
+                   .select(F.col("batch_id").alias(id_col))
+                   .distinct())
+        survivors = b.join(dup_ids, id_col, "left_anti")
+        cat.write_batch(survivors, table, batch_id)
+
+    w = (pages_stream.writeStream
+         .foreachBatch(_process)
+         .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def start_windowed_metrics_stream(pages_stream: DataFrame, output_path: str,

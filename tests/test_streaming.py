@@ -329,3 +329,157 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         "https://a.example.com/1", "https://a.example.com/2",
         "https://a.example.com/3"]
     assert bytes(rows[0].html) == b"<p>v1</p>"  # first capture kept
+
+
+def test_stream_near_dedup_against_index(spark, tmp_path):
+    """A re-crawled NEAR-duplicate (different url, perturbed content)
+    is flagged against the historical MinHashIndex across micro-batches,
+    survivors commit exactly-once, and checkpoint recovery neither
+    re-processes nor re-drops (VERDICT r02 #7)."""
+    import datetime
+    import time
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocr_engine_spark.engine.catalog import ManifestCatalog
+    from ocr_engine_spark.functions.dedup import MinHashIndex
+    from ocr_engine_spark.streaming.stream_job import (
+        start_near_dedup_stream,
+    )
+
+    corpus_text = ("the quick brown fox jumps over the lazy dog every "
+                   "single morning before breakfast is even served")
+    other_text = ("completely unrelated treatise on adaptive query "
+                  "execution shuffle partition coalescing and skew joins")
+    hist = spark.createDataFrame(
+        [("https://hist.example.com/a", corpus_text),
+         ("https://hist.example.com/b", other_text)],
+        "url string, text string")
+    idx_path = str(tmp_path / "mh_index")
+    MinHashIndex.build(hist, idx_path, id_col="url", text_col="text")
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    t0 = datetime.datetime(2025, 5, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        tbl = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+            "html": pa.array([b""] * len(rows), pa.binary()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, str(src / name))
+        time.sleep(0.05)
+
+    fresh = ("brand new page about iceberg snapshot expiry and orphan "
+             "file cleanup procedures at scale")
+    write_file("f1.parquet", [
+        # near-dup of corpus doc a under a DIFFERENT url -> dropped
+        ("https://mirror.example.net/copy", corpus_text + " zz"),
+        ("https://new.example.org/fresh", fresh)])
+    write_file("f2.parquet", [
+        # second micro-batch: near-dup of corpus doc b -> dropped
+        ("https://mirror2.example.net/c", other_text + " yy"),
+        ("https://new.example.org/fresh2", fresh + " more words")])
+
+    out_root = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string").option("maxFilesPerTrigger", "1")
+            .parquet(str(src)))
+        q = start_near_dedup_stream(stream, idx_path, out_root, ckpt,
+                                    threshold=0.5)
+        q.awaitTermination(180)
+
+    run()
+    cat = ManifestCatalog(out_root)
+    got = sorted(r.url for r in cat.read_table(spark, "pages_deduped")
+                 .select("url").collect())
+    assert got == ["https://new.example.org/fresh",
+                   "https://new.example.org/fresh2"]
+    n_batches = len(cat.committed_batches("pages_deduped"))
+    assert n_batches >= 2  # per-file micro-batches
+
+    # recovery: restart from the same checkpoint with one more file —
+    # old batches are not reprocessed, the new one commits exactly once
+    write_file("f3.parquet", [
+        ("https://mirror3.example.net/d", corpus_text + " qq zz"),
+        ("https://new.example.org/fresh3", "totally novel content about "
+         "arrow flight rpc streams and dictionary encoding tricks")])
+    run()
+    got2 = sorted(r.url for r in cat.read_table(spark, "pages_deduped")
+                  .select("url").collect())
+    assert got2 == ["https://new.example.org/fresh",
+                    "https://new.example.org/fresh2",
+                    "https://new.example.org/fresh3"]
+    assert len(cat.committed_batches("pages_deduped")) == n_batches + 1
+
+
+def test_host_sessions_late_earlier_run_not_absorbed(spark, tmp_path):
+    """Round-2 advice: with watermark > gap_min, a late-but-admitted
+    run that ENDS more than gap_min before the stored session's start
+    must close as its own earlier session — not be absorbed into the
+    stored one across a proven gap."""
+    import datetime
+    import time
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocr_engine_spark.streaming.stream_job import host_sessions_stream
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    t0 = datetime.datetime(2025, 5, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        tbl = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([b""] * len(rows), pa.binary()),
+            "text": pa.array([""] * len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, str(src / name))
+        time.sleep(0.05)
+
+    # batch 1 seeds the stored session at t0+3h
+    write_file("f1.parquet", [
+        ("https://a.example.com/1", t0 + datetime.timedelta(hours=3))])
+    # batch 2 delivers a LATE run at t0+1.5h: admitted by the 2h
+    # watermark, but 1.5h before the stored session -> own session
+    write_file("f2.parquet", [
+        ("https://a.example.com/2",
+         t0 + datetime.timedelta(hours=1, minutes=30)),
+        ("https://a.example.com/3",
+         t0 + datetime.timedelta(hours=1, minutes=35))])
+    # advance other-host event time so the open session times out
+    write_file("f3.parquet", [
+        ("https://b.example.com/1", t0 + datetime.timedelta(days=3))])
+    write_file("f4.parquet", [
+        ("https://b.example.com/2", t0 + datetime.timedelta(days=3,
+                                                            minutes=1))])
+
+    stream = (spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string").option("maxFilesPerTrigger", "1")
+        .parquet(str(src)))
+    q = (host_sessions_stream(stream, gap_min=30, watermark="2 hours")
+         .writeStream.format("memory").queryName("sess_late")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    a_rows = sorted(
+        [r for r in spark.sql("SELECT * FROM sess_late").collect()
+         if r.host == "a.example.com"],
+        key=lambda r: r.session_start)
+    assert len(a_rows) == 2, a_rows
+    late, stored = a_rows
+    assert late.n_pages == 2
+    assert late.session_start == t0 + datetime.timedelta(hours=1,
+                                                         minutes=30)
+    assert late.session_end == t0 + datetime.timedelta(hours=1,
+                                                       minutes=35)
+    assert stored.n_pages == 1
+    assert stored.session_start == t0 + datetime.timedelta(hours=3)
