@@ -929,33 +929,68 @@ def _minhash_signatures_oracle() -> str:
 
 
 def _ivf_topk_oracle(n_centroids: int = 8, n_probe: int = 4,
-                     k: int = 10, n_assign: int = 2) -> str:
-    """Replay the deterministic IVF query in DuckDB: hash-sampled
+                     k: int = 10, n_assign: int = 2,
+                     refine_iters: int = 2) -> str:
+    """Replay the deterministic IVF query in DuckDB: hash-sampled seed
     centroids (same portable md5 order key as
-    similarity.sample_hash_col), driver-side L2 normalization, top-2
-    redundant assignment with ties to the lowest cell, top-n_probe
-    cells by query-centroid cosine, exact top-k within probed cells."""
+    similarity.sample_hash_col), ``refine_iters`` Lloyd iterations
+    (nearest-cell assignment with ties to the lowest cell -> per-cell
+    per-dimension means rounded to 10 decimals, the portability grid
+    refine_centroids rounds to), L2 normalization, top-2 redundant
+    assignment, top-n_probe cells by query-centroid cosine, exact
+    top-k within probed cells."""
     hash_key = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
+    lloyd = []
+    prev = "cseed"
+    for it in range(refine_iters):
+        lloyd.append(f"""
+        a{it} AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, {prev}.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, {prev}.ucv) DESC,
+                              {prev}.cell ASC) AS rn
+            FROM e CROSS JOIN {prev}) WHERE rn = 1),
+        m{it} AS (
+          SELECT cell, unnest(generate_series(1, len(v))) AS pos,
+                 unnest(v) AS x
+          FROM a{it}),
+        g{it} AS (
+          SELECT cell, pos, round(avg(x), 10) AS m
+          FROM m{it} GROUP BY cell, pos),
+        l{it} AS (
+          SELECT cell, list(m ORDER BY pos) AS cv
+          FROM g{it} GROUP BY cell),
+        c{it} AS (
+          SELECT p.cell, COALESCE(l.cv, p.cv) AS cv,
+                 list_transform(COALESCE(l.cv, p.cv),
+                   x -> x / sqrt(list_dot_product(COALESCE(l.cv, p.cv),
+                                                  COALESCE(l.cv, p.cv))))
+                   AS ucv
+          FROM {prev} p LEFT JOIN l{it} l USING (cell))""")
+        prev = f"c{it}"
+    lloyd_sql = ("," + ",".join(lloyd)) if lloyd else ""
     return f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                    WHERE vec_id = 0),
-        c0 AS (
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0seed AS (
           SELECT vec_id, embedding::DOUBLE[] AS cv
           FROM embeddings
           ORDER BY {hash_key} ASC, vec_id ASC
           LIMIT {n_centroids}),
-        c AS (
+        cseed AS (
           SELECT row_number() OVER (ORDER BY {hash_key} ASC, vec_id ASC)
                    - 1 AS cell,
                  cv,
                  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
                    AS ucv
-          FROM c0),
+          FROM c0seed){lloyd_sql},
+        c AS (SELECT cell, cv, ucv FROM {prev}),
         probe AS (
           SELECT cell FROM c, q
           ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cell ASC
           LIMIT {n_probe}),
-        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         assign AS (
           SELECT e.vec_id, c.cell,
                  row_number() OVER (PARTITION BY e.vec_id

@@ -155,17 +155,69 @@ def pick_centroids(embeddings: DataFrame, n_centroids: int = 8,
     return [(i, [float(x) for x in r[0]]) for i, r in enumerate(rows)]
 
 
+def refine_centroids(embeddings: DataFrame,
+                     centroids: list[tuple[int, list[float]]],
+                     iters: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding"
+                     ) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd refinement of the hash-sampled seed — each
+    iteration is two DataFrame stages, nothing iterative per row:
+
+      1. map-only nearest-centroid assignment (``ivf_assign``: constant
+         centroid literal, one aggregate fold, no shuffle);
+      2. per-cell mean via ``posexplode`` + groupBy(cell, pos).avg —
+         the dim-fold explode is map-side and the partial agg combines
+         to k x dim rows per partition, so the shuffle carries
+         O(partitions x k x dim), never the corpus.
+
+    Only k x dim averaged values reach the driver per iteration. Means
+    are rounded to 10 decimals so the refined centroids are PORTABLE:
+    a DuckDB replay summing in a different order lands on the same
+    grid point (fp sum error ~1e-15 << the 5e-11 half-grid), keeping
+    the whole refined-IVF query oracle-checkable. Empty cells keep
+    their previous centroid (standard Lloyd convention)."""
+    cents = centroids
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col,
+                              n_assign=1)
+        mean_rows = (assigned
+                     .select("cell",
+                             F.posexplode(F.col(vec_col)
+                                          .cast("array<double>"))
+                             .alias("pos", "x"))
+                     .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+                     .collect())  # k x dim rows: bounded by design
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = \
+                round(float(r["m"]), 10)
+        cents = [
+            (cid,
+             [by_cell[cid][p] for p in range(len(old))]
+             if cid in by_cell else old)
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              n_centroids: int = 8, n_probe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
              centroids: list[tuple[int, list[float]]] | None = None,
-             n_assign: int = 2) -> DataFrame:
+             n_assign: int = 2, refine_iters: int = 2) -> DataFrame:
     """Approximate top-k: score only vectors in the ``n_probe`` cells
     nearest the query (with redundant assignment by default — see
-    ivf_assign). Recall floor asserted against brute_topk in tests.
-    One-shot convenience; the build-once lifecycle is IvfIndex."""
-    cents = centroids or pick_centroids(embeddings, n_centroids, id_col,
-                                        vec_col)
+    ivf_assign; seed centroids Lloyd-refined by default — see
+    refine_centroids). Recall floor asserted against brute_topk in
+    tests. One-shot convenience; the build-once lifecycle is
+    IvfIndex. Explicit ``centroids`` are used as-is (not refined)."""
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = pick_centroids(embeddings, n_centroids, id_col, vec_col)
+        if refine_iters > 0:
+            cents = refine_centroids(embeddings, cents, refine_iters,
+                                     id_col, vec_col)
     probe_ids = IvfIndex("", cents, id_col, vec_col) \
         .probe_cells(query_vec, n_probe)
     assigned = ivf_assign(embeddings, cents, id_col, vec_col, n_assign)
@@ -203,10 +255,13 @@ class IvfIndex:
     @classmethod
     def build(cls, embeddings: DataFrame, path: str, n_centroids: int = 8,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              n_assign: int = 2) -> "IvfIndex":
+              n_assign: int = 2, refine_iters: int = 2) -> "IvfIndex":
         import os
         spark = embeddings.sparkSession
         cents = pick_centroids(embeddings, n_centroids, id_col, vec_col)
+        if refine_iters > 0:
+            cents = refine_centroids(embeddings, cents, refine_iters,
+                                     id_col, vec_col)
         idx = cls(path, cents, id_col, vec_col, n_assign)
         assigned = ivf_assign(embeddings, cents, id_col, vec_col, n_assign)
         assigned.write.partitionBy("cell").mode("overwrite") \

@@ -24,6 +24,7 @@ COLLECT_ALLOWLIST = {
         "embeddings.select(vec_col).first()",  # dim probe: 1 row
         "rows = base.collect()",  # broadcast-verify matrix: size-guarded
         '.orderBy("cell").collect()',  # index centroids: k rows
+        '.collect())  # k x dim rows: bounded by design',  # Lloyd means
     ],
     "functions/pack.py": [
         '.orderBy("__part").collect())',  # per-partition totals: |parts|

@@ -45,10 +45,12 @@ def test_brute_topk_plan_is_take_ordered(emb, query_vec):
 
 
 def test_ivf_recall(emb):
-    """IVF (hash-sampled centroids + top-2 redundant assignment) at
-    half the cells probed: mean recall@10 >= 0.8 over a query panel,
-    no query below 0.5 — on a weakly-clustered (near-random) corpus."""
-    recalls = []
+    """IVF (hash-sampled centroids + 2 Lloyd iterations + top-2
+    redundant assignment) at half the cells probed: mean recall@10
+    >= 0.9 over a query panel, no query below 0.8 — on a
+    weakly-clustered (near-random) corpus. The unrefined seed floor is
+    asserted separately below so the refinement's lift is visible."""
+    recalls, seed_recalls = [], []
     for qid in (0, 7, 23, 101, 250):
         qv = [float(x) for x in
               emb.filter(F.col("vec_id") == qid).first().embedding]
@@ -56,9 +58,15 @@ def test_ivf_recall(emb):
         approx = {r.vec_id for r in
                   ivf_topk(emb, qv, k=10, n_centroids=8,
                            n_probe=4).collect()}
+        seed = {r.vec_id for r in
+                ivf_topk(emb, qv, k=10, n_centroids=8, n_probe=4,
+                         refine_iters=0).collect()}
         recalls.append(len(approx & exact) / 10)
-    assert min(recalls) >= 0.5
-    assert sum(recalls) / len(recalls) >= 0.8
+        seed_recalls.append(len(seed & exact) / 10)
+    assert min(recalls) >= 0.8, recalls
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # refinement must not be a regression vs the raw seed
+    assert sum(recalls) >= sum(seed_recalls), (recalls, seed_recalls)
 
 
 def test_ivf_index_lifecycle(emb, query_vec, tmp_path):
