@@ -766,23 +766,13 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max/avg document length and distinct-source count per language
     — the stats a 100 TB ingest would publish to its metrics table.
     Percentiles hash-match because both engines sort-then-interpolate
-    exactly (no sketch)."""
+    exactly (no sketch). The 100 TB metrics job flips the same surface
+    to ``sketch=True`` (mergeable Greenwald-Khanna summaries, no
+    per-group sort; error bound pytest-asserted) — see
+    functions/text.py corpus_length_stats."""
+    from ocr_engine_spark.functions.text import corpus_length_stats
     docs = _read(spark, sf_dir, "documents")
-    d = docs.select("lang", "source",
-                    F.length("text").cast("long").alias("n_chars"))
-    return (d.groupBy("lang")
-            .agg(F.count("*").alias("n_docs"),
-                 F.countDistinct("source").alias("n_sources"),
-                 F.min("n_chars").alias("min_chars"),
-                 F.max("n_chars").alias("max_chars"),
-                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-                 F.round(F.percentile("n_chars", F.lit(0.5)), 4)
-                  .alias("p50_chars"),
-                 F.round(F.percentile("n_chars", F.lit(0.9)), 4)
-                  .alias("p90_chars"),
-                 F.round(F.percentile("n_chars", F.lit(0.99)), 4)
-                  .alias("p99_chars"))
-            .orderBy("lang"))
+    return corpus_length_stats(docs, "lang", "text", sketch=False)
 
 
 def q_nested_fields(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -109,17 +109,59 @@ def host_col(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _HOST_RE, 1))
 
 
-def canonical_url_col(url: Column) -> Column:
+# the RFC 3986 §2.3 unreserved set: percent-escapes of these decode to
+# the same resource on every conforming server, so decoding them can
+# never over-merge
+_UNRESERVED = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+               "abcdefghijklmnopqrstuvwxyz0123456789-._~")
+
+
+def canonical_url_col(url: Column, *, strip_www: bool = False,
+                      strip_default_port: bool = False,
+                      decode_unreserved: bool = False) -> Column:
     """Deterministic URL canonicalization for crawl keys: lowercase the
     scheme+host, drop the fragment, drop a trailing PATH slash (never a
     slash that ends a query-string value — query content is semantic,
     which is also why parameters are not reordered). Inputs without a
     scheme pass through unchanged (they are not URLs; collapsing them
-    all to one key would merge unrelated rows)."""
+    all to one key would merge unrelated rows).
+
+    The DEFAULT is deliberately conservative — it never merges two urls
+    a server could distinguish. Three opt-in flags merge harder for
+    crawl-dedup use (each is still standards-safe for ~all real hosts,
+    but strictly speaking can over-merge, so they are opt-in):
+
+      * ``strip_www``: drop one leading ``www.`` label from the host;
+      * ``strip_default_port``: drop ``:80`` on http and ``:443`` on
+        https (the scheme-default ports, RFC 3986 §6.2.3);
+      * ``decode_unreserved``: decode %-escapes of RFC 3986 §2.3
+        unreserved chars (``%41``->``A`` etc.) — conforming servers
+        treat those as identical (§6.2.2.2); reserved escapes like
+        %2F stay encoded because decoding them changes the path.
+    """
     no_frag = F.regexp_replace(url, r"#.*$", "")
-    lowered = F.concat(
-        F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
-        F.regexp_extract(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1))
+    authority = F.lower(F.regexp_extract(
+        no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    if strip_default_port:
+        authority = F.regexp_replace(authority, r"^(http://[^/:?#]+):80$",
+                                     "$1")
+        authority = F.regexp_replace(authority, r"^(https://[^/:?#]+):443$",
+                                     "$1")
+    if strip_www:
+        # only when at least one dotted label remains: www.example.com
+        # -> example.com, but the registrable domain www.com stays
+        authority = F.regexp_replace(
+            authority, r"^([a-z][a-z0-9+.-]*://)www\.(?=[^./:?#]+\.)", "$1")
+    rest = F.regexp_extract(no_frag,
+                            r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    if decode_unreserved:
+        # 62+4 literal replaces, all codegen'd JVM string ops: decode
+        # both hex cases of every unreserved char (%-escapes are
+        # case-insensitive, RFC 3986 §2.1)
+        for ch in _UNRESERVED:
+            for esc in {f"%{ord(ch):02X}", f"%{ord(ch):02x}"}:
+                rest = F.replace(rest, F.lit(esc), F.lit(ch))
+    lowered = F.concat(authority, rest)
     # strip '/' only at the end of the PATH (no '?' anywhere after it)
     stripped = F.regexp_replace(lowered, r"/$", "")
     return (F.when(host_col(url) == "", url)

@@ -200,3 +200,45 @@ def fingerprint64_col(c: Column) -> Column:
 def oracle_stopword_list(lang: str) -> str:
     """Render the stopword set as a SQL IN-list (shared with oracles)."""
     return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+def corpus_length_stats(df, group_col: str = "lang",
+                        text_col: str = "text", *,
+                        sketch: bool = False,
+                        accuracy: int = 10_000):
+    """Per-group document-length profile (count, distinct sources,
+    min/max/avg, p50/p90/p99 chars) — the stats a 100 TB ingest
+    publishes to its metrics table.
+
+    ``sketch=False`` (default, the oracle-checked path) uses exact
+    linear-interpolation ``percentile`` — correct but requires a
+    per-group SORT of every length, which at 10^12 rows makes the
+    percentile the job's dominant shuffle. ``sketch=True`` switches to
+    ``approx_percentile`` (Greenwald-Khanna): mergeable fixed-size
+    per-partition summaries, one normal partial-agg shuffle, rank
+    error bounded by 1/accuracy of the group size (accuracy=10^4 =>
+    p99 lands within rank +-0.01% — e.g. +-10^6 ranks at 10^10 docs
+    per group, far below any monitoring threshold). Same output
+    schema either way; the sketch's error bound is pytest-asserted
+    against the exact path."""
+    from pyspark.sql import functions as F
+    d = df.select(group_col, "source",
+                  F.length(text_col).cast("long").alias("n_chars"))
+
+    def pct(p: float, name: str):
+        if sketch:
+            return F.approx_percentile("n_chars", F.lit(p),
+                                       F.lit(accuracy)) \
+                    .cast("double").alias(name)
+        return F.round(F.percentile("n_chars", F.lit(p)), 4).alias(name)
+
+    return (d.groupBy(group_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 pct(0.5, "p50_chars"),
+                 pct(0.9, "p90_chars"),
+                 pct(0.99, "p99_chars"))
+            .orderBy(group_col))

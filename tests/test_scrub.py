@@ -96,3 +96,34 @@ def test_pii_counts_no_double_count(spark):
     assert (got[0].n_ips, got[0].n_phones) == (1, 0)
     assert (got[1].n_ips, got[1].n_phones) == (0, 1)
     assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (1, 1, 1)
+
+
+def test_canonical_url_optional_flags(spark):
+    """Round-2 advice: opt-in www / default-port / unreserved-escape
+    merging; the conservative default is unchanged."""
+    rows = [
+        ("http://www.example.com:80/a/",),
+        ("https://www.example.com:443/a?x=1",),
+        ("https://www.com/a",),              # registrable www.com stays
+        ("http://example.com:8080/a",),      # non-default port stays
+        ("https://e.com/p%61th/%7Euser",),   # %61='a', %7E='~'
+        ("https://e.com/a%2Fb",),            # %2F reserved: stays
+        ("https://e.com/%4a%4A",),           # both hex cases of 'J'
+        ("http://www.sub.example.com/",),    # only ONE www label drops
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    full = df.select(canonical_url_col(
+        F.col("url"), strip_www=True, strip_default_port=True,
+        decode_unreserved=True).alias("c")).collect()
+    assert full[0].c == "http://example.com/a"
+    assert full[1].c == "https://example.com/a?x=1"
+    assert full[2].c == "https://www.com/a"
+    assert full[3].c == "http://example.com:8080/a"
+    assert full[4].c == "https://e.com/path/~user"
+    assert full[5].c == "https://e.com/a%2Fb"
+    assert full[6].c == "https://e.com/JJ"
+    assert full[7].c == "http://sub.example.com"
+    # defaults unchanged: none of the new merges happen
+    cons = df.select(canonical_url_col(F.col("url")).alias("c")).collect()
+    assert cons[0].c == "http://www.example.com:80/a"
+    assert cons[4].c == "https://e.com/p%61th/%7euser".replace("%7e", "%7E")

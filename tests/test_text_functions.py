@@ -103,3 +103,44 @@ def test_rolling_fingerprints_short_doc_empty(spark):
     fps = {r.doc_id: r.fingerprints for r in
            with_rolling_fingerprints(df).collect()}
     assert fps[0] == [] and fps[1] == []
+
+
+def test_corpus_stats_sketch_within_bound(spark):
+    """approx_percentile (the 100 TB path) must stay within the GK rank
+    bound of the exact interpolated percentile: with accuracy=10^4 and
+    n docs per group, the returned value's RANK error is <= n/10^4 + 1,
+    so the exact ranks bracketing the sketch value must sit within that
+    window of the target rank."""
+    import os
+    from ocr_engine_spark.functions.text import corpus_length_stats
+    from tests.conftest import TESTDATA_SF001
+    docs = spark.read.parquet(
+        os.path.join(TESTDATA_SF001, "documents.parquet"))
+    exact = {r["lang"]: r.asDict() for r in
+             corpus_length_stats(docs, sketch=False).collect()}
+    sk = {r["lang"]: r.asDict() for r in
+          corpus_length_stats(docs, sketch=True).collect()}
+    assert exact.keys() == sk.keys()
+    lengths = {
+        lang: sorted(x["n_chars"] for x in
+                     docs.filter(F.col("lang") == lang)
+                     .select(F.length("text").cast("long")
+                             .alias("n_chars")).collect())
+        for lang in exact
+    }
+    for lang, ex in exact.items():
+        # non-percentile columns are exact in both modes
+        for c in ("n_docs", "n_sources", "min_chars", "max_chars",
+                  "avg_chars"):
+            assert sk[lang][c] == ex[c], (lang, c)
+        ls = lengths[lang]
+        n = len(ls)
+        for p, c in ((0.5, "p50_chars"), (0.9, "p90_chars"),
+                     (0.99, "p99_chars")):
+            got = sk[lang][c]
+            # rank window: target +- (n/accuracy + 1)
+            slack = int(n / 10_000) + 1
+            target = p * (n - 1)
+            lo = ls[max(0, int(target) - slack)]
+            hi = ls[min(n - 1, int(target) + 1 + slack)]
+            assert lo <= got <= hi, (lang, c, got, lo, hi)
