@@ -43,6 +43,49 @@ def iceberg_available(spark: SparkSession) -> bool:
 BATCH_PROP = "spark-graft.batch-id"  # snapshot property carrying batch id
 
 
+# -- Iceberg protocol pieces, factored for logic-level testing: the
+# sandbox has no Iceberg jars AND no network to fetch them (documented
+# in BENCH.md), so the SQL construction / summary parsing / incremental
+# read-window logic is covered by tests over stub rows while the
+# execution path stays classpath-gated.
+
+def snapshots_summary_sql(ident: str) -> str:
+    """The committed-batches probe: every snapshot's summary map."""
+    return f"SELECT summary FROM {ident}.snapshots"
+
+
+def summary_batch_ids(rows) -> set[int]:
+    """Batch ids from snapshot summary maps — rows whose summary is
+    NULL or lacks the property (compactions, other writers' commits)
+    are skipped, never miscounted."""
+    out = set()
+    for r in rows:
+        bid = (r.summary or {}).get(BATCH_PROP)
+        if bid is not None:
+            out.add(int(bid))
+    return out
+
+
+def snapshot_lookup_sql(ident: str, batch_id: int) -> str:
+    """Resolve OUR snapshot by its batch property — commit timestamps
+    tie at millisecond granularity and other writers may commit
+    concurrently, so ORDER BY committed_at alone is ambiguous."""
+    return (f"SELECT snapshot_id, parent_id FROM {ident}.snapshots "
+            f"WHERE summary['{BATCH_PROP}'] = '{int(batch_id)}' "
+            f"ORDER BY committed_at DESC, snapshot_id DESC "
+            f"LIMIT 1")
+
+
+def incremental_read_options(snap) -> dict:
+    """Snapshot window for lineage over ONLY the just-committed
+    increment: (parent, new] when a parent exists; empty options (whole
+    table) for the table-creating first snapshot."""
+    if snap is not None and snap.parent_id is not None:
+        return {"start-snapshot-id": str(snap.parent_id),
+                "end-snapshot-id": str(snap.snapshot_id)}
+    return {}
+
+
 class IcebergCatalog:
     """Snapshot-commit catalog over Spark's DataFrameWriterV2 + Iceberg
     (requires iceberg-spark-runtime jars and a configured catalog —
@@ -75,14 +118,8 @@ class IcebergCatalog:
         ident = self._ident(table)
         if not self.spark.catalog.tableExists(ident):
             return set()
-        rows = self.spark.sql(
-            f"SELECT summary FROM {ident}.snapshots").collect()
-        out = set()
-        for r in rows:
-            bid = (r.summary or {}).get(BATCH_PROP)
-            if bid is not None:
-                out.add(int(bid))
-        return out
+        rows = self.spark.sql(snapshots_summary_sql(ident)).collect()
+        return summary_batch_ids(rows)
 
     def write_batch(self, df: DataFrame, table: str, batch_id: int) -> dict:
         ident = self._ident(table)
@@ -96,20 +133,11 @@ class IcebergCatalog:
         else:
             writer.create()
         # lineage over ONLY the just-committed increment (incremental
-        # snapshot read parent -> new; first snapshot == whole table).
-        # Resolve OUR snapshot by its batch property — commit timestamps
-        # tie at millisecond granularity and other writers may commit
-        # concurrently, so ORDER BY committed_at alone is ambiguous.
-        snap = self.spark.sql(
-            f"SELECT snapshot_id, parent_id FROM {ident}.snapshots "
-            f"WHERE summary['{BATCH_PROP}'] = '{batch_id}' "
-            f"ORDER BY committed_at DESC, snapshot_id DESC "
-            f"LIMIT 1").first()
+        # snapshot read parent -> new; first snapshot == whole table)
+        snap = self.spark.sql(snapshot_lookup_sql(ident, batch_id)).first()
         reader = self.spark.read.format("iceberg")
-        if snap is not None and snap.parent_id is not None:
-            reader = (reader
-                      .option("start-snapshot-id", str(snap.parent_id))
-                      .option("end-snapshot-id", str(snap.snapshot_id)))
+        for k, v in incremental_read_options(snap).items():
+            reader = reader.option(k, v)
         lineage = _partition_lineage(reader.load(ident))
         commit = {"batch_id": batch_id, "table": ident,
                   "n_rows": obs.get["n_rows"],

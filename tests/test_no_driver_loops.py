@@ -35,8 +35,8 @@ COLLECT_ALLOWLIST = {
     "engine/catalog.py": [
         ").collect())]",            # per-partition lineage rows: |parts|
         ".agg(*agg).collect()]",    # per-partition lineage rows: |parts|
-        '.snapshots").collect()',   # snapshot metadata table: |snapshots|
-        'LIMIT 1").first()',        # latest snapshot id: 1 row
+        'snapshots_summary_sql(ident)).collect()',  # snapshots: |snaps|
+        'snapshot_lookup_sql(ident, batch_id)).first()',  # 1 row
     ],
 }
 
