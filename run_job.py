@@ -69,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
+    dd.add_argument("--resolve", action="store_true",
+                    help="also resolve pairs into clusters and write the"
+                         " keep-one deduped corpus")
 
     ib = sub.add_parser("index", help="build persisted IVF index")
     ib.add_argument("--input", required=True, help="embeddings parquet")
@@ -145,11 +148,31 @@ def main(argv: list[str] | None = None) -> int:
                                     threshold=args.threshold)
         pairs.write.mode("overwrite").parquet(
             os.path.join(args.output, "near_dup_pairs"))
-        print(json.dumps({
+        out = {
             "exact_groups": spark.read.parquet(
                 os.path.join(args.output, "exact_groups")).count(),
             "near_dup_pairs": spark.read.parquet(
-                os.path.join(args.output, "near_dup_pairs")).count()}))
+                os.path.join(args.output, "near_dup_pairs")).count()}
+        if args.resolve:
+            from pyspark.sql import functions as F
+            from ocr_engine_spark.functions.cluster import dedup_decisions
+            stored = spark.read.parquet(
+                os.path.join(args.output, "near_dup_pairs"))
+            decisions = dedup_decisions(stored)
+            decisions.write.mode("overwrite").parquet(
+                os.path.join(args.output, "clusters"))
+            losers = (spark.read.parquet(
+                os.path.join(args.output, "clusters"))
+                .filter("NOT keep")
+                .select(F.col("doc_id").alias(args.id_col)))
+            kept = docs.join(losers, args.id_col, "left_anti")
+            kept.write.mode("overwrite").parquet(
+                os.path.join(args.output, "deduped"))
+            out["clusters"] = spark.read.parquet(
+                os.path.join(args.output, "clusters")).count()
+            out["kept_docs"] = spark.read.parquet(
+                os.path.join(args.output, "deduped")).count()
+        print(json.dumps(out))
     elif args.cmd == "index":
         from ocr_engine_spark.functions.similarity import IvfIndex
         emb = spark.read.parquet(args.input)
