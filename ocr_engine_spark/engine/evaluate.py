@@ -27,7 +27,11 @@ def normalize_text_col(c: Column) -> Column:
 def cer_col(reference: Column, hypothesis: Column) -> Column:
     """A1 — Character Error Rate (comprehensive_evaluation.py:115-124):
     ``levenshtein(norm(ref), norm(hyp)) / len(norm(ref)) * 100`` with the
-    reference's edge cases: empty ref -> 100.0 if hyp else 0.0."""
+    reference's edge cases: empty ref -> 100.0 if hyp else 0.0. A
+    WHITESPACE-ONLY ref normalizes to '' and gets the same edge
+    treatment — without that guard the division is 0-denominator, which
+    ANSI mode (Spark 4's default) turns into a job-aborting error on
+    one blank page."""
     ref = F.coalesce(reference, F.lit(""))
     hyp = F.coalesce(hypothesis, F.lit(""))
     ref_n = normalize_text_col(ref)
@@ -36,7 +40,9 @@ def cer_col(reference: Column, hypothesis: Column) -> Column:
         F.when(ref == "", F.when(hyp == "", F.lit(0.0)).otherwise(F.lit(100.0)))
          # equality fast path: levenshtein(x, x) == 0 but still costs
          # O(n*m) in the JVM; most documents pass extraction unchanged
+         # (also catches blank-vs-blank before the zero denominator)
          .when(ref_n == hyp_n, F.lit(0.0))
+         .when(ref_n == "", F.lit(100.0))
          .otherwise(F.levenshtein(ref_n, hyp_n) / F.length(ref_n) * 100.0)
     )
 
@@ -46,13 +52,18 @@ def cer_lower_bound_col(reference: Column, hypothesis: Column) -> Column:
     |len(a) - len(b)|`` (every length difference costs at least one
     insert/delete), so ``|len(ref_n) - len(hyp_n)| / len(ref_n) * 100``
     bounds the CER from below — computable in O(1) per row vs the
-    O(n*m) DP. Same edge cases as ``cer_col``."""
+    O(n*m) DP. Same edge cases as ``cer_col``, including the
+    whitespace-only ref (normalized-empty) guard — the condition
+    branch of ``meets_cer_target_col`` evaluates for EVERY row, so a
+    zero denominator here would abort the whole job under ANSI."""
     ref = F.coalesce(reference, F.lit(""))
     hyp = F.coalesce(hypothesis, F.lit(""))
     ref_n = normalize_text_col(ref)
     hyp_n = normalize_text_col(hyp)
     return (
         F.when(ref == "", F.when(hyp == "", F.lit(0.0)).otherwise(F.lit(100.0)))
+         .when(ref_n == "",
+               F.when(hyp_n == "", F.lit(0.0)).otherwise(F.lit(100.0)))
          .otherwise(F.abs(F.length(ref_n) - F.length(hyp_n))
                     / F.length(ref_n) * 100.0)
     )

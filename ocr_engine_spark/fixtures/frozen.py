@@ -156,9 +156,11 @@ def freeze_cer(corpus_dir: str) -> str:
             if rn == hn:
                 cer = 0.0
             elif len(rn) == 0:
-                # whitespace-only reference: Spark's lev/length(ref_n)
-                # divides by zero -> NULL (non-ANSI); mirror that
-                cer = None
+                # whitespace-only reference, non-blank hypothesis:
+                # cer_col's normalized-empty guard returns 100.0 (the
+                # pre-guard expression divided by zero, which ANSI mode
+                # would abort on); mirror that
+                cer = 100.0
             else:
                 cer = _char_levenshtein(rn, hn, con) / len(rn) * 100.0
         urls.append(url)

@@ -47,12 +47,16 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     callers that need them can union them in, ``drop_near_duplicates``
     doesn't because absent == kept).
 
+    Id type is PRESERVED: long doc ids and string ids (urls — the
+    streaming near-dedup key) both work; ``min`` is just the ordering's
+    least element, so string components label with the
+    lexicographically smallest member.
+
     Raises ``RuntimeError`` if ``max_iter`` rounds don't converge (a
     component with label-chain depth > 2^max_iter — practically
     unreachable for near-dup graphs).
     """
-    e = pairs.select(F.col(src).cast("long").alias("s"),
-                     F.col(dst).cast("long").alias("d"))
+    e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     edges = (e.unionByName(e.select(F.col("d").alias("s"),
                                     F.col("s").alias("d")))
              .filter(F.col("s") != F.col("d"))

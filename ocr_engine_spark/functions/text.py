@@ -204,6 +204,7 @@ def oracle_stopword_list(lang: str) -> str:
 
 def corpus_length_stats(df, group_col: str = "lang",
                         text_col: str = "text", *,
+                        source_col: str = "source",
                         sketch: bool = False,
                         accuracy: int = 10_000):
     """Per-group document-length profile (count, distinct sources,
@@ -222,7 +223,9 @@ def corpus_length_stats(df, group_col: str = "lang",
     schema either way; the sketch's error bound is pytest-asserted
     against the exact path."""
     from pyspark.sql import functions as F
-    d = df.select(group_col, "source",
+    keys = [group_col] if group_col == source_col else [group_col,
+                                                        source_col]
+    d = df.select(*keys,
                   F.length(text_col).cast("long").alias("n_chars"))
 
     def pct(p: float, name: str):
@@ -234,7 +237,7 @@ def corpus_length_stats(df, group_col: str = "lang",
 
     return (d.groupBy(group_col)
             .agg(F.count("*").alias("n_docs"),
-                 F.countDistinct("source").alias("n_sources"),
+                 F.countDistinct(source_col).alias("n_sources"),
                  F.min("n_chars").alias("min_chars"),
                  F.max("n_chars").alias("max_chars"),
                  F.round(F.avg("n_chars"), 4).alias("avg_chars"),

@@ -189,7 +189,14 @@ def host_sessions_stream(pages_stream: DataFrame, *, gap_min: int = 30,
 
     # ONE host definition engine-wide (round-2 advice): scrub.host_col
     # accepts any RFC-3986 scheme and lowercases, so batch skew reports
-    # and streaming session keys can never disagree on what a host is
+    # and streaming session keys can never disagree on what a host is.
+    # CHECKPOINT COMPAT: this changed the group key (old key was
+    # case-preserving). Restarting an old checkpoint across the upgrade
+    # leaves any mixed-case-keyed open sessions stranded until their
+    # event-time timeout (emitted under the old key, possibly
+    # overlapping the new-key session). For a clean cut, drain the old
+    # stream (availableNow) before upgrading, or start a fresh
+    # checkpoint — standard procedure for any stateful key change.
     from ocr_engine_spark.functions.scrub import host_col
     return (pages_stream
             .select(host_col(F.col("url")).alias("host"), "warc_ts",

@@ -154,24 +154,29 @@ def main(argv: list[str] | None = None) -> int:
             "near_dup_pairs": spark.read.parquet(
                 os.path.join(args.output, "near_dup_pairs")).count()}
         if args.resolve:
-            from pyspark.sql import functions as F
+            from pyspark.sql import Observation, functions as F
             from ocr_engine_spark.functions.cluster import dedup_decisions
             stored = spark.read.parquet(
                 os.path.join(args.output, "near_dup_pairs"))
-            decisions = dedup_decisions(stored)
+            # decisions are tiny (near-dup nodes only): persist so the
+            # clusters write, the loser anti-join side and the count
+            # share one computation
+            decisions = dedup_decisions(stored).persist()
             decisions.write.mode("overwrite").parquet(
                 os.path.join(args.output, "clusters"))
-            losers = (spark.read.parquet(
-                os.path.join(args.output, "clusters"))
-                .filter("NOT keep")
-                .select(F.col("doc_id").alias(args.id_col)))
+            losers = (decisions.filter(~F.col("keep"))
+                      .select(F.col("doc_id").alias(args.id_col)))
             kept = docs.join(losers, args.id_col, "left_anti")
-            kept.write.mode("overwrite").parquet(
-                os.path.join(args.output, "deduped"))
-            out["clusters"] = spark.read.parquet(
-                os.path.join(args.output, "clusters")).count()
-            out["kept_docs"] = spark.read.parquet(
-                os.path.join(args.output, "deduped")).count()
+            # kept-count rides on the write via observe() — never a
+            # second scan of the just-written corpus (catalog.py
+            # pattern)
+            obs = Observation("dedup_kept")
+            kept.observe(obs, F.count(F.lit(1)).alias("n")) \
+                .write.mode("overwrite").parquet(
+                    os.path.join(args.output, "deduped"))
+            out["clusters"] = decisions.count()
+            out["kept_docs"] = obs.get["n"]
+            decisions.unpersist()
         print(json.dumps(out))
     elif args.cmd == "index":
         from ocr_engine_spark.functions.similarity import IvfIndex

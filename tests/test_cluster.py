@@ -79,3 +79,20 @@ def test_drop_near_duplicates_passes_unique_docs(spark):
              f"token{i}a token{i}b token{i}c token{i}d") for i in range(8)],
         "doc_id long, text string")
     assert drop_near_duplicates(df, threshold=0.5).count() == 8
+
+
+def test_string_ids_preserved(spark):
+    """Url-keyed pair sets (the streaming near-dedup id type) must
+    cluster without casts: min label = lexicographically smallest url."""
+    comp = connected_components(spark.createDataFrame(
+        [("https://b.com/x", "https://a.com/y"),
+         ("https://a.com/y", "https://c.com/z"),
+         ("https://q.com/1", "https://p.com/2")],
+        "id_a string, id_b string"))
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert got == {
+        "https://a.com/y": "https://a.com/y",
+        "https://b.com/x": "https://a.com/y",
+        "https://c.com/z": "https://a.com/y",
+        "https://p.com/2": "https://p.com/2",
+        "https://q.com/1": "https://p.com/2"}

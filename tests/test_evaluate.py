@@ -185,3 +185,26 @@ def test_meets_cer_target_gate_agrees_with_exact(spark):
     assert [r["exact"] for r in rows] == [r["gated"] for r in rows]
     assert any(r["gate_fired"] for r in rows)      # fixture exercises it
     assert not all(r["gate_fired"] for r in rows)  # ...and the DP path
+
+
+def test_cer_whitespace_only_reference_rows(spark):
+    """Blank pages (whitespace-only text) are routine in OCR; neither
+    the CER nor the gate may abort the job under ANSI (round-3
+    review finding: the pre-guard expressions divided by zero)."""
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.engine.evaluate import (
+        cer_col, cer_lower_bound_col, meets_cer_target_col,
+    )
+    rows = [("  ", "   "),      # blank vs blank -> 0, meets
+            ("  ", "words"),    # blank ref, real hyp -> 100, fails
+            ("\t\n ", ""),      # blank ref, empty hyp -> 0, meets
+            ("real text", "  ")]  # real ref, blank hyp -> 100, fails
+    df = spark.createDataFrame(rows, "ref string, hyp string")
+    got = df.select(
+        F.round(cer_col(F.col("ref"), F.col("hyp")), 2).alias("cer"),
+        meets_cer_target_col(F.col("ref"), F.col("hyp"), 2.0).alias("m"),
+        F.round(cer_lower_bound_col(F.col("ref"), F.col("hyp")), 2)
+        .alias("b")).collect()
+    assert [(r.cer, r.m) for r in got] == [
+        (0.0, True), (100.0, False), (0.0, True), (100.0, False)]
+    assert all(r.b <= r.cer for r in got)  # it IS a lower bound
