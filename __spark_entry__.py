@@ -265,13 +265,15 @@ def q_wer_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     is byte-based; Spark's is char-based — they agree below codepoint
     128). The Spark operator itself handles ~55k tokens/pair; the
     beyond-byte-range path is pytest-checked against a Python DP."""
-    from ocr_engine_spark.engine.evaluate import wer_col
+    from ocr_engine_spark.engine.evaluate import with_wer
     from ocr_engine_spark.functions.text import tokens_col
     docs = _read(spark, sf_dir, "documents")
     ref60 = F.array_join(F.slice(tokens_col(F.col("text")), 1, 60), " ")
     hyp_t = F.regexp_replace(F.col("text"), "data", "dta")
     hyp60 = F.array_join(F.slice(tokens_col(hyp_t), 1, 60), " ")
-    d = docs.select("source", F.round(wer_col(ref60, hyp60), 4).alias("wer"))
+    d = (with_wer(docs.select("source", ref60.alias("__r"),
+                              hyp60.alias("__h")), "__r", "__h")
+         .select("source", F.round("wer", 4).alias("wer")))
     return (d.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.round(F.avg("wer"), 4).alias("avg_wer"),

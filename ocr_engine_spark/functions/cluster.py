@@ -30,7 +30,7 @@ practice; ``max_iter`` bounds pathological chains.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from ocr_engine_spark.functions.dedup import minhash_dedup_pairs
 
@@ -85,11 +85,15 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                              F.col("comp").alias("jump"))
         jumped = (stepped.join(lut, "comp")
                   .select("node", "old_comp", F.col("jump").alias("comp")))
-        # localCheckpoint: truncate the iterative lineage (reliable
-        # `.checkpoint()` on a cluster with a checkpoint dir)
-        labels = jumped.localCheckpoint()
-        changed = labels.filter(F.col("comp") != F.col("old_comp")).count()
-        if changed == 0:
+        # localCheckpoint truncates the iterative lineage (reliable
+        # `.checkpoint()` on a cluster with a checkpoint dir); the
+        # convergence test rides on observe() of the SAME job — one
+        # action per round, never a second pass over the labels
+        obs = Observation()
+        labels = jumped.observe(
+            obs, F.sum((F.col("comp") != F.col("old_comp")).cast("long"))
+            .alias("changed")).localCheckpoint()
+        if not (obs.get["changed"] or 0):
             break
     else:
         edges.unpersist()

@@ -33,6 +33,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+PRESERVE_MARKER = ("<!-- MANUAL SECTIONS BELOW — preserved verbatim by "
+                   "bench_scaling.py -->")
+
 SPARK_CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
@@ -193,10 +196,21 @@ kernel work is embarrassingly parallel; 4 tasks/slot amortizes the
 no stragglers; nothing is driver-bound or single-partition.
 
 Reproduce: `python tools/bench_scaling.py`.
+
+{PRESERVE_MARKER}
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
-    print("wrote BENCH.md")
+    # everything below the marker (per-round suite analyses, Iceberg
+    # notes, regression tables) is curated by hand — splice it back
+    # instead of clobbering it
+    bench_path = os.path.join(REPO, "BENCH.md")
+    preserved = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        if PRESERVE_MARKER in old:
+            preserved = old.split(PRESERVE_MARKER, 1)[1]
+    with open(bench_path, "w") as f:
+        f.write(md + preserved)
+    print("wrote BENCH.md (preserved manual sections)")
 
 
 if __name__ == "__main__":
