@@ -51,7 +51,8 @@ def token_ids_col(c, vocab_size: int = VOCAB_SIZE):
 
 def pack_sequences(df: DataFrame, seq_len: int, *, id_col: str = "doc_id",
                    text_col: str = "text",
-                   partitions: int | None = None) -> DataFrame:
+                   partitions: int | None = None,
+                   tokenizer=None) -> DataFrame:
     """(seq_id, tokens: array<long> of exactly seq_len) — documents
     concatenated in ``id_col`` order with EOD separators, sliced into
     fixed-length sequences; the incomplete tail is dropped.
@@ -60,8 +61,15 @@ def pack_sequences(df: DataFrame, seq_len: int, *, id_col: str = "doc_id",
     shuffle parallelism). Phase 1 ships exactly one total per partition
     to the driver, so at 10^12 docs you size it like any other shuffle
     (~10^5 partitions of ~10^7 docs), never by id arithmetic.
+
+    ``tokenizer`` is THE tokenizer seam: a ``Column -> Column`` mapping
+    text to ``array<long>`` token ids (default ``token_ids_col``, the
+    oracle-checkable fake vocab). A real tokenizer drops in as a
+    Pandas-UDF column with the same type — the packing math never
+    changes (tested with a swapped tokenizer in test_pack).
     """
     spark = df.sparkSession
+    tokenizer = tokenizer or token_ids_col
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # range partitioning = the global sort order, in bounded pieces; the
@@ -73,7 +81,7 @@ def pack_sequences(df: DataFrame, seq_len: int, *, id_col: str = "doc_id",
     # because range boundaries are deterministic for the same input).
     # Released by ContextCleaner once the returned plan is GC'd.
     d = (df.select(F.col(id_col).alias("__id"),
-                   token_ids_col(F.col(text_col)).alias("__ids"))
+                   tokenizer(F.col(text_col)).alias("__ids"))
          .repartitionByRange(partitions, "__id")
          .withColumn("__part", F.spark_partition_id())
          .withColumn("__n", F.size("__ids"))
