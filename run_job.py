@@ -48,6 +48,8 @@ def main(argv: list[str] | None = None) -> int:
     ev.add_argument("--table", default="extractions")
     ev.add_argument("--golden", required=True, help="golden parquet path")
     ev.add_argument("--degradations", default=None)
+    ev.add_argument("--wer", action="store_true",
+                    help="also report word-level error rate per scope")
 
     st = sub.add_parser("stream", help="streaming ingest")
     st.add_argument("--input", required=True, help="pages directory")
@@ -115,6 +117,21 @@ def main(argv: list[str] | None = None) -> int:
                 if args.degradations else None)
         ev_df = evaluate_extractions(ext, golden, degr)
         summary_metrics(ev_df).orderBy("scope").show(50, truncate=False)
+        if args.wer:
+            from pyspark.sql import functions as F
+            from ocr_engine_spark.engine.evaluate import with_wer
+            g = golden.select(F.col("url").alias("base_url"),
+                              F.col("clean_text").alias("__golden"))
+            joined = (ext.withColumn(
+                "base_url",
+                F.regexp_replace("url", r"_degraded_\d+$", ""))
+                .join(F.broadcast(g), "base_url"))
+            w = with_wer(joined, "__golden", "clean_text")
+            (w.agg(F.count("*").alias("n_docs"),
+                   F.round(F.avg("wer"), 4).alias("avg_wer"),
+                   F.sum((F.col("wer") == 0.0).cast("long"))
+                   .alias("n_word_exact"))
+             .show(truncate=False))
     elif args.cmd == "stream":
         from ocr_engine_spark.streaming.stream_job import (
             read_pages_stream, start_extraction_stream,
