@@ -213,6 +213,32 @@ def host_sessions_stream(pages_stream: DataFrame, *, gap_min: int = 30,
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+def enrich_pages_stream(pages_stream: DataFrame, meta_stream: DataFrame, *,
+                        watermark: str = "1 hour",
+                        join_window: str = "2 hours") -> DataFrame:
+    """STREAM-STREAM inner join: crawl metadata fetched out-of-band
+    (robots verdicts, header probes, fetch status — arriving on its own
+    stream with its own event time) joined to pages on url within an
+    event-time window.
+
+    State shape is the part that matters at 10^12 rows: both sides are
+    watermarked and the join condition carries an explicit event-time
+    RANGE, so Spark's symmetric hash join can evict a buffered row as
+    soon as the other side's watermark passes its window — state is
+    bounded by (watermark + join_window) worth of crawl volume, never
+    unbounded history. Without the time-range predicate the engine
+    would have to buffer both streams forever; this is the canonical
+    bounded-state stream-stream join construction."""
+    p = pages_stream.withWatermark("warc_ts", watermark)
+    m = meta_stream.withWatermark("meta_ts", watermark)
+    cond = F.expr(
+        f"url = meta_url AND "
+        f"meta_ts >= warc_ts - INTERVAL {join_window} AND "
+        f"meta_ts <= warc_ts + INTERVAL {join_window}")
+    return (p.join(m, cond, "inner")
+            .drop("meta_url"))
+
+
 def start_near_dedup_stream(pages_stream: DataFrame, index_path: str,
                             output_root: str, checkpoint_path: str, *,
                             table: str = "pages_deduped",

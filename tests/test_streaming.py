@@ -483,3 +483,67 @@ def test_host_sessions_late_earlier_run_not_absorbed(spark, tmp_path):
                                                        minutes=35)
     assert stored.n_pages == 1
     assert stored.session_start == t0 + datetime.timedelta(hours=3)
+
+
+def test_stream_stream_enrich_join(spark, tmp_path):
+    """Bounded-state stream-stream join: metadata inside the event-time
+    window joins; metadata outside it never does (that range predicate
+    is also what lets the engine evict join state)."""
+    import datetime
+    import time
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocr_engine_spark.streaming.stream_job import enrich_pages_stream
+
+    pages_src = tmp_path / "pages_in"
+    meta_src = tmp_path / "meta_in"
+    pages_src.mkdir()
+    meta_src.mkdir()
+    t0 = datetime.datetime(2025, 5, 1, 12, 0, 0)
+
+    def write_pages(name, rows):
+        tbl = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([b""] * len(rows), pa.binary()),
+            "text": pa.array([""] * len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, str(pages_src / name))
+        time.sleep(0.05)
+
+    def write_meta(name, rows):
+        tbl = pa.table({
+            "meta_url": pa.array([r[0] for r in rows], pa.string()),
+            "meta_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "fetch_status": pa.array([r[2] for r in rows], pa.int64()),
+        })
+        pq.write_table(tbl, str(meta_src / name))
+        time.sleep(0.05)
+
+    write_pages("p1.parquet", [
+        ("https://a.com/1", t0),
+        ("https://a.com/2", t0 + datetime.timedelta(minutes=10))])
+    write_meta("m1.parquet", [
+        # inside the 2h window -> joins
+        ("https://a.com/1", t0 + datetime.timedelta(minutes=30), 200),
+        # outside the window for /2 -> must NOT join
+        ("https://a.com/2", t0 + datetime.timedelta(hours=5), 404),
+        # no matching page url -> no join
+        ("https://b.com/x", t0, 200)])
+
+    pages = (spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string").parquet(str(pages_src)))
+    meta = (spark.readStream.schema(
+        "meta_url string, meta_ts timestamp, fetch_status long")
+        .parquet(str(meta_src)))
+    q = (enrich_pages_stream(pages, meta, watermark="1 hour",
+                             join_window="2 hours")
+         .select("url", "warc_ts", "meta_ts", "fetch_status")
+         .writeStream.format("memory").queryName("enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM enriched ORDER BY url").collect()
+    assert [(r.url, r.fetch_status) for r in rows] == \
+        [("https://a.com/1", 200)]
