@@ -56,6 +56,9 @@ BLOCK_TAGS = frozenset({
     "nav", "header", "footer", "aside", "form", "fieldset", "address",
 })
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_KIND_MAP = {**{h: "heading" for h in HEADING_TAGS}, "p": "para",
+             "li": "list", "dt": "list", "dd": "list",
+             "td": "table", "th": "table"}
 
 _WS_RE = re.compile(r"\s+")
 _CJK_RE = re.compile(r"[一-鿿]")
@@ -94,7 +97,9 @@ class Block:
         scan is O(chars) (skipped entirely for ASCII text)."""
         if self._wu is None:
             t = self.text
-            words = len([w for w in t.split(" ") if w])
+            # text is ' '.join(tokens) with no empty tokens by
+            # construction, so word count == separator count + 1
+            words = t.count(" ") + 1 if t else 0
             cjk = 0 if t.isascii() else len(_CJK_RE.findall(t))
             self._wu = words + cjk // 2
         return self._wu
@@ -143,15 +148,7 @@ class _BlockParser(HTMLParser):
 
     @staticmethod
     def _kind_of(tag: str) -> str | None:
-        if tag in HEADING_TAGS:
-            return "heading"
-        if tag == "p":
-            return "para"
-        if tag in ("li", "dt", "dd"):
-            return "list"
-        if tag in ("td", "th"):
-            return "table"
-        return None
+        return _KIND_MAP.get(tag)
 
     # -- HTMLParser callbacks ---------------------------------------------
     def handle_starttag(self, tag, attrs):

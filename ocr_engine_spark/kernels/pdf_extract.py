@@ -45,6 +45,10 @@ _TOK_RE = re.compile(
 )
 
 
+_ESC_MAP = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+            0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+
+
 def _unescape_pdf_string(raw: bytes) -> str:
     """Decode a paren-delimited literal string body (PDF 32000 §7.3.4.2)."""
     if b"\\" not in raw:  # overwhelmingly common: no escapes at all
@@ -55,8 +59,7 @@ def _unescape_pdf_string(raw: bytes) -> str:
         c = raw[i]
         if c == 0x5C and i + 1 < len(raw):  # backslash
             n = raw[i + 1]
-            esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
-                   0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+            esc = _ESC_MAP
             if n in esc:
                 out.append(esc[n]); i += 2; continue
             if 0x30 <= n <= 0x37:  # octal
@@ -77,17 +80,22 @@ def _parse_content_stream(data: bytes) -> list[tuple[float, float, float, str]]:
     lx = ly = 0.0        # line start (Td/TD are relative to line start)
     size = 12.0
     stack: list = []
+    append = stack.append
     for m in _TOK_RE.finditer(data):
         tok = m.group(0)
-        if tok.startswith(b"("):
-            stack.append(_unescape_pdf_string(tok[1:-1]))
-        elif tok.startswith(b"/"):
-            stack.append(tok)
-        elif tok[:1].isdigit() or tok[0] in b"-+." or (len(tok) > 1 and tok[1:2].isdigit()):
+        # branch on the first byte: the _TOK_RE alternatives are disjoint
+        # by first char — '(' = literal string, '/' = name, digit/-+./ =
+        # number (the operator class has none of those), rest = operator
+        c = tok[0]
+        if c == 0x28:  # '('
+            append(_unescape_pdf_string(tok[1:-1]))
+        elif c == 0x2F:  # '/'
+            append(tok)
+        elif 0x30 <= c <= 0x39 or c == 0x2D or c == 0x2B or c == 0x2E:
             try:
-                stack.append(float(tok))
+                append(float(tok))
             except ValueError:
-                stack.append(tok)
+                append(tok)
         else:
             op = tok
             if op == b"Tf" and len(stack) >= 1 and isinstance(stack[-1], float):
@@ -112,7 +120,7 @@ def _parse_content_stream(data: bytes) -> list[tuple[float, float, float, str]]:
                     ly -= size * 1.2
                     x, y = lx, ly
                 shows.append((x, y, size, stack[-1]))
-                x += sum(len(s) for s in [stack[-1]]) * size * 0.5
+                x += len(stack[-1]) * size * 0.5
             elif op == b"TJ":
                 # array form: strings already on the stack (numbers = kerning)
                 texts = [s for s in stack if isinstance(s, str)]
@@ -120,7 +128,7 @@ def _parse_content_stream(data: bytes) -> list[tuple[float, float, float, str]]:
                     t = "".join(texts)
                     shows.append((x, y, size, t))
                     x += len(t) * size * 0.5
-            stack = []
+            stack.clear()
     return shows
 
 
