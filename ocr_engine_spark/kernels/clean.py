@@ -108,10 +108,21 @@ def fix_table_formatting(text: str) -> str:
 
 
 def normalize_whitespace(text: str) -> str:
-    """Step 5 — ocr_postprocessing.py:64-72 (line-wise rstrip!)."""
-    text = _SPACE_TAB_RE.sub(" ", text)
+    """Step 5 — ocr_postprocessing.py:64-72 (line-wise rstrip!).
+
+    Guards are pure fast paths (profiled: the unguarded ``[ \t]+`` sub
+    matched every single space and rewrote it to itself — ~50% of
+    clean_text time for an identity transform):
+      * ``[ \t]+ -> ' '`` only changes text containing a tab or a
+        2+ run ('  '); single spaces map to themselves.
+      * ``\n\n+ -> '\n\n'`` only changes text containing '\n\n\n'
+        (a bare '\n\n' is already the replacement).
+    """
+    if "\t" in text or "  " in text:
+        text = _SPACE_TAB_RE.sub(" ", text)
     text = "\n".join(line.rstrip() for line in text.split("\n"))
-    text = _BLANK_LINES_RE.sub("\n\n", text)
+    if "\n\n\n" in text:
+        text = _BLANK_LINES_RE.sub("\n\n", text)
     return text.strip()
 
 

@@ -67,46 +67,41 @@ _META_CHARSET_RE = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I)
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
-    """One candidate text block, in document order."""
+    """One candidate text block, in document order.
+
+    ``text`` / ``word_units`` / ``link_density`` are computed once in
+    ``_BlockParser._flush`` when the block is finalized (parts never
+    change after that) — plain attributes, because the classifier and
+    emitter probe them millions of times per batch and property-descriptor
+    dispatch was ~15% of kernel time in tools/profile_kernels.py."""
     block_id: int
     kind: str                    # heading | para | list | table | other
     parts: list[str] = field(default_factory=list)
     link_chars: int = 0
     boilerplate: bool = False
-    _text: str | None = None
-    _wu: int | None = None
+    text: str = ""
+    word_units: int = 0
+    link_density: float = 0.0
 
-    @property
-    def text(self) -> str:
-        if self._text is None:
-            # == _WS_RE.sub(' ', x).strip(): str.split() splits on the
-            # same unicode-whitespace runs, at C speed (hot: per block)
-            self._text = " ".join("".join(self.parts).split())
-        return self._text
-
-    @property
-    def n_chars(self) -> int:
-        return len(self.text)
-
-    @property
-    def word_units(self) -> int:
-        """ASCII-ish words + CJK chars/2 (zh text has no spaces).
-        Cached — the classifier probes it twice per block, and the CJK
-        scan is O(chars) (skipped entirely for ASCII text)."""
-        if self._wu is None:
-            t = self.text
-            # text is ' '.join(tokens) with no empty tokens by
-            # construction, so word count == separator count + 1
-            words = t.count(" ") + 1 if t else 0
-            cjk = 0 if t.isascii() else len(_CJK_RE.findall(t))
-            self._wu = words + cjk // 2
-        return self._wu
-
-    @property
-    def link_density(self) -> float:
-        return self.link_chars / self.n_chars if self.n_chars else 0.0
+    def finalize(self) -> bool:
+        """Collapse parts -> text and precompute the densitometric
+        stats; returns False for whitespace-only blocks (dropped)."""
+        # == _WS_RE.sub(' ', x).strip(): str.split() splits on the
+        # same unicode-whitespace runs, at C speed (hot: per block)
+        t = " ".join("".join(self.parts).split())
+        if not t:
+            return False
+        self.text = t
+        # ASCII-ish words + CJK chars/2 (zh text has no spaces); text is
+        # ' '.join(tokens) with no empty tokens by construction, so word
+        # count == separator count + 1 (CJK scan skipped for ASCII text)
+        words = t.count(" ") + 1
+        cjk = 0 if t.isascii() else len(_CJK_RE.findall(t))
+        self.word_units = words + cjk // 2
+        self.link_density = self.link_chars / len(t)
+        return True
 
 
 class _BlockParser(HTMLParser):
@@ -124,9 +119,11 @@ class _BlockParser(HTMLParser):
 
     # -- helpers ---------------------------------------------------------
     def _flush(self) -> None:
-        if self._cur is not None and self._cur.text:
-            self.blocks.append(self._cur)
-        self._cur = None
+        cur = self._cur
+        if cur is not None:
+            if cur.finalize():
+                self.blocks.append(cur)
+            self._cur = None
 
     def _block(self) -> Block:
         if self._cur is None:
@@ -197,8 +194,6 @@ class _BlockParser(HTMLParser):
             return
         b = self._block()
         b.parts.append(data)
-        b._text = None
-        b._wu = None
         if self._link_depth:
             b.link_chars += len(" ".join(data.split()))
 
@@ -233,20 +228,23 @@ class _FastBlockParser(_BlockParser):
                     data = unescape(data)
                 handle_data(data)
             pos = m.end()
-            tag = m.group("tag")
+            # one C call for all four groups (vs 4 dict-keyed lookups)
+            close, tag, rawattrs, selfclose = m.group(
+                "close", "tag", "attrs", "selfclose")
             if tag is None:
                 continue  # comment / doctype / PI — dropped
             name = tag.lower()
-            if m.group("close"):
+            if close:
                 self.handle_endtag(name)
                 continue
-            rawattrs = m.group("attrs") or ""
+            rawattrs = rawattrs or ""
             # case-insensitive gate (CLASS="nav" must parse like the
             # stdlib path, which lowercases attr names)
             attrs = ([(a[0].lower(), a[1] or a[2] or a[3])
                       for a in _ATTR_RE.findall(rawattrs)]
-                     if _ATTR_GATE_RE.search(rawattrs) else [])
-            if m.group("selfclose"):
+                     if rawattrs and _ATTR_GATE_RE.search(rawattrs)
+                     else [])
+            if selfclose:
                 self.handle_startendtag(name, attrs)
                 continue
             self.handle_starttag(name, attrs)
@@ -318,9 +316,10 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
     promoted. Deterministic two-pass over document order.
     """
     n = len(blocks)
+    ld_max = LINK_DENSITY_MAX
     content = [
         (not b.boilerplate)
-        and b.link_density < LINK_DENSITY_MAX
+        and b.link_density < ld_max
         and b.word_units >= MIN_WORDS
         for b in blocks
     ]
@@ -328,7 +327,7 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
     for i, b in enumerate(blocks):
         if content[i] or b.boilerplate:
             continue
-        if b.link_density >= LINK_DENSITY_MAX:
+        if b.link_density >= ld_max:
             continue
         if b.word_units < NEIGHBOR_MIN_WORDS and b.kind != "heading":
             continue

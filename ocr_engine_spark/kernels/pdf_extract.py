@@ -25,6 +25,10 @@ surya_service.py:150-158).
 from __future__ import annotations
 
 import re
+from operator import itemgetter
+
+_BY_X = itemgetter(0)
+_BY_Y = itemgetter(1)
 
 PAGE_BREAK = "\n\n--- PAGE BREAK ---\n\n"
 
@@ -81,8 +85,9 @@ def _parse_content_stream(data: bytes) -> list[tuple[float, float, float, str]]:
     size = 12.0
     stack: list = []
     append = stack.append
-    for m in _TOK_RE.finditer(data):
-        tok = m.group(0)
+    # findall (no capture groups) hands back the matched bytes directly —
+    # no per-token Match object + .group() call like finditer would cost
+    for tok in _TOK_RE.findall(data):
         # branch on the first byte: the _TOK_RE alternatives are disjoint
         # by first char — '(' = literal string, '/' = name, digit/-+./ =
         # number (the operator class has none of those), rest = operator
@@ -144,20 +149,24 @@ def _layout(shows: list[tuple[float, float, float, str]]) -> str:
     # same runs; ties keep stream order (stable sort).
     med_size = sorted(s[2] for s in shows)[len(shows) // 2]
     tol = max(med_size * 0.5, 1.0)
-    lines: list[dict] = []  # {y, items:[(x, text)]}
-    cur = None
-    for x, y, size, text in sorted(shows, key=lambda s: -s[1]):
-        if cur is None or abs(cur["y"] - y) > tol:
-            cur = {"y": y, "items": [], "size": size}
-            lines.append(cur)
-        cur["items"].append((x, text))
+    lines: list[tuple[float, float, list]] = []  # (y, size, items:[(x, text)])
+    cur_y = None
+    cur_items: list = []
+    # sorted(..., reverse=True) is stable: ties keep stream order, same
+    # as the previous key=-y form
+    for x, y, size, text in sorted(shows, key=_BY_Y, reverse=True):
+        if cur_y is None or cur_y - y > tol or y - cur_y > tol:
+            cur_items = []
+            lines.append((y, size, cur_items))
+            cur_y = y
+        cur_items.append((x, text))
     # 2. reading order: top-to-bottom (-y) already established by the
     # sort; left-to-right within line below
     line_texts: list[tuple[float, float, str]] = []
-    for ln in lines:
-        ln["items"].sort(key=lambda it: it[0])
+    for ly, lsize, items in lines:
+        items.sort(key=_BY_X)
         line_texts.append(
-            (ln["y"], ln["size"], " ".join(t for _, t in ln["items"]).strip()))
+            (ly, lsize, " ".join(t for _, t in items).strip()))
     # 3. blocks: vertical gap > 1.8x leading starts a new block
     blocks: list[list[str]] = [[]]
     prev_y = None
