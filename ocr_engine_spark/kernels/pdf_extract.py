@@ -41,11 +41,31 @@ _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b")
 _PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
 
 # content-stream tokens we understand
+_NUM = rb"[-+]?\d*\.?\d+"
+_STR = rb"\((?:[^()\\]|\\.)*\)"
 _TOK_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)"      # literal string
-    rb"|/[A-Za-z0-9_.]+"          # name
-    rb"|[-+]?\d*\.?\d+"           # number
-    rb"|[A-Za-z'\"*]+"            # operator
+    _STR                          # literal string
+    + rb"|/[A-Za-z0-9_.]+"        # name
+    + rb"|" + _NUM                # number
+    + rb"|[A-Za-z'\"*]+"          # operator
+)
+
+# Fast path: the two overwhelmingly common show sequences —
+# ``a b c d e f Tm (s) Tj`` and ``dx dy Td/TD (s) Tj`` — matched whole,
+# so one C-level match replaces ~9 Python token iterations. Anything
+# else falls through to the generic token branch (the alternatives
+# below the composites are _TOK_RE verbatim, groupless). Semantics are
+# identical: Tm/Td consume the trailing two numbers and Tj clears the
+# stack, so pending stack junk is discarded either way.
+_FAST_RE = re.compile(
+    rb"(?:" + _NUM + rb"\s+){4}(?P<tmx>" + _NUM + rb")\s+(?P<tmy>"
+    + _NUM + rb")\s+Tm\s*(?P<tms>" + _STR + rb")\s*Tj"
+    rb"|(?P<tdx>" + _NUM + rb")\s+(?P<tdy>" + _NUM
+    + rb")\s+T[dD]\s*(?P<tds>" + _STR + rb")\s*Tj"
+    rb"|" + _STR
+    + rb"|/[A-Za-z0-9_.]+"
+    + rb"|" + _NUM
+    + rb"|[A-Za-z'\"*]+"
 )
 
 
@@ -85,9 +105,28 @@ def _parse_content_stream(data: bytes) -> list[tuple[float, float, float, str]]:
     size = 12.0
     stack: list = []
     append = stack.append
-    # findall (no capture groups) hands back the matched bytes directly —
-    # no per-token Match object + .group() call like finditer would cost
-    for tok in _TOK_RE.findall(data):
+    shows_append = shows.append
+    unescape = _unescape_pdf_string
+    for m in _FAST_RE.finditer(data):
+        li = m.lastindex
+        if li:  # composite Tm/Td + show fast path
+            if li == 3:  # Tm form: groups (tmx, tmy, tms) = 1, 2, 3
+                gx, gy, tms = m.group(1, 2, 3)
+                lx = float(gx); ly = float(gy)
+            else:        # Td form: groups (tdx, tdy, tds) = 4, 5, 6
+                gx, gy, tms = m.group(4, 5, 6)
+                lx += float(gx); ly += float(gy)
+            x, y = lx, ly
+            body = tms[1:-1]
+            # inlined _unescape fast path (no escapes = plain decode)
+            t = (body.decode("latin-1") if 0x5C not in body
+                 else unescape(body))
+            shows_append((x, y, size, t))
+            x += len(t) * size * 0.5
+            if stack:
+                stack.clear()
+            continue
+        tok = m.group(0)
         # branch on the first byte: the _TOK_RE alternatives are disjoint
         # by first char — '(' = literal string, '/' = name, digit/-+./ =
         # number (the operator class has none of those), rest = operator
@@ -166,7 +205,7 @@ def _layout(shows: list[tuple[float, float, float, str]]) -> str:
     for ly, lsize, items in lines:
         items.sort(key=_BY_X)
         line_texts.append(
-            (ly, lsize, " ".join(t for _, t in items).strip()))
+            (ly, lsize, " ".join([t for _, t in items]).strip()))
     # 3. blocks: vertical gap > 1.8x leading starts a new block
     blocks: list[list[str]] = [[]]
     prev_y = None
