@@ -294,7 +294,8 @@ def run_resumable_extract(spark: SparkSession, pages_path: str,
                           catalog: "ManifestCatalog | IcebergCatalog", *,
                           table: str = "extractions",
                           n_batches: int = 8,
-                          fail_after_batches: int | None = None) -> dict:
+                          fail_after_batches: int | None = None,
+                          source_format: str = "parquet") -> dict:
     """Resumable extraction driver (north_rule checkpoint semantics).
 
     The input is split into ``n_batches`` deterministic url-hash buckets
@@ -304,11 +305,17 @@ def run_resumable_extract(spark: SparkSession, pages_path: str,
     the commit/skip protocol is identical.
 
     ``fail_after_batches`` injects a crash for the resume test.
+    ``source_format='warc'`` reads raw Common-Crawl WARC files instead
+    of the pages parquet (sources/warc.py) — same downstream protocol.
     """
     from ocr_engine_spark.engine.extract_job import extract_pages, read_pages
 
     done = catalog.committed_batches(table)
-    pages = read_pages(spark, pages_path)
+    if source_format == "warc":
+        from ocr_engine_spark.sources.warc import read_warc
+        pages = read_warc(spark, pages_path)
+    else:
+        pages = read_pages(spark, pages_path)
     ran = []
     for b in range(n_batches):
         if b in done:

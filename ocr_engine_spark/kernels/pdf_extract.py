@@ -16,15 +16,17 @@ raw_text_ground_truth.json:28``), we parse the PDF text layer directly:
      gap > 1.8x leading splits a block)
   4. page texts joined with '\\n\\n--- PAGE BREAK ---\\n\\n' byte-exactly
 
-Scope: uncompressed (no /Filter) streams, literal strings, Latin-1 text
-— exactly what the deterministic fixture corpus emits. Anything else
-degrades to an error record, never an exception (errors-are-data,
+Scope: uncompressed or FlateDecode (zlib) streams, literal strings,
+Latin-1 text — the deterministic fixture corpus emits the former; real
+crawled PDFs near-universally use the latter. Anything else degrades to
+an error record, never an exception (errors-are-data,
 surya_service.py:150-158).
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 from operator import itemgetter
 
 _BY_X = itemgetter(0)
@@ -218,6 +220,28 @@ def _layout(shows: list[tuple[float, float, float, str]]) -> str:
     return "\n".join("\n".join(b) for b in blocks if b)
 
 
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
+
+
+def _resolve_stream(obj_body: bytes) -> bytes:
+    """stream...endstream bytes of one object, FlateDecode-expanded.
+
+    Real-world PDFs near-universally compress content streams
+    (``/Filter /FlateDecode``, PDF 32000 §7.4.4 = raw zlib/deflate);
+    the deterministic fixtures stay uncompressed. decompressobj (not
+    zlib.decompress) tolerates trailing bytes the lazy ``endstream``
+    match may leave. A corrupt stream raises -> the whole document
+    becomes one error record (errors-are-data, surya_service.py:150-158).
+    """
+    sm = _STREAM_RE.search(obj_body)
+    if not sm:
+        return b""
+    data = sm.group(1)
+    if _FLATE_RE.search(obj_body[:sm.start()]):
+        data = zlib.decompressobj().decompress(data)
+    return data
+
+
 def extract_pdf(payload: bytes) -> dict:
     """Extract text + spans from one PDF payload.
 
@@ -245,15 +269,10 @@ def extract_pdf(payload: bytes) -> dict:
         for pid in page_ids:
             body = objs.get(pid, b"")
             cm = _CONTENTS_RE.search(body)
-            stream = b""
             if cm and int(cm.group(1)) in objs:
-                sm = _STREAM_RE.search(objs[int(cm.group(1))])
-                if sm:
-                    stream = sm.group(1)
+                stream = _resolve_stream(objs[int(cm.group(1))])
             else:  # inline contents stream on the page object
-                sm = _STREAM_RE.search(body)
-                if sm:
-                    stream = sm.group(1)
+                stream = _resolve_stream(body)
             page_texts.append(_layout(_parse_content_stream(stream)))
         text = PAGE_BREAK.join(page_texts)
         spans = []

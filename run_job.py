@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
 
     ex = sub.add_parser("extract", help="resumable extraction job")
     ex.add_argument("--input", required=True, help="pages parquet path")
+    ex.add_argument("--format", default="parquet", choices=["parquet", "warc"],
+                    help="input format (warc = raw Common-Crawl archives)")
     ex.add_argument("--output", required=True, help="catalog root dir")
     ex.add_argument("--table", default="extractions")
     ex.add_argument("--batches", type=int, default=8)
@@ -103,7 +105,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         cat = ManifestCatalog(args.output)
         res = run_resumable_extract(spark, args.input, cat,
-                                    table=args.table, n_batches=args.batches)
+                                    table=args.table, n_batches=args.batches,
+                                    source_format=args.format)
         print(json.dumps(res))
     elif args.cmd == "evaluate":
         from ocr_engine_spark.engine.catalog import ManifestCatalog

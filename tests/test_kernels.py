@@ -189,3 +189,45 @@ def test_fast_scanner_matches_stdlib_parser(corpus_dir):
                [x.text for x, k in zip(b.blocks, kb) if k], u
         n_checked += 1
     assert n_checked > 200
+
+
+def _flate_compress_pdf(payload: bytes) -> bytes:
+    """Rewrite every stream object to /Filter /FlateDecode + zlib bytes."""
+    import re as _re
+    import zlib as _zlib
+
+    def one(m):
+        head, body = m.group(1), m.group(2)
+        comp = _zlib.compress(body)
+        head = head.replace(b"<<", b"<< /Filter /FlateDecode ", 1)
+        return head + b"stream\n" + comp + b"\nendstream"
+
+    out = _re.sub(rb"(<<[^>]*>>\s*)stream\r?\n(.*?)\r?\n?endstream",
+                  one, payload, flags=_re.S)
+    assert out != payload  # the rewrite must have found streams
+    return out
+
+
+def test_pdf_flatedecode_streams_match_uncompressed():
+    """A FlateDecode-compressed variant of a fixture PDF extracts
+    byte-identically to its uncompressed twin (PDF 32000 §7.4.4)."""
+    rng = random.Random(23)
+    for _ in range(5):
+        pages = make_pdf_blocks(rng)
+        payload = make_pdf(pages, rng)
+        plain = extract_pdf(payload)
+        comp = extract_pdf(_flate_compress_pdf(payload))
+        assert plain["status"] == comp["status"] == "success"
+        assert comp["text"] == plain["text"] == expected_pdf_text(pages)
+        assert comp["spans"] == plain["spans"]
+
+
+def test_pdf_corrupt_flate_stream_is_error_record():
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+           b"\x78\x9cNOT REAL ZLIB DATA\nendstream\nendobj\n")
+    r = extract_pdf(pdf)
+    assert r["status"] == "error"
+    assert r["text"] is None
