@@ -684,6 +684,34 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_eod.cast("long")).alias("n_eod"))
 
 
+def q_kgram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-k-gram removal (functions/dedup.dedup_kgrams —
+    word-granularity substring dedup, Lee et al. 2022 keep-first
+    semantics). k=3 on the small-vocab corpus makes trigram collisions
+    dense, so the removal path does real work; the per-doc md5 digest
+    of the rebuilt text makes any mis-kept/mis-dropped position a
+    hash mismatch against the DuckDB replay."""
+    from ocr_engine_spark.functions.dedup import dedup_kgrams
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup_kgrams(docs, 3)
+    return (out.select("doc_id", "n_tokens", "n_removed",
+                       F.md5("deduped_text").alias("digest"))
+            .orderBy("doc_id"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count per-language corpus sample (functions/sample.py):
+    20 docs per lang by portable md5 rank, computed with the
+    range-partition prefix rank (no one-task-per-stratum window).
+    The oracle replays the identical selection with a plain window —
+    same rows, same global ranks, or hash mismatch."""
+    from ocr_engine_spark.functions.sample import stratified_sample
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(docs, 20, rank_out="rank")
+    return (out.select("lang", "rank", "doc_id", "n_chars")
+            .orderBy("lang", "rank"))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style filter CHAIN composed from the standalone
     signals (length, quality score, repetition): per-rule drop counts +
@@ -855,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_prune": q_line_prune,
         "quality_filter": q_quality_filter,
         "pack_sequences": q_pack_sequences,
+        "kgram_dedup": q_kgram_dedup,
+        "stratified_sample": q_stratified_sample,
         "repetition_ratio": q_repetition_ratio,
         "host_skew": q_host_skew,
     }
@@ -1784,6 +1814,53 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         "line_prune": _LINE_PRUNE_ORACLE,
         "pack_sequences": _pack_sequences_oracle(),
+        "kgram_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS p,
+                     array_to_string(t[i:i+2], ' ') AS gr
+              FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+            r AS (
+              SELECT doc_id, p,
+                     row_number() OVER (PARTITION BY gr
+                                        ORDER BY doc_id, p) AS rn
+              FROM g),
+            cov AS (
+              SELECT DISTINCT doc_id, q FROM (
+                SELECT doc_id, unnest(generate_series(p, p + 2)) AS q
+                FROM r WHERE rn >= 2)),
+            pos AS (
+              SELECT doc_id, i - 1 AS q, t[i] AS w
+              FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+            kept AS (
+              SELECT pos.doc_id, pos.q, pos.w
+              FROM pos LEFT JOIN cov
+                ON pos.doc_id = cov.doc_id AND pos.q = cov.q
+              WHERE cov.doc_id IS NULL),
+            reb AS (
+              SELECT doc_id, string_agg(w, ' ' ORDER BY q) AS txt,
+                     count(*) AS kept_n
+              FROM kept GROUP BY doc_id)
+            SELECT toks.doc_id, len(t)::BIGINT AS n_tokens,
+                   (len(t) - coalesce(kept_n, 0))::BIGINT AS n_removed,
+                   md5(coalesce(txt, '')) AS digest
+            FROM toks LEFT JOIN reb ON toks.doc_id = reb.doc_id
+            ORDER BY toks.doc_id
+        """,
+        "stratified_sample": r"""
+            WITH r AS (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(lang || chr(31)
+                                    || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rank
+              FROM documents)
+            SELECT lang, rank, doc_id, n_chars
+            FROM r WHERE rank <= 20
+            ORDER BY lang, rank
+        """,
         "quality_filter": f"""
             WITH d AS (
               SELECT doc_id,

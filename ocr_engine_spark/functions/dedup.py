@@ -477,3 +477,84 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                     simhash_hamming_col(F.col("sh_a"), F.col("sh_b"))
                     .alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-k-gram removal (substring dedup, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def dedup_kgrams(df: DataFrame, k: int = 50, *, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 out_col: str = "deduped_text") -> DataFrame:
+    """Remove every word-k-gram that occurs more than once corpus-wide,
+    keeping only its FIRST occurrence in global (doc_id, position)
+    order — word-granularity exact substring dedup in the style of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), where the trained-on corpus should contain each long
+    duplicated span once.
+
+    Semantics (engine-portable, DuckDB-oracle-checkable):
+      * tokens = split(text, " ") (positions 0-based);
+      * a k-gram starts at every position p with p + k <= n_tokens;
+      * an occurrence is a duplicate iff a lexicographically smaller
+        (doc_id, p) occurrence of the same k-gram exists anywhere in
+        the corpus;
+      * the removed set is the UNION of [p, p+k) over all duplicate
+        occurrences (overlap with a kept first occurrence does not
+        protect a position); remaining tokens rejoin with " ".
+
+    Scale design — NO window over the gram key: a boilerplate gram can
+    occur 10^8 times and ``Window.partitionBy(gram)`` would sort it in
+    one task. Instead the first occurrence per gram is a groupBy
+    ``min(struct(doc_id, pos))`` — map-side partial aggregation absorbs
+    hot grams before the shuffle — and duplicates are the join-back
+    minus that argmin. Shuffles: gram argmin, gram join-back, covered-
+    position distinct, anti-join, per-doc reassembly — all on keys with
+    bounded skew (AQE handles residual hot docs).
+    """
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      F.split(F.col(text_col), " ").alias("__t"))
+            .withColumn("__n", F.size("__t")))
+    # materialized token array -> one transform builds all gram strings
+    # (HOF inputs materialized per the codegen note in functions/text)
+    grams = (toks.withColumn(
+                "__grams",
+                F.when(F.col("__n") < k,
+                       F.array().cast("array<string>"))
+                 .otherwise(F.transform(
+                     F.sequence(F.lit(1), F.col("__n") - k + 1),
+                     lambda i: F.array_join(F.slice("__t", i, k), " "))))
+             .select("__id", F.posexplode("__grams").alias("__p", "__g")))
+    firsts = (grams.groupBy("__g")
+              .agg(F.min(F.struct("__id", "__p")).alias("__first"),
+                   F.count("*").alias("__c"))
+              .filter(F.col("__c") > 1))
+    dup_occ = (grams.join(firsts, "__g")
+               .filter(F.struct("__id", "__p") != F.col("__first")))
+    covered = (dup_occ
+               .select("__id",
+                       F.explode(F.sequence(
+                           F.col("__p"),
+                           F.col("__p") + k - 1)).alias("__p"))
+               .distinct())
+    pos = toks.select("__id", F.posexplode("__t").alias("__p", "__w"))
+    kept = pos.join(covered, ["__id", "__p"], "left_anti")
+    rebuilt = (kept.groupBy("__id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("__p"), F.col("__w")))),
+                            lambda s: s["__w"]),
+                        " ").alias(out_col),
+                    F.count("*").alias("__kept")))
+    return (df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+            .drop("__id")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+            .withColumn("n_tokens",
+                        F.size(F.split(F.col(text_col), " "))
+                        .cast("long"))
+            .withColumn("n_removed",
+                        (F.col("n_tokens")
+                         - F.coalesce(F.col("__kept"), F.lit(0)))
+                        .cast("long"))
+            .drop("__kept"))

@@ -29,6 +29,9 @@ COLLECT_ALLOWLIST = {
     "functions/pack.py": [
         '.orderBy("__part").collect())',  # per-partition totals: |parts|
     ],
+    "functions/sample.py": [
+        '.orderBy(strata_col, "__part").collect())',  # |parts|+|strata|
+    ],
     "functions/dedup.py": [
         '"params")).first()',       # index params: 1 row
     ],
