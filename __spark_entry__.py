@@ -528,6 +528,38 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.round("cosine", 5).alias("cosine"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): deterministic k-means over the
+    embedding space (hash-sampled seed + 2 Lloyd iterations), pairwise
+    cosine WITHIN each cluster only, connected components over the
+    >=0.95 pairs, keep the member with the LOWEST centroid cosine per
+    duplicate set. Corpus: embeddings doubled with a +0.01 shift so
+    copy pairs sit at cosine >= 0.9967 (min, sf0.001) while the
+    nearest non-copy pair is ~0.65 — no boundary pairs. Oracle: DuckDB
+    replays the whole thing (Lloyd chain as CTEs like ivf_topk, pair
+    join, recursive-CTE components, keep window) value-for-value."""
+    from ocr_engine_spark.functions.semdedup import semantic_dedup_decisions
+    emb = _read(spark, sf_dir, "embeddings")
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01))
+         .alias("embedding"))
+    doubled = emb.select("vec_id", "embedding").unionByName(shifted)
+    # SemDeDup sizes k so the EXPECTED CELL stays bounded (the paper
+    # uses 110k clusters for LAION-440M ~ fixed rows/cell); the same
+    # rule here keeps the within-cell quadratic flat across scale
+    # factors instead of blowing up 100x per 10x corpus growth:
+    # k = max(8, n // 128) -> 8 cells at sf<=0.01, 31 at sf0.1. The
+    # oracle replays the identical integer rule in SQL (greatest +
+    # // over count(*) OVER ()).
+    k = max(8, (2 * emb.count()) // 128)
+    return (semantic_dedup_decisions(doubled, n_centroids=k,
+                                     threshold=0.95)
+            .select("vec_id", "cell", "cluster_id", "centroid_cosine",
+                    "keep")
+            .orderBy("vec_id"))
+
+
 def q_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal columns: decode typed metadata from opaque binary
     image/audio/video payloads (deterministic fake codec; real Spark
@@ -873,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         "media_profile": q_media_profile,
         "extraction_pipeline": q_extraction_pipeline,
         "nested_fields": q_nested_fields,
@@ -950,18 +983,11 @@ def _minhash_signatures_oracle() -> str:
     """
 
 
-def _ivf_topk_oracle(n_centroids: int = 8, n_probe: int = 4,
-                     k: int = 10, n_assign: int = 2,
-                     refine_iters: int = 2) -> str:
-    """Replay the deterministic IVF query in DuckDB: hash-sampled seed
-    centroids (same portable md5 order key as
-    similarity.sample_hash_col), ``refine_iters`` Lloyd iterations
-    (nearest-cell assignment with ties to the lowest cell -> per-cell
-    per-dimension means rounded to 10 decimals, the portability grid
-    refine_centroids rounds to), L2 normalization, top-2 redundant
-    assignment, top-n_probe cells by query-centroid cosine, exact
-    top-k within probed cells."""
-    hash_key = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
+def _lloyd_cte_sql(refine_iters: int) -> tuple[str, str]:
+    """The deterministic Lloyd-refinement CTE chain shared by the
+    ivf_topk and semantic_dedup oracles. References CTEs ``e(vec_id,
+    v)`` (the corpus) and ``cseed(cell, cv, ucv)`` (the hash-sampled
+    seed); returns (chain_sql_with_leading_comma, last_cte_name)."""
     lloyd = []
     prev = "cseed"
     for it in range(refine_iters):
@@ -991,7 +1017,22 @@ def _ivf_topk_oracle(n_centroids: int = 8, n_probe: int = 4,
                    AS ucv
           FROM {prev} p LEFT JOIN l{it} l USING (cell))""")
         prev = f"c{it}"
-    lloyd_sql = ("," + ",".join(lloyd)) if lloyd else ""
+    return ("," + ",".join(lloyd)) if lloyd else "", prev
+
+
+def _ivf_topk_oracle(n_centroids: int = 8, n_probe: int = 4,
+                     k: int = 10, n_assign: int = 2,
+                     refine_iters: int = 2) -> str:
+    """Replay the deterministic IVF query in DuckDB: hash-sampled seed
+    centroids (same portable md5 order key as
+    similarity.sample_hash_col), ``refine_iters`` Lloyd iterations
+    (nearest-cell assignment with ties to the lowest cell -> per-cell
+    per-dimension means rounded to 10 decimals, the portability grid
+    refine_centroids rounds to), L2 normalization, top-2 redundant
+    assignment, top-n_probe cells by query-centroid cosine, exact
+    top-k within probed cells."""
+    hash_key = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
+    lloyd_sql, prev = _lloyd_cte_sql(refine_iters)
     return f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                    WHERE vec_id = 0),
@@ -1030,6 +1071,77 @@ def _ivf_topk_oracle(n_centroids: int = 8, n_probe: int = 4,
         ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
                  e.vec_id ASC
         LIMIT {k}
+    """
+
+
+def _semantic_dedup_oracle(n_centroids: int = 8, threshold: float = 0.95,
+                           refine_iters: int = 2) -> str:
+    """Full SQL replay of q_semantic_dedup: doubled +0.01-shift corpus,
+    hash-sampled + Lloyd-refined centroids (shared chain with the
+    ivf_topk oracle) with the ADAPTIVE k rule (max(n_centroids,
+    corpus // 128) — identical integer arithmetic to the Spark side),
+    nearest-cell assignment with ties to the lowest cell, within-cell
+    pairwise cosine thresholding, recursive-CTE connected components
+    over the pair edges, and the SemDeDup keep rule (lowest centroid
+    cosine per component, ties to lowest id)."""
+    hash_key = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
+    lloyd_sql, prev = _lloyd_cte_sql(refine_iters)
+    return f"""
+        WITH RECURSIVE eb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (
+          SELECT vec_id, v FROM eb
+          UNION ALL
+          SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01)
+          FROM eb),
+        c0seed AS (
+          SELECT vec_id, v AS cv FROM e
+          QUALIFY row_number() OVER (ORDER BY {hash_key} ASC, vec_id ASC)
+                  <= greatest({n_centroids}, count(*) OVER () // 128)),
+        cseed AS (
+          SELECT row_number() OVER (ORDER BY {hash_key} ASC, vec_id ASC)
+                   - 1 AS cell,
+                 cv,
+                 list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+                   AS ucv
+          FROM c0seed){lloyd_sql},
+        c AS (SELECT cell, cv, ucv FROM {prev}),
+        asg AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.ucv) DESC,
+                              c.cell ASC) AS rn
+            FROM e CROSS JOIN c) WHERE rn = 1),
+        sc AS (
+          SELECT a.vec_id, a.v, a.cell,
+                 round(list_dot_product(a.v, c.ucv)
+                       / sqrt(list_dot_product(a.v, a.v)), 6)
+                     AS centroid_cosine
+          FROM asg a JOIN c USING (cell)),
+        pairs AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM asg x JOIN asg y
+            ON x.cell = y.cell AND x.vec_id < y.vec_id
+          WHERE round(list_cosine_similarity(x.v, y.v), 6)
+                >= {threshold}),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(n, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e2.d, reach.r FROM reach JOIN edges e2 ON e2.s = reach.n),
+        comp AS (SELECT n AS vec_id, min(r) AS cluster_id
+                 FROM reach GROUP BY n)
+        SELECT sc.vec_id::BIGINT AS vec_id,
+               sc.cell::INT AS cell,
+               comp.cluster_id::BIGINT AS cluster_id,
+               sc.centroid_cosine,
+               (row_number() OVER (PARTITION BY comp.cluster_id
+                  ORDER BY sc.centroid_cosine ASC, sc.vec_id ASC) = 1)
+                   AS keep
+        FROM comp JOIN sc ON sc.vec_id = comp.vec_id
+        ORDER BY vec_id
     """
 
 
@@ -1766,6 +1878,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE cosine >= 0.7
         """,
         "ivf_topk": _ivf_topk_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

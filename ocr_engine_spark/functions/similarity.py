@@ -76,17 +76,38 @@ def brute_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 def ivf_assign(embeddings: DataFrame, centroids: list[tuple[int, list[float]]],
                id_col: str = "vec_id", vec_col: str = "embedding",
-               n_assign: int = 1) -> DataFrame:
-    """Assign every vector to its nearest centroid(s) — MAP-ONLY: the
-    centroid table is a constant array<struct<cell, unit-centroid>>
-    literal and the argmax is one aggregate fold per row. No crossJoin,
-    no window, no shuffle: at 10^12 rows assignment is embarrassingly
-    parallel and the shuffle (if any) is the caller's bucketed write.
+               n_assign: int = 1, method: str = "auto") -> DataFrame:
+    """Assign every vector to its nearest centroid(s) — MAP-ONLY: no
+    crossJoin, no window, no shuffle: at 10^12 rows assignment is
+    embarrassingly parallel and the shuffle (if any) is the caller's
+    bucketed write.
+
+    Two physical strategies, IDENTICAL results bit-for-bit:
+
+      * ``fold`` — the centroid table is a constant
+        array<struct<cell, unit-centroid>> literal and the argmax is
+        one aggregate fold per row, pure JVM expressions. Catalyst
+        HOFs are interpreted (never codegen'd), so per-row cost is
+        ~k x dim interpreted evals — fine for small k, ~0.5 ms/row by
+        k=32.
+      * ``arrow`` — Arrow-batched pandas UDF over a broadcast k x dim
+        float64 centroid matrix. Scores accumulate DIM-SEQUENTIALLY
+        (``acc += M[:,j] * C[:,j]`` for j in 0..dim-1, vectorized over
+        rows) — the exact IEEE operation sequence of the fold's
+        left-to-right ``acc + (a_j * b_j)``, so scores (and therefore
+        argmax + tie-breaks) are bit-identical to the fold and the
+        SQL oracles keep passing. ~100x faster at k >= 32; the ONLY
+        viable shape at SemDeDup scale (paper: 110k centroids).
+
+    ``auto`` picks arrow when k x dim > 1024 (interpreted-fold cost
+    crosses the Arrow serialization overhead), fold otherwise.
 
     Centroids are L2-normalized driver-side so per-row score =
     dot(v, unit_centroid); dividing by |v| (common positive factor)
     cannot change the argmax, so cosine order is preserved exactly.
-    Ties break to the lowest cell id (centroid array order).
+    Ties break to the lowest cell id (centroid array order): the fold
+    keeps the first strictly-greater score; ``np.argmax`` returns the
+    first occurrence of the max — same rule.
 
     ``n_assign=2`` (redundant/spill assignment) emits one row per
     vector per its top-2 cells: a boundary vector — whose neighbors
@@ -95,6 +116,12 @@ def ivf_assign(embeddings: DataFrame, centroids: list[tuple[int, list[float]]],
     probes must dedupe on id (IvfIndex.topk / ivf_topk do)."""
     import math
     assert n_assign in (1, 2)
+    assert method in ("auto", "fold", "arrow")
+    if method == "auto":
+        dim = len(centroids[0][1]) if centroids else 0
+        method = "arrow" if len(centroids) * dim > 1024 else "fold"
+    if method == "arrow":
+        return _ivf_assign_arrow(embeddings, centroids, vec_col, n_assign)
     cstructs = []
     for cid, vec in centroids:
         nrm = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
@@ -131,6 +158,61 @@ def ivf_assign(embeddings: DataFrame, centroids: list[tuple[int, list[float]]],
              .otherwise(acc)))
     return embeddings.withColumn(
         "cell", F.explode(F.array(best2["c1"], best2["c2"])))
+
+
+def _ivf_assign_arrow(embeddings: DataFrame,
+                      centroids: list[tuple[int, list[float]]],
+                      vec_col: str, n_assign: int) -> DataFrame:
+    """Arrow strategy for ivf_assign — see its docstring for the
+    bit-identity argument. Centroid normalization reuses the fold
+    path's exact Python arithmetic (sqrt of a left-to-right float sum,
+    then x / nrm), so the broadcast matrix holds the same doubles the
+    fold's literals would."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cells_np = np.array([int(cid) for cid, _ in centroids], dtype="int32")
+    mat = np.empty((len(centroids), len(centroids[0][1])), dtype="float64")
+    for i, (_, vec) in enumerate(centroids):
+        nrm = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+        mat[i] = [float(x) / nrm for x in vec]
+    bc = embeddings.sparkSession.sparkContext.broadcast((cells_np, mat))
+
+    def _scores(vs: pd.Series):
+        cells, C = bc.value
+        M = np.stack(vs.to_numpy())
+        acc = np.zeros((M.shape[0], C.shape[0]), dtype="float64")
+        for j in range(C.shape[1]):  # dim-sequential == fold order
+            acc += M[:, j, None] * C[None, :, j]
+        return cells, acc
+
+    v = F.col(vec_col).cast("array<double>")
+    if n_assign == 1:
+        @pandas_udf("int")
+        def _cell1(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            cells, acc = _scores(vs)
+            return pd.Series(cells[np.argmax(acc, axis=1)])
+
+        return embeddings.withColumn("cell", _cell1(v))
+
+    @pandas_udf("array<int>")
+    def _cell2(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        cells, acc = _scores(vs)
+        i1 = np.argmax(acc, axis=1)
+        if acc.shape[1] == 1:  # fold keeps c2 = -1 (init) when k == 1
+            return pd.Series([[int(a), -1] for a in cells[i1]])
+        acc[np.arange(acc.shape[0]), i1] = float("-inf")
+        i2 = np.argmax(acc, axis=1)
+        return pd.Series([[int(a), int(b)]
+                          for a, b in zip(cells[i1], cells[i2])])
+
+    return embeddings.withColumn("cell", F.explode(_cell2(v)))
 
 
 def sample_hash_col(id_col: str) -> Column:
@@ -369,6 +451,58 @@ def lsh_recall_estimate(threshold: float, n_bands: int,
     return 1.0 - (1.0 - p ** rows_per_band) ** n_bands
 
 
+def verify_cosine_pairs(base: DataFrame, cands: DataFrame,
+                        threshold: float, *,
+                        broadcast_max_bytes: int = 64 << 20) -> DataFrame:
+    """Exact-cosine verification of candidate id pairs — the shared
+    tail of every bucketed similarity operator (LSH, SemDeDup cells).
+
+    ``base`` is (id, v: array<double>) — persisted by the caller;
+    ``cands`` is (id_a, id_b). Two result-identical paths: when the
+    whole vector matrix fits ``broadcast_max_bytes`` it is broadcast
+    once and only the 16 B/pair ID tuples cross Arrow (dominant when
+    candidates are dense); otherwise candidates equi-join their two
+    vectors (candidates ≪ corpus at table scale, so the joins shuffle
+    only candidate rows). Both run the same einsums over the same rows
+    — bit-equal cosines, rounded to 6 before thresholding."""
+    n_vec = base.count()
+    first = base.select("v").first()
+    dim = len(first[0]) if first else 0
+    if n_vec * dim * 8 <= broadcast_max_bytes:
+        import numpy as np
+        rows = base.collect()  # bounded by broadcast_max_bytes (guard)
+        index = {r["id"]: i for i, r in enumerate(rows)}
+        M = np.stack([np.asarray(r["v"], dtype="float64")
+                      for r in rows]) if rows else np.zeros((0, 0))
+        bc = base.sparkSession.sparkContext.broadcast((index, M))
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _cos_by_id(ida: pd.Series, idb: pd.Series) -> pd.Series:
+            import numpy as np
+            idx, mat = bc.value
+            if len(ida) == 0:
+                return pd.Series([], dtype="float64")
+            a = mat[[idx[i] for i in ida]]
+            b = mat[[idx[i] for i in idb]]
+            num = np.einsum("ij,ij->i", a, b)
+            den = (np.sqrt(np.einsum("ij,ij->i", a, a))
+                   * np.sqrt(np.einsum("ij,ij->i", b, b)))
+            return pd.Series(num / den)
+
+        pair_cos = _cos_by_id(F.col("id_a"), F.col("id_b"))
+        return (cands
+                .select("id_a", "id_b",
+                        F.round(pair_cos, 6).alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    bb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pair_cos = cosine_pairs_udf()(F.col("va"), F.col("vb"))
+    return (cands.join(a, "id_a").join(bb, "id_b")
+            .select("id_a", "id_b", F.round(pair_cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
 def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
                       n_bands: int = 8, rows_per_band: int = 2,
                       seed: int = 42,
@@ -420,42 +554,5 @@ def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
               .select(F.col("l.id").alias("id_a"),
                       F.col("r.id").alias("id_b"))
               .distinct())
-    n_vec = base.count()
-    if n_vec * dim * 8 <= broadcast_max_bytes:
-        # small/mid table: ship the WHOLE matrix to workers once and
-        # send only (id_a, id_b) through Arrow — the join path moves
-        # two full vectors per candidate pair (~1 KB/pair), which
-        # dominates wall time when candidates approach all-pairs.
-        # Identical arithmetic to the join path (same einsums over the
-        # same rows), so results are bit-equal. Guarded: a table-scale
-        # corpus exceeds the cap and takes the join path below.
-        import numpy as np
-        rows = base.collect()  # bounded by broadcast_max_bytes (guard)
-        index = {r["id"]: i for i, r in enumerate(rows)}
-        M = np.stack([np.asarray(r["v"], dtype="float64") for r in rows])
-        bc = embeddings.sparkSession.sparkContext.broadcast((index, M))
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("double")
-        def _cos_by_id(ida: pd.Series, idb: pd.Series) -> pd.Series:
-            idx, mat = bc.value
-            if len(ida) == 0:
-                return pd.Series([], dtype="float64")
-            a = mat[[idx[i] for i in ida]]
-            b = mat[[idx[i] for i in idb]]
-            num = np.einsum("ij,ij->i", a, b)
-            den = (np.sqrt(np.einsum("ij,ij->i", a, a))
-                   * np.sqrt(np.einsum("ij,ij->i", b, b)))
-            return pd.Series(num / den)
-
-        pair_cos = _cos_by_id(F.col("id_a"), F.col("id_b"))
-        return (cands
-                .select("id_a", "id_b",
-                        F.round(pair_cos, 6).alias("cosine"))
-                .filter(F.col("cosine") >= threshold))
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    bb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    pair_cos = cosine_pairs_udf()(F.col("va"), F.col("vb"))
-    return (cands.join(a, "id_a").join(bb, "id_b")
-            .select("id_a", "id_b", F.round(pair_cos, 6).alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+    return verify_cosine_pairs(base, cands, threshold,
+                               broadcast_max_bytes=broadcast_max_bytes)

@@ -23,6 +23,7 @@ COLLECT_ALLOWLIST = {
         ".select(vec_col).collect())",  # centroid seed: limit(n) upstream
         "embeddings.select(vec_col).first()",  # dim probe: 1 row
         "rows = base.collect()",  # broadcast-verify matrix: size-guarded
+        'first = base.select("v").first()',  # dim probe: 1 row
         '.orderBy("cell").collect()',  # index centroids: k rows
         '.collect())  # k x dim rows: bounded by design',  # Lloyd means
     ],

@@ -1,0 +1,137 @@
+"""SemDeDup semantic dedup: clustering + within-cell pairs + keep rule.
+
+The oracle gate (semantic_dedup in __spark_entry__) replays the full
+operator in DuckDB; these tests pin the PROPERTIES that make the keep
+rule the published one (Abbas et al. 2023): within-cluster-only pairing,
+exactly-one-exemplar per duplicate set, lowest-centroid-cosine wins,
+untouched pass-through for singletons, and determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_engine_spark.functions.semdedup import (
+    semantic_dedup, semantic_dedup_decisions,
+)
+
+
+def _toy(spark):
+    """Two tight groups far apart in 4-d, plus one singleton.
+
+    Group A (ids 0,1,2) ~ e0 axis, group B (ids 10,11) ~ e1 axis,
+    singleton 20 ~ e2 axis. Explicit centroids on the two axes force
+    cells: A -> cell 0, B+20 -> cell 1 (20 pairs with nobody).
+    """
+    rows = [
+        (0, [1.0, 0.02, 0.0, 0.0]),
+        (1, [0.98, 0.0, 0.01, 0.0]),
+        (2, [1.02, 0.01, 0.0, 0.01]),
+        (10, [0.0, 1.0, 0.02, 0.0]),
+        (11, [0.01, 0.97, 0.0, 0.0]),
+        (20, [0.0, 0.3, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+CENTS = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.1, 0.0])]
+
+
+def test_keep_one_exemplar_per_set(spark):
+    dec = semantic_dedup_decisions(_toy(spark), threshold=0.95,
+                                   centroids=CENTS).collect()
+    by_cluster: dict = {}
+    for r in dec:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    # groups A and B each form one duplicate set; 20 is absent
+    assert set(by_cluster) == {0, 10}
+    assert {r["vec_id"] for r in by_cluster[0]} == {0, 1, 2}
+    assert {r["vec_id"] for r in by_cluster[10]} == {10, 11}
+    for members in by_cluster.values():
+        assert sum(r["keep"] for r in members) == 1
+
+
+def test_keep_rule_is_lowest_centroid_cosine(spark):
+    dec = semantic_dedup_decisions(_toy(spark), threshold=0.95,
+                                   centroids=CENTS).collect()
+    by_cluster: dict = {}
+    for r in dec:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        kept = next(r for r in members if r["keep"])
+        expect = min(members,
+                     key=lambda r: (r["centroid_cosine"], r["vec_id"]))
+        assert kept["vec_id"] == expect["vec_id"]
+
+
+def test_pairs_are_within_cell_only(spark):
+    # 20 has cosine ~0.3 to everything in its cell but A's members are
+    # in the OTHER cell — even with threshold 0 low enough to pair
+    # everything, cross-cell pairs must never form
+    dec = semantic_dedup_decisions(_toy(spark), threshold=0.0,
+                                   centroids=CENTS)
+    cells = (dec.groupBy("cluster_id")
+             .agg(F.countDistinct("cell").alias("n_cells")).collect())
+    assert cells and all(r["n_cells"] == 1 for r in cells)
+
+
+def test_singletons_pass_through_untouched(spark):
+    df = _toy(spark)
+    kept = semantic_dedup(df, threshold=0.95, n_centroids=2,
+                          refine_iters=0)
+    # toy: hash-sampled centroids; whatever the clustering, 20 pairs
+    # with nobody at 0.95 and must survive
+    assert kept.filter(F.col("vec_id") == 20).count() == 1
+    # exactly one survivor per duplicate set + the singleton
+    dec = semantic_dedup_decisions(df, threshold=0.95, n_centroids=2,
+                                   refine_iters=0)
+    n_clusters = dec.select("cluster_id").distinct().count()
+    n_losers = dec.filter(~F.col("keep")).count()
+    assert kept.count() == df.count() - n_losers
+    assert dec.count() == n_clusters + n_losers
+
+
+def test_deterministic_across_runs(spark):
+    df = _toy(spark)
+    a = sorted(map(tuple, semantic_dedup_decisions(
+        df, threshold=0.9, n_centroids=2, refine_iters=2).collect()))
+    b = sorted(map(tuple, semantic_dedup_decisions(
+        df, threshold=0.9, n_centroids=2, refine_iters=2).collect()))
+    assert a == b
+
+
+def test_copy_corpus_end_to_end(spark):
+    # every same-cell +0.01-shift copy pair must resolve to one kept
+    emb = (spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 150))
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01))
+         .alias("embedding"))
+    doubled = emb.select("vec_id", "embedding").unionByName(shifted)
+    dec = semantic_dedup_decisions(doubled, n_centroids=4, threshold=0.95)
+    rows = dec.collect()
+    assert rows, "no duplicate sets found"
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        assert sum(r["keep"] for r in members) == 1
+    # copy pairs are (i, i+1M): clusters of exactly that shape dominate
+    pair_like = sum(
+        1 for ms in by_cluster.values()
+        if len(ms) == 2
+        and abs(ms[0]["vec_id"] - ms[1]["vec_id"]) == 1_000_000)
+    assert pair_like >= 0.8 * len(by_cluster)
+    kept = semantic_dedup(doubled, n_centroids=4, threshold=0.95)
+    assert kept.count() == doubled.count() - sum(
+        1 for r in rows if not r["keep"])
+
+
+def test_rejects_sparse_cell_ids(spark):
+    with pytest.raises(AssertionError):
+        semantic_dedup_decisions(
+            _toy(spark), centroids=[(0, [1.0, 0, 0, 0]),
+                                    (5, [0.0, 1, 0, 0])])

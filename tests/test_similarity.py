@@ -119,3 +119,41 @@ def test_cosine_lsh_recall_floor(emb):
                              rows_per_band=2).collect()}
     assert lsh <= exact  # precision 1 by construction (exact verify)
     assert len(lsh & exact) / max(len(exact), 1) >= 0.9
+
+
+def test_ivf_assign_arrow_matches_fold(emb):
+    """The Arrow assignment strategy must be BIT-identical to the
+    interpreted fold (dim-sequential accumulation == the fold's
+    left-to-right order), for both single and top-2 spill assignment —
+    this is what lets `auto` switch strategies by k without moving any
+    oracle."""
+    from ocr_engine_spark.functions.similarity import (
+        ivf_assign, pick_centroids, refine_centroids,
+    )
+    cents = refine_centroids(emb, pick_centroids(emb, 17), 1)
+    for n_assign in (1, 2):
+        fold = ivf_assign(emb, cents, n_assign=n_assign,
+                          method="fold")
+        arrow = ivf_assign(emb, cents, n_assign=n_assign,
+                           method="arrow")
+        f = sorted((r["vec_id"], r["cell"])
+                   for r in fold.select("vec_id", "cell").collect())
+        a = sorted((r["vec_id"], r["cell"])
+                   for r in arrow.select("vec_id", "cell").collect())
+        assert f == a
+
+
+def test_ivf_assign_arrow_k1_spill_sentinel(spark):
+    """k=1 top-2: both strategies emit the -1 'no second cell'
+    sentinel for c2."""
+    from ocr_engine_spark.functions.similarity import ivf_assign
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0])]
+    for method in ("fold", "arrow"):
+        cells = sorted(
+            (r["vec_id"], r["cell"])
+            for r in ivf_assign(df, cents, n_assign=2,
+                                method=method).collect())
+        assert cells == [(0, -1), (0, 0), (1, -1), (1, 0)]
