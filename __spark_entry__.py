@@ -744,6 +744,28 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "rank"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C): flag training
+    documents sharing any 13-word-gram with a benchmark set. The
+    benchmark is documents with doc_id % 37 == 0; candidates are the
+    remaining corpus plus PLANTED leaks — each benchmark doc re-wrapped
+    as 'leaked copy ' || substr(text, 1, 160) || ' trailing noise'
+    under doc_id + 10000 (the substring carries a run of intact
+    benchmark tokens, so >= 1 gram must collide). Benchmark gram-hash
+    set is broadcast; the corpus is never shuffled before the hit agg.
+    Oracle: DuckDB replays tokenization (same regex class), gram
+    slicing, md5 60-bit hashes, and the join/count verbatim."""
+    from ocr_engine_spark.functions.decontam import contamination_report
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    leaked = bench.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("leaked copy "), F.substring("text", 1, 160),
+                 F.lit(" trailing noise")).alias("text"))
+    cand = docs.filter(F.col("doc_id") % 37 != 0).unionByName(leaked)
+    return contamination_report(cand, bench).orderBy("doc_id")
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style filter CHAIN composed from the standalone
     signals (length, quality score, repetition): per-rule drop counts +
@@ -915,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "line_prune": q_line_prune,
         "quality_filter": q_quality_filter,
+        "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "kgram_dedup": q_kgram_dedup,
         "stratified_sample": q_stratified_sample,
@@ -1973,6 +1996,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, rank, doc_id, n_chars
             FROM r WHERE rank <= 20
             ORDER BY lang, rank
+        """,
+        "decontaminate": """
+            WITH bench AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+            cand AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+              UNION ALL
+              SELECT doc_id + 10000,
+                     'leaked copy ' || substr(text, 1, 160)
+                       || ' trailing noise'
+              FROM bench),
+            btok AS (
+              SELECT list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM bench),
+            bgram AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5(array_to_string(t[i : i + 12], ' ')),
+                                1, 15))::BIGINT AS gram_hash
+              FROM btok, unnest(range(1, len(t) - 11)) AS u(i)),
+            ctok AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM cand),
+            cgram AS (
+              SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(array_to_string(t[i : i + 12], ' ')),
+                                1, 15))::BIGINT AS gram_hash
+              FROM ctok, unnest(range(1, len(t) - 11)) AS u(i))
+            SELECT c.doc_id::BIGINT AS doc_id,
+                   count(DISTINCT c.gram_hash)::BIGINT AS n_hits
+            FROM cgram c JOIN bgram b USING (gram_hash)
+            GROUP BY c.doc_id
+            ORDER BY doc_id
         """,
         "quality_filter": f"""
             WITH d AS (

@@ -1,0 +1,102 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and an evaluation/benchmark set.
+
+The standard training-data hygiene step (GPT-3 appendix C / Brown et
+al. 2020; Dodge et al. 2021 "Documenting C4"): a training document is
+CONTAMINATED if it shares at least one (typically 13-)word-gram with
+any benchmark document; contaminated documents are dropped (or at
+least flagged) before training so downstream eval numbers aren't
+memorization. The reference repo's analog is its golden-fixture
+discipline (never train/tune on the eval corpus); here it is a
+first-class corpus operator like the dedup family.
+
+Plan shape at 100 TB:
+
+  * the benchmark side is SMALL by nature (benchmarks are MBs) — its
+    distinct gram-hash set is built once and BROADCAST, so scoring the
+    corpus is a map-side hash-semi-join: no shuffle touches the corpus
+    until the per-doc hit count, and that groupBy carries only the
+    (doc_id, gram_hash) HITS (near-zero for a clean corpus), not the
+    corpus grams;
+  * grams are hashed to 60-bit ints (``md5_int60_col`` — the repo-wide
+    portable hash) so the hit shuffle is 16 B/row and the broadcast is
+    8 B/gram, independent of n;
+  * gram construction is per-row linear work in a single projection —
+    tokens are materialized into a column FIRST (HOFs never codegen;
+    an inlined tokenizer subtree would re-evaluate per sequence
+    element — see functions/text.quality_score_col's note).
+
+Everything is deterministic and replays in DuckDB (same split regex,
+same md5 hash), so the operator is oracle-gated end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ocr_engine_spark.functions.text import md5_int60_col
+
+# Java and RE2 agree on this class (no shorthand escapes — \s/\w differ
+# between engines, see kernels/clean.py); DuckDB twin:
+# string_split_regex(lower(text), '[^a-z0-9]+')
+WORD_SPLIT_RE = "[^a-z0-9]+"
+
+
+def word_tokens_col(c: Column) -> Column:
+    """Lowercased alphanumeric word tokens; empty strings dropped (the
+    split emits them at string edges and both engines keep them)."""
+    return F.filter(F.split(F.lower(c), WORD_SPLIT_RE),
+                    lambda t: t != "")
+
+
+def ngrams_col(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams of a MATERIALIZED token array column;
+    fewer than n tokens -> empty array (never null)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(tokens) - n + 1),
+                    lambda i: F.array_join(F.slice(tokens, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_ngram_hashes(benchmark: DataFrame, n: int = 13,
+                           text_col: str = "text") -> DataFrame:
+    """Distinct 60-bit gram hashes of the benchmark set — the (small)
+    build side of the decontamination semi-join."""
+    toks = benchmark.select(word_tokens_col(F.col(text_col)).alias("t"))
+    return (toks.select(F.explode(ngrams_col(F.col("t"), n)).alias("g"))
+            .select(md5_int60_col(F.col("g")).alias("gram_hash"))
+            .distinct())
+
+
+def contamination_report(docs: DataFrame, benchmark: DataFrame, *,
+                         n: int = 13, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(doc_id, n_hits) for every training document sharing >= 1
+    word n-gram with the benchmark set; clean documents are ABSENT
+    (absent == clean, the dedup-decisions convention). ``n_hits``
+    counts DISTINCT overlapping grams."""
+    bench = F.broadcast(benchmark_ngram_hashes(benchmark, n, text_col))
+    toks = docs.select(F.col(id_col),
+                       word_tokens_col(F.col(text_col)).alias("t"))
+    doc_grams = (toks
+                 .select(id_col,
+                         F.explode(ngrams_col(F.col("t"), n)).alias("g"))
+                 .select(id_col, md5_int60_col(F.col("g")).alias("gram_hash")))
+    return (doc_grams.join(bench, "gram_hash")  # broadcast hash join
+            .groupBy(id_col)
+            .agg(F.countDistinct("gram_hash").alias("n_hits")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
+                  n: int = 13, min_hits: int = 1,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Drop every training document with >= ``min_hits`` overlapping
+    benchmark n-grams. The corpus anti-joins only the (tiny) flagged-id
+    set — never itself."""
+    flagged = (contamination_report(docs, benchmark, n=n, id_col=id_col,
+                                    text_col=text_col)
+               .filter(F.col("n_hits") >= min_hits)
+               .select(id_col))
+    return docs.join(flagged, id_col, "left_anti")

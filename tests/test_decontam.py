@@ -1,0 +1,73 @@
+"""Benchmark decontamination: n-gram overlap flagging + drop.
+
+The oracle gate (decontaminate in __spark_entry__) replays the full
+operator in DuckDB; these tests pin the operator PROPERTIES: exact
+n-gram semantics (count, boundaries, tokenization), clean-corpus
+pass-through, the drop composition, and the broadcast scale shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_engine_spark.functions.decontam import (
+    contamination_report, decontaminate, ngrams_col, word_tokens_col,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_gram_is_detected_and_counted(spark):
+    bench = _df(spark, [(100, "alpha beta gamma delta epsilon")])
+    docs = _df(spark, [
+        # contains tokens 1..4 of the benchmark as a run -> with n=3
+        # the overlapping grams are (alpha beta gamma), (beta gamma
+        # delta): 2 distinct hits
+        (1, "xx alpha beta gamma delta yy"),
+        (2, "completely unrelated words here"),
+    ])
+    rep = {r["doc_id"]: r["n_hits"]
+           for r in contamination_report(docs, bench, n=3).collect()}
+    assert rep == {1: 2}
+
+
+def test_tokenization_is_case_and_punct_insensitive(spark):
+    bench = _df(spark, [(100, "Alpha, beta; GAMMA!")])
+    docs = _df(spark, [(1, "prefix alpha BETA gamma suffix")])
+    rep = contamination_report(docs, bench, n=3).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in rep] == [(1, 1)]
+
+
+def test_short_docs_produce_no_grams(spark):
+    bench = _df(spark, [(100, "only two")])
+    docs = _df(spark, [(1, "only two")])  # < n tokens on both sides
+    assert contamination_report(docs, bench, n=3).count() == 0
+    toks = word_tokens_col(F.lit("only two"))
+    row = (docs.limit(1)
+           .select(ngrams_col(toks, 3).alias("g")).first())
+    assert row["g"] == []
+
+
+def test_decontaminate_drops_flagged_keeps_clean(spark):
+    bench = _df(spark, [(100, "one two three four five six")])
+    docs = _df(spark, [
+        (1, "zz one two three four zz"),   # contaminated (n=4 gram)
+        (2, "totally clean document text body"),
+        (3, "three four five six tail words"),  # contaminated
+    ])
+    kept = sorted(r["doc_id"]
+                  for r in decontaminate(docs, bench, n=4).collect())
+    assert kept == [2]
+
+
+def test_benchmark_side_is_broadcast(spark):
+    """Scale shape: the gram semi-join must be a broadcast hash join —
+    the corpus side is never shuffled to meet the benchmark."""
+    bench = _df(spark, [(100, "one two three four five six")])
+    docs = _df(spark, [(1, "zz one two three four zz")])
+    plan = (contamination_report(docs, bench, n=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
