@@ -60,6 +60,23 @@ def _unit_centroid_lit(centroids: list[tuple[int, list[float]]]):
     return F.array(*arrs)
 
 
+def within_cell_pairs(scored: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, cosine) for every within-cell pair at ``cosine >=
+    threshold``. ``scored`` is (id, v: array<double>, cell, ...). ONE
+    equi-join shuffle on ``cell`` — never a cross join (plan-asserted
+    in tests); the Arrow-batched pair cosine runs only on same-cell
+    candidates."""
+    l = scored.select("cell", F.col("id").alias("id_a"),
+                      F.col("v").alias("va"))
+    r = scored.select("cell", F.col("id").alias("id_b"),
+                      F.col("v").alias("vb"))
+    pair_cos = cosine_pairs_udf()(F.col("va"), F.col("vb"))
+    return (l.join(r, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(pair_cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
 def semantic_dedup_decisions(embeddings: DataFrame, *,
                              n_centroids: int = 8,
                              threshold: float = 0.95,
@@ -103,15 +120,7 @@ def semantic_dedup_decisions(embeddings: DataFrame, *,
               .select(F.col(id_col).alias("id"), v.alias("v"), "cell",
                       cent_cos.alias("centroid_cosine"))
               .persist())
-    l = scored.select("cell", F.col("id").alias("id_a"),
-                      F.col("v").alias("va"))
-    r = scored.select("cell", F.col("id").alias("id_b"),
-                      F.col("v").alias("vb"))
-    pair_cos = cosine_pairs_udf()(F.col("va"), F.col("vb"))
-    pairs = (l.join(r, "cell")                       # ONE shuffle on cell
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", F.round(pair_cos, 6).alias("cosine"))
-             .filter(F.col("cosine") >= threshold))
+    pairs = within_cell_pairs(scored, threshold)
     comp = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
     w = (Window.partitionBy("cluster_id")
          .orderBy(F.col("centroid_cosine").asc(), F.col(id_col).asc()))

@@ -135,3 +135,17 @@ def test_rejects_sparse_cell_ids(spark):
         semantic_dedup_decisions(
             _toy(spark), centroids=[(0, [1.0, 0, 0, 0]),
                                     (5, [0.0, 1, 0, 0])])
+
+
+def test_within_cell_pairing_is_equi_join(spark):
+    """Scale shape: pairing must be ONE equi-join shuffle on cell —
+    never a cartesian/nested-loop join over the corpus."""
+    from ocr_engine_spark.functions.semdedup import within_cell_pairs
+    scored = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.0, 1.0], 1)],
+        "id long, v array<double>, cell int")
+    pairs = within_cell_pairs(scored, 0.5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # equi-join on cell survived optimization

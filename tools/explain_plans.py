@@ -61,12 +61,23 @@ NOTES = {
     "cer_gate": "the length-gap bound and the levenshtein DP live in one "
                 "codegen'd CASE WHEN — gated rows never evaluate the DP "
                 "branch; whole query is scan -> partial agg -> final agg",
+    "semantic_dedup": "centroid assignment is ONE ArrowEvalPython map "
+                      "stage (broadcast k x dim matrix, no join); pairs "
+                      "come from a single equi-join shuffle on cell; "
+                      "component resolution touches only above-threshold "
+                      "pairs (shown plan = pairing + final CC round)",
+    "decontaminate": "benchmark gram hashes enter as a BroadcastHashJoin "
+                     "build side — corpus grams are generated and joined "
+                     "map-side; every Exchange after the join carries only "
+                     "(doc_id, gram_hash) HITS (partial-distinct absorbed "
+                     "map-side) or final rows, never corpus grams",
 }
 
 HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "salted_agg", "minhash_near_dups", "simhash_near_dups",
             "embedding_near_dups", "nested_fields", "line_prune",
             "pack_sequences", "dedup_clusters", "cer_gate",
+            "semantic_dedup", "decontaminate",
             "extraction_pipeline"]
 
 
