@@ -731,6 +731,23 @@ def q_kgram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (functions/dsir.py, Xie et al. 2023):
+    importance-weight every document against the lang='en' target
+    sample under hashed unigram+bigram bag-of-words models (4096
+    buckets, add-1 smoothing), then Gumbel-top-50 resample. All
+    per-gram scores are quantized to integer micro-nats so the oracle's
+    per-doc sums are exact integer arithmetic; the DuckDB twin replays
+    tokenization, hashing, smoothing, both ln() quantizations and the
+    Gumbel keys verbatim."""
+    from ocr_engine_spark.functions.dsir import dsir_select
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(docs, target, 50, buckets=4096, alpha=1.0,
+                       seed=42).orderBy("rank")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count per-language corpus sample (functions/sample.py):
     20 docs per lang by portable md5 rank, computed with the
@@ -940,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "kgram_dedup": q_kgram_dedup,
+        "dsir_select": q_dsir_select,
         "stratified_sample": q_stratified_sample,
         "repetition_ratio": q_repetition_ratio,
         "host_skew": q_host_skew,
@@ -1983,6 +2001,62 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(txt, '')) AS digest
             FROM toks LEFT JOIN reb ON toks.doc_id = reb.doc_id
             ORDER BY toks.doc_id
+        """,
+        "dsir_select": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, lang, t[i] AS g
+              FROM tok, unnest(generate_series(1, len(t))) AS u(i)
+              UNION ALL
+              SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS g
+              FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+            b AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096
+                       AS bucket
+              FROM grams),
+            tgt AS (
+              SELECT bucket, count(*)::BIGINT AS ct
+              FROM b WHERE lang = 'en' GROUP BY bucket),
+            rawc AS (
+              SELECT bucket, count(*)::BIGINT AS cr
+              FROM b GROUP BY bucket),
+            tot AS (
+              SELECT (SELECT sum(cr) FROM rawc)::BIGINT AS tr,
+                     (SELECT sum(ct) FROM tgt)::BIGINT AS tt),
+            ratios AS (
+              SELECT r.bucket,
+                     CAST(round(
+                       ln(((coalesce(g.ct, 0) + 1.0) / (tot.tt + 4096.0))
+                          / ((r.cr + 1.0) / (tot.tr + 4096.0)))
+                       * 1000000.0) AS BIGINT) AS lr_micro
+              FROM rawc r LEFT JOIN tgt g USING (bucket), tot),
+            w AS (
+              SELECT doc_id,
+                     count(*)::BIGINT AS n_grams,
+                     sum(lr_micro)::BIGINT AS weight_micro
+              FROM b JOIN ratios USING (bucket)
+              GROUP BY doc_id),
+            keyed AS (
+              SELECT doc_id, n_grams,
+                     weight_micro,
+                     weight_micro + CAST(round(
+                       -ln(-ln((('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR) || ':42'), 1, 15)
+                          )::BIGINT + 0.5) / 1152921504606846976.0))
+                       * 1000000.0) AS BIGINT) AS key_micro
+              FROM w)
+            SELECT row_number() OVER (ORDER BY key_micro DESC, doc_id)
+                     ::INT AS rank,
+                   doc_id, n_grams, weight_micro, key_micro
+            FROM keyed
+            ORDER BY key_micro DESC, doc_id
+            LIMIT 50
         """,
         "stratified_sample": r"""
             WITH r AS (

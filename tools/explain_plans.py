@@ -71,13 +71,19 @@ NOTES = {
                      "map-side; every Exchange after the join carries only "
                      "(doc_id, gram_hash) HITS (partial-distinct absorbed "
                      "map-side) or final rows, never corpus grams",
+    "dsir_select": "the <=buckets-row log-ratio table (fit shuffles only "
+                   "(bucket, partial-count) pairs, map-side combine) is the "
+                   "BroadcastHashJoin build side of the scoring join — "
+                   "corpus grams never shuffle; per-doc weight agg is the "
+                   "one corpus shuffle (map-side combined to a row per doc "
+                   "per partition); selection is TakeOrderedAndProject",
 }
 
 HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "salted_agg", "minhash_near_dups", "simhash_near_dups",
             "embedding_near_dups", "nested_fields", "line_prune",
             "pack_sequences", "dedup_clusters", "cer_gate",
-            "semantic_dedup", "decontaminate",
+            "semantic_dedup", "decontaminate", "dsir_select",
             "extraction_pipeline"]
 
 
