@@ -783,6 +783,27 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(cand, bench).orderBy("doc_id")
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter decontamination (functions/bloom.py): the SAME
+    benchmark/planted-leak setup as q_decontaminate, answered through
+    the m=2^14-bit k=5 double-hashed Bloom word-table prefilter + exact
+    confirm join. Bloom filters have no false negatives and survivors
+    are confirmed exactly, so the oracle is the exact operator's SQL
+    verbatim — the gate proves the scale path is byte-identical to the
+    broadcast-set path."""
+    from ocr_engine_spark.functions.bloom import contamination_report_bloom
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    leaked = bench.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("leaked copy "), F.substring("text", 1, 160),
+                 F.lit(" trailing noise")).alias("text"))
+    cand = docs.filter(F.col("doc_id") % 37 != 0).unionByName(leaked)
+    return (contamination_report_bloom(cand, bench,
+                                       m_bits=1 << 14, k=5)
+            .orderBy("doc_id"))
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style filter CHAIN composed from the standalone
     signals (length, quality score, repetition): per-rule drop counts +
@@ -955,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_prune": q_line_prune,
         "quality_filter": q_quality_filter,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "pack_sequences": q_pack_sequences,
         "kgram_dedup": q_kgram_dedup,
         "dsir_select": q_dsir_select,
@@ -1513,6 +1535,16 @@ def _stop_count(lang: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql()
+    # the Bloom prefilter + exact-confirm pipeline is semantically
+    # byte-identical to the exact operator (no false negatives; false
+    # positives die in the confirm join) — gating it against the SAME
+    # SQL is precisely the claim under test
+    d["decontaminate_bloom"] = d["decontaminate"]
+    return d
+
+
+def _oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

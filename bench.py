@@ -38,7 +38,7 @@ HEADLINE = [
     "host_skew",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",
     "embedding_lsh_pairs", "embedding_near_dups", "ivf_topk",
-    "semantic_dedup", "decontaminate",
+    "semantic_dedup", "decontaminate", "decontaminate_bloom",
     "nested_fields",
 ]
 
