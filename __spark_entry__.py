@@ -731,6 +731,22 @@ def q_kgram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.3 language resampling (functions/sample.py,
+    mT5/XLM-R corpus mixing) to a 600-row mix: high-resource langs are
+    downsampled to quota by portable rank, low-resource langs are
+    UPSAMPLED by repetition (copy_id numbers the copies). The oracle
+    replays the quota arithmetic (pow quantized once to integer
+    micro-units), the window ranks and the copy explosion verbatim —
+    every emitted (lang, rank, copy, doc) cell is value-gated."""
+    from ocr_engine_spark.functions.sample import temperature_sample
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = temperature_sample(docs, alpha=0.3, total_out=600,
+                             rank_out="rank")
+    return (out.select("lang", "rank", "copy_id", "doc_id")
+            .orderBy("lang", "rank", "copy_id"))
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (functions/dsir.py, Xie et al. 2023):
     importance-weight every document against the lang='en' target
@@ -981,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgram_dedup": q_kgram_dedup,
         "dsir_select": q_dsir_select,
         "stratified_sample": q_stratified_sample,
+        "temperature_sample": q_temperature_sample,
         "repetition_ratio": q_repetition_ratio,
         "host_skew": q_host_skew,
     }
@@ -2033,6 +2050,40 @@ def _oracle_sql() -> dict[str, str]:
                    md5(coalesce(txt, '')) AS digest
             FROM toks LEFT JOIN reb ON toks.doc_id = reb.doc_id
             ORDER BY toks.doc_id
+        """,
+        "temperature_sample": r"""
+            WITH c AS (
+              SELECT lang, count(*)::BIGINT AS c
+              FROM documents GROUP BY lang),
+            w AS (
+              SELECT lang, c,
+                     CAST(round(pow(c * 1.0, 0.3) * 1000000.0) AS BIGINT)
+                       AS w
+              FROM c),
+            q AS (
+              SELECT lang, c,
+                     CAST(round(600 * ((w * 1.0)
+                                       / (SELECT sum(w) FROM w)))
+                          AS BIGINT) AS quota
+              FROM w),
+            r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(lang || chr(31)
+                                    || CAST(doc_id AS VARCHAR)),
+                                doc_id)::BIGINT AS rank
+              FROM documents),
+            k AS (
+              SELECT r.lang, r.doc_id, r.rank,
+                     (quota // c)
+                       + CASE WHEN rank <= quota % c THEN 1 ELSE 0 END
+                       AS copies
+              FROM r JOIN q USING (lang))
+            SELECT lang, rank, copy_id::BIGINT AS copy_id, doc_id
+            FROM k, unnest(generate_series(1, copies)) AS u(copy_id)
+            WHERE copies >= 1
+            ORDER BY lang, rank, copy_id
         """,
         "dsir_select": r"""
             WITH tok AS (

@@ -34,7 +34,8 @@ HEADLINE = [
     "corpus_stats",
     "vocab_topk", "pii_scrub", "line_prune", "repetition_ratio",
     "quality_filter", "pack_sequences",
-    "kgram_dedup", "stratified_sample", "dsir_select",
+    "kgram_dedup", "stratified_sample", "temperature_sample",
+    "dsir_select",
     "host_skew",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",
     "embedding_lsh_pairs", "embedding_near_dups", "ivf_topk",

@@ -43,19 +43,15 @@ def sample_rank_col(strata_col, id_col):
                              id_col.cast("string")))
 
 
-def stratified_sample(df: DataFrame, n_per_stratum: int, *,
-                      strata_col: str = "lang", id_col: str = "doc_id",
-                      partitions: int | None = None,
-                      rank_out: str | None = None) -> DataFrame:
-    """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum —
-    the ones with the smallest portable hash rank. Columns of ``df``
-    pass through unchanged; ``rank_out`` optionally adds the 1-based
-    within-stratum rank.
-
-    Deterministic for a given (strata, id) population regardless of row
-    order, partitioning or cluster size — the property that makes a
-    sampled corpus reproducible across reruns and engine versions.
-    """
+def global_stratum_ranks(df: DataFrame, *, strata_col: str = "lang",
+                         id_col: str = "doc_id",
+                         partitions: int | None = None
+                         ) -> DataFrame | None:
+    """``df`` plus ``__grank`` — the exact 1-based within-stratum rank
+    by portable hash — computed with the range-partition prefix-rank
+    scheme (no one-task-per-stratum window; bounded driver read).
+    Returns None for an empty input. Shared engine for every
+    quota-based sampler below."""
     spark = df.sparkSession
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -69,7 +65,7 @@ def stratified_sample(df: DataFrame, n_per_stratum: int, *,
     counts = (d.groupBy("__part", strata_col).count()
               .orderBy(strata_col, "__part").collect())
     if not counts:
-        return df.filter(F.lit(False))
+        return None
     offsets, acc, cur = [], 0, None
     for r in counts:
         if r[strata_col] != cur:
@@ -85,9 +81,90 @@ def stratified_sample(df: DataFrame, n_per_stratum: int, *,
     # Range partitioning ordered by (stratum, rank) makes
     # offset + local rank the exact global within-stratum rank.
     w = Window.partitionBy("__part", strata_col).orderBy("__rk", id_col)
-    out = (d.join(F.broadcast(off_df), ["__part", strata_col])
-           .withColumn("__grank", F.col("__off") + F.row_number().over(w))
-           .filter(F.col("__grank") <= n_per_stratum))
+    return (d.join(F.broadcast(off_df), ["__part", strata_col])
+            .withColumn("__grank", F.col("__off") + F.row_number().over(w))
+            .drop("__rk", "__part", "__off"))
+
+
+def stratified_sample(df: DataFrame, n_per_stratum: int, *,
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      partitions: int | None = None,
+                      rank_out: str | None = None) -> DataFrame:
+    """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum —
+    the ones with the smallest portable hash rank. Columns of ``df``
+    pass through unchanged; ``rank_out`` optionally adds the 1-based
+    within-stratum rank.
+
+    Deterministic for a given (strata, id) population regardless of row
+    order, partitioning or cluster size — the property that makes a
+    sampled corpus reproducible across reruns and engine versions.
+    """
+    ranked = global_stratum_ranks(df, strata_col=strata_col,
+                                  id_col=id_col, partitions=partitions)
+    if ranked is None:
+        return df.filter(F.lit(False))
+    out = ranked.filter(F.col("__grank") <= n_per_stratum)
     if rank_out is not None:
         out = out.withColumn(rank_out, F.col("__grank"))
-    return out.drop("__rk", "__part", "__off", "__grank")
+    return out.drop("__grank")
+
+
+def temperature_quotas(df: DataFrame, *, alpha: float, total_out: int,
+                       strata_col: str = "lang") -> DataFrame:
+    """(stratum, __c, __quota): per-stratum output quotas under
+    temperature-``alpha`` resampling (mT5 / XLM-R corpus mixing):
+    ``p_l = c_l^alpha / sum(c^alpha)``, ``quota_l = round(total_out *
+    p_l)``. ``alpha < 1`` flattens the distribution — low-resource
+    strata get MORE than their share (upsampled by repetition in
+    ``temperature_sample``), high-resource strata are downsampled.
+
+    Cross-engine exactness: ``pow`` is the one libm call, so each
+    weight is quantized ONCE to integer micro-units (the dsir.py
+    fixed-point discipline); the quota arithmetic after that is
+    integer/IEEE-identical in DuckDB."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__c"))
+    w = F.round(F.pow(F.col("__c").cast("double"), F.lit(float(alpha)))
+                * F.lit(1e6), 0).cast("long")
+    ws = counts.select(strata_col, F.col("__c"), w.alias("__w"))
+    tot = ws.agg(F.sum("__w").alias("__sw"))
+    quota = F.round(F.lit(int(total_out))
+                    * ((F.col("__w") * F.lit(1.0)) / F.col("__sw")), 0) \
+             .cast("long")
+    return (ws.crossJoin(F.broadcast(tot))
+            .select(strata_col, "__c", quota.alias("__quota")))
+
+
+def temperature_sample(df: DataFrame, *, alpha: float, total_out: int,
+                       strata_col: str = "lang", id_col: str = "doc_id",
+                       partitions: int | None = None,
+                       rank_out: str | None = None,
+                       copy_out: str = "copy_id") -> DataFrame:
+    """Temperature-``alpha`` resampled corpus: each stratum emits
+    exactly its quota of rows. Downsampled strata keep their
+    ``quota`` lowest-rank rows once; upsampled strata emit EVERY row
+    ``quota div c`` times plus one extra copy for the ``quota % c``
+    lowest ranks — repetition is how real multilingual mixes upsample
+    low-resource languages (mT5). ``copy_out`` numbers the copies from
+    1 so downstream shuffles can tell them apart.
+
+    Deterministic in (population, alpha, total_out); strata whose
+    quota rounds to 0 vanish (document the mix, don't hide it)."""
+    ranked = global_stratum_ranks(df, strata_col=strata_col,
+                                  id_col=id_col, partitions=partitions)
+    if ranked is None:
+        return (df.withColumn(copy_out, F.lit(1))
+                .filter(F.lit(False)))
+    quotas = temperature_quotas(df, alpha=alpha, total_out=total_out,
+                                strata_col=strata_col)
+    base = F.expr("__quota div __c")
+    rem = F.col("__quota") % F.col("__c")
+    copies = base + F.when(F.col("__grank") <= rem, 1).otherwise(0)
+    out = (ranked.join(F.broadcast(quotas), strata_col)
+           .withColumn("__copies", copies)
+           .filter(F.col("__copies") >= 1)  # before explode: sequence()
+                                            # DESCENDS for stop < start
+           .withColumn(copy_out,
+                       F.explode(F.sequence(F.lit(1), F.col("__copies")))))
+    if rank_out is not None:
+        out = out.withColumn(rank_out, F.col("__grank"))
+    return out.drop("__grank", "__c", "__quota", "__copies")

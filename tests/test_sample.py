@@ -78,3 +78,79 @@ def test_rank_key_is_md5_portable(spark):
 def test_empty_input(spark):
     df = _docs(spark).filter(F.lit(False))
     assert stratified_sample(df, 5, partitions=3).count() == 0
+
+
+# --- temperature_sample (mT5-style alpha resampling) ---------------------
+
+def _skewed(spark):
+    """480 en / 60 de / 12 fr — a skew alpha<1 must flatten."""
+    rows = ([(i, "en") for i in range(480)]
+            + [(1000 + i, "de") for i in range(60)]
+            + [(2000 + i, "fr") for i in range(12)])
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_temperature_quotas_flatten_and_sum(spark):
+    from ocr_engine_spark.functions.sample import temperature_quotas
+    df = _skewed(spark)
+    q = {r["lang"]: (r["__c"], r["__quota"])
+         for r in temperature_quotas(df, alpha=0.3,
+                                     total_out=300).collect()}
+    # alpha<1: low-resource share of the OUTPUT beats its input share
+    assert q["fr"][1] / 300 > 12 / 552
+    assert q["en"][1] / 300 < 480 / 552
+    # quotas approximately exhaust the budget (rounding only)
+    assert abs(sum(v[1] for v in q.values()) - 300) <= len(q)
+
+
+def test_temperature_sample_exact_quota_and_copies(spark):
+    from ocr_engine_spark.functions.sample import (temperature_quotas,
+                                                   temperature_sample)
+    df = _skewed(spark)
+    quotas = {r["lang"]: r["__quota"]
+              for r in temperature_quotas(df, alpha=0.3,
+                                          total_out=300).collect()}
+    out = temperature_sample(df, alpha=0.3, total_out=300,
+                             rank_out="rank").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        assert len(rows) == quotas[lang]  # exact quota per stratum
+    # upsampled stratum: every doc present, copy counts differ by <= 1
+    fr = by_lang["fr"]
+    per_doc = {}
+    for r in fr:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert len(per_doc) == 12  # every fr doc appears
+    assert max(per_doc.values()) - min(per_doc.values()) <= 1
+    # the extra copies go to the LOWEST ranks
+    ranks_with_extra = {r["rank"] for r in fr
+                        if per_doc[r["doc_id"]] == max(per_doc.values())}
+    assert ranks_with_extra == set(range(1, len(ranks_with_extra) + 1))
+    # downsampled stratum: distinct docs, exactly ranks 1..quota
+    en = by_lang["en"]
+    assert len({r["doc_id"] for r in en}) == len(en)
+    assert sorted(r["rank"] for r in en) == list(range(1, len(en) + 1))
+    # copy ids are 1-based consecutive per doc
+    assert all(r["copy_id"] >= 1 for r in out)
+
+
+def test_temperature_sample_deterministic(spark):
+    from ocr_engine_spark.functions.sample import temperature_sample
+    df = _skewed(spark)
+    a = sorted(map(tuple, temperature_sample(
+        df, alpha=0.5, total_out=100, partitions=3).collect()))
+    b = sorted(map(tuple, temperature_sample(
+        df.repartition(11), alpha=0.5, total_out=100,
+        partitions=7).collect()))
+    assert a == b
+
+
+def test_temperature_alpha_one_is_proportional(spark):
+    from ocr_engine_spark.functions.sample import temperature_quotas
+    df = _skewed(spark)
+    q = {r["lang"]: r["__quota"]
+         for r in temperature_quotas(df, alpha=1.0,
+                                     total_out=276).collect()}
+    assert q == {"en": 240, "de": 30, "fr": 6}
