@@ -18,6 +18,9 @@ Subcommands:
   index     build a persisted IVF index over an embeddings table
   search    approximate top-k against a built IVF index
   profile   corpus text-quality / language / token profile
+  select    DSIR importance resampling toward a target domain
+  mix       temperature-alpha language/stratum resampling
+  decontam  benchmark n-gram decontamination (exact or Bloom prefilter)
 
 Also runnable without spark-submit: ``python run_job.py ...`` builds a
 local session from SPARK_GRAFT_MASTER / SPARK_GRAFT_CPUS.
@@ -93,6 +96,41 @@ def main(argv: list[str] | None = None) -> int:
     pf = sub.add_parser("profile", help="corpus text profile")
     pf.add_argument("--input", required=True, help="documents parquet")
     pf.add_argument("--output", required=True, help="metrics parquet dir")
+
+    sl = sub.add_parser("select", help="DSIR data selection")
+    sl.add_argument("--input", required=True, help="documents parquet")
+    sl.add_argument("--target", required=True,
+                    help="target-domain sample parquet (same schema)")
+    sl.add_argument("--output", required=True, help="selected parquet dir")
+    sl.add_argument("--k", type=int, required=True,
+                    help="number of documents to select")
+    sl.add_argument("--buckets", type=int, default=10_000)
+    sl.add_argument("--seed", type=int, default=42)
+    sl.add_argument("--id-col", default="doc_id")
+    sl.add_argument("--text-col", default="text")
+
+    mx = sub.add_parser("mix", help="temperature-alpha resampling")
+    mx.add_argument("--input", required=True, help="documents parquet")
+    mx.add_argument("--output", required=True, help="mixed parquet dir")
+    mx.add_argument("--alpha", type=float, default=0.3)
+    mx.add_argument("--total", type=int, required=True,
+                    help="output row budget across all strata")
+    mx.add_argument("--strata-col", default="lang")
+    mx.add_argument("--id-col", default="doc_id")
+
+    dc = sub.add_parser("decontam", help="benchmark decontamination")
+    dc.add_argument("--input", required=True, help="documents parquet")
+    dc.add_argument("--benchmark", required=True,
+                    help="benchmark set parquet (same schema)")
+    dc.add_argument("--output", required=True, help="clean parquet dir")
+    dc.add_argument("--ngram", type=int, default=13)
+    dc.add_argument("--bloom", action="store_true",
+                    help="Bloom-prefilter path (for benchmark gram sets "
+                         "too big to broadcast exactly)")
+    dc.add_argument("--m-bits", type=int, default=1 << 24)
+    dc.add_argument("--hashes", type=int, default=5)
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
 
     args = ap.parse_args(argv)
 
@@ -236,6 +274,64 @@ def main(argv: list[str] | None = None) -> int:
         prof.groupBy("guessed_lang").agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("quality"), 4).alias("avg_quality")).show()
+    elif args.cmd == "select":
+        from pyspark.sql import functions as F
+        from ocr_engine_spark.functions.dsir import dsir_select
+        docs = spark.read.parquet(args.input)
+        target = spark.read.parquet(args.target)
+        sel = dsir_select(docs, target, args.k, buckets=args.buckets,
+                          seed=args.seed, id_col=args.id_col,
+                          text_col=args.text_col)
+        # join back the full rows of the selected ids (selection output
+        # is tiny: k rows)
+        out = docs.join(F.broadcast(sel.select(args.id_col, "rank")),
+                        args.id_col)
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "selected": spark.read.parquet(args.output).count(),
+            "k": args.k, "buckets": args.buckets, "seed": args.seed}))
+    elif args.cmd == "mix":
+        from pyspark.sql import Observation, functions as F
+        from ocr_engine_spark.functions.sample import temperature_sample
+        docs = spark.read.parquet(args.input)
+        mixed = temperature_sample(docs, alpha=args.alpha,
+                                   total_out=args.total,
+                                   strata_col=args.strata_col,
+                                   id_col=args.id_col)
+        obs = Observation("mix_rows")
+        mixed.observe(obs, F.count(F.lit(1)).alias("n")) \
+            .write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rows": obs.get["n"], "alpha": args.alpha,
+                          "total": args.total}))
+    elif args.cmd == "decontam":
+        from pyspark.sql import Observation, functions as F
+        docs = spark.read.parquet(args.input)
+        bench = spark.read.parquet(args.benchmark)
+        if args.bloom:
+            from ocr_engine_spark.functions.bloom import (
+                contamination_report_bloom,
+            )
+            report = contamination_report_bloom(
+                docs, bench, n=args.ngram, m_bits=args.m_bits,
+                k=args.hashes, id_col=args.id_col,
+                text_col=args.text_col)
+        else:
+            from ocr_engine_spark.functions.decontam import (
+                contamination_report,
+            )
+            report = contamination_report(docs, bench, n=args.ngram,
+                                          id_col=args.id_col,
+                                          text_col=args.text_col)
+        flagged = report.persist()
+        clean = docs.join(flagged.select(args.id_col), args.id_col,
+                          "left_anti")
+        obs = Observation("decontam_kept")
+        clean.observe(obs, F.count(F.lit(1)).alias("n")) \
+            .write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"contaminated": flagged.count(),
+                          "kept": obs.get["n"],
+                          "path": "bloom" if args.bloom else "exact"}))
+        flagged.unpersist()
     spark.stop()
     return 0
 
