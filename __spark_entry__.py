@@ -716,6 +716,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_eod.cast("long")).alias("n_eod"))
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest (functions/shards.py): pack -> assign
+    seq_id div seqs_per_shard -> per-shard count / token-count /
+    checksum / seq-id range. Every value is integer arithmetic over
+    the oracle-gated pack output, so a mis-assigned sequence or a
+    boundary off-by-one hash-mismatches against the DuckDB replay."""
+    from ocr_engine_spark.functions.pack import pack_sequences
+    from ocr_engine_spark.functions.shards import shard_manifest
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    seqs = pack_sequences(docs, seq_len=128)
+    return shard_manifest(seqs, seqs_per_shard=8).orderBy("shard_id")
+
+
 def q_kgram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-k-gram removal (functions/dedup.dedup_kgrams —
     word-granularity substring dedup, Lee et al. 2022 keep-first
@@ -994,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
         "pack_sequences": q_pack_sequences,
+        "shard_manifest": q_shard_manifest,
         "kgram_dedup": q_kgram_dedup,
         "dsir_select": q_dsir_select,
         "stratified_sample": q_stratified_sample,
@@ -1355,7 +1369,10 @@ def _extraction_pipeline_oracle() -> str:
     """
 
 
-def _pack_sequences_oracle(seq_len: int = 128) -> str:
+def _pack_c_cte(seq_len: int = 128) -> str:
+    """Shared DuckDB replay of pack_sequences up to the per-sequence
+    CTE ``c`` (seq_id, n_slots, tok_sum, eod) — the pack and shard
+    oracles both finish from here."""
     from ocr_engine_spark.functions.pack import EOD_ID, VOCAB_SIZE
     bpe = BPE_PATTERN.replace(chr(39), chr(39) * 2)
     return rf"""
@@ -1384,12 +1401,30 @@ def _pack_sequences_oracle(seq_len: int = 128) -> str:
                          AS eod
               FROM s GROUP BY seq_id
               HAVING count(*) = {seq_len})
+    """
+
+
+def _pack_sequences_oracle(seq_len: int = 128) -> str:
+    return _pack_c_cte(seq_len) + """
         SELECT count(*) AS n_sequences,
                min(seq_id)::BIGINT AS min_seq,
                max(seq_id)::BIGINT AS max_seq,
                sum(tok_sum)::BIGINT AS token_checksum,
                sum(eod)::BIGINT AS n_eod
         FROM c
+    """
+
+
+def _shard_manifest_oracle(seq_len: int = 128,
+                           seqs_per_shard: int = 8) -> str:
+    return _pack_c_cte(seq_len) + f"""
+        SELECT (seq_id // {seqs_per_shard})::BIGINT AS shard_id,
+               count(*)::BIGINT AS n_seqs,
+               sum(n_slots)::BIGINT AS n_tokens,
+               sum(tok_sum)::BIGINT AS token_checksum,
+               min(seq_id)::BIGINT AS min_seq,
+               max(seq_id)::BIGINT AS max_seq
+        FROM c GROUP BY 1 ORDER BY shard_id
     """
 
 
@@ -2017,6 +2052,7 @@ def _oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         "line_prune": _LINE_PRUNE_ORACLE,
         "pack_sequences": _pack_sequences_oracle(),
+        "shard_manifest": _shard_manifest_oracle(),
         "kgram_dedup": r"""
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents),

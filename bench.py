@@ -33,7 +33,7 @@ HEADLINE = [
     "exact_dups", "ngram_jaccard", "minhash_near_dups", "dedup_clusters",
     "corpus_stats",
     "vocab_topk", "pii_scrub", "line_prune", "repetition_ratio",
-    "quality_filter", "pack_sequences",
+    "quality_filter", "pack_sequences", "shard_manifest",
     "kgram_dedup", "stratified_sample", "temperature_sample",
     "dsir_select",
     "host_skew",

@@ -132,6 +132,16 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--id-col", default="doc_id")
     dc.add_argument("--text-col", default="text")
 
+    pk = sub.add_parser("pack", help="pack docs into training shards")
+    pk.add_argument("--input", required=True, help="documents parquet")
+    pk.add_argument("--output", required=True, help="shard sink dir")
+    pk.add_argument("--seq-len", type=int, default=2048)
+    pk.add_argument("--seqs-per-shard", type=int, default=1024)
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--verify", action="store_true",
+                    help="re-read written shards and diff vs manifest")
+
     args = ap.parse_args(argv)
 
     from ocr_engine_spark.engine.session import build_session
@@ -332,6 +342,23 @@ def main(argv: list[str] | None = None) -> int:
                           "kept": obs.get["n"],
                           "path": "bloom" if args.bloom else "exact"}))
         flagged.unpersist()
+    elif args.cmd == "pack":
+        from ocr_engine_spark.functions.pack import pack_sequences
+        from ocr_engine_spark.functions.shards import (
+            verify_shards, write_training_shards,
+        )
+        docs = spark.read.parquet(args.input)
+        seqs = pack_sequences(docs, seq_len=args.seq_len,
+                              id_col=args.id_col, text_col=args.text_col)
+        stats = write_training_shards(seqs, args.output,
+                                      seqs_per_shard=args.seqs_per_shard)
+        out = {"n_shards": stats["n_shards"], "n_seqs": stats["n_seqs"],
+               "seq_len": args.seq_len,
+               "seqs_per_shard": args.seqs_per_shard}
+        if args.verify:
+            out["verify_mismatches"] = verify_shards(
+                spark, args.output).count()
+        print(json.dumps(out))
     spark.stop()
     return 0
 

@@ -36,6 +36,10 @@ COLLECT_ALLOWLIST = {
     "functions/dedup.py": [
         '"params")).first()',       # index params: 1 row
     ],
+    "functions/shards.py": [
+        '.alias("q")).first()',     # manifest totals: 1 row
+        '.select("seqs_per_shard").first()',  # manifest param: 1 row
+    ],
     "engine/catalog.py": [
         ").collect())]",            # per-partition lineage rows: |parts|
         ".agg(*agg).collect()]",    # per-partition lineage rows: |parts|

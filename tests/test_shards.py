@@ -1,0 +1,105 @@
+"""Training-shard sink tests (functions/shards.py): deterministic
+membership, round-trip content identity, manifest verification, and
+tamper detection."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from ocr_engine_spark.functions.pack import pack_sequences
+from ocr_engine_spark.functions.shards import (
+    shard_manifest, verify_shards, with_shard_id, write_training_shards,
+)
+from tests.conftest import TESTDATA_SF001
+
+
+def _packed(spark, n_docs=40, seq_len=64):
+    docs = spark.read.parquet(
+        os.path.join(TESTDATA_SF001, "documents.parquet")).filter(
+        F.col("doc_id") < n_docs)
+    return pack_sequences(docs, seq_len=seq_len)
+
+
+def test_shard_membership_is_contiguous(spark):
+    """Shard s holds exactly seq_ids [s*k, (s+1)*k) — no skew-driven
+    reassignment, rerunnable byte-identically."""
+    k = 8
+    rows = with_shard_id(_packed(spark), k) \
+        .select("seq_id", "shard_id").collect()
+    assert rows, "packing produced no sequences"
+    for r in rows:
+        assert r.shard_id == r.seq_id // k
+
+
+def test_write_shards_round_trip(spark, tmp_path):
+    """Written shards reload to exactly the packed sequences, the
+    directory layout is one shard per partition dir, and verify_shards
+    returns no mismatches."""
+    out = str(tmp_path / "shards_out")
+    packed = _packed(spark)
+    stats = write_training_shards(packed, out, seqs_per_shard=8)
+    n = packed.count()
+    assert stats["n_seqs"] == n
+    assert stats["n_shards"] == (n + 7) // 8
+    back = spark.read.parquet(os.path.join(out, "shards"))
+    orig = {r.seq_id: list(r.tokens) for r in packed.collect()}
+    got = {r.seq_id: list(r.tokens) for r in back.collect()}
+    assert got == orig
+    # one directory per shard, hive-partitioned on shard_id
+    dirs = sorted(d for d in os.listdir(os.path.join(out, "shards"))
+                  if d.startswith("shard_id="))
+    assert len(dirs) == stats["n_shards"]
+    assert verify_shards(spark, out).count() == 0
+
+
+def test_write_shards_deterministic_manifest(spark, tmp_path):
+    """Two independent runs over the same input produce identical
+    manifests (the resume-mid-epoch contract)."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(_packed(spark), a, seqs_per_shard=8)
+    write_training_shards(_packed(spark), b, seqs_per_shard=8)
+    cols = ["shard_id", "n_seqs", "n_tokens", "token_checksum",
+            "min_seq", "max_seq", "seqs_per_shard"]
+    ma = spark.read.parquet(os.path.join(a, "manifest")) \
+        .select(cols).orderBy("shard_id").collect()
+    mb = spark.read.parquet(os.path.join(b, "manifest")) \
+        .select(cols).orderBy("shard_id").collect()
+    assert ma == mb
+
+
+def test_verify_shards_detects_tamper(spark, tmp_path):
+    """Dropping a shard directory surfaces as missing_data; a stale
+    manifest row for a rewritten shard surfaces as checksum_mismatch."""
+    out = str(tmp_path / "shards_out")
+    packed = _packed(spark)
+    write_training_shards(packed, out, seqs_per_shard=8)
+
+    # remove one shard's data dir entirely -> missing_data
+    import shutil
+    victim = os.path.join(out, "shards", "shard_id=0")
+    shutil.rmtree(victim)
+    bad = {r.shard_id: r.status for r in verify_shards(spark, out).collect()}
+    assert bad == {0: "missing_data"}
+
+    # restore shard 0 but with one sequence's tokens zeroed
+    # -> token_checksum no longer matches the stored manifest
+    fixed = with_shard_id(packed, 8).filter(F.col("shard_id") == 0) \
+        .withColumn(
+            "tokens",
+            F.when(F.col("seq_id") == 0,
+                   F.transform("tokens", lambda _: F.lit(0).cast("long")))
+            .otherwise(F.col("tokens")))
+    fixed.drop("shard_id").write.mode("overwrite").parquet(victim)
+    bad = {r.shard_id: r.status for r in verify_shards(spark, out).collect()}
+    assert bad == {0: "checksum_mismatch"}
+
+
+def test_manifest_totals_match_pack(spark):
+    """Manifest totals must re-add to the corpus-level pack numbers."""
+    packed = _packed(spark)
+    m = shard_manifest(packed, seqs_per_shard=8)
+    tot = m.agg(F.sum("n_seqs").alias("s"),
+                F.sum("n_tokens").alias("t")).first()
+    n = packed.count()
+    assert tot["s"] == n
+    assert tot["t"] == n * 64
