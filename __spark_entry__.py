@@ -790,6 +790,41 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "rank"))
 
 
+def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (functions/sample.shuffle_corpus):
+    every document's 0-based position in the seed-7 pseudo-random
+    permutation, computed with the range-partition prefix-rank engine
+    (no single-task global window). The oracle replays the permutation
+    as one window over the identical portable key
+    md5(seed || 0x1f || doc_id) — any rank drift hash-mismatches."""
+    from ocr_engine_spark.functions.sample import shuffle_corpus
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return (shuffle_corpus(docs, seed=7)
+            .select("doc_id", "shuffle_pos").orderBy("shuffle_pos"))
+
+
+def q_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity filter (functions/lm.py, Wenzek et
+    al. 2020): fit a hashed-vocab add-1 bigram LM on the clean
+    reference slice (lang='en' AND doc_id % 5 == 0), score every
+    document's mean NLL per bigram in integer micro-nats, rank
+    ascending, cut head/middle/tail at 30/40/30 integer percents.
+    The oracle replays tokenization, both hash bucketings, the
+    smoothing, the single ln() quantization, the per-doc integer sums
+    and the rank window verbatim — every score, rank and bucket label
+    is value-gated."""
+    from ocr_engine_spark.functions.lm import ppl_bucket
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
+    ref = docs.filter((F.col("lang") == "en") &
+                      (F.col("doc_id") % 5 == 0))
+    out = ppl_bucket(docs, ref, buckets=1024, alpha=1.0,
+                     head_pct=30, middle_pct=40)
+    return (out.select("doc_id", "n_bigrams", "nll_micro",
+                       "log_ppl_micro", "ppl_rank", "bucket")
+            .orderBy("ppl_rank"))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C): flag training
     documents sharing any 13-word-gram with a benchmark set. The
@@ -1011,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgram_dedup": q_kgram_dedup,
         "dsir_select": q_dsir_select,
         "stratified_sample": q_stratified_sample,
+        "shuffle_corpus": q_shuffle_corpus,
+        "ppl_filter": q_ppl_filter,
         "temperature_sample": q_temperature_sample,
         "repetition_ratio": q_repetition_ratio,
         "host_skew": q_host_skew,
@@ -2189,6 +2226,75 @@ def _oracle_sql() -> dict[str, str]:
             SELECT lang, rank, doc_id, n_chars
             FROM r WHERE rank <= 20
             ORDER BY lang, rank
+        """,
+        "shuffle_corpus": """
+            SELECT doc_id,
+                   (row_number() OVER (
+                      ORDER BY md5('7' || chr(31)
+                                   || CAST(doc_id AS VARCHAR)),
+                               doc_id) - 1)::BIGINT AS shuffle_pos
+            FROM documents
+            ORDER BY shuffle_pos
+        """,
+        "ppl_filter": """
+            WITH reftok AS (
+              SELECT list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM documents WHERE lang = 'en' AND doc_id % 5 = 0),
+            refp0 AS (
+              SELECT unnest(t[1 : len(t) - 1]) AS c,
+                     unnest(t[2 : len(t)]) AS w
+              FROM reftok WHERE len(t) >= 2),
+            refp AS (
+              SELECT ('0x' || substr(md5(c), 1, 15))::BIGINT % 1024 AS cb,
+                     ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS wb
+              FROM refp0),
+            ctx AS (SELECT cb, count(*) AS c_ctx FROM refp GROUP BY cb),
+            big AS (SELECT cb, wb, count(*) AS c_big
+                    FROM refp GROUP BY cb, wb),
+            dtok AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM documents),
+            dp0 AS (
+              SELECT doc_id, unnest(t[1 : len(t) - 1]) AS c,
+                     unnest(t[2 : len(t)]) AS w
+              FROM dtok WHERE len(t) >= 2),
+            dp AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(c), 1, 15))::BIGINT % 1024 AS cb,
+                     ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS wb
+              FROM dp0),
+            lp AS (
+              SELECT d.doc_id,
+                     round(ln((coalesce(b.c_big, 0) + 1.0)
+                              / (coalesce(x.c_ctx, 0) + 1024.0))
+                           * 1e6)::BIGINT AS lp
+              FROM dp d
+              LEFT JOIN big b ON d.cb = b.cb AND d.wb = b.wb
+              LEFT JOIN ctx x ON d.cb = x.cb),
+            sc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                     (-sum(lp))::BIGINT AS nll_micro
+              FROM lp GROUP BY doc_id),
+            scored AS (
+              SELECT doc_id, n_bigrams, nll_micro,
+                     nll_micro // n_bigrams AS log_ppl_micro
+              FROM sc),
+            rk AS (
+              SELECT *, row_number() OVER (
+                          ORDER BY log_ppl_micro, doc_id) AS ppl_rank,
+                     count(*) OVER () AS n
+              FROM scored)
+            SELECT doc_id, n_bigrams, nll_micro, log_ppl_micro,
+                   ppl_rank::BIGINT AS ppl_rank,
+                   CASE WHEN ppl_rank <= (n * 30) // 100 THEN 'head'
+                        WHEN ppl_rank <= (n * 70) // 100 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM rk ORDER BY ppl_rank
         """,
         "decontaminate": """
             WITH bench AS (

@@ -1,0 +1,158 @@
+r"""LM-perplexity quality filtering — the CCNet recipe (Wenzek et al.,
+LREC 2020, arXiv:1911.00359): score every document's perplexity under a
+language model trained on a small CLEAN reference corpus (CCNet uses a
+KenLM 5-gram on Wikipedia), then split the corpus into head / middle /
+tail perplexity buckets; training mixes prefer head+middle.
+
+Re-expressed Spark-first with the repo's portability discipline:
+
+  * the LM is a hashed-vocabulary add-alpha bigram model — context and
+    word tokens hash into ``buckets`` slots via the repo-wide portable
+    60-bit md5 hash, so DuckDB replays every count and every score
+    (a KenLM binary would be an opaque, unverifiable side input);
+  * every per-bigram log probability is quantized ONCE to integer
+    micro-nats (the dsir.py fixed-point rule) so per-doc sums are exact
+    64-bit arithmetic in any engine / summation order;
+  * the head/middle/tail cut is by exact GLOBAL RANK of the score, not
+    by approximate percentile — reusing sample.global_stratum_ranks'
+    range-partition prefix-rank engine (bounded driver read, no
+    single-task global window), with integer-percent cutoffs
+    (``(N * head_pct) div 100``) so the boundary is engine-exact.
+
+Plan shape at 100 TB:
+
+  * the reference corpus is small by construction (CCNet: Wikipedia) —
+    both count tables are built once and BROADCAST; scoring the corpus
+    is map-side joins + one (doc_id, partial-sum) shuffle with map-side
+    combine;
+  * the bucket cut is one range partition by score + a bounded
+    per-(partition) count read — the same machinery already proven for
+    stratified sampling and sequence packing.
+
+Per-doc scores are mean negative log-likelihood per bigram in
+micro-nats — exactly ``ln(perplexity) * 1e6`` under the bigram model —
+monotone in perplexity, so ranking/bucketing on it is ranking on
+perplexity without ever leaving integer space.
+
+Documents with fewer than two tokens have no bigrams and no perplexity;
+they are absent from the scored output (CCNet likewise drops
+empty/degenerate docs before LM scoring) — callers wanting them must
+anti-join and route them to ``tail`` explicitly.
+
+Reference parity: the reference repo has no corpus-quality stage (it
+serves per-request OCR); this operator belongs to the LLM-training-data
+layer the graft adds (SURVEY §2 extension), alongside dsir/decontam.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_engine_spark.functions.decontam import word_tokens_col
+from ocr_engine_spark.functions.text import md5_int60_col
+
+MICRO = 1e6  # fixed-point scale: integer micro-nats (dsir.MICRO twin)
+
+
+def bigram_pairs(df: DataFrame, *, buckets: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """One (id, cb, wb) row per bigram occurrence: context bucket and
+    word bucket under the portable 60-bit hash. Pure map-side —
+    tokenize once (materialized column: HOFs never codegen, see
+    functions/text.py), zip the token array against its own shift,
+    explode. DuckDB twin zips two ``unnest``s of ``t[1:n-1]`` /
+    ``t[2:n]`` in one SELECT."""
+    toks = df.select(F.col(id_col),
+                     word_tokens_col(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    pairs = F.when(n >= 2, F.arrays_zip(
+        F.slice("__t", 1, n - 1).alias("c"),
+        F.slice("__t", 2, n - 1).alias("w"))
+    ).otherwise(F.array().cast("array<struct<c:string,w:string>>"))
+    return (toks.select(id_col, F.explode(pairs).alias("__p"))
+            .select(id_col,
+                    (md5_int60_col(F.col("__p.c")) % F.lit(buckets))
+                    .alias("cb"),
+                    (md5_int60_col(F.col("__p.w")) % F.lit(buckets))
+                    .alias("wb")))
+
+
+def fit_bigram_lm(reference: DataFrame, *, buckets: int,
+                  id_col: str = "doc_id", text_col: str = "text"
+                  ) -> tuple[DataFrame, DataFrame]:
+    """(ctx_counts, big_counts): ``(cb, c_ctx)`` context-occurrence
+    counts and ``(cb, wb, c_big)`` bigram counts over the reference
+    corpus. Both are bounded by the reference's gram volume (small by
+    construction) and enter scoring as broadcast build sides."""
+    pairs = bigram_pairs(reference, buckets=buckets, id_col=id_col,
+                         text_col=text_col)
+    ctx = pairs.groupBy("cb").agg(F.count("*").alias("c_ctx"))
+    big = pairs.groupBy("cb", "wb").agg(F.count("*").alias("c_big"))
+    return ctx, big
+
+
+def doc_log_ppl(docs: DataFrame, ctx_counts: DataFrame,
+                big_counts: DataFrame, *, buckets: int,
+                alpha: float = 1.0, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, n_bigrams, nll_micro, log_ppl_micro) per document with
+    >= 1 bigram. ``log_ppl_micro = nll_micro div n_bigrams`` — mean
+    negative log-likelihood per bigram in integer micro-nats, i.e.
+    ``ln(perplexity) * 1e6``. Add-alpha smoothing:
+    ``p(w|c) = (c_big + alpha) / (c_ctx + alpha * buckets)`` with
+    counts coalesced to 0 for grams unseen in the reference; p <= 1
+    always (c_big <= c_ctx), so every per-gram term is >= 0."""
+    pairs = bigram_pairs(docs, buckets=buckets, id_col=id_col,
+                         text_col=text_col)
+    joined = (pairs
+              .join(F.broadcast(big_counts), ["cb", "wb"], "left")
+              .join(F.broadcast(ctx_counts), ["cb"], "left")
+              .withColumn("c_big", F.coalesce(F.col("c_big"), F.lit(0)))
+              .withColumn("c_ctx", F.coalesce(F.col("c_ctx"), F.lit(0))))
+    alpha_v = alpha * buckets  # python-folded literal, same in SQL twin
+    p = (F.col("c_big") + F.lit(alpha)) / (F.col("c_ctx") + F.lit(alpha_v))
+    lp_micro = F.round(F.log(p) * F.lit(MICRO), 0).cast("long")
+    return (joined.withColumn("__lp", lp_micro)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 (-F.sum("__lp")).alias("nll_micro"))
+            .withColumn("log_ppl_micro",
+                        F.expr("nll_micro div n_bigrams")))
+
+
+def ppl_bucket(docs: DataFrame, reference: DataFrame, *,
+               buckets: int = 4096, alpha: float = 1.0,
+               head_pct: int = 30, middle_pct: int = 40,
+               id_col: str = "doc_id", text_col: str = "text",
+               partitions: int | None = None) -> DataFrame:
+    """CCNet head/middle/tail split: fit the bigram LM on ``reference``,
+    score ``docs``, rank ascending by ``(log_ppl_micro, id)`` with the
+    range-partition rank engine, and cut at integer-percent boundaries
+    — ``head`` = ranks 1..(N*head_pct div 100), ``middle`` the next
+    ``middle_pct`` percent, ``tail`` the rest. Returns (id, n_bigrams,
+    log_ppl_micro, ppl_rank, bucket), deterministic in (corpus,
+    reference, buckets, alpha, pcts)."""
+    from ocr_engine_spark.functions.sample import global_stratum_ranks
+    ctx, big = fit_bigram_lm(reference, buckets=buckets, id_col=id_col,
+                             text_col=text_col)
+    scored = doc_log_ppl(docs, ctx, big, buckets=buckets, alpha=alpha,
+                         id_col=id_col, text_col=text_col)
+    ranked = global_stratum_ranks(
+        scored.withColumn("__all", F.lit("all")),
+        strata_col="__all", id_col=id_col, partitions=partitions,
+        order_col="log_ppl_micro")
+    if ranked is None:
+        return (scored.withColumn("ppl_rank", F.lit(0).cast("long"))
+                .withColumn("bucket", F.lit(""))
+                .filter(F.lit(False)))
+    # scalar N rides a 1-row broadcast cross join — one lazy plan
+    total = scored.agg(F.count("*").alias("__n"))
+    head_n = F.expr(f"(__n * {int(head_pct)}) div 100")
+    mid_n = F.expr(f"(__n * {int(head_pct) + int(middle_pct)}) div 100")
+    bucket = (F.when(F.col("__grank") <= head_n, F.lit("head"))
+              .when(F.col("__grank") <= mid_n, F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (ranked.crossJoin(F.broadcast(total))
+            .withColumn("ppl_rank", F.col("__grank").cast("long"))
+            .withColumn("bucket", bucket)
+            .drop("__grank", "__all", "__n"))

@@ -45,18 +45,22 @@ def sample_rank_col(strata_col, id_col):
 
 def global_stratum_ranks(df: DataFrame, *, strata_col: str = "lang",
                          id_col: str = "doc_id",
-                         partitions: int | None = None
+                         partitions: int | None = None,
+                         order_col: str | None = None
                          ) -> DataFrame | None:
     """``df`` plus ``__grank`` — the exact 1-based within-stratum rank
-    by portable hash — computed with the range-partition prefix-rank
-    scheme (no one-task-per-stratum window; bounded driver read).
-    Returns None for an empty input. Shared engine for every
-    quota-based sampler below."""
+    by portable hash (or by ``order_col`` ascending when given) —
+    computed with the range-partition prefix-rank scheme (no
+    one-task-per-stratum window; bounded driver read). Returns None for
+    an empty input. Shared engine for every quota-based sampler below
+    plus the score-ordered rankers (lm.ppl_bucket) and the epoch
+    shuffle."""
     spark = df.sparkSession
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = (df.withColumn("__rk", sample_rank_col(F.col(strata_col),
-                                               F.col(id_col)))
+    rk = (F.col(order_col) if order_col is not None
+          else sample_rank_col(F.col(strata_col), F.col(id_col)))
+    d = (df.withColumn("__rk", rk)
          .repartitionByRange(partitions, strata_col, "__rk", id_col)
          .withColumn("__part", F.spark_partition_id())
          .persist())
@@ -107,6 +111,39 @@ def stratified_sample(df: DataFrame, n_per_stratum: int, *,
     if rank_out is not None:
         out = out.withColumn(rank_out, F.col("__grank"))
     return out.drop("__grank")
+
+
+def shuffle_corpus(df: DataFrame, *, seed: int = 0,
+                   id_col: str = "doc_id",
+                   partitions: int | None = None,
+                   pos_out: str = "shuffle_pos") -> DataFrame:
+    """Deterministic global epoch shuffle: every row gets ``pos_out`` —
+    its 0-based position in the pseudo-random permutation keyed by
+    ``md5(seed || 0x1f || id)``. Training pipelines need the corpus in
+    a RANDOM but REPRODUCIBLE order (Megatron/GPT-NeoX shuffle the
+    sample index per epoch from a seed); a plain ``ORDER BY rand()``
+    is neither rerun-stable nor engine-portable.
+
+    The permutation depends only on (id population, seed) — not on row
+    order, partitioning, or cluster size — so epoch N's order can be
+    re-materialized byte-identically for mid-epoch resume, and a
+    different ``seed`` gives an independent permutation for the next
+    epoch. Scale: the seed rides the rank engine's stratum slot as a
+    constant, so this is one range partition + bounded driver read —
+    no single-task global window.
+
+    Typical composition: ``shuffle_corpus(docs, seed=epoch)`` →
+    ``pack_sequences`` over the shuffled order → ``write_training_shards``.
+    """
+    keyed = df.withColumn("__seed", F.lit(str(int(seed))))
+    ranked = global_stratum_ranks(keyed, strata_col="__seed",
+                                  id_col=id_col, partitions=partitions)
+    if ranked is None:
+        return df.withColumn(pos_out, F.lit(0).cast("long")) \
+                 .filter(F.lit(False))
+    return (ranked.withColumn(pos_out, (F.col("__grank") - 1)
+                              .cast("long"))
+            .drop("__grank", "__seed"))
 
 
 def temperature_quotas(df: DataFrame, *, alpha: float, total_out: int,
