@@ -910,6 +910,24 @@ def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_skew_report(pages, top_k=8)
 
 
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist filter (functions/scrub.py) over the
+    pages fixture corpus: flag every page whose host is a blocked
+    registered domain or a subdomain of one. Map-side literal path —
+    suffix array_intersect, zero shuffle/join — with the equi-join path
+    pytest-proven equivalent. The oracle replays host extraction,
+    userinfo/port strip, suffix generation and the min-match verbatim."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import blocked_domain_report
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                            "pages.parquet"))
+    rep = blocked_domain_report(
+        pages, ["example.org", "shop.example.co", "example.dev"])
+    return (rep.select("url", "host", "blocked_domain")
+            .distinct().orderBy("url"))
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building (tokenizer-pipeline op): token frequency +
     document frequency over the corpus, Zipf head — one explode + one
@@ -1051,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "repetition_ratio": q_repetition_ratio,
         "host_skew": q_host_skew,
+        "domain_blocklist": q_domain_blocklist,
     }
 
 
@@ -1583,6 +1602,32 @@ def _host_skew_oracle() -> str:
         FROM c, t
         ORDER BY n_pages DESC, host ASC
         LIMIT 8
+    """
+
+
+def _domain_blocklist_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    return f"""
+        WITH h AS (
+          SELECT url,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                   '^[^@]*@', ''), ':[0-9]+$', '') AS host
+          FROM read_parquet('{pages}')),
+        s AS (
+          SELECT url, host, string_split(host, '.') AS l
+          FROM h WHERE host <> ''),
+        x AS (
+          SELECT url, host, array_to_string(l[i : len(l)], '.') AS sfx
+          FROM s, unnest(range(1, len(l) + 1)) AS u(i))
+        SELECT url, host, min(sfx) AS blocked_domain
+        FROM x
+        WHERE sfx IN ('example.dev', 'example.org', 'shop.example.co')
+        GROUP BY url, host
+        ORDER BY url
     """
 
 
@@ -2372,6 +2417,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "repetition_ratio": _REPETITION_ORACLE,
         "host_skew": _host_skew_oracle(),
+        "domain_blocklist": _domain_blocklist_oracle(),
         "vocab_topk": r"""
             WITH t AS (
               SELECT doc_id,

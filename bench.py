@@ -37,7 +37,7 @@ HEADLINE = [
     "kgram_dedup", "stratified_sample", "temperature_sample",
     "shuffle_corpus", "ppl_filter",
     "dsir_select",
-    "host_skew",
+    "host_skew", "domain_blocklist",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",
     "embedding_lsh_pairs", "embedding_near_dups", "ivf_topk",
     "semantic_dedup", "decontaminate", "decontaminate_bloom",

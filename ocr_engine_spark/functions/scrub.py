@@ -169,6 +169,76 @@ def canonical_url_col(url: Column, *, strip_www: bool = False,
             .otherwise(stripped))
 
 
+def registrable_host_col(url: Column) -> Column:
+    """Host with userinfo and port stripped — the part domain
+    blocklists key on. DuckDB twin: two regexp_replace over the
+    host_col extraction."""
+    h = host_col(url)
+    return F.regexp_replace(F.regexp_replace(h, "^[^@]*@", ""),
+                            ":[0-9]+$", "")
+
+
+def host_suffixes_col(host: Column) -> Column:
+    """All dot-suffixes of a host: ``news.example.org`` ->
+    ``[news.example.org, example.org, org]``. Matching a blocklist
+    becomes set membership over <= label-count strings per row — the
+    scalable alternative to a ``host LIKE '%.'||domain`` nested-loop
+    join. Empty host -> empty array."""
+    labels = F.split(host, "[.]")
+    n = F.size(labels)
+    return F.when(host == "", F.array().cast("array<string>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(labels, i, n - i + 1), ".")))
+
+
+def blocked_domain_report(df: DataFrame, blocked: list[str], *,
+                          url_col: str = "url") -> DataFrame:
+    """Rows whose url host falls under any blocked registered domain
+    (exact host OR subdomain — standard UT1/adult-blocklist semantics),
+    with ``blocked_domain`` = the lexicographically smallest matching
+    entry. PURE MAP-SIDE for a list blocklist: the list ships as a
+    literal array inside the task binary and matching is
+    ``array_intersect`` over the host's suffixes — zero shuffle, zero
+    join, the filter Catalyst can pipeline into the scan stage. For
+    multi-million-entry lists use ``blocked_domains_join``."""
+    bl = F.array(*[F.lit(d.lower()) for d in sorted(set(blocked))])
+    host = registrable_host_col(F.col(url_col))
+    hits = F.array_intersect(host_suffixes_col(host), bl)
+    return (df.withColumn("__host", host)
+            .withColumn("blocked_domain", F.array_min(hits))
+            .filter(F.size(hits) > 0)
+            .withColumn("host", F.col("__host")).drop("__host"))
+
+
+def filter_blocked_domains(df: DataFrame, blocked: list[str], *,
+                           url_col: str = "url") -> DataFrame:
+    """``df`` minus every row under a blocked domain — the complement
+    of blocked_domain_report, same zero-shuffle map-side plan."""
+    bl = F.array(*[F.lit(d.lower()) for d in sorted(set(blocked))])
+    host = registrable_host_col(F.col(url_col))
+    return df.filter(~F.arrays_overlap(host_suffixes_col(host), bl))
+
+
+def blocked_domains_join(df: DataFrame, blocked: DataFrame, *,
+                         url_col: str = "url", id_col: str,
+                         domain_col: str = "domain") -> DataFrame:
+    """(id, blocked_domain) for every flagged row — the big-blocklist
+    path (UT1-scale lists are millions of domains, too big for a
+    literal): explode each host into its <= label-count suffixes and
+    EQUI-join suffix = domain, so Spark picks broadcast-hash vs
+    shuffle-hash by the blocklist's actual size (AQE); the corpus side
+    never fans out more than ~5x and never nested-loops. Compose
+    ``df.join(result, id_col, 'left_anti')`` to drop flagged rows."""
+    host = registrable_host_col(F.col(url_col))
+    sfx = (df.select(F.col(id_col),
+                     F.explode(host_suffixes_col(host)).alias("__sfx")))
+    bl = blocked.select(F.lower(F.col(domain_col)).alias("__sfx"))
+    return (sfx.join(bl, "__sfx")
+            .groupBy(id_col)
+            .agg(F.min("__sfx").alias("blocked_domain")))
+
+
 def host_skew_report(df: DataFrame, url_col: str = "url",
                      top_k: int = 10) -> DataFrame:
     """Pages per host + share of the corpus — the skew probe that

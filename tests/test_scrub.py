@@ -127,3 +127,54 @@ def test_canonical_url_optional_flags(spark):
     cons = df.select(canonical_url_col(F.col("url")).alias("c")).collect()
     assert cons[0].c == "http://www.example.com:80/a"
     assert cons[4].c == "https://e.com/p%61th/%7euser".replace("%7e", "%7E")
+
+
+def test_domain_blocklist_map_side(spark):
+    """Suffix semantics: exact host and any subdomain match; sibling
+    domains and suffix-of-label lookalikes (notexample.org) don't.
+    Report and filter partition the corpus exactly."""
+    from ocr_engine_spark.functions.scrub import (
+        blocked_domain_report, filter_blocked_domains,
+    )
+    rows = [
+        (0, "https://news.example.org/a"),        # sub of example.org
+        (1, "https://example.org/b"),             # exact
+        (2, "https://notexample.org/c"),          # label boundary: clean
+        (3, "https://shop.example.co:8080/d"),    # port stripped, exact
+        (4, "http://user@bad.example.dev/e"),     # userinfo stripped
+        (5, "https://blog.example.net/f"),        # clean
+        (6, "not a url"),                         # no host: clean
+    ]
+    df = spark.createDataFrame(rows, ["page_id", "url"])
+    blocked = ["example.org", "shop.example.co", "example.dev"]
+    rep = {r.page_id: r.blocked_domain
+           for r in blocked_domain_report(df, blocked).collect()}
+    assert rep == {0: "example.org", 1: "example.org",
+                   3: "shop.example.co", 4: "example.dev"}
+    kept = {r.page_id
+            for r in filter_blocked_domains(df, blocked).collect()}
+    assert kept == {2, 5, 6}
+
+
+def test_domain_blocklist_join_path_equivalent(spark):
+    """The big-blocklist equi-join path flags exactly the same rows as
+    the map-side literal path, and no nested-loop join appears in the
+    plan."""
+    from ocr_engine_spark.functions.scrub import (
+        blocked_domain_report, blocked_domains_join,
+    )
+    rows = [(i, f"https://{h}/p") for i, h in enumerate(
+        ["a.x.com", "x.com", "b.y.org", "y.org", "z.net",
+         "deep.a.x.com", "xx.com"])]
+    df = spark.createDataFrame(rows, ["page_id", "url"])
+    blocked = ["x.com", "y.org"]
+    bdf = spark.createDataFrame([(d,) for d in blocked], ["domain"])
+    got = {(r.page_id, r.blocked_domain)
+           for r in blocked_domains_join(df, bdf,
+                                         id_col="page_id").collect()}
+    want = {(r.page_id, r.blocked_domain)
+            for r in blocked_domain_report(df, blocked).collect()}
+    assert got == want
+    plan = blocked_domains_join(df, bdf, id_col="page_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
