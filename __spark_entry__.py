@@ -825,6 +825,40 @@ def q_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("ppl_rank"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (functions/chunk.py, RAG /
+    embedding prep): 32-token windows at stride 24 — map-only, no
+    shuffle, no UDF. The oracle replays tokenization, window starts,
+    slicing and the joined chunk text (md5 digest per chunk) verbatim."""
+    from ocr_engine_spark.functions.chunk import chunk_documents
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = chunk_documents(docs, chunk_tokens=32, stride=24)
+    return (out.select("doc_id", "chunk_id", "tok_start", "n_tokens",
+                       F.md5("chunk_text").alias("digest"))
+            .orderBy("doc_id", "chunk_id"))
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff (functions/snapshot.py): synthesize two
+    dumps from the documents table — keys doc_id%5==3 exist only in
+    the old dump (removed), %5==4 only in the new (added), %7==0 get
+    ' v2' appended in the new dump (changed) — and classify every key
+    with one full-outer fingerprint join. The oracle replays keys,
+    fingerprints and the four-way CASE verbatim."""
+    from ocr_engine_spark.functions.snapshot import snapshot_diff
+    docs = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://ex.com/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 4).select("url", "text")
+    new = (docs.filter(F.col("doc_id") % 5 != 3)
+           .select("url",
+                   F.when(F.col("doc_id") % 7 == 0,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text")))
+    return snapshot_diff(old, new).orderBy("url")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C): flag training
     documents sharing any 13-word-gram with a benchmark set. The
@@ -1066,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "shuffle_corpus": q_shuffle_corpus,
         "ppl_filter": q_ppl_filter,
+        "chunk_documents": q_chunk_documents,
+        "snapshot_diff": q_snapshot_diff,
         "temperature_sample": q_temperature_sample,
         "repetition_ratio": q_repetition_ratio,
         "host_skew": q_host_skew,
@@ -2340,6 +2376,44 @@ def _oracle_sql() -> dict[str, str]:
                         WHEN ppl_rank <= (n * 70) // 100 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM rk ORDER BY ppl_rank
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM documents WHERE doc_id < 50),
+            c AS (
+              SELECT doc_id, k::BIGINT AS chunk_id,
+                     (k * 24 + 1)::BIGINT AS tok_start,
+                     t[k * 24 + 1 : k * 24 + 32] AS w
+              FROM t, unnest(range(0, ((len(t) - 1) // 24) + 1)) AS u(k)
+              WHERE len(t) >= 1)
+            SELECT doc_id, chunk_id, tok_start,
+                   len(w)::INT AS n_tokens,
+                   md5(array_to_string(w, ' ')) AS digest
+            FROM c ORDER BY doc_id, chunk_id
+        """,
+        "snapshot_diff": """
+            WITH d AS (
+              SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id, text
+              FROM documents),
+            o AS (SELECT url, md5(text) AS old_fp FROM d
+                  WHERE doc_id % 5 <> 4),
+            n AS (SELECT url,
+                         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                  ELSE text END) AS new_fp
+                  FROM d WHERE doc_id % 5 <> 3)
+            SELECT coalesce(o.url, n.url) AS url,
+                   CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        WHEN old_fp <> new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   old_fp, new_fp
+            FROM o FULL OUTER JOIN n ON o.url = n.url
+            ORDER BY url
         """,
         "decontaminate": """
             WITH bench AS (

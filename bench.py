@@ -35,7 +35,7 @@ HEADLINE = [
     "vocab_topk", "pii_scrub", "line_prune", "repetition_ratio",
     "quality_filter", "pack_sequences", "shard_manifest",
     "kgram_dedup", "stratified_sample", "temperature_sample",
-    "shuffle_corpus", "ppl_filter",
+    "shuffle_corpus", "ppl_filter", "chunk_documents", "snapshot_diff",
     "dsir_select",
     "host_skew", "domain_blocklist",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",

@@ -1,0 +1,53 @@
+"""Crawl snapshot diff — classify every key between two corpus
+snapshots as added / removed / changed / unchanged by content
+fingerprint. The continuous-crawl bookkeeping step: each new
+Common-Crawl-style dump is diffed against the previous one so
+downstream stages (dedup index update, re-extraction, re-embedding)
+touch only `added` + `changed` keys instead of the whole corpus —
+the batch analog of the streaming MinHashIndex incremental path
+(functions/dedup.py).
+
+Scale shape: fingerprints are computed map-side (md5 — the repo's
+portable oracle hash; xxhash64 is the drop-in at scale where DuckDB
+replay isn't needed); the diff is ONE full-outer shuffle join on the
+key — the minimum any snapshot comparison needs — and the summary is
+a map-side-combined count. With both snapshots bucketed/partitioned
+by the key (catalog.write_bucketed), the join is Exchange-free.
+
+Reference parity: none (the reference serves single requests); this
+is continuous-ingest layer work the graft adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, *,
+                  key_col: str = "url", text_col: str = "text"
+                  ) -> DataFrame:
+    """(key, status, old_fp, new_fp) for every key in either snapshot:
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    fingerprints differ), ``unchanged``. Keys are assumed unique per
+    snapshot (canonical crawl keys — run canonical_url_col + exact
+    dedup first)."""
+    o = old.select(F.col(key_col).alias("__k"),
+                   F.md5(F.col(text_col)).alias("old_fp"))
+    n = new.select(F.col(key_col).alias("__k"),
+                   F.md5(F.col(text_col)).alias("new_fp"))
+    status = (F.when(F.col("old_fp").isNull(), F.lit("added"))
+              .when(F.col("new_fp").isNull(), F.lit("removed"))
+              .when(F.col("old_fp") != F.col("new_fp"),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return (o.join(n, "__k", "full_outer")
+            .select(F.col("__k").alias(key_col),
+                    status.alias("status"), "old_fp", "new_fp"))
+
+
+def snapshot_delta_summary(old: DataFrame, new: DataFrame, *,
+                           key_col: str = "url",
+                           text_col: str = "text") -> DataFrame:
+    """(status, n_keys) — the dashboard row per crawl dump."""
+    return (snapshot_diff(old, new, key_col=key_col, text_col=text_col)
+            .groupBy("status").agg(F.count("*").alias("n_keys")))

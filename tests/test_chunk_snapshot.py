@@ -1,0 +1,75 @@
+"""Chunking and snapshot-diff tests."""
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_engine_spark.functions.chunk import chunk_documents
+from ocr_engine_spark.functions.snapshot import (
+    snapshot_delta_summary, snapshot_diff,
+)
+
+
+def _tok(s):
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+def _want_chunks(s, size, stride):
+    t = _tok(s)
+    out = []
+    k = 0
+    while k * stride < len(t):
+        w = t[k * stride: k * stride + size]
+        out.append((k, k * stride + 1, len(w), " ".join(w)))
+        k += 1
+    return out
+
+
+@pytest.mark.parametrize("size,stride", [(4, 2), (3, 3), (5, 1), (2, 4)])
+def test_chunk_documents_matches_python(spark, size, stride):
+    rows = [(0, "a b c d e f g h i j"), (1, "one two three"),
+            (2, "solo"), (3, ""), (4, "x " * 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted((r.doc_id, r.chunk_id, r.tok_start, r.n_tokens,
+                  r.chunk_text)
+                 for r in chunk_documents(df, chunk_tokens=size,
+                                          stride=stride).collect())
+    want = sorted((i, *c) for i, s in rows
+                  for c in _want_chunks(s, size, stride))
+    assert got == want
+
+
+def test_chunk_every_token_covered_once_when_partitioning(spark):
+    """stride == chunk_tokens partitions the token stream exactly."""
+    df = spark.createDataFrame([(0, " ".join(f"t{i}" for i in range(23)))],
+                               ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=5, stride=5).collect()
+    toks = [t for r in sorted(out, key=lambda r: r.chunk_id)
+            for t in r.chunk_text.split(" ")]
+    assert toks == [f"t{i}" for i in range(23)]
+
+
+def test_chunk_rejects_bad_params(spark):
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0, stride=1)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, stride=0)
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "old text"), ("u3", "gone")],
+        ["url", "text"])
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "new text"), ("u4", "fresh")],
+        ["url", "text"])
+    got = {r.url: r.status
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed",
+                   "u3": "removed", "u4": "added"}
+    summary = {r.status: r.n_keys
+               for r in snapshot_delta_summary(old, new).collect()}
+    assert summary == {"unchanged": 1, "changed": 1,
+                       "removed": 1, "added": 1}
