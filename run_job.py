@@ -141,6 +141,25 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--text-col", default="text")
     pk.add_argument("--verify", action="store_true",
                     help="re-read written shards and diff vs manifest")
+    pk.add_argument("--shuffle-seed", type=int, default=None,
+                    help="epoch-shuffle docs with this seed before "
+                         "packing (deterministic permutation)")
+
+    sn = sub.add_parser("snapshot", help="diff two crawl snapshots")
+    sn.add_argument("--old", required=True, help="old snapshot parquet")
+    sn.add_argument("--new", required=True, help="new snapshot parquet")
+    sn.add_argument("--key-col", default="url")
+    sn.add_argument("--text-col", default="text")
+    sn.add_argument("--output", default=None,
+                    help="optionally write the per-key diff parquet")
+
+    ck = sub.add_parser("chunk", help="sliding-window document chunks")
+    ck.add_argument("--input", required=True, help="documents parquet")
+    ck.add_argument("--output", required=True, help="chunks parquet dir")
+    ck.add_argument("--chunk-tokens", type=int, default=256)
+    ck.add_argument("--stride", type=int, default=192)
+    ck.add_argument("--id-col", default="doc_id")
+    ck.add_argument("--text-col", default="text")
 
     args = ap.parse_args(argv)
 
@@ -348,17 +367,53 @@ def main(argv: list[str] | None = None) -> int:
             verify_shards, write_training_shards,
         )
         docs = spark.read.parquet(args.input)
+        pack_id = args.id_col
+        if args.shuffle_seed is not None:
+            from ocr_engine_spark.functions.sample import shuffle_corpus
+            docs = shuffle_corpus(docs, seed=args.shuffle_seed,
+                                  id_col=args.id_col)
+            pack_id = "shuffle_pos"  # pack in epoch-shuffled order
         seqs = pack_sequences(docs, seq_len=args.seq_len,
-                              id_col=args.id_col, text_col=args.text_col)
+                              id_col=pack_id, text_col=args.text_col)
         stats = write_training_shards(seqs, args.output,
                                       seqs_per_shard=args.seqs_per_shard)
         out = {"n_shards": stats["n_shards"], "n_seqs": stats["n_seqs"],
                "seq_len": args.seq_len,
-               "seqs_per_shard": args.seqs_per_shard}
+               "seqs_per_shard": args.seqs_per_shard,
+               "shuffle_seed": args.shuffle_seed}
         if args.verify:
             out["verify_mismatches"] = verify_shards(
                 spark, args.output).count()
         print(json.dumps(out))
+    elif args.cmd == "snapshot":
+        from pyspark.sql import functions as F
+
+        from ocr_engine_spark.functions.snapshot import snapshot_diff
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+        diff = snapshot_diff(old, new, key_col=args.key_col,
+                             text_col=args.text_col)
+        if args.output:
+            diff.write.mode("overwrite").parquet(args.output)
+            diff = spark.read.parquet(args.output)  # count what landed
+        counts = {r["status"]: r["n"] for r in
+                  diff.groupBy("status").agg(F.count("*").alias("n"))
+                  .collect()}
+        print(json.dumps({"statuses": counts,
+                          "total": sum(counts.values()),
+                          "out": args.output}))
+    elif args.cmd == "chunk":
+        from ocr_engine_spark.functions.chunk import chunk_documents
+        docs = spark.read.parquet(args.input)
+        chunks = chunk_documents(docs, chunk_tokens=args.chunk_tokens,
+                                 stride=args.stride, id_col=args.id_col,
+                                 text_col=args.text_col)
+        chunks.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        print(json.dumps({
+            "n_chunks": written.count(),
+            "n_docs": written.select(args.id_col).distinct().count(),
+            "chunk_tokens": args.chunk_tokens, "stride": args.stride}))
     spark.stop()
     return 0
 
