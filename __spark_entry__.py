@@ -825,6 +825,16 @@ def q_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("ppl_rank"))
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (functions/text.tfidf_topk):
+    integer micro-nat idf quantized once, exact integer ranking. The
+    oracle replays tokenization, both count tables, the ln()
+    quantization and the per-doc window verbatim."""
+    from ocr_engine_spark.functions.text import tfidf_topk
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk(docs, 5).orderBy("doc_id", "rank")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (functions/chunk.py, RAG /
     embedding prep): 32-token windows at stride 24 — map-only, no
@@ -1102,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_filter": q_ppl_filter,
         "chunk_documents": q_chunk_documents,
         "snapshot_diff": q_snapshot_diff,
+        "tfidf_topk": q_tfidf_topk,
         "temperature_sample": q_temperature_sample,
         "repetition_ratio": q_repetition_ratio,
         "host_skew": q_host_skew,
@@ -2376,6 +2387,31 @@ def _oracle_sql() -> dict[str, str]:
                         WHEN ppl_rank <= (n * 70) // 100 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM rk ORDER BY ppl_rank
+        """,
+        "tfidf_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                         AS token
+              FROM documents WHERE trim(text) <> ''),
+            tfc AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                    FROM tok GROUP BY doc_id, token),
+            dfc AS (SELECT token, count(*)::BIGINT AS df
+                    FROM tfc GROUP BY token),
+            n AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+              SELECT t.doc_id, t.token, t.tf, d.df,
+                     t.tf * (round(ln(n.n::DOUBLE / d.df) * 1e6)::BIGINT)
+                         AS score_micro
+              FROM tfc t JOIN dfc d USING (token), n),
+            rk AS (
+              SELECT *, row_number() OVER (
+                          PARTITION BY doc_id
+                          ORDER BY score_micro DESC, token) AS rank
+              FROM sc)
+            SELECT doc_id, rank::INT AS rank, token, tf, df, score_micro
+            FROM rk WHERE rank <= 5
+            ORDER BY doc_id, rank
         """,
         "chunk_documents": """
             WITH t AS (

@@ -36,6 +36,7 @@ HEADLINE = [
     "quality_filter", "pack_sequences", "shard_manifest",
     "kgram_dedup", "stratified_sample", "temperature_sample",
     "shuffle_corpus", "ppl_filter", "chunk_documents", "snapshot_diff",
+    "tfidf_topk",
     "dsir_select",
     "host_skew", "domain_blocklist",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",

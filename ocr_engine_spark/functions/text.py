@@ -245,3 +245,44 @@ def corpus_length_stats(df, group_col: str = "lang",
                  pct(0.9, "p90_chars"),
                  pct(0.99, "p99_chars"))
             .orderBy(group_col))
+
+
+def tfidf_topk(df, k: int = 5, *, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Per-document top-``k`` TF-IDF keywords — the classic document-
+    profiling / indexing step. Scores stay in exact integer space:
+    ``idf_micro = round(ln(N / df_t) * 1e6)`` is quantized ONCE per
+    term (the dsir.py fixed-point rule) and ``score_micro =
+    tf * idf_micro`` is 64-bit integer arithmetic, so ranking is
+    engine-exact and oracle-checkable.
+
+    Returns (id, rank, token, tf, df, score_micro), rank 1 = best,
+    ties broken by token ascending.
+
+    Scale shape: one (doc, token) map-side-combined count, ONE derived
+    term-frequency table (rows per token in the tf table == distinct
+    docs containing it — no second corpus scan, no countDistinct), a
+    shuffle join on token (the df table is corpus-vocabulary-sized:
+    too big to assume broadcastable — Spark/AQE broadcasts it when it
+    is), and a per-doc window whose groups are bounded by document
+    length, never by corpus size. N (total docs) rides a 1-row
+    broadcast cross join."""
+    from pyspark.sql import Window
+
+    tf = (df.select(F.col(id_col),
+                    F.explode(tokens_col(F.lower(F.col(text_col))))
+                    .alias("token"))
+          .groupBy(id_col, "token").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    total = df.agg(F.count("*").alias("__n"))
+    idf_micro = F.round(
+        F.log(F.col("__n") / F.col("df")) * F.lit(1e6), 0).cast("long")
+    scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(total))
+              .withColumn("score_micro", F.col("tf") * idf_micro)
+              .drop("__n"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", "token", "tf", "df", "score_micro"))

@@ -161,6 +161,24 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--id-col", default="doc_id")
     ck.add_argument("--text-col", default="text")
 
+    pl = sub.add_parser(
+        "pipeline",
+        help="corpus -> quality filter -> dedup -> epoch shuffle -> "
+             "packed training shards, one job")
+    pl.add_argument("--input", required=True, help="documents parquet")
+    pl.add_argument("--output", required=True, help="shard sink dir")
+    pl.add_argument("--seq-len", type=int, default=2048)
+    pl.add_argument("--seqs-per-shard", type=int, default=1024)
+    pl.add_argument("--shuffle-seed", type=int, default=0)
+    pl.add_argument("--min-tokens", type=int, default=25)
+    pl.add_argument("--min-quality", type=float, default=0.35)
+    pl.add_argument("--max-rep", type=float, default=0.4)
+    pl.add_argument("--near-dedup", action="store_true",
+                    help="also MinHash-LSH near-dedup (keep one per "
+                         "connected component)")
+    pl.add_argument("--id-col", default="doc_id")
+    pl.add_argument("--text-col", default="text")
+
     args = ap.parse_args(argv)
 
     from ocr_engine_spark.engine.session import build_session
@@ -385,6 +403,53 @@ def main(argv: list[str] | None = None) -> int:
             out["verify_mismatches"] = verify_shards(
                 spark, args.output).count()
         print(json.dumps(out))
+    elif args.cmd == "pipeline":
+        from pyspark.sql import functions as F
+
+        from ocr_engine_spark.functions.dedup import drop_exact_duplicates
+        from ocr_engine_spark.functions.pack import pack_sequences
+        from ocr_engine_spark.functions.sample import shuffle_corpus
+        from ocr_engine_spark.functions.shards import (
+            verify_shards, write_training_shards,
+        )
+        from ocr_engine_spark.functions.text import (
+            quality_score_col, token_count_col, with_repetition_ratio,
+        )
+        docs = spark.read.parquet(args.input)
+        n_in = docs.count()
+        scored = with_repetition_ratio(docs, args.text_col, n=3)
+        t = F.col(args.text_col)
+        kept = ((token_count_col(t) >= args.min_tokens)
+                & (quality_score_col(t) >= args.min_quality)
+                & (F.col("rep_ratio") <= args.max_rep))
+        clean = scored.filter(kept).drop("rep_ratio").persist()
+        n_clean = clean.count()
+        deduped = drop_exact_duplicates(clean, text_col=args.text_col)
+        if args.near_dedup:
+            from ocr_engine_spark.functions.cluster import (
+                drop_near_duplicates,
+            )
+            deduped = drop_near_duplicates(deduped, id_col=args.id_col,
+                                           text_col=args.text_col)
+        deduped = deduped.persist()
+        n_dedup = deduped.count()
+        shuffled = shuffle_corpus(deduped, seed=args.shuffle_seed,
+                                  id_col=args.id_col)
+        seqs = pack_sequences(shuffled, seq_len=args.seq_len,
+                              id_col="shuffle_pos",
+                              text_col=args.text_col)
+        stats = write_training_shards(seqs, args.output,
+                                      seqs_per_shard=args.seqs_per_shard)
+        clean.unpersist()
+        deduped.unpersist()
+        print(json.dumps({
+            "n_input": n_in, "n_after_quality": n_clean,
+            "n_after_dedup": n_dedup,
+            "n_seqs": stats["n_seqs"], "n_shards": stats["n_shards"],
+            "seq_len": args.seq_len, "shuffle_seed": args.shuffle_seed,
+            "near_dedup": bool(args.near_dedup),
+            "verify_mismatches": verify_shards(spark,
+                                               args.output).count()}))
     elif args.cmd == "snapshot":
         from pyspark.sql import functions as F
 

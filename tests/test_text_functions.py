@@ -144,3 +144,32 @@ def test_corpus_stats_sketch_within_bound(spark):
             lo = ls[max(0, int(target) - slack)]
             hi = ls[min(n - 1, int(target) + 1 + slack)]
             assert lo <= got <= hi, (lang, c, got, lo, hi)
+
+
+def test_tfidf_topk_matches_python(spark):
+    """Exact integer TF-IDF ranking equals a transparent Python model,
+    including tie-breaks and the idf quantization."""
+    import math
+    from collections import Counter
+
+    from ocr_engine_spark.functions.text import tfidf_topk
+    rows = [(0, "apple banana apple cherry"),
+            (1, "banana banana durian"),
+            (2, "apple cherry cherry cherry"),
+            (3, ""),            # blank: no keywords, still counts in N
+            (4, "durian")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r.doc_id, r.rank, r.token, r.tf, r.df, r.score_micro)
+           for r in tfidf_topk(df, 3).orderBy("doc_id", "rank").collect()]
+
+    n = len(rows)
+    tf = {i: Counter(s.split()) for i, s in rows if s.strip()}
+    dfreq = Counter(t for c in tf.values() for t in c)
+    want = []
+    for i in sorted(tf):
+        scored = [(t, c, dfreq[t], c * round(math.log(n / dfreq[t]) * 1e6))
+                  for t, c in tf[i].items()]
+        scored.sort(key=lambda x: (-x[3], x[0]))
+        want += [(i, r + 1, t, c, d, s)
+                 for r, (t, c, d, s) in enumerate(scored[:3])]
+    assert got == want

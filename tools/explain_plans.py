@@ -77,6 +77,32 @@ NOTES = {
                    "corpus grams never shuffle; per-doc weight agg is the "
                    "one corpus shuffle (map-side combined to a row per doc "
                    "per partition); selection is TakeOrderedAndProject",
+    "shard_manifest": "shard assignment is a map-side integer div on the "
+                      "packed seq_id; the manifest agg is one map-side-"
+                      "combined shuffle keyed by shard_id — manifest rows "
+                      "scale with shard count, not sequence count",
+    "shuffle_corpus": "the permutation is the range-partition prefix-rank "
+                      "engine: one range Exchange on the hash key, "
+                      "partition offsets enter as a BroadcastHashJoin, "
+                      "ranks window WITHIN range partitions — no global "
+                      "single-task window, no orderBy(rand())",
+    "ppl_filter": "both LM count tables are BroadcastHashJoin build sides "
+                  "(reference-corpus-sized) — corpus bigrams never "
+                  "shuffle; the per-doc NLL agg is the one corpus shuffle "
+                  "(map-side combined); the head/middle/tail cut reuses "
+                  "the range-partition rank engine",
+    "domain_blocklist": "literal-blocklist path: suffix generation + "
+                        "array_intersect are a single map-side Project "
+                        "pipelined into the scan — no join, no shuffle "
+                        "before the distinct; the UT1-scale path is a "
+                        "suffix equi-join (pytest-asserted no nested "
+                        "loop)",
+    "chunk_documents": "transform(sequence)+explode in one Project over "
+                       "the scan — map-only, zero Exchange, zero Python",
+    "tfidf_topk": "df table derived FROM the tf aggregate (no second "
+                  "corpus scan, no countDistinct); token join sized by "
+                  "AQE; the per-doc top-k window partitions on doc_id — "
+                  "groups bounded by document length",
 }
 
 HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
@@ -84,6 +110,8 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "embedding_near_dups", "nested_fields", "line_prune",
             "pack_sequences", "dedup_clusters", "cer_gate",
             "semantic_dedup", "decontaminate", "dsir_select",
+            "shard_manifest", "shuffle_corpus", "ppl_filter",
+            "domain_blocklist", "chunk_documents", "tfidf_topk",
             "extraction_pipeline"]
 
 
