@@ -321,9 +321,14 @@ def extract_pages(pages: DataFrame, *, partitions: int | None = None,
     local[32]). But an unconditional ``repartition`` shuffles the FULL
     payload bytes — at table scale that is a 100 TB shuffle bought only
     for load-balancing. Default ``"auto"`` therefore shuffles ONLY when
-    the scan under-parallelizes (input partitions < executor slots —
-    true for a small/one-file corpus, never true for a 10^12-row table
-    whose scan yields millions of size-bounded splits). ``True``/
+    the scan under-parallelizes (input splits < 4 tasks per executor
+    slot — true for a small/one-file corpus, never true for a 10^12-row
+    table whose scan yields millions of size-bounded splits). The 4x
+    margin matters empirically, not just for stragglers: at pinned 8
+    cores a one-file ~850 MB corpus yields ~13 64 MB splits, which
+    clears an ``< slots`` test yet schedules as 2 ragged waves
+    (+28% wall measured, and the 2->8 scaling leg drops below the
+    north rule's 0.8 on exactly this cliff). ``True``/
     ``partitions=N`` force the shuffle (layout-known-bad inputs),
     ``False`` never shuffles. Hash key xxhash64(url) is skew-free by
     construction (urls unique); for host-keyed downstream ops use
@@ -337,7 +342,7 @@ def extract_pages(pages: DataFrame, *, partitions: int | None = None,
     if balance == "auto" and partitions is None and not staged.isStreaming:
         # (streaming input: micro-batch sizing governs parallelism —
         # never buy a balance shuffle, and inputFiles() is undefined)
-        do_shuffle = _estimated_scan_splits(staged) < slots
+        do_shuffle = _estimated_scan_splits(staged) < slots * 4
     if do_shuffle:
         p = partitions or slots * 4
         staged = staged.repartition(p, F.xxhash64("url"))

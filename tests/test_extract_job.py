@@ -174,6 +174,32 @@ def test_balance_modes_plan(pages_df):
     assert "Exchange" in upto_kernel(plan_auto)
 
 
+def test_auto_balance_wants_four_tasks_per_slot(pages_df, monkeypatch):
+    """Regression for the 2->8 scaling cliff: a scan whose split count
+    clears `slots` but not `4*slots` schedules as ~2 ragged waves
+    (+28% wall measured at pinned 8 cores on a one-file 850 MB corpus),
+    so 'auto' must still buy the balance shuffle in that band — and
+    must NOT once the scan yields >= 4 tasks per slot (the table-scale
+    regime, where the shuffle would move the full payload bytes)."""
+    from ocr_engine_spark.engine import extract_job
+
+    def upto_kernel(plan: str) -> str:
+        return plan.split("MapInArrow")[-1]
+
+    slots = pages_df.sparkSession.sparkContext.defaultParallelism
+    monkeypatch.setattr(extract_job, "_estimated_scan_splits",
+                        lambda df: slots * 2)
+    ragged = extract_job.extract_pages(pages_df, with_fields=False)
+    plan = ragged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in upto_kernel(plan)
+
+    monkeypatch.setattr(extract_job, "_estimated_scan_splits",
+                        lambda df: slots * 4)
+    wide = extract_job.extract_pages(pages_df, with_fields=False)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in upto_kernel(plan)
+
+
 def test_oversize_payload_guard(monkeypatch):
     """Reference parity (Claude.md:204, 50 MB upload cap): oversized
     payloads become error records without entering the kernels. Tested
