@@ -803,6 +803,25 @@ def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "shuffle_pos").orderBy("shuffle_pos"))
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (functions/sample.split_corpus):
+    hash-threshold assignment md5(salt || 0x1f || doc_id) mod 1e6
+    against cumulative ppm cuts — growth-stable (a doc's split never
+    changes when the corpus grows; rank-based sampling can't promise
+    that, and a drifting split leaks training docs into eval), pure
+    map-side CASE, zero shuffle. The oracle replays the hash, the mod
+    and the thresholds verbatim and gates per-(split, lang) counts and
+    id sums."""
+    from ocr_engine_spark.functions.sample import split_corpus
+    docs = _read(spark, sf_dir, "documents")
+    out = split_corpus(docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+                       salt="r3")
+    return (out.groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids"))
+            .orderBy("split", "lang"))
+
+
 def q_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM-perplexity filter (functions/lm.py, Wenzek et
     al. 2020): fit a hashed-vocab add-1 bigram LM on the clean
@@ -1108,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgram_dedup": q_kgram_dedup,
         "dsir_select": q_dsir_select,
         "stratified_sample": q_stratified_sample,
+        "corpus_split": q_corpus_split,
         "shuffle_corpus": q_shuffle_corpus,
         "ppl_filter": q_ppl_filter,
         "chunk_documents": q_chunk_documents,
@@ -2318,6 +2338,23 @@ def _oracle_sql() -> dict[str, str]:
             SELECT lang, rank, doc_id, n_chars
             FROM r WHERE rank <= 20
             ORDER BY lang, rank
+        """,
+        "corpus_split": """
+            WITH h AS (
+              SELECT lang, doc_id,
+                     ('0x' || substr(md5('r3' || chr(31)
+                                         || CAST(doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT % 1000000 AS ppm
+              FROM documents)
+            SELECT CASE WHEN ppm < 900000 THEN 'train'
+                        WHEN ppm < 950000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(doc_id)::BIGINT AS sum_ids
+            FROM h
+            GROUP BY 1, 2
+            ORDER BY split, lang
         """,
         "shuffle_corpus": """
             SELECT doc_id,

@@ -205,3 +205,65 @@ def temperature_sample(df: DataFrame, *, alpha: float, total_out: int,
     if rank_out is not None:
         out = out.withColumn(rank_out, F.col("__grank"))
     return out.drop("__grank", "__c", "__quota", "__copies")
+
+
+def split_thresholds_ppm(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """``weights`` (name -> fraction, summing to 1) as cumulative
+    integer parts-per-million thresholds in insertion order; the last
+    threshold is pinned to exactly 1_000_000 so rounding can never
+    leave an unassignable hash residue."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("every weight must be > 0")
+    names = list(weights)
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        out.append((name, round(cum * 1_000_000)))
+    out.append((names[-1], 1_000_000))
+    return out
+
+
+def split_col(id_col, weights: dict[str, float], *, salt: str = "split"):
+    """The split-assignment expression: portable 60-bit hash of
+    ``salt || 0x1f || id`` mod 1e6 against the cumulative ppm
+    thresholds. DuckDB twin of the hash:
+    ``('0x' || substr(md5('salt' || chr(31) || id::VARCHAR), 1, 15))
+    ::BIGINT % 1000000``."""
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ppm = F.pmod(md5_int60_col(F.concat_ws(_SEP, F.lit(salt),
+                                           id_col.cast("string"))),
+                 F.lit(1_000_000))
+    thresholds = split_thresholds_ppm(weights)
+    expr = F.lit(thresholds[-1][0])
+    for name, cum in reversed(thresholds[:-1]):
+        expr = F.when(ppm < cum, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def split_corpus(df: DataFrame, weights: dict[str, float], *,
+                 id_col: str = "doc_id", salt: str = "split",
+                 split_out: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment — every training-data
+    pipeline's last step before sharding, and the one place where
+    rank-based sampling is the WRONG tool: a doc's split must never
+    change when the corpus grows (new crawl snapshot, extra language),
+    or yesterday's training docs silently leak into today's eval set.
+
+    Hash-threshold assignment has exactly that stability: the split of
+    a given ``id`` depends only on (id, salt, weights), not on the
+    rest of the corpus, row order, partitioning, or cluster size.
+    Expected (not exact) proportions — the standard trade: exact
+    quotas require a global rank, which is what breaks growth
+    stability. ``salt`` gives independent re-splits.
+
+    Scale: pure map-side CASE on a hash — zero shuffle, zero UDF,
+    whole-stage-codegen'd, pipelined into the scan at any corpus size.
+    """
+    return df.withColumn(split_out, split_col(F.col(id_col), weights,
+                                              salt=salt))

@@ -154,3 +154,61 @@ def test_temperature_alpha_one_is_proportional(spark):
          for r in temperature_quotas(df, alpha=1.0,
                                      total_out=276).collect()}
     assert q == {"en": 240, "de": 30, "fr": 6}
+
+
+# --- split_corpus (deterministic train/val/test assignment) -------------
+
+def test_split_thresholds_validation():
+    import pytest
+    from ocr_engine_spark.functions.sample import split_thresholds_ppm
+    with pytest.raises(ValueError):
+        split_thresholds_ppm({})
+    with pytest.raises(ValueError):
+        split_thresholds_ppm({"train": 0.9, "val": 0.05})  # sums to 0.95
+    with pytest.raises(ValueError):
+        split_thresholds_ppm({"train": 1.5, "val": -0.5})
+    # thirds round but the last cut is pinned to exactly 1e6
+    t = split_thresholds_ppm({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert t[-1] == ("c", 1_000_000) and t[0][1] == 333_333
+
+
+def test_split_every_row_assigned_and_deterministic(spark):
+    from ocr_engine_spark.functions.sample import split_corpus
+    df = _docs(spark, n=400)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"]
+         for r in split_corpus(df, w).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_corpus(df.repartition(13).orderBy(F.desc("doc_id")),
+                               w).collect()}
+    assert len(a) == 400 and set(a.values()) <= {"train", "val", "test"}
+    assert a == b  # partitioning/order independent
+
+
+def test_split_growth_stable(spark):
+    """THE property that justifies hash splits over rank sampling: a
+    doc's split never moves when the corpus grows."""
+    from ocr_engine_spark.functions.sample import split_corpus
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    small = {r["doc_id"]: r["split"]
+             for r in split_corpus(_docs(spark, n=100), w).collect()}
+    big = {r["doc_id"]: r["split"]
+           for r in split_corpus(_docs(spark, n=300), w).collect()}
+    assert {k: big[k] for k in small} == small
+
+
+def test_split_proportions_and_salt_independence(spark):
+    from ocr_engine_spark.functions.sample import split_corpus
+    df = _docs(spark, n=3000)
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    counts = {r["split"]: r["n"] for r in
+              split_corpus(df, w).groupBy("split")
+              .agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 3000 - 0.9) < 0.03
+    assert abs(counts["val"] / 3000 - 0.05) < 0.02
+    a = {r["doc_id"]: r["split"]
+         for r in split_corpus(df, w, salt="s1").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_corpus(df, w, salt="s2").collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 100  # different salt = an independent re-split
