@@ -126,8 +126,16 @@ def main() -> None:
     if not os.path.exists(os.path.join(corpus, "pages.parquet")):
         write(corpus, n_pages=n_pages, seed=42, para_scale=para_scale)
 
-    spark = {c: _run(SPARK_CHILD, c, corpus, n_runs) for c in (2, 8, 32)}
-    ctrl = {c: _run(MP_CHILD, c, corpus, n_runs) for c in (2, 8, 32)}
+    # INTERLEAVE control and Spark legs per core count: host-steal waves
+    # on this box last minutes, so running all Spark legs then all
+    # control legs lets a wave hit one side only and the control gate
+    # stops gating (observed: control 2->8 clean while the adjacent-in-
+    # time Spark 32 leg sat in a wave). Adjacent pairs see ~the same box.
+    spark: dict = {}
+    ctrl: dict = {}
+    for c in (2, 8, 32):
+        ctrl[c] = _run(MP_CHILD, c, corpus, n_runs)
+        spark[c] = _run(SPARK_CHILD, c, corpus, n_runs)
 
     eff_2_8 = _eff(spark[2], spark[8])
     eff_8_32 = _eff(spark[8], spark[32])
@@ -192,10 +200,12 @@ a quiet box rather than reading the Spark number as a plan property.
 Control efficiency 8 -> 32: {ctrl_8_32} — the box ITSELF stops scaling
 past ~8-16 cores for this memory-heavy workload (single shared memory
 bus + virtualization jitter); even framework-free perfect parallelism
-caps there. Normalizing the Spark 8->32 number by the machine ceiling:
-**{normalized}** — the job preserves ~all of the scaling the hardware
-offers. On a real N- vs 4N-EXECUTOR cluster each node brings its own
-memory bandwidth, so the 2->8 (pre-saturation) pair is the faithful
+caps there. Normalizing the Spark 8->32 number by the machine ceiling
+gives **{normalized}**; past the bandwidth wall Spark additionally pays
+JVM+Python-worker oversubscription that the bare multiprocessing
+control does not, so this pair understates the plan. On a real N- vs
+4N-EXECUTOR cluster each node brings its own memory bandwidth and its
+own Python workers, so the 2->8 (pre-saturation) pair is the faithful
 proxy for the north rule.
 
 Why the plan scales: scan -> `repartition(4 x cores, xxhash64(url))`
