@@ -483,9 +483,19 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
 # exact duplicated-k-gram removal (substring dedup, Lee et al. 2022)
 # ---------------------------------------------------------------------------
 
+# Rabin-Karp fingerprint constants for dedup_kgrams(fingerprint=True):
+# two independent ~2^42 prime moduli with ~2^20 bases — the running
+# value a*B + x stays < 2^63 at every step (ANSI-safe), and the PAIR
+# gives ~2^84 of fingerprint space: expected spurious gram collisions
+# at a trillion grams ~= (1e12)^2 / 2 / 2^84 ~= 0.03.
+_RK1 = (4398046511093, 1000003)
+_RK2 = (4398046511087, 1000033)
+
+
 def dedup_kgrams(df: DataFrame, k: int = 50, *, id_col: str = "doc_id",
                  text_col: str = "text",
-                 out_col: str = "deduped_text") -> DataFrame:
+                 out_col: str = "deduped_text",
+                 fingerprint: bool = True) -> DataFrame:
     """Remove every word-k-gram that occurs more than once corpus-wide,
     keeping only its FIRST occurrence in global (doc_id, position)
     order — word-granularity exact substring dedup in the style of
@@ -511,20 +521,64 @@ def dedup_kgrams(df: DataFrame, k: int = 50, *, id_col: str = "doc_id",
     minus that argmin. Shuffles: gram argmin, gram join-back, covered-
     position distinct, anti-join, per-doc reassembly — all on keys with
     bounded skew (AQE handles residual hot docs).
+
+    Gram KEY (``fingerprint=True``, the scale default): materializing
+    every k=50-word gram as a string is a ~50x corpus blow-up that then
+    crosses two shuffles — at 100 TB that IS the job. Instead each
+    token is hashed once and every gram key is a pair of independent
+    Rabin-Karp fingerprints over the token-hash arrays (O(n*k) long
+    arithmetic, no string ever built): 16 bytes per gram through every
+    shuffle. Same 128-bit-fingerprint "exact" convention as
+    ``exact_duplicate_groups`` (md5): ~2^84 pair space, expected
+    spurious collisions at a TRILLION grams ~= 0.03 (constants above).
+    ``fingerprint=False`` keeps literal string keys (adversarial
+    inputs, oracle debugging); both paths are equivalence-tested.
     """
     toks = (df.select(F.col(id_col).alias("__id"),
                       F.split(F.col(text_col), " ").alias("__t"))
             .withColumn("__n", F.size("__t")))
-    # materialized token array -> one transform builds all gram strings
-    # (HOF inputs materialized per the codegen note in functions/text)
-    grams = (toks.withColumn(
-                "__grams",
-                F.when(F.col("__n") < k,
-                       F.array().cast("array<string>"))
-                 .otherwise(F.transform(
-                     F.sequence(F.lit(1), F.col("__n") - k + 1),
-                     lambda i: F.array_join(F.slice("__t", i, k), " "))))
-             .select("__id", F.posexplode("__grams").alias("__p", "__g")))
+    # materialized token/hash arrays -> one transform builds all gram
+    # keys (HOF inputs materialized per the codegen note in functions/
+    # text: each lambda must read precomputed columns, not recompute
+    # the whole subtree per element)
+    if fingerprint:
+        (p1, b1), (p2, b2) = _RK1, _RK2
+        hashed = (toks
+                  .withColumn("__t1", F.transform(
+                      "__t", lambda t: F.pmod(F.xxhash64(t), F.lit(p1))))
+                  .withColumn("__t2", F.transform(
+                      "__t", lambda t: F.pmod(F.xxhash64(t, F.lit(7)),
+                                              F.lit(p2)))))
+        zero = F.lit(0).cast("long")
+
+        def _rk(arr, i, base, mod):
+            return F.aggregate(F.slice(arr, i, k), zero,
+                               lambda a, x: F.pmod(a * base + x,
+                                                   F.lit(mod)))
+
+        grams = (hashed.withColumn(
+                    "__grams",
+                    F.when(F.col("__n") < k, F.expr(
+                        "array()").cast("array<struct<h1:bigint,"
+                                        "h2:bigint>>"))
+                     .otherwise(F.transform(
+                         F.sequence(F.lit(1), F.col("__n") - k + 1),
+                         lambda i: F.struct(
+                             _rk("__t1", i, b1, p1).alias("h1"),
+                             _rk("__t2", i, b2, p2).alias("h2")))))
+                 .select("__id",
+                         F.posexplode("__grams").alias("__p", "__g")))
+    else:
+        grams = (toks.withColumn(
+                    "__grams",
+                    F.when(F.col("__n") < k,
+                           F.array().cast("array<string>"))
+                     .otherwise(F.transform(
+                         F.sequence(F.lit(1), F.col("__n") - k + 1),
+                         lambda i: F.array_join(F.slice("__t", i, k),
+                                                " "))))
+                 .select("__id",
+                         F.posexplode("__grams").alias("__p", "__g")))
     firsts = (grams.groupBy("__g")
               .agg(F.min(F.struct("__id", "__p")).alias("__first"),
                    F.count("*").alias("__c"))

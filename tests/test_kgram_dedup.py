@@ -88,3 +88,29 @@ def test_matches_brute_force_on_colliding_corpus(spark):
     docs = {d: " ".join(rng.choice(vocab) for _ in range(30))
             for d in range(12)}
     assert _run(spark, docs, 3) == _brute(docs, 3)
+
+
+def test_fingerprint_path_equals_string_path(spark):
+    """The Rabin-Karp fingerprint keys (scale default) must reproduce
+    the literal-string-key results exactly on a corpus with overlap,
+    within-doc repeats and cross-doc duplication."""
+    base = " ".join(f"w{i}" for i in range(40))
+    dup = " ".join(f"d{i}" for i in range(6))
+    docs = {
+        0: f"{dup} {base}",
+        1: f"intro text {dup} more tail words here",
+        2: f"{dup} {dup} unrelated suffix tokens",
+        3: "completely unique short doc",
+    }
+    df = spark.createDataFrame(sorted(docs.items()),
+                               "doc_id long, text string")
+    cols = ["doc_id", "deduped_text", "n_removed"]
+    from ocr_engine_spark.functions.dedup import dedup_kgrams
+    fp = {r["doc_id"]: (r["deduped_text"], r["n_removed"])
+          for r in dedup_kgrams(df, 6, fingerprint=True)
+          .select(cols).collect()}
+    st = {r["doc_id"]: (r["deduped_text"], r["n_removed"])
+          for r in dedup_kgrams(df, 6, fingerprint=False)
+          .select(cols).collect()}
+    assert fp == st
+    assert _brute(docs, 6) == fp
