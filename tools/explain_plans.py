@@ -103,6 +103,13 @@ NOTES = {
                   "corpus scan, no countDistinct); token join sized by "
                   "AQE; the per-doc top-k window partitions on doc_id — "
                   "groups bounded by document length",
+    "corpus_split": "split assignment is a codegen'd CASE over a hash "
+                    "inside the scan's Project — the only Exchange "
+                    "belongs to the report aggregation, not the split",
+    "kgram_dedup": "gram keys are 16-byte fingerprint structs (never "
+                   "gram strings) through the argmin groupBy and the "
+                   "join-back; map-side partial agg absorbs hot grams; "
+                   "no window over the gram key anywhere",
 }
 
 HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
@@ -112,6 +119,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "semantic_dedup", "decontaminate", "dsir_select",
             "shard_manifest", "shuffle_corpus", "ppl_filter",
             "domain_blocklist", "chunk_documents", "tfidf_topk",
+            "corpus_split", "kgram_dedup",
             "extraction_pipeline"]
 
 
