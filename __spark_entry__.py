@@ -822,6 +822,27 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("split", "lang"))
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit (functions/sample.split_leakage_report): the
+    corpus is doubled under shifted ids (a re-crawl motif: same bytes,
+    new identity), hash-split 80/10/10, and every content fingerprint
+    straddling a split boundary is reported — exact dedup restricted
+    to boundary-crossing groups, one fingerprint shuffle. The oracle
+    replays the hash split, the md5 fingerprints, the per-group
+    distinct-split sets and the aggregate verbatim."""
+    from ocr_engine_spark.functions.sample import split_leakage_report
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = docs.unionByName(recrawl)
+    leaks = split_leakage_report(
+        corpus, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r3")
+    return (leaks.groupBy("splits")
+            .agg(F.count("*").alias("n_groups"),
+                 F.sum("n_docs").alias("n_docs"),
+                 F.min("min_id").alias("first_id"))
+            .orderBy("splits"))
+
+
 def q_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM-perplexity filter (functions/lm.py, Wenzek et
     al. 2020): fit a hashed-vocab add-1 bigram LM on the clean
@@ -1128,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "stratified_sample": q_stratified_sample,
         "corpus_split": q_corpus_split,
+        "split_leakage": q_split_leakage,
         "shuffle_corpus": q_shuffle_corpus,
         "ppl_filter": q_ppl_filter,
         "chunk_documents": q_chunk_documents,
@@ -2338,6 +2360,38 @@ def _oracle_sql() -> dict[str, str]:
             SELECT lang, rank, doc_id, n_chars
             FROM r WHERE rank <= 20
             ORDER BY lang, rank
+        """,
+        "split_leakage": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+            assigned AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                         'g'))) AS fp,
+                     CASE WHEN ppm < 800000 THEN 'train'
+                          WHEN ppm < 900000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id, text,
+                           ('0x' || substr(md5('r3' || chr(31)
+                               || CAST(doc_id AS VARCHAR)), 1, 15))
+                             ::BIGINT % 1000000 AS ppm
+                    FROM corpus)),
+            ds AS (SELECT DISTINCT fp, split FROM assigned),
+            groups AS (
+              SELECT a.fp,
+                     (SELECT string_agg(split, ',' ORDER BY split)
+                      FROM ds WHERE ds.fp = a.fp) AS splits,
+                     count(DISTINCT a.split) AS n_splits,
+                     count(*) AS n_docs,
+                     min(a.doc_id) AS min_id
+              FROM assigned a GROUP BY a.fp)
+            SELECT splits, count(*)::BIGINT AS n_groups,
+                   sum(n_docs)::BIGINT AS n_docs,
+                   min(min_id) AS first_id
+            FROM groups WHERE n_splits > 1
+            GROUP BY splits ORDER BY splits
         """,
         "corpus_split": """
             WITH h AS (

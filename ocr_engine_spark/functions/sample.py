@@ -267,3 +267,38 @@ def split_corpus(df: DataFrame, weights: dict[str, float], *,
     """
     return df.withColumn(split_out, split_col(F.col(id_col), weights,
                                               salt=salt))
+
+
+def split_leakage_report(df: DataFrame, weights: dict[str, float], *,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         salt: str = "split") -> DataFrame:
+    """Audit a hash split for EVAL LEAKAGE: content that appears (after
+    dedup normalization) in more than one split. Hash splits assign by
+    id, so two byte-equal documents with different ids — re-crawls,
+    mirrors, boilerplate twins — can land one copy in train and one in
+    test, silently inflating eval scores. Decontamination papers (Dodge
+    et al. 2021) audit exactly this boundary; every serious pipeline
+    runs the check after splitting and before shipping the eval set.
+
+    Returns one row per leaking fingerprint group: the 128-bit content
+    fingerprint, the sorted distinct splits it straddles, how many
+    documents carry it, and the smallest id (the canonical copy to
+    keep; resolve by dropping the others or re-assigning the group).
+
+    Scale: split assignment is map-side (split_corpus), then ONE
+    shuffle on the fingerprint with map-side partial aggregation —
+    the same shape as exact dedup, because leakage IS exact dedup
+    restricted to groups that cross a boundary.
+    """
+    from ocr_engine_spark.functions.text import fingerprint_col
+    s = split_corpus(df, weights, id_col=id_col, salt=salt)
+    fp = s.select(F.col(id_col).alias("__id"), "split",
+                  fingerprint_col(F.col(text_col)).alias("fp"))
+    return (fp.groupBy("fp")
+            .agg(F.array_join(F.sort_array(F.collect_set("split")),
+                              ",").alias("splits"),
+                 F.countDistinct("split").alias("n_splits"),
+                 F.count("*").alias("n_docs"),
+                 F.min("__id").alias("min_id"))
+            .filter(F.col("n_splits") > 1)
+            .drop("n_splits"))

@@ -212,3 +212,38 @@ def test_split_proportions_and_salt_independence(spark):
          for r in split_corpus(df, w, salt="s2").collect()}
     moved = sum(1 for k in a if a[k] != b[k])
     assert moved > 100  # different salt = an independent re-split
+
+
+def test_split_leakage_report(spark):
+    """Doubled corpus under shifted ids: every leak the report finds
+    must match a literal python replay of split + fingerprint, and
+    groups whose copies land in ONE split must not appear."""
+    from ocr_engine_spark.functions.sample import (
+        split_corpus, split_leakage_report,
+    )
+    base = _docs(spark, n=120).select("doc_id", "text")
+    corpus = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 10_000))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r["fp"]: (r["splits"], r["n_docs"], r["min_id"])
+           for r in split_leakage_report(corpus, w).collect()}
+    # python replay from the split assignments the engine itself made
+    rows = split_corpus(corpus, w).collect()
+    import hashlib
+    groups: dict[str, list] = {}
+    for r in rows:
+        fp = hashlib.md5(" ".join(r["text"].lower().split())
+                         .encode()).hexdigest()
+        groups.setdefault(fp, []).append(r)
+    want = {}
+    for fp, g in groups.items():
+        splits = sorted({r["split"] for r in g})
+        if len(splits) > 1:
+            want[fp] = (",".join(splits), len(g),
+                        min(r["doc_id"] for r in g))
+    assert want and got == want
+    # sanity: at least one duplicated group does NOT leak (both copies
+    # in the majority split) — the filter is doing work
+    same = [g for g in groups.values()
+            if len(g) > 1 and len({r["split"] for r in g}) == 1]
+    assert same
