@@ -760,6 +760,22 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "rank", "copy_id"))
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-quota corpus mixing (functions/sample.quota_sample —
+    DoReMi / Pile-style recipes where the per-domain weights come from
+    OUTSIDE the corpus): en downsampled to 100, de upsampled to 4x its
+    count by repetition, fr held near parity, every other lang dropped
+    (quota 0). Same deterministic rank/copy engine as
+    temperature_sample; the oracle replays the quota join, the window
+    ranks and the copy explosion verbatim."""
+    from ocr_engine_spark.functions.sample import quota_sample
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = quota_sample(docs, {"en": 100, "de": 400, "fr": 50},
+                       rank_out="rank")
+    return (out.select("lang", "rank", "copy_id", "doc_id")
+            .orderBy("lang", "rank", "copy_id"))
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (functions/dsir.py, Xie et al. 2023):
     importance-weight every document against the lang='en' target
@@ -1150,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "corpus_split": q_corpus_split,
         "split_leakage": q_split_leakage,
+        "domain_mix": q_domain_mix,
         "shuffle_corpus": q_shuffle_corpus,
         "ppl_filter": q_ppl_filter,
         "chunk_documents": q_chunk_documents,
@@ -2273,6 +2290,36 @@ def _oracle_sql() -> dict[str, str]:
                                        / (SELECT sum(w) FROM w)))
                           AS BIGINT) AS quota
               FROM w),
+            r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(lang || chr(31)
+                                    || CAST(doc_id AS VARCHAR)),
+                                doc_id)::BIGINT AS rank
+              FROM documents),
+            k AS (
+              SELECT r.lang, r.doc_id, r.rank,
+                     (quota // c)
+                       + CASE WHEN rank <= quota % c THEN 1 ELSE 0 END
+                       AS copies
+              FROM r JOIN q USING (lang))
+            SELECT lang, rank, copy_id::BIGINT AS copy_id, doc_id
+            FROM k, unnest(generate_series(1, copies)) AS u(copy_id)
+            WHERE copies >= 1
+            ORDER BY lang, rank, copy_id
+        """,
+        "domain_mix": r"""
+            WITH c AS (
+              SELECT lang, count(*)::BIGINT AS c
+              FROM documents GROUP BY lang),
+            q AS (
+              SELECT lang, c,
+                     CASE lang WHEN 'en' THEN 100
+                               WHEN 'de' THEN 400
+                               WHEN 'fr' THEN 50
+                               ELSE 0 END::BIGINT AS quota
+              FROM c),
             r AS (
               SELECT lang, doc_id,
                      row_number() OVER (

@@ -35,6 +35,7 @@ HEADLINE = [
     "vocab_topk", "pii_scrub", "line_prune", "repetition_ratio",
     "quality_filter", "pack_sequences", "shard_manifest",
     "kgram_dedup", "stratified_sample", "corpus_split", "split_leakage",
+    "domain_mix",
     "temperature_sample",
     "shuffle_corpus", "ppl_filter", "chunk_documents", "snapshot_diff",
     "tfidf_topk",

@@ -193,6 +193,18 @@ def temperature_sample(df: DataFrame, *, alpha: float, total_out: int,
                 .filter(F.lit(False)))
     quotas = temperature_quotas(df, alpha=alpha, total_out=total_out,
                                 strata_col=strata_col)
+    return _resample_by_quotas(ranked, quotas, strata_col,
+                               rank_out=rank_out, copy_out=copy_out)
+
+
+def _resample_by_quotas(ranked: DataFrame, quotas: DataFrame,
+                        strata_col: str, *, rank_out: str | None,
+                        copy_out: str) -> DataFrame:
+    """Shared resampling core: ``ranked`` carries ``__grank`` (the
+    portable within-stratum rank), ``quotas`` carries (stratum, __c,
+    __quota). Downsampling keeps the quota lowest ranks once;
+    upsampling repeats every row ``quota div c`` times plus one extra
+    copy for the ``quota % c`` lowest ranks."""
     base = F.expr("__quota div __c")
     rem = F.col("__quota") % F.col("__c")
     copies = base + F.when(F.col("__grank") <= rem, 1).otherwise(0)
@@ -205,6 +217,41 @@ def temperature_sample(df: DataFrame, *, alpha: float, total_out: int,
     if rank_out is not None:
         out = out.withColumn(rank_out, F.col("__grank"))
     return out.drop("__grank", "__c", "__quota", "__copies")
+
+
+def quota_sample(df: DataFrame, quotas: dict[str, int], *,
+                 strata_col: str = "lang", id_col: str = "doc_id",
+                 partitions: int | None = None,
+                 rank_out: str | None = None,
+                 copy_out: str = "copy_id") -> DataFrame:
+    """Resample to EXPLICIT per-stratum quotas — the mixing step when
+    the recipe comes from outside the corpus (DoReMi-optimized domain
+    weights, The Pile's hand-set epochs-per-source, a product
+    requirement), rather than from a temperature formula over the
+    counts. Same deterministic engine as ``temperature_sample``:
+    downsampled strata keep their quota lowest portable ranks once,
+    upsampled strata repeat rows (``copy_out`` numbers the copies).
+
+    Strata absent from ``quotas`` get quota 0 and vanish — the recipe
+    defines the mix; quota keys absent from the corpus are ignored.
+    """
+    if any(int(q) < 0 for q in quotas.values()):
+        raise ValueError("quotas must be >= 0")
+    ranked = global_stratum_ranks(df, strata_col=strata_col,
+                                  id_col=id_col, partitions=partitions)
+    if ranked is None:
+        return (df.withColumn(copy_out, F.lit(1))
+                .filter(F.lit(False)))
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__c"))
+    pairs = [x for kv in sorted(quotas.items())
+             for x in (F.lit(kv[0]), F.lit(int(kv[1])))]
+    qmap = F.create_map(*pairs)
+    qdf = counts.select(
+        strata_col, "__c",
+        F.coalesce(qmap[F.col(strata_col).cast("string")],
+                   F.lit(0)).cast("long").alias("__quota"))
+    return _resample_by_quotas(ranked, qdf, strata_col,
+                               rank_out=rank_out, copy_out=copy_out)
 
 
 def split_thresholds_ppm(weights: dict[str, float]) -> list[tuple[str, int]]:

@@ -247,3 +247,32 @@ def test_split_leakage_report(spark):
     same = [g for g in groups.values()
             if len(g) > 1 and len({r["split"] for r in g}) == 1]
     assert same
+
+
+def test_quota_sample_explicit_recipe(spark):
+    """Fixed quotas: exact downsample counts, repetition upsampling
+    with extra copies to the lowest ranks, quota-0 strata dropped,
+    unknown quota keys ignored, negative quotas rejected."""
+    import pytest
+    from ocr_engine_spark.functions.sample import quota_sample
+    df = _docs(spark, n=120)  # 40 per lang in en/de/fr
+    out = quota_sample(df, {"en": 10, "de": 100, "xx": 5},
+                       rank_out="rank").collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "de"}          # fr quota 0 -> dropped
+    assert len(by_lang["en"]) == 10              # exact downsample
+    assert len(by_lang["de"]) == 100             # 40 docs -> 100 rows
+    # every de doc appears 100 div 40 = 2 times; ranks 1..20 get a 3rd
+    copies = {}
+    for r in by_lang["de"]:
+        copies[r["doc_id"]] = copies.get(r["doc_id"], 0) + 1
+    assert sorted(copies.values()) == [2] * 20 + [3] * 20
+    three = {r["rank"] for r in by_lang["de"]
+             if copies[r["doc_id"]] == 3}
+    assert three == set(range(1, 21))
+    # en keeps the 10 LOWEST ranks once each
+    assert sorted(r["rank"] for r in by_lang["en"]) == list(range(1, 11))
+    with pytest.raises(ValueError):
+        quota_sample(df, {"en": -1})
