@@ -19,7 +19,7 @@ Subcommands:
   search    approximate top-k against a built IVF index
   profile   corpus text-quality / language / token profile
   select    DSIR importance resampling toward a target domain
-  mix       temperature-alpha language/stratum resampling
+  mix       temperature-alpha or explicit-quota stratum resampling
   decontam  benchmark n-gram decontamination (exact or Bloom prefilter)
 
 Also runnable without spark-submit: ``python run_job.py ...`` builds a
@@ -109,12 +109,20 @@ def main(argv: list[str] | None = None) -> int:
     sl.add_argument("--id-col", default="doc_id")
     sl.add_argument("--text-col", default="text")
 
-    mx = sub.add_parser("mix", help="temperature-alpha resampling")
+    mx = sub.add_parser("mix", help="temperature-alpha or explicit-"
+                                    "quota resampling")
     mx.add_argument("--input", required=True, help="documents parquet")
     mx.add_argument("--output", required=True, help="mixed parquet dir")
     mx.add_argument("--alpha", type=float, default=0.3)
-    mx.add_argument("--total", type=int, required=True,
-                    help="output row budget across all strata")
+    mx.add_argument("--total", type=int,
+                    help="output row budget across all strata "
+                         "(temperature mode; required unless --quota)")
+    mx.add_argument("--quota", action="append", default=[],
+                    metavar="STRATUM=N",
+                    help="explicit per-stratum quota (repeatable; "
+                         "switches to quota_sample — DoReMi/Pile-style "
+                         "external recipes; strata without a quota "
+                         "are dropped)")
     mx.add_argument("--strata-col", default="lang")
     mx.add_argument("--id-col", default="doc_id")
 
@@ -339,17 +347,34 @@ def main(argv: list[str] | None = None) -> int:
             "k": args.k, "buckets": args.buckets, "seed": args.seed}))
     elif args.cmd == "mix":
         from pyspark.sql import Observation, functions as F
-        from ocr_engine_spark.functions.sample import temperature_sample
+        from ocr_engine_spark.functions.sample import (
+            quota_sample, temperature_sample,
+        )
+        if not args.quota and args.total is None:
+            raise SystemExit("mix: pass --total (temperature) or "
+                             "--quota STRATUM=N (explicit recipe)")
         docs = spark.read.parquet(args.input)
-        mixed = temperature_sample(docs, alpha=args.alpha,
-                                   total_out=args.total,
-                                   strata_col=args.strata_col,
-                                   id_col=args.id_col)
+        if args.quota:
+            quotas = {}
+            for spec in args.quota:
+                stratum, _, n = spec.partition("=")
+                if not _ or not n.lstrip("-").isdigit():
+                    raise SystemExit(f"--quota expects STRATUM=N: {spec!r}")
+                quotas[stratum] = int(n)
+            mixed = quota_sample(docs, quotas,
+                                 strata_col=args.strata_col,
+                                 id_col=args.id_col)
+            params = {"quotas": quotas}
+        else:
+            mixed = temperature_sample(docs, alpha=args.alpha,
+                                       total_out=args.total,
+                                       strata_col=args.strata_col,
+                                       id_col=args.id_col)
+            params = {"alpha": args.alpha, "total": args.total}
         obs = Observation("mix_rows")
         mixed.observe(obs, F.count(F.lit(1)).alias("n")) \
             .write.mode("overwrite").parquet(args.output)
-        print(json.dumps({"rows": obs.get["n"], "alpha": args.alpha,
-                          "total": args.total}))
+        print(json.dumps({"rows": obs.get["n"], **params}))
     elif args.cmd == "decontam":
         from pyspark.sql import Observation, functions as F
         docs = spark.read.parquet(args.input)
