@@ -184,6 +184,15 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--near-dedup", action="store_true",
                     help="also MinHash-LSH near-dedup (keep one per "
                          "connected component)")
+    pl.add_argument("--split", action="append", default=[],
+                    metavar="NAME=FRAC",
+                    help="hash-split after dedup (repeatable; fracs "
+                         "must sum to 1). Non-train splits land as "
+                         "parquet under <output>/split_<name>; only "
+                         "'train' (or the first name) is packed. The "
+                         "leakage audit runs and is reported — 0 by "
+                         "construction, because dedup precedes the "
+                         "split")
     pl.add_argument("--id-col", default="doc_id")
     pl.add_argument("--text-col", default="text")
 
@@ -458,7 +467,38 @@ def main(argv: list[str] | None = None) -> int:
                                            text_col=args.text_col)
         deduped = deduped.persist()
         n_dedup = deduped.count()
-        shuffled = shuffle_corpus(deduped, seed=args.shuffle_seed,
+        split_counts: dict[str, int] = {}
+        eval_leaks = None
+        to_pack = deduped
+        if args.split:
+            from ocr_engine_spark.functions.sample import (
+                split_corpus, split_leakage_report,
+            )
+            weights = {}
+            for spec in args.split:
+                name, _, frac = spec.partition("=")
+                if not _:
+                    raise SystemExit(f"--split expects NAME=FRAC: {spec!r}")
+                weights[name] = float(frac)
+            train = "train" if "train" in weights else next(iter(weights))
+            assigned = split_corpus(deduped, weights,
+                                    id_col=args.id_col).persist()
+            # the audit that makes the guarantee checkable: dedup ran
+            # BEFORE the split, so no fingerprint can straddle splits
+            eval_leaks = split_leakage_report(
+                deduped, weights, id_col=args.id_col,
+                text_col=args.text_col).count()
+            for name in weights:
+                if name == train:
+                    continue
+                part = assigned.filter(F.col("split") == name) \
+                               .drop("split")
+                dest = os.path.join(args.output, f"split_{name}")
+                part.write.mode("overwrite").parquet(dest)
+                split_counts[name] = spark.read.parquet(dest).count()
+            to_pack = assigned.filter(F.col("split") == train) \
+                              .drop("split")
+        shuffled = shuffle_corpus(to_pack, seed=args.shuffle_seed,
                                   id_col=args.id_col)
         seqs = pack_sequences(shuffled, seq_len=args.seq_len,
                               id_col="shuffle_pos",
@@ -467,14 +507,18 @@ def main(argv: list[str] | None = None) -> int:
                                       seqs_per_shard=args.seqs_per_shard)
         clean.unpersist()
         deduped.unpersist()
-        print(json.dumps({
+        out = {
             "n_input": n_in, "n_after_quality": n_clean,
             "n_after_dedup": n_dedup,
             "n_seqs": stats["n_seqs"], "n_shards": stats["n_shards"],
             "seq_len": args.seq_len, "shuffle_seed": args.shuffle_seed,
             "near_dedup": bool(args.near_dedup),
             "verify_mismatches": verify_shards(spark,
-                                               args.output).count()}))
+                                               args.output).count()}
+        if args.split:
+            out["splits"] = split_counts
+            out["eval_leaks"] = eval_leaks
+        print(json.dumps(out))
     elif args.cmd == "snapshot":
         from pyspark.sql import functions as F
 

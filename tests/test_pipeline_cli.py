@@ -1,0 +1,39 @@
+"""End-to-end pipeline CLI with --split: dedup -> hash split -> eval
+splits as parquet side outputs -> only train packed into verified
+shards -> leakage audit 0 by construction (dedup precedes the split)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_pipeline_split(tmp_path):
+    out = str(tmp_path / "sink")
+    cmd = [sys.executable, os.path.join(REPO, "run_job.py"), "pipeline",
+           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--output", out, "--seq-len", "256", "--seqs-per-shard", "8",
+           "--split", "train=0.8", "--split", "val=0.1",
+           "--split", "test=0.1"]
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    res = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                         text=True, check=True)
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rep["eval_leaks"] == 0
+    assert rep["verify_mismatches"] == 0
+    assert set(rep["splits"]) == {"val", "test"}
+    assert rep["n_seqs"] > 0
+    n_eval = sum(rep["splits"].values())
+    assert 0 < n_eval < rep["n_after_dedup"]
+    for name in ("val", "test"):
+        assert os.path.isdir(os.path.join(out, f"split_{name}"))
+    # packed train must not contain eval rows: shards hold sequences,
+    # so check the doc budget instead — train docs = dedup - eval
+    assert rep["n_after_dedup"] - n_eval > 0
