@@ -66,3 +66,49 @@ def test_extract_html_never_raises(payload):
     if res["status"] == "success":
         assert res["text"] is not None
         assert len(res["spans"]) == res["n_blocks"]
+
+
+# --- PDF kernel fuzz: malformed bytes are error RECORDS, never raises --
+
+
+import random
+
+from ocr_engine_spark.fixtures.gen_pages import make_pdf, make_pdf_blocks
+from ocr_engine_spark.kernels import pdf_extract as px
+
+
+def _contract(res):
+    assert res["status"] in ("success", "error")
+    if res["status"] == "success":
+        assert res["text"] is not None
+        assert len(res["spans"]) == res["n_blocks"]
+    else:
+        assert res["text"] is None and res["error"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_pdf_never_raises_on_garbage(payload):
+    _contract(px.extract_pdf(b"%PDF-1.4\n" + payload))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_extract_pdf_never_raises_on_mutations(data):
+    """Truncations / splices / byte flips of a REAL multi-page fixture
+    PDF exercise the object scan, /Kids walk and content-stream parser
+    far deeper than random bytes — the contract must hold anywhere."""
+    rng = random.Random(7)
+    doc = make_pdf(make_pdf_blocks(rng), rng)
+    n = len(doc)
+    cut = data.draw(st.integers(min_value=0, max_value=n))
+    mode = data.draw(st.sampled_from(["truncate", "flip", "splice"]))
+    if mode == "truncate":
+        payload = doc[:cut]
+    elif mode == "flip":
+        b = data.draw(st.integers(min_value=0, max_value=255))
+        payload = doc[:cut] + bytes([b]) + doc[cut + 1:]
+    else:
+        other = data.draw(st.binary(max_size=64))
+        payload = doc[:cut] + other + doc[cut:]
+    _contract(px.extract_pdf(payload))
