@@ -1010,6 +1010,36 @@ def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_skew_report(pages, top_k=8)
 
 
+def q_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl revisit policy (functions/snapshot.keep_latest_revision):
+    a url re-fetched across dumps must contribute ONE row, the
+    freshest. The corpus is the pages fixture plus a 7-day-older
+    re-crawl of every url under a '#cached' fragment variant — the
+    canonical key must merge the variants, the max_by must pick the
+    fresh revision (one shuffle, map-side combine absorbs hot urls;
+    no per-url window sort). The oracle replays canonicalization,
+    the arg_max and the revision counts verbatim."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.snapshot import keep_latest_revision
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "warc_ts", "text", "lang"))
+    stale = (pages
+             .withColumn("url", F.concat(F.col("url"), F.lit("#cached")))
+             .withColumn("warc_ts",
+                         F.col("warc_ts") - F.expr("INTERVAL 7 DAYS"))
+             .withColumn("text", F.concat(F.col("text"),
+                                          F.lit(" stale"))))
+    latest = keep_latest_revision(pages.unionByName(stale))
+    return (latest.select(
+                "canonical_url", "n_revisions",
+                F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss")
+                 .alias("warc_ts"),
+                F.md5("text").alias("digest"), "lang")
+            .orderBy("canonical_url"))
+
+
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style domain blocklist filter (functions/scrub.py) over the
     pages fixture corpus: flag every page whose host is a blocked
@@ -1166,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "corpus_split": q_corpus_split,
         "split_leakage": q_split_leakage,
+        "url_latest": q_url_latest,
         "domain_mix": q_domain_mix,
         "shuffle_corpus": q_shuffle_corpus,
         "ppl_filter": q_ppl_filter,
@@ -1708,6 +1739,62 @@ def _host_skew_oracle() -> str:
         FROM c, t
         ORDER BY n_pages DESC, host ASC
         LIMIT 8
+    """
+
+
+def _url_latest_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    # full replay of scrub.canonical_url_col's DEFAULT path: drop
+    # fragment, lowercase scheme://authority, strip a trailing PATH
+    # slash only when no query string, pass through non-urls
+    return f"""
+        WITH corpus AS (
+          SELECT url, warc_ts, text, lang
+          FROM read_parquet('{pages}')
+          UNION ALL
+          SELECT url || '#cached', warc_ts - INTERVAL 7 DAY,
+                 text || ' stale', lang
+          FROM read_parquet('{pages}')),
+        canon AS (
+          SELECT *,
+                 regexp_replace(url, '#.*$', '') AS no_frag,
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+          FROM corpus),
+        keyed AS (
+          SELECT url, warc_ts, text, lang,
+                 CASE
+                   WHEN host = '' THEN url
+                   WHEN no_frag LIKE '%?%' THEN
+                     lower(regexp_extract(no_frag,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                     || regexp_extract(no_frag,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1)
+                   ELSE regexp_replace(
+                     lower(regexp_extract(no_frag,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                     || regexp_extract(no_frag,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1),
+                     '/$', '')
+                 END AS canonical_url
+          FROM canon)
+        SELECT canonical_url,
+               count(*)::BIGINT AS n_revisions,
+               -- (warc_ts, url) tie-break as an order-preserving string
+               -- (this DuckDB's arg_max rejects tuple keys)
+               strftime(arg_max(warc_ts,
+                                strftime(warc_ts, '%Y-%m-%d %H:%M:%S')
+                                || '|' || url),
+                        '%Y-%m-%d %H:%M:%S') AS warc_ts,
+               md5(arg_max(text, strftime(warc_ts, '%Y-%m-%d %H:%M:%S')
+                                 || '|' || url)) AS digest,
+               arg_max(lang, strftime(warc_ts, '%Y-%m-%d %H:%M:%S')
+                             || '|' || url) AS lang
+        FROM keyed
+        GROUP BY canonical_url
+        ORDER BY canonical_url
     """
 
 
@@ -2665,6 +2752,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "repetition_ratio": _REPETITION_ORACLE,
         "host_skew": _host_skew_oracle(),
+        "url_latest": _url_latest_oracle(),
         "domain_blocklist": _domain_blocklist_oracle(),
         "vocab_topk": r"""
             WITH t AS (

@@ -38,6 +38,7 @@ HEADLINE = [
     "domain_mix",
     "temperature_sample",
     "shuffle_corpus", "ppl_filter", "chunk_documents", "snapshot_diff",
+    "url_latest",
     "tfidf_topk",
     "dsir_select",
     "host_skew", "domain_blocklist",

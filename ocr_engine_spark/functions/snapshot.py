@@ -51,3 +51,33 @@ def snapshot_delta_summary(old: DataFrame, new: DataFrame, *,
     """(status, n_keys) — the dashboard row per crawl dump."""
     return (snapshot_diff(old, new, key_col=key_col, text_col=text_col)
             .groupBy("status").agg(F.count("*").alias("n_keys")))
+
+
+def keep_latest_revision(df: DataFrame, *, key_col: str | None = None,
+                         ts_col: str = "warc_ts") -> DataFrame:
+    """Collapse a MULTI-crawl pages table to the newest revision per
+    canonical url — the revisit policy every rolling crawl needs
+    before extraction/dedup (a url re-fetched across N dumps must
+    contribute one row, the freshest). ``key_col=None`` keys on
+    ``canonical_url_col(url)`` (scrub.py — ONE url definition
+    engine-wide); pass a column name to key on something else.
+
+    Scale shape: groupBy ``max_by(struct(<all columns>),
+    struct(ts, url))`` — ONE shuffle whose map-side partial
+    aggregation absorbs hot urls (a million-revision url arrives at
+    the reducer as one candidate per map partition). The
+    window/row_number alternative sorts each url's full history in a
+    single task — exactly the skew this engine never buys. Ties on
+    the timestamp break deterministically by the raw url string.
+    """
+    from ocr_engine_spark.functions.scrub import canonical_url_col
+    key = (canonical_url_col(F.col("url")) if key_col is None
+           else F.col(key_col))
+    tie = F.col("url") if "url" in df.columns else key
+    ordk = F.struct(F.col(ts_col), tie)
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (df.groupBy(key.alias("__key"))
+            .agg(F.max_by(row, ordk).alias("__row"),
+                 F.count("*").alias("n_revisions"))
+            .select("__key", "n_revisions", "__row.*")
+            .withColumnRenamed("__key", "canonical_url"))

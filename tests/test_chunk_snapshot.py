@@ -7,7 +7,7 @@ import pytest
 
 from ocr_engine_spark.functions.chunk import chunk_documents
 from ocr_engine_spark.functions.snapshot import (
-    snapshot_delta_summary, snapshot_diff,
+    keep_latest_revision, snapshot_delta_summary, snapshot_diff,
 )
 
 
@@ -73,3 +73,43 @@ def test_snapshot_diff_statuses(spark):
                for r in snapshot_delta_summary(old, new).collect()}
     assert summary == {"unchanged": 1, "changed": 1,
                        "removed": 1, "added": 1}
+
+
+def test_keep_latest_revision_picks_freshest_per_canonical_url(spark):
+    import datetime as dt
+
+    def ts(d):
+        return dt.datetime(2024, 1, d)
+
+    rows = [
+        # same canonical url via fragment variants: fresh one wins
+        ("http://A.example/x#frag", ts(3), "fresh"),
+        ("http://a.example/x", ts(1), "stale"),
+        # timestamp tie INSIDE one canonical group (fragment variants
+        # merge): raw-url string breaks it deterministically
+        ("http://b.example/y#p1", ts(2), "tie-b1"),
+        ("http://b.example/y#p2", ts(2), "tie-b2"),
+        # singleton passes through
+        ("http://c.example/z", ts(5), "only"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "text"])
+    got = {r.canonical_url: r for r in keep_latest_revision(df).collect()}
+    assert got["http://a.example/x"].text == "fresh"
+    assert got["http://a.example/x"].n_revisions == 2
+    # '#p2' > '#p1' lexicographically on the raw-url tie-break
+    assert got["http://b.example/y"].text == "tie-b2"
+    assert got["http://b.example/y"].n_revisions == 2
+    assert got["http://c.example/z"].text == "only"
+    assert got["http://c.example/z"].n_revisions == 1
+
+
+def test_keep_latest_revision_custom_key(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [("k1", dt.datetime(2024, 1, 1), "old"),
+         ("k1", dt.datetime(2024, 1, 2), "new"),
+         ("k2", dt.datetime(2024, 1, 1), "solo")],
+        ["doc_key", "warc_ts", "text"])
+    got = {r.canonical_url: r.text
+           for r in keep_latest_revision(df, key_col="doc_key").collect()}
+    assert got == {"k1": "new", "k2": "solo"}
