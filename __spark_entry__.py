@@ -1040,6 +1040,29 @@ def q_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("canonical_url"))
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions/bpe.py): learn 12
+    merges from the documents table — word counts (one shuffle), then
+    per round an adjacent-pair count (map-side combinable), a 1-row
+    argmax driver read with (count DESC, pair ASC) tie-break, and a
+    greedy JVM fold rewriting the distinct-word symbol arrays. The
+    oracle replays every round in SQL: pair counts + argmax per
+    iteration, merge application via window functions (islands+parity
+    for the p1=p2 greedy-run case), MATERIALIZED CTEs so the 12-step
+    chain evaluates once per step."""
+    from ocr_engine_spark.functions.bpe import train_bpe
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = train_bpe(docs, _BPE_MERGES)
+    return spark.createDataFrame(
+        [(m["rank"], m["p1"], m["p2"], m["merged"], m["pair_count"])
+         for m in merges],
+        schema="merge_rank INT, p1 STRING, p2 STRING, "
+               "merged STRING, pair_count BIGINT").orderBy("merge_rank")
+
+
+_BPE_MERGES = 12
+
+
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style domain blocklist filter (functions/scrub.py) over the
     pages fixture corpus: flag every page whose host is a blocked
@@ -1207,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "host_skew": q_host_skew,
         "domain_blocklist": q_domain_blocklist,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -1796,6 +1820,82 @@ def _url_latest_oracle() -> str:
         GROUP BY canonical_url
         ORDER BY canonical_url
     """
+
+
+def _bpe_oracle(n_merges: int = None, max_word_len: int = 64) -> str:
+    """Full SQL replay of train_bpe: one CTE block per merge round.
+
+    Merge application replays the greedy left-to-right fold with window
+    functions: flag pair matches, resolve overlapping matches in equal-
+    pair runs (p1 = p2) by islands + position parity, drop consumed
+    successors, rebuild each word's symbol list ordered by position.
+    MATERIALIZED is load-bearing: without it DuckDB inlines each round's
+    CTEs into every later round (~4x plan growth per round)."""
+    k = n_merges if n_merges is not None else _BPE_MERGES
+    parts = [f"""w0 AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS wcount,
+         list_transform(generate_series(1, length(word)),
+                        i -> word[i]) AS syms
+  FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                                            '[^0-9a-z]+')) AS word
+        FROM documents)
+  WHERE word <> '' AND length(word) <= {max_word_len}
+  GROUP BY word
+)"""]
+    for t in range(k):
+        parts.append(f"""p{t} AS MATERIALIZED (
+  SELECT p1, p2, sum(wcount)::BIGINT AS cnt
+  FROM (SELECT wcount,
+               unnest(list_slice(syms, 1, len(syms) - 1)) AS p1,
+               unnest(list_slice(syms, 2, len(syms))) AS p2
+        FROM w{t} WHERE len(syms) >= 2)
+  GROUP BY p1, p2
+),
+b{t} AS MATERIALIZED (
+  SELECT p1, p2, cnt FROM p{t} ORDER BY cnt DESC, p1, p2 LIMIT 1),
+x{t} AS (
+  SELECT word, wcount, generate_subscripts(syms, 1) AS pos,
+         unnest(syms) AS sym
+  FROM w{t}
+),
+f{t} AS (
+  SELECT x.word, x.wcount, x.pos, x.sym, b.p1, b.p2,
+         CASE WHEN x.sym = b.p1 AND
+              lead(x.sym) OVER (PARTITION BY x.word ORDER BY x.pos) = b.p2
+         THEN 1 ELSE 0 END AS m
+  FROM x{t} x CROSS JOIN b{t} b
+),
+g{t} AS (
+  SELECT *, CASE WHEN m = 1
+            THEN pos - ROW_NUMBER() OVER (PARTITION BY word, m
+                                          ORDER BY pos)
+            END AS isl
+  FROM f{t}
+),
+k{t} AS (
+  SELECT *, CASE WHEN m = 1
+            AND (pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0
+            THEN 1 ELSE 0 END AS keep
+  FROM g{t}
+),
+c{t} AS (
+  SELECT *, coalesce(lag(keep) OVER (PARTITION BY word ORDER BY pos),
+                     0) AS consumed
+  FROM k{t}
+),
+w{t + 1} AS MATERIALIZED (
+  SELECT word, any_value(wcount) AS wcount,
+         list(CASE WHEN keep = 1 THEN p1 || p2 ELSE sym END
+              ORDER BY pos) AS syms
+  FROM c{t} WHERE consumed = 0
+  GROUP BY word
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {t + 1} AS merge_rank, p1, p2, p1 || p2 AS merged, "
+        f"cnt AS pair_count FROM b{t}"
+        for t in range(k))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT * FROM ({union}) ORDER BY merge_rank")
 
 
 def _domain_blocklist_oracle() -> str:
@@ -2754,6 +2854,7 @@ def _oracle_sql() -> dict[str, str]:
         "host_skew": _host_skew_oracle(),
         "url_latest": _url_latest_oracle(),
         "domain_blocklist": _domain_blocklist_oracle(),
+        "bpe_train": _bpe_oracle(),
         "vocab_topk": r"""
             WITH t AS (
               SELECT doc_id,

@@ -36,6 +36,9 @@ COLLECT_ALLOWLIST = {
     "functions/dedup.py": [
         '"params")).first()',       # index params: 1 row
     ],
+    "functions/bpe.py": [
+        ".first())  # 1-row argmax read, IVF-seed discipline",
+    ],
     "functions/shards.py": [
         '.alias("q")).first()',     # manifest totals: 1 row
         '.select("seqs_per_shard").first()',  # manifest param: 1 row
