@@ -1062,6 +1062,39 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_MERGES = 12
 
+# fixed merge list for the ENCODE-path oracle: application semantics are
+# corpus-independent, so pinning the merges lets the oracle replay only
+# the greedy rewrites (no per-round argmax chain). Includes a p1=p2
+# merge (l,l) to exercise the equal-pair greedy-run parity, and chained
+# merges (j,o)->(jo,i)->(joi,n) to exercise rank ordering.
+_BPE_FIXED_MERGES = [
+    ("a", "n"), ("a", "t"), ("l", "l"), ("s", "m"), ("sm", "a"),
+    ("sma", "ll"), ("j", "o"), ("jo", "i"), ("joi", "n"),
+    ("c", "u"), ("cu", "s"), ("t", "o"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with a pinned merge list (functions/bpe.py
+    encode_bpe): merges fold over the distinct-word table only, tokens
+    broadcast-join back to documents — encode cost scales with
+    vocabulary, not corpus. Per-doc value check: token count, first and
+    last token, and an md5 digest of the space-joined token stream; the
+    oracle replays the greedy rewrites with window functions and
+    rebuilds the same digest."""
+    from ocr_engine_spark.functions.bpe import encode_bpe
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = [{"rank": i + 1, "p1": p1, "p2": p2, "merged": p1 + p2}
+              for i, (p1, p2) in enumerate(_BPE_FIXED_MERGES)]
+    toks = encode_bpe(docs, merges)
+    return (toks.select(
+                "doc_id",
+                F.size("tokens").cast("long").alias("n_tokens"),
+                F.element_at("tokens", 1).alias("first_token"),
+                F.element_at("tokens", -1).alias("last_token"),
+                F.md5(F.concat_ws(" ", "tokens")).alias("digest"))
+            .orderBy("doc_id"))
+
 
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style domain blocklist filter (functions/scrub.py) over the
@@ -1231,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew": q_host_skew,
         "domain_blocklist": q_domain_blocklist,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -1896,6 +1930,79 @@ w{t + 1} AS MATERIALIZED (
         for t in range(k))
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT * FROM ({union}) ORDER BY merge_rank")
+
+
+def _bpe_encode_oracle(max_word_len: int = 64) -> str:
+    """Application-only replay of encode_bpe with the pinned merges:
+    one greedy-rewrite CTE block per merge over the distinct-word
+    table, then doc words join + ordered flatten + digest."""
+    parts = [f"""w0 AS MATERIALIZED (
+  SELECT DISTINCT word,
+         list_transform(generate_series(1, length(word)),
+                        i -> word[i]) AS syms
+  FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                                            '[^0-9a-z]+')) AS word
+        FROM documents)
+  WHERE word <> '' AND length(word) <= {max_word_len}
+)"""]
+    for t, (p1, p2) in enumerate(_BPE_FIXED_MERGES):
+        parts.append(f"""x{t} AS (
+  SELECT word, generate_subscripts(syms, 1) AS pos, unnest(syms) AS sym
+  FROM w{t}
+),
+f{t} AS (
+  SELECT word, pos, sym,
+         CASE WHEN sym = '{p1}' AND
+              lead(sym) OVER (PARTITION BY word ORDER BY pos) = '{p2}'
+         THEN 1 ELSE 0 END AS m
+  FROM x{t}
+),
+g{t} AS (
+  SELECT *, CASE WHEN m = 1
+            THEN pos - ROW_NUMBER() OVER (PARTITION BY word, m
+                                          ORDER BY pos)
+            END AS isl
+  FROM f{t}
+),
+k{t} AS (
+  SELECT *, CASE WHEN m = 1
+            AND (pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0
+            THEN 1 ELSE 0 END AS keep
+  FROM g{t}
+),
+c{t} AS (
+  SELECT *, coalesce(lag(keep) OVER (PARTITION BY word ORDER BY pos),
+                     0) AS consumed
+  FROM k{t}
+),
+w{t + 1} AS MATERIALIZED (
+  SELECT word,
+         list(CASE WHEN keep = 1 THEN '{p1 + p2}' ELSE sym END
+              ORDER BY pos) AS syms
+  FROM c{t} WHERE consumed = 0
+  GROUP BY word
+)""")
+    k = len(_BPE_FIXED_MERGES)
+    return ("WITH " + ",\n".join(parts) + f""",
+dw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^0-9a-z]+')) AS word,
+         generate_subscripts(regexp_split_to_array(lower(text),
+                                                   '[^0-9a-z]+'),
+                             1) AS pos
+  FROM documents
+),
+tok AS (
+  SELECT d.doc_id, flatten(list(w.syms ORDER BY d.pos)) AS flat
+  FROM (SELECT * FROM dw
+        WHERE word <> '' AND length(word) <= {max_word_len}) d
+  JOIN w{k} w USING (word)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, len(flat)::BIGINT AS n_tokens,
+       flat[1] AS first_token, flat[-1] AS last_token,
+       md5(array_to_string(flat, ' ')) AS digest
+FROM tok ORDER BY doc_id""")
 
 
 def _domain_blocklist_oracle() -> str:
@@ -2855,6 +2962,7 @@ def _oracle_sql() -> dict[str, str]:
         "url_latest": _url_latest_oracle(),
         "domain_blocklist": _domain_blocklist_oracle(),
         "bpe_train": _bpe_oracle(),
+        "bpe_encode": _bpe_encode_oracle(),
         "vocab_topk": r"""
             WITH t AS (
               SELECT doc_id,

@@ -39,7 +39,7 @@ HEADLINE = [
     "temperature_sample",
     "shuffle_corpus", "ppl_filter", "chunk_documents", "snapshot_diff",
     "url_latest",
-    "tfidf_topk", "bpe_train",
+    "tfidf_topk", "bpe_train", "bpe_encode",
     "dsir_select",
     "host_skew", "domain_blocklist",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",

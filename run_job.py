@@ -169,6 +169,18 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--id-col", default="doc_id")
     ck.add_argument("--text-col", default="text")
 
+    bp = sub.add_parser("bpe", help="train a BPE tokenizer; optionally "
+                                    "encode the corpus with it")
+    bp.add_argument("--input", required=True, help="documents parquet")
+    bp.add_argument("--output", required=True,
+                    help="output dir (merges parquet + optional tokens)")
+    bp.add_argument("--merges", type=int, default=32)
+    bp.add_argument("--min-pair-count", type=int, default=2)
+    bp.add_argument("--encode", action="store_true",
+                    help="also write per-doc token arrays")
+    bp.add_argument("--id-col", default="doc_id")
+    bp.add_argument("--text-col", default="text")
+
     pl = sub.add_parser(
         "pipeline",
         help="corpus -> quality filter -> dedup -> epoch shuffle -> "
@@ -548,6 +560,33 @@ def main(argv: list[str] | None = None) -> int:
             "n_chunks": written.count(),
             "n_docs": written.select(args.id_col).distinct().count(),
             "chunk_tokens": args.chunk_tokens, "stride": args.stride}))
+    elif args.cmd == "bpe":
+        from pyspark.sql import functions as F
+        from ocr_engine_spark.functions.bpe import encode_bpe, train_bpe
+        docs = spark.read.parquet(args.input)
+        merges = train_bpe(docs, args.merges, text_col=args.text_col,
+                           min_pair_count=args.min_pair_count)
+        (spark.createDataFrame(
+            [(m["rank"], m["p1"], m["p2"], m["merged"], m["pair_count"])
+             for m in merges],
+            schema="merge_rank INT, p1 STRING, p2 STRING, merged STRING, "
+                   "pair_count BIGINT")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(args.output, "merges")))
+        out = {"n_merges": len(merges),
+               "merges": [m["merged"] for m in merges]}
+        if args.encode and merges:
+            toks = encode_bpe(docs, merges, id_col=args.id_col,
+                              text_col=args.text_col)
+            toks.write.mode("overwrite").parquet(
+                os.path.join(args.output, "tokens"))
+            stats = (spark.read.parquet(os.path.join(args.output, "tokens"))
+                     .agg(F.count("*").alias("docs"),
+                          F.sum(F.size("tokens")).alias("tokens"))
+                     .first())
+            out["encoded_docs"] = stats["docs"]
+            out["total_tokens"] = int(stats["tokens"])
+        print(json.dumps(out))
     spark.stop()
     return 0
 

@@ -37,3 +37,22 @@ def test_pipeline_split(tmp_path):
     # packed train must not contain eval rows: shards hold sequences,
     # so check the doc budget instead — train docs = dedup - eval
     assert rep["n_after_dedup"] - n_eval > 0
+
+
+def test_bpe_cli(tmp_path):
+    import json
+    import subprocess
+    import sys
+    out = tmp_path / "bpe"
+    r = subprocess.run(
+        [sys.executable, "run_job.py", "bpe",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(out), "--merges", "6", "--encode"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["n_merges"] == 6
+    assert payload["encoded_docs"] > 0
+    assert payload["total_tokens"] > payload["encoded_docs"]
+    assert (out / "merges").exists() and (out / "tokens").exists()
