@@ -110,7 +110,32 @@ NOTES = {
                    "gram strings) through the argmin groupBy and the "
                    "join-back; map-side partial agg absorbs hot grams; "
                    "no window over the gram key anywhere",
+    "url_latest": "revisit policy is ONE HashAggregate pair on the "
+                  "canonical url — partial max_by/count before the "
+                  "Exchange means a million-revision url reaches the "
+                  "reducer as one candidate per map partition; no per-url "
+                  "window sort anywhere",
+    "bpe_pair_counts": "the per-merge-round inner job of train_bpe "
+                       "(the returned merges table is driver-built, so "
+                       "the plan that matters is this one): pair explode "
+                       "feeds a partial HashAggregate — hot pairs are "
+                       "pre-summed map-side before the one Exchange on "
+                       "(p1, p2); runs over the distinct-WORD table, "
+                       "never the corpus",
+    "bpe_encode": "the merge folds are Projects over the distinct-word "
+                  "aggregate only; tokens re-attach to documents via a "
+                  "BroadcastHashJoin — the corpus is never shuffled by "
+                  "the encoder (the groupBy(doc_id) rebuild is the one "
+                  "corpus Exchange, map-side combined)",
 }
+
+# synthetic plan targets: operators whose queries() entry returns a
+# driver-built table — explain the real inner job instead
+def _bpe_pair_counts(spark, sf_dir):
+    import pyspark.sql.functions as F  # noqa: F401
+    from ocr_engine_spark.functions.bpe import _pair_counts, word_table
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _pair_counts(word_table(docs))
 
 HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "salted_agg", "minhash_near_dups", "simhash_near_dups",
@@ -120,6 +145,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "shard_manifest", "shuffle_corpus", "ppl_filter",
             "domain_blocklist", "chunk_documents", "tfidf_topk",
             "corpus_split", "kgram_dedup",
+            "url_latest", "bpe_pair_counts", "bpe_encode",
             "extraction_pipeline"]
 
 
@@ -138,6 +164,7 @@ def main() -> None:
            "plans are scale-independent). Each section notes the plan "
            "property that matters at 100 TB.", ""]
     qs = entrymod.queries()
+    qs["bpe_pair_counts"] = _bpe_pair_counts
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         df.collect()  # AQE: materialize the FINAL plan
