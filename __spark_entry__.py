@@ -1096,6 +1096,48 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+_ROBOTS_METAS = [
+    # unquoted attribute values (valid HTML): DuckDB's BLOB->VARCHAR
+    # oracle projection escapes quote bytes as \x22/\x27, so the
+    # injected tags avoid them; quoted forms are pytest-covered
+    "<meta name=robots content=noindex,nofollow>",
+    "<meta content=none name=robots>",              # content-first order
+    "<meta name=robots content=index,follow>",
+]
+
+
+def q_robots_noindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-robots politeness gate (functions/scrub.py robots_report):
+    the crawler honored robots.txt at fetch time; the page-level
+    ``<meta name=robots>`` opt-out is only visible at parse time and a
+    lawful corpus must honor it. The fixture pages carry no robots
+    metas, so the corpus is the pages fixture with a deterministic
+    per-url injection (md5 bucket: noindex / content-first 'none' /
+    'index, follow' / untouched; PDF payloads never injected NOR
+    decoded — gated on the leading '<' byte). The oracle replays
+    injection, both attribute-order regexes and the token test."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import robots_report
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_ROBOTS_METAS[0])) \
+           .when(bucket == 1, F.lit(_ROBOTS_METAS[1])) \
+           .when(bucket == 2, F.lit(_ROBOTS_METAS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode so the oracle (which decodes
+    # whole payloads — DuckDB can't slice blobs) replays byte-for-byte;
+    # the bounded-prefix default is pytest-covered in test_scrub
+    return robots_report(corpus, scan_bytes=None)
+
+
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style domain blocklist filter (functions/scrub.py) over the
     pages fixture corpus: flag every page whose host is a blocked
@@ -1265,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "robots_noindex": q_robots_noindex,
     }
 
 
@@ -1930,6 +1973,59 @@ w{t + 1} AS MATERIALIZED (
         for t in range(k))
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT * FROM ({union}) ORDER BY merge_rank")
+
+
+def _robots_noindex_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    metas = [m.replace("'", "''") for m in _ROBOTS_METAS]
+    # both attribute orders; '' doubled for SQL string nesting
+    name_first = (r'<meta[^>]*name\s*=\s*["'']?robots["'']?[^>]*'
+                  r'content\s*=\s*["'']?([^"''>]*)')
+    content_first = (r'<meta[^>]*content\s*=\s*["'']?([^"''>]*)'
+                     r'["'']?[^>]*name\s*=\s*["'']?robots["'']?')
+    return f"""
+        WITH pages AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4 AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{metas[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{metas[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{metas[2]}') || html
+                   ELSE html
+                 END AS html, is_html
+          FROM pages),
+        det AS (
+          -- html::VARCHAR is DuckDB's lossless blob escape projection:
+          -- ASCII passes through verbatim (quotes/high bytes as \\xNN),
+          -- so the ASCII directive grammar matches exactly what
+          -- Spark's ISO-8859-1 byte-transparent decode sees
+          SELECT CASE WHEN is_html THEN trim(coalesce(
+                   nullif(regexp_extract(lower(html::VARCHAR),
+                                         '{name_first}', 1), ''),
+                   nullif(regexp_extract(lower(html::VARCHAR),
+                                         '{content_first}', 1), '')))
+                 END AS directive
+          FROM inj),
+        flagged AS (
+          SELECT directive,
+                 directive IS NOT NULL AND list_has_any(
+                   regexp_split_to_array(directive, '[ \t]*,[ \t]*'),
+                   ['noindex', 'none']) AS dropped
+          FROM det)
+        SELECT coalesce(directive, '(absent)') AS directive,
+               count(*)::BIGINT AS n_pages,
+               sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+        FROM flagged
+        GROUP BY 1 ORDER BY 1
+    """
 
 
 def _bpe_encode_oracle(max_word_len: int = 64) -> str:
@@ -2963,6 +3059,7 @@ def _oracle_sql() -> dict[str, str]:
         "domain_blocklist": _domain_blocklist_oracle(),
         "bpe_train": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
+        "robots_noindex": _robots_noindex_oracle(),
         "vocab_topk": r"""
             WITH t AS (
               SELECT doc_id,

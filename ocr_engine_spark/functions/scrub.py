@@ -252,3 +252,78 @@ def host_skew_report(df: DataFrame, url_col: str = "url",
             .withColumn("share", F.round(F.col("n_pages") / total, 6))
             .orderBy(F.col("n_pages").desc(), F.col("host").asc())
             .limit(top_k))
+
+
+# --- meta-robots directive filtering (crawl-politeness gate) -----------
+# A Common-Crawl-style pipeline must honor <meta name="robots"
+# content="noindex"> before a page's text enters the corpus (the crawler
+# honored robots.txt at FETCH time; the meta tag is the page-level
+# opt-out only visible at PARSE time). Cheap detector, not a DOM parse:
+# decode the payload prefix and regex the first robots meta — the tag
+# is head-only per the HTML spec, so a bounded prefix is enough at
+# 100 TB (no full-document decode on the scan path).
+
+_ROBOTS_NAME_FIRST = (r'<meta[^>]*name\s*=\s*["\']?robots["\']?[^>]*'
+                      r'content\s*=\s*["\']?([^"\'>]*)')
+_ROBOTS_CONTENT_FIRST = (r'<meta[^>]*content\s*=\s*["\']?([^"\'>]*)'
+                         r'["\']?[^>]*name\s*=\s*["\']?robots["\']?')
+
+
+def meta_robots_col(html: Column, *, scan_bytes: int | None = 4096
+                    ) -> Column:
+    """Lowercased content of the page's ``<meta name=robots>`` tag, or
+    NULL (non-HTML payload / no tag). Payloads are gated on a leading
+    ``<`` byte so PDF bytes are never decoded; both attribute orders
+    match (name-first and content-first). ``scan_bytes=None`` decodes
+    the full payload (exact-oracle mode); the default bounds the decode
+    for the scan path."""
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    # ISO-8859-1, not UTF-8: the directive grammar is pure ASCII per
+    # the robots-meta spec, latin-1 maps every byte (no ANSI decode
+    # failure on mojibake/legacy-charset pages — which still carry
+    # their ASCII robots tags verbatim), and a prefix cut can never
+    # split a character
+    head = F.lower(F.decode(prefix, "ISO-8859-1"))
+    directive = F.coalesce(
+        F.nullif(F.regexp_extract(head, _ROBOTS_NAME_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(head, _ROBOTS_CONTENT_FIRST, 1),
+                 F.lit("")))
+    return F.when(F.substring(html, 1, 1) == F.lit(b"<"),
+                  F.trim(directive))
+
+
+def noindex_col(html: Column, *, scan_bytes: int | None = 4096) -> Column:
+    """True when the page opts out of indexing: directive contains a
+    ``noindex`` or ``none`` token (``none`` = noindex+nofollow per the
+    robots meta spec)."""
+    d = meta_robots_col(html, scan_bytes=scan_bytes)
+    # [ \t] not \s: Java \s includes \x0B, RE2 (oracle) does not
+    toks = F.split(d, r"[ \t]*,[ \t]*")
+    return (F.arrays_overlap(toks, F.array(F.lit("noindex"),
+                                           F.lit("none")))
+            & d.isNotNull())
+
+
+def filter_noindex(df: DataFrame, *, html_col: str = "html",
+                   scan_bytes: int | None = 4096) -> DataFrame:
+    """Drop pages whose robots meta opts out (NULL directive = keep:
+    absence of the tag is consent for indexing)."""
+    return df.where(~F.coalesce(
+        noindex_col(F.col(html_col), scan_bytes=scan_bytes),
+        F.lit(False)))
+
+
+def robots_report(df: DataFrame, *, html_col: str = "html",
+                  scan_bytes: int | None = 4096) -> DataFrame:
+    """(directive, n_pages, n_dropped) — corpus-wide robots-meta
+    audit; '(absent)' covers untagged HTML and non-HTML payloads."""
+    d = meta_robots_col(F.col(html_col), scan_bytes=scan_bytes)
+    drop = F.coalesce(noindex_col(F.col(html_col),
+                                  scan_bytes=scan_bytes), F.lit(False))
+    return (df.select(F.coalesce(d, F.lit("(absent)")).alias("directive"),
+                      drop.cast("long").alias("__drop"))
+            .groupBy("directive")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum("__drop").alias("n_dropped"))
+            .orderBy("directive"))

@@ -178,3 +178,58 @@ def test_domain_blocklist_join_path_equivalent(spark):
     plan = blocked_domains_join(df, bdf, id_col="page_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# --- meta-robots politeness gate ---------------------------------------
+
+def test_meta_robots_directive_extraction(spark):
+    from ocr_engine_spark.functions.scrub import (
+        filter_noindex, meta_robots_col, noindex_col, robots_report,
+    )
+    rows = [
+        # quoted, uppercase, name-first
+        (1, b'<html><head><META NAME="Robots" CONTENT="NOINDEX, nofollow">'),
+        # single-quoted, content-first
+        (2, b"<html><meta content='index, follow' name='robots'>"),
+        # unquoted attributes
+        (3, b"<html><meta name=robots content=none>"),
+        # no robots meta (charset meta must not match)
+        (4, b'<html><head><meta charset="utf-8"></head>body</html>'),
+        # PDF payload: never decoded, never matched
+        (5, b"%PDF-1.4 \xff\xfe\x00garbage"),
+        # legacy-charset page (invalid UTF-8) with an ASCII robots tag:
+        # the latin-1 byte scan still sees it
+        (6, '<html><meta name="robots" content="noindex">caf\xe9'
+            .encode("latin-1")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, html binary")
+    got = {r["doc_id"]: (r["d"], r["ni"]) for r in df.select(
+        "doc_id",
+        meta_robots_col(F.col("html")).alias("d"),
+        noindex_col(F.col("html")).alias("ni")).collect()}
+    assert got == {1: ("noindex, nofollow", True),
+                   2: ("index, follow", False),
+                   3: ("none", True),
+                   4: (None, False),
+                   5: (None, False),
+                   6: ("noindex", True)}
+    assert sorted(r["doc_id"] for r in filter_noindex(df).collect()) \
+        == [2, 4, 5]
+    rep = {r["directive"]: (r["n_pages"], r["n_dropped"])
+           for r in robots_report(df).collect()}
+    assert rep["(absent)"] == (2, 0)
+    assert rep["noindex, nofollow"] == (1, 1)
+
+
+def test_meta_robots_prefix_bound(spark):
+    from ocr_engine_spark.functions.scrub import meta_robots_col
+    # tag beyond scan_bytes is not seen; within the bound it is
+    far = b"<html>" + b" " * 5000 + b'<meta name=robots content=noindex>'
+    near = b"<html><meta name=robots content=noindex>" + b"x" * 5000
+    df = spark.createDataFrame([(1, far), (2, near)],
+                               "doc_id int, html binary")
+    got = {r["doc_id"]: r["d"] for r in df.select(
+        "doc_id",
+        meta_robots_col(F.col("html"), scan_bytes=4096).alias("d"))
+        .collect()}
+    assert got == {1: None, 2: "noindex"}
