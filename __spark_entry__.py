@@ -1138,6 +1138,50 @@ def q_robots_noindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_report(corpus, scan_bytes=None)
 
 
+# deterministic per-host robots.txt template for the audit query: a
+# bot-specific group the '*' audit must ignore, prefix rules, a
+# longest-match allow override, a wildcard+anchor rule, and per-host
+# language variation; hosts in md5 bucket 3 publish no robots.txt
+_ROBOTS_TXT_HEAD = ("# crawl policy\nUser-agent: gptbot\nDisallow: /\n\n"
+                    "User-agent: *\nDisallow: /docs/\n"
+                    "Allow: /docs/report_0000*\nDisallow: /*.pdf$\n"
+                    "Disallow: /")
+_ROBOTS_TXT_MID = "/\nAllow: /"
+_ROBOTS_TXT_TAIL = "/articles/story_0000*\n"
+
+
+def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance audit (functions/robots.py): parse
+    host-level robots.txt bodies with windows (group assembly per RFC
+    9309), translate patterns to anchored regexes via a portable
+    replace chain, and decide fetch permission per url with
+    longest-match / allow-wins-ties precedence; hosts without a
+    robots.txt default to allowed. The rule table is broadcast; the
+    argmax groupBy is the one page-keyed shuffle. The oracle replays
+    the synthesis, the parse windows, the regex chain and the
+    precedence order verbatim."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.robots import robots_decisions
+    from ocr_engine_spark.functions.scrub import host_col
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url"))
+    hosts = pages.select(host_col(F.col("url")).alias("host")).distinct()
+    bucket = F.pmod(md5_int60_col(F.col("host")), F.lit(4))
+    lang = (F.when(bucket == 0, F.lit("ar"))
+             .when(bucket == 1, F.lit("de"))
+             .otherwise(F.lit("fr")))
+    robots = (hosts.where(bucket < 3)
+              .select("host",
+                      F.concat(F.lit(_ROBOTS_TXT_HEAD), lang,
+                               F.lit(_ROBOTS_TXT_MID), lang,
+                               F.lit(_ROBOTS_TXT_TAIL))
+                      .alias("robots_txt")))
+    return robots_decisions(pages, robots).orderBy("url")
+
+
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style domain blocklist filter (functions/scrub.py) over the
     pages fixture corpus: flag every page whose host is a blocked
@@ -1308,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "robots_noindex": q_robots_noindex,
+        "robots_audit": q_robots_audit,
     }
 
 
@@ -1973,6 +2018,97 @@ w{t + 1} AS MATERIALIZED (
         for t in range(k))
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT * FROM ({union}) ORDER BY merge_rank")
+
+
+def _robots_audit_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    # the regex-translation replace chain, replayed verbatim
+    esc = ("CASE WHEN pattern LIKE '%$' "
+           "THEN substr(pattern, 1, length(pattern) - 1) "
+           "ELSE pattern END")
+    esc = f"replace({esc}, '\\', '\\\\')"
+    for ch in ".^$+?()[]{}|":
+        esc = f"replace({esc}, '{ch}', '\\{ch}')"
+    esc = f"replace({esc}, '*', '.*')"
+    path_re = "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)'"
+    return f"""
+        WITH pg AS (
+          SELECT url,
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                 CASE WHEN regexp_extract(url, {path_re}, 1) = ''
+                      THEN '/'
+                      ELSE regexp_extract(url, {path_re}, 1) END AS path
+          FROM read_parquet('{pages}')),
+        hb AS (
+          SELECT host,
+                 ('0x' || substr(md5(host), 1, 15))::BIGINT % 4 AS b
+          FROM (SELECT DISTINCT host FROM pg)),
+        robots AS (
+          SELECT host,
+                 '{_ROBOTS_TXT_HEAD}' || lang || '{_ROBOTS_TXT_MID}'
+                   || lang || '{_ROBOTS_TXT_TAIL}' AS body
+          FROM (SELECT host,
+                       CASE WHEN b = 0 THEN 'ar'
+                            WHEN b = 1 THEN 'de'
+                            ELSE 'fr' END AS lang
+                FROM hb WHERE b < 3)),
+        lines0 AS (
+          SELECT host, generate_subscripts(ls, 1) AS pos,
+                 unnest(ls) AS raw
+          FROM (SELECT host,
+                       regexp_split_to_array(body, '\r?\n') AS ls
+                FROM robots)),
+        dirs AS (
+          SELECT * FROM (
+            SELECT host, pos,
+                   lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+                     AS field,
+                   trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS value
+            FROM (SELECT host, pos,
+                         trim(regexp_replace(raw, '#.*$', '')) AS line
+                  FROM lines0))
+          WHERE field IN ('user-agent', 'allow', 'disallow')),
+        blk AS (
+          SELECT *, field = 'user-agent' AS is_ua,
+                 CASE WHEN field = 'user-agent' AND NOT coalesce(
+                        lag(field = 'user-agent')
+                          OVER (PARTITION BY host ORDER BY pos), false)
+                      THEN 1 ELSE 0 END AS st
+          FROM dirs),
+        blk2 AS (
+          SELECT *, sum(st) OVER (PARTITION BY host ORDER BY pos)
+                    AS block_id
+          FROM blk),
+        app AS (
+          SELECT host, block_id FROM blk2 WHERE is_ua
+          GROUP BY host, block_id
+          HAVING bool_or(lower(value) = '*' OR value = '*')),
+        rules AS (
+          SELECT b.host, b.field = 'allow' AS allow, b.value AS pattern,
+                 length(b.value) AS plen, b.pos AS rule_pos
+          FROM blk2 b JOIN app USING (host, block_id)
+          WHERE NOT b.is_ua),
+        rx AS (
+          SELECT *, '^' || {esc} ||
+                 CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rgx
+          FROM rules),
+        hits AS (
+          SELECT p.url, r.allow, r.pattern,
+                 row_number() OVER (
+                   PARTITION BY p.url
+                   ORDER BY r.plen DESC, r.allow DESC, r.pattern DESC,
+                            r.rule_pos ASC) AS rn
+          FROM pg p JOIN rx r
+            ON p.host = r.host AND regexp_matches(p.path, r.rgx)),
+        best AS (SELECT url, allow, pattern FROM hits WHERE rn = 1)
+        SELECT p.url, coalesce(b.allow, true) AS allowed,
+               coalesce(b.pattern, '(default)') AS matched_pattern
+        FROM pg p LEFT JOIN best b USING (url)
+        ORDER BY p.url
+    """
 
 
 def _robots_noindex_oracle() -> str:
@@ -3060,6 +3196,7 @@ def _oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "robots_noindex": _robots_noindex_oracle(),
+        "robots_audit": _robots_audit_oracle(),
         "vocab_topk": r"""
             WITH t AS (
               SELECT doc_id,

@@ -41,7 +41,7 @@ HEADLINE = [
     "url_latest",
     "tfidf_topk", "bpe_train", "bpe_encode",
     "dsir_select",
-    "host_skew", "domain_blocklist", "robots_noindex",
+    "host_skew", "domain_blocklist", "robots_noindex", "robots_audit",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",
     "embedding_lsh_pairs", "embedding_near_dups", "ivf_topk",
     "semantic_dedup", "decontaminate", "decontaminate_bloom",

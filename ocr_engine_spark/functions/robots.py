@@ -1,0 +1,161 @@
+"""robots.txt compliance as DataFrame ops (RFC 9309 matching).
+
+The crawl-politeness twin of `scrub.meta_robots_col`: robots.txt is the
+HOST-level opt-out (the meta tag is the page-level one). A lawful
+corpus rebuild must be able to re-audit fetch permission for every url
+it ingests — at 10^12 urls that is a join problem, not a per-url
+library call, so both the parser and the matcher are pure
+`pyspark.sql` expressions (windows + chained `replace`), replayable
+in any SQL engine and free of per-row Python.
+
+Semantics implemented (documented subset of RFC 9309 / Google's
+matcher):
+  * group = run of consecutive ``User-agent:`` lines + following rules;
+    a later ``User-agent:`` line after rules starts a new group; every
+    group whose agent set contains the requested agent contributes
+    rules (exact agent-token match or ``*`` — no longest-prefix agent
+    resolution).
+  * rule precedence: the longest matching PATTERN wins (octet length);
+    on a tie, ``Allow`` beats ``Disallow``. No matching rule (or no
+    robots.txt for the host) = allowed.
+  * patterns are implicitly left-anchored; ``*`` matches any char run;
+    a trailing ``$`` anchors the url end; comments (``#``) stripped.
+  * the matched "url" is path + query (everything after the authority,
+    before the fragment), '/' when empty.
+
+Reference analog: none — the reference service receives uploads and
+never crawls (`main.py`); this layer exists for the Common-Crawl-style
+ingest the graft brief targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_REGEX_SPECIALS = ".^$+?()[]{}|"  # escaped in patterns ('\\' first)
+
+
+def robots_path_col(url: Column) -> Column:
+    """path + query of a url ('/' when empty), the string robots
+    patterns match against."""
+    p = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)",
+                         1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_pattern_regex(pattern: Column) -> Column:
+    """Translate a robots pattern into an anchored regex via a chain of
+    literal `replace` calls — the same chain is replayed verbatim in
+    the DuckDB oracle, so both engines match with identical regexes.
+    Only `*` (any run) and a TRAILING `$` (end anchor) are special;
+    everything else is literal."""
+    ends = F.endswith(pattern, F.lit("$"))
+    body = F.when(ends,
+                  pattern.substr(F.lit(1), F.length(pattern) - 1)) \
+            .otherwise(pattern)
+    esc = F.replace(body, F.lit("\\"), F.lit("\\\\"))
+    for ch in _REGEX_SPECIALS:
+        esc = F.replace(esc, F.lit(ch), F.lit("\\" + ch))
+    esc = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.concat(F.lit("^"), esc,
+                    F.when(ends, F.lit("$")).otherwise(F.lit("")))
+
+
+def parse_robots(robots: DataFrame, *, host_col: str = "host",
+                 body_col: str = "robots_txt",
+                 agent: str = "*") -> DataFrame:
+    """robots.txt bodies -> (host, allow, pattern, plen, regex, rule_pos)
+    for the groups addressing ``agent``.
+
+    All window work partitions by host — a robots body is KB-sized, so
+    per-host line counts are bounded and the parse is one narrow
+    shuffle of (host, line) rows regardless of corpus scale.
+    """
+    agent_lc = agent.lower()
+    lines = (robots
+             .select(F.col(host_col).alias("host"),
+                     F.posexplode(F.split(body_col, r"\r?\n"))
+                     .alias("pos", "line"))
+             .withColumn("line",
+                         F.trim(F.regexp_replace("line", "#.*$", "")))
+             .withColumn("field",
+                         F.lower(F.trim(F.regexp_extract(
+                             "line", r"^([^:]+):", 1))))
+             .withColumn("value",
+                         F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$",
+                                                 1)))
+             .where(F.col("field").isin("user-agent", "allow",
+                                        "disallow")))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("field") == "user-agent"
+    blocks = (lines
+              .withColumn("__start",
+                          (is_ua & ~F.coalesce(F.lag(is_ua).over(w),
+                                               F.lit(False)))
+                          .cast("int"))
+              .withColumn("block_id", F.sum("__start").over(w)))
+    applies = (blocks
+               .where(is_ua)
+               .groupBy("host", "block_id")
+               .agg(F.max((F.lower(F.col("value")) == agent_lc)
+                          | (F.col("value") == "*"))
+                    .alias("__applies"))
+               .where("__applies"))
+    rules = (blocks.where(~is_ua)
+             .join(applies.select("host", "block_id"),
+                   ["host", "block_id"])
+             .select("host",
+                     (F.col("field") == "allow").alias("allow"),
+                     F.col("value").alias("pattern"),
+                     F.length("value").alias("plen"),
+                     F.col("pos").alias("rule_pos")))
+    return rules.withColumn("regex",
+                            robots_pattern_regex(F.col("pattern")))
+
+
+def robots_decisions(pages: DataFrame, robots: DataFrame, *,
+                     url_col: str = "url", host_col: str = "host",
+                     body_col: str = "robots_txt",
+                     agent: str = "*") -> DataFrame:
+    """Per-url fetch-permission audit: (url, allowed, matched_pattern).
+
+    Scale shape: the parsed rule table is robots-corpus-sized (a few
+    rules per host) and enters as the BROADCAST side; pages fan out
+    only to their own host's rules, the match filter runs map-side, and
+    the argmax groupBy is the one page-keyed shuffle (map-side combined
+    — a host with a million pages never concentrates on one task).
+    Urls with no matching rule (or no robots.txt) default to allowed.
+    """
+    from ocr_engine_spark.functions.scrub import host_col as host_of
+    rules = parse_robots(robots, host_col=host_col, body_col=body_col,
+                         agent=agent)
+    pg = pages.select(F.col(url_col).alias("url"),
+                      host_of(F.col(url_col)).alias("host"),
+                      robots_path_col(F.col(url_col)).alias("__path"))
+    hits = (pg.join(F.broadcast(rules), "host")
+            .where(F.expr("__path RLIKE regex"))
+            .groupBy("url")
+            .agg(F.max_by(
+                F.struct("allow", "pattern"),
+                # longest pattern wins; allow beats disallow on ties;
+                # (pattern, first-occurrence) close the total order
+                F.struct(F.col("plen"),
+                         F.col("allow").cast("int"),
+                         F.col("pattern"),
+                         -F.col("rule_pos"))).alias("m")))
+    return (pg.join(hits, "url", "left")
+            .select("url",
+                    F.coalesce(F.col("m.allow"), F.lit(True))
+                     .alias("allowed"),
+                    F.coalesce(F.col("m.pattern"), F.lit("(default)"))
+                     .alias("matched_pattern")))
+
+
+def filter_robots_disallowed(pages: DataFrame, robots: DataFrame,
+                             **kw) -> DataFrame:
+    """Keep only urls the robots policy allows for ``agent``."""
+    dec = robots_decisions(pages, robots, **kw)
+    url_col = kw.get("url_col", "url")
+    return (pages.join(dec.where("allowed").select(F.col("url")
+                                                   .alias(url_col)),
+                       url_col))

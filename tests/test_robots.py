@@ -1,0 +1,134 @@
+"""robots.txt parser/matcher vs a pure-Python reference.
+
+The reference implements the documented subset directly (group
+assembly, longest-match precedence, allow-beats-disallow ties,
+* wildcards, trailing-$ anchor, default allow) so the DataFrame
+implementation is pinned rule-for-rule and url-for-url.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from ocr_engine_spark.functions.robots import (
+    filter_robots_disallowed, parse_robots, robots_decisions,
+    robots_path_col, robots_pattern_regex,
+)
+
+ROBOTS = """# policy
+User-agent: gptbot
+Disallow: /
+
+User-agent: *
+User-agent: research-bot
+Disallow: /docs/
+Allow: /docs/report_00*
+Disallow: /*.pdf$
+Disallow: /private
+Allow:
+
+User-agent: otherbot
+Disallow: /other
+"""
+
+
+def _py_rules(body, agent="*"):
+    rules, cur_agents, in_rules = [], [], False
+    for line in body.split("\n"):
+        line = re.sub(r"#.*$", "", line).strip()
+        m = re.match(r"^([^:]+):(.*)$", line)
+        if not m:
+            continue
+        field, value = m.group(1).strip().lower(), m.group(2).strip()
+        if field == "user-agent":
+            if in_rules:
+                cur_agents, in_rules = [], False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_rules = True
+            if agent.lower() in cur_agents or "*" in cur_agents:
+                rules.append((field == "allow", value))
+    return rules
+
+
+def _py_match(rules, path):
+    best = None
+    for allow, pat in rules:
+        anchored = pat.endswith("$")
+        body = pat[:-1] if anchored else pat
+        rx = "^" + re.escape(body).replace(r"\*", ".*") + (
+            "$" if anchored else "")
+        if re.search(rx, path):
+            key = (len(pat), allow)
+            if best is None or key > best[0]:
+                best = (key, allow, pat)
+    if best is None:
+        return True, "(default)"
+    return best[1], best[2]
+
+
+PATHS = ["/", "/docs/report_00004.pdf", "/docs/report_01999.pdf",
+         "/docs/index.html", "/a/b.pdf", "/a/b.pdfx", "/private",
+         "/private/x", "/priv", "/ar/articles/story_1", "/other"]
+
+
+def test_parse_rules_match_reference(spark):
+    df = spark.createDataFrame([("h", ROBOTS)], ["host", "robots_txt"])
+    got = sorted((r["allow"], r["pattern"])
+                 for r in parse_robots(df).collect())
+    assert got == sorted(_py_rules(ROBOTS))
+    # the gptbot-only and otherbot-only groups are excluded for '*'
+    assert ("/",) not in [(p,) for _a, p in got]
+    assert all(p != "/other" for _a, p in got)
+
+
+def test_parse_rules_for_named_agent(spark):
+    df = spark.createDataFrame([("h", ROBOTS)], ["host", "robots_txt"])
+    got = sorted((r["allow"], r["pattern"])
+                 for r in parse_robots(df, agent="gptbot").collect())
+    # gptbot gets its own group AND the '*' group
+    assert got == sorted(_py_rules(ROBOTS, "gptbot"))
+    assert (False, "/") in got
+
+
+def test_decisions_match_reference(spark):
+    robots = spark.createDataFrame([("ex.com", ROBOTS)],
+                                   ["host", "robots_txt"])
+    pages = spark.createDataFrame(
+        [(f"https://ex.com{p}",) for p in PATHS]
+        + [("https://norobots.io/anything",)], ["url"])
+    got = {r["url"]: (r["allowed"], r["matched_pattern"])
+           for r in robots_decisions(pages, robots).collect()}
+    rules = _py_rules(ROBOTS)
+    for p in PATHS:
+        want = _py_match(rules, p)
+        assert got[f"https://ex.com{p}"] == want, p
+    # host without robots.txt: default allow
+    assert got["https://norobots.io/anything"] == (True, "(default)")
+    kept = {r["url"] for r in
+            filter_robots_disallowed(pages, robots).collect()}
+    assert kept == {u for u, (a, _p) in got.items() if a}
+
+
+def test_pattern_regex_escapes_metachars(spark):
+    # '+' '.' '(' in patterns are literals; '*' and trailing '$' are not
+    df = spark.createDataFrame(
+        [("/a+b.c(d", "/a+b.c(d", True),
+         ("/a+b.c(d", "/aab.c(d", False),
+         ("/x*z$", "/xyyyz", True),
+         ("/x*z$", "/xyyyza", False)],
+        ["pattern", "path", "want"])
+    got = (df.withColumn("rx", robots_pattern_regex(F.col("pattern")))
+           .withColumn("m", F.expr("path RLIKE rx")))
+    assert all(r["m"] == r["want"] for r in got.collect())
+
+
+def test_path_extraction(spark):
+    df = spark.createDataFrame(
+        [("https://h.io",), ("https://h.io/a/b?q=1#frag",),
+         ("https://h.io/?x",)], ["url"])
+    got = [r["p"] for r in
+           df.select(robots_path_col(F.col("url")).alias("p")).collect()]
+    assert got == ["/", "/a/b?q=1", "/?x"]
