@@ -2117,10 +2117,10 @@ def _robots_noindex_oracle() -> str:
     pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
     metas = [m.replace("'", "''") for m in _ROBOTS_METAS]
     # both attribute orders; '' doubled for SQL string nesting
-    name_first = (r'<meta[^>]*name\s*=\s*["'']?robots["'']?[^>]*'
-                  r'content\s*=\s*["'']?([^"''>]*)')
-    content_first = (r'<meta[^>]*content\s*=\s*["'']?([^"''>]*)'
-                     r'["'']?[^>]*name\s*=\s*["'']?robots["'']?')
+    name_first = ("<meta[^>]*name\\s*=\\s*[\"'']?robots[\"'']?[^>]*"
+                  "content\\s*=\\s*[\"'']?([^\"''>]*)")
+    content_first = ("<meta[^>]*content\\s*=\\s*[\"'']?([^\"''>]*)"
+                     "[\"'']?[^>]*name\\s*=\\s*[\"'']?robots[\"'']?")
     return f"""
         WITH pages AS (
           SELECT url, html,

@@ -169,6 +169,15 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--id-col", default="doc_id")
     ck.add_argument("--text-col", default="text")
 
+    rb = sub.add_parser("robots", help="robots.txt fetch-permission "
+                                       "audit over a pages table")
+    rb.add_argument("--pages", required=True, help="pages parquet (url)")
+    rb.add_argument("--robots", required=True,
+                    help="robots parquet (host, robots_txt)")
+    rb.add_argument("--agent", default="*")
+    rb.add_argument("--output", default=None,
+                    help="optionally write per-url decisions parquet")
+
     bp = sub.add_parser("bpe", help="train a BPE tokenizer; optionally "
                                     "encode the corpus with it")
     bp.add_argument("--input", required=True, help="documents parquet")
@@ -560,6 +569,22 @@ def main(argv: list[str] | None = None) -> int:
             "n_chunks": written.count(),
             "n_docs": written.select(args.id_col).distinct().count(),
             "chunk_tokens": args.chunk_tokens, "stride": args.stride}))
+    elif args.cmd == "robots":
+        from pyspark.sql import functions as F
+        from ocr_engine_spark.functions.robots import robots_decisions
+        pages = spark.read.parquet(args.pages)
+        robots = spark.read.parquet(args.robots)
+        dec = robots_decisions(pages, robots, agent=args.agent)
+        if args.output:
+            dec.write.mode("overwrite").parquet(args.output)
+            dec = spark.read.parquet(args.output)
+        stats = (dec.agg(F.count("*").alias("urls"),
+                         F.sum(F.col("allowed").cast("int"))
+                         .alias("allowed")).first())
+        print(json.dumps({"agent": args.agent,
+                          "urls": stats["urls"],
+                          "allowed": int(stats["allowed"]),
+                          "blocked": stats["urls"] - int(stats["allowed"])}))
     elif args.cmd == "bpe":
         from pyspark.sql import functions as F
         from ocr_engine_spark.functions.bpe import encode_bpe, train_bpe
