@@ -1931,12 +1931,12 @@ def _url_latest_oracle() -> str:
                -- (warc_ts, url) tie-break as an order-preserving string
                -- (this DuckDB's arg_max rejects tuple keys)
                strftime(arg_max(warc_ts,
-                                strftime(warc_ts, '%Y-%m-%d %H:%M:%S')
+                                strftime(warc_ts, '%Y-%m-%d %H:%M:%S.%f')
                                 || '|' || url),
                         '%Y-%m-%d %H:%M:%S') AS warc_ts,
-               md5(arg_max(text, strftime(warc_ts, '%Y-%m-%d %H:%M:%S')
+               md5(arg_max(text, strftime(warc_ts, '%Y-%m-%d %H:%M:%S.%f')
                                  || '|' || url)) AS digest,
-               arg_max(lang, strftime(warc_ts, '%Y-%m-%d %H:%M:%S')
+               arg_max(lang, strftime(warc_ts, '%Y-%m-%d %H:%M:%S.%f')
                              || '|' || url) AS lang
         FROM keyed
         GROUP BY canonical_url
@@ -2117,10 +2117,13 @@ def _robots_noindex_oracle() -> str:
     pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
     metas = [m.replace("'", "''") for m in _ROBOTS_METAS]
     # both attribute orders; '' doubled for SQL string nesting
-    name_first = ("<meta[^>]*name\\s*=\\s*[\"'']?robots[\"'']?[^>]*"
-                  "content\\s*=\\s*[\"'']?([^\"''>]*)")
-    content_first = ("<meta[^>]*content\\s*=\\s*[\"'']?([^\"''>]*)"
-                     "[\"'']?[^>]*name\\s*=\\s*[\"'']?robots[\"'']?")
+    name_first = ("<meta[^>]*name[ \\t\\n\\r]*=[ \\t\\n\\r]*[\"'']?robots"
+                  "(?:[\"'' \\t\\n\\r/])[^>]*"
+                  "content[ \\t\\n\\r]*=[ \\t\\n\\r]*[\"'']?([^\"''>]*)")
+    content_first = ("<meta[^>]*content[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+                     "[\"'']?([^\"''>]*)"
+                     "[\"'']?[^>]*name[ \\t\\n\\r]*=[ \\t\\n\\r]*"
+                     "[\"'']?robots(?:[\"'' \\t\\n\\r/>]|$)")
     return f"""
         WITH pages AS (
           SELECT url, html,

@@ -173,8 +173,12 @@ def encode_bpe(df: DataFrame, merges: list[dict], *,
         doc_words.select("word").distinct()
         .withColumn("syms", F.expr(_CHARS_EXPR)),
         merges)
+    # no forced broadcast hint: the distinct-word table is Heaps-law
+    # small relative to the corpus but NOT driver-small at 100 TB
+    # (~1e8 rows would blow the 8 GB broadcast limit) — AQE broadcasts
+    # it automatically whenever it actually fits
     return (doc_words
-            .join(F.broadcast(vocab), "word")
+            .join(vocab, "word")
             .groupBy(id_col)
             .agg(F.flatten(F.array_sort(
                 F.collect_list(F.struct("pos", "syms"))).getField("syms"))

@@ -102,6 +102,11 @@ def parse_robots(robots: DataFrame, *, host_col: str = "host",
                     .alias("__applies"))
                .where("__applies"))
     rules = (blocks.where(~is_ua)
+             # RFC 9309: an EMPTY pattern ("Disallow:" — the canonical
+             # allow-all robots.txt) is a no-op rule, not a match-all;
+             # translating '' to regex '^' would invert it and block
+             # the whole host
+             .where(F.col("value") != "")
              .join(applies.select("host", "block_id"),
                    ["host", "block_id"])
              .select("host",
@@ -156,6 +161,9 @@ def filter_robots_disallowed(pages: DataFrame, robots: DataFrame,
     """Keep only urls the robots policy allows for ``agent``."""
     dec = robots_decisions(pages, robots, **kw)
     url_col = kw.get("url_col", "url")
-    return (pages.join(dec.where("allowed").select(F.col("url")
-                                                   .alias(url_col)),
-                       url_col))
+    # left_semi: duplicate urls in pages (multi-crawl revisions) must
+    # filter, not multiply — an inner join against the per-row decision
+    # table would emit n*m rows per duplicated url
+    return pages.join(dec.where("allowed")
+                      .select(F.col("url").alias(url_col)),
+                      url_col, "left_semi")

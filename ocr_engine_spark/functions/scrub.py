@@ -263,10 +263,17 @@ def host_skew_report(df: DataFrame, url_col: str = "url",
 # is head-only per the HTML spec, so a bounded prefix is enough at
 # 100 TB (no full-document decode on the scan path).
 
-_ROBOTS_NAME_FIRST = (r'<meta[^>]*name\s*=\s*["\']?robots["\']?[^>]*'
-                      r'content\s*=\s*["\']?([^"\'>]*)')
-_ROBOTS_CONTENT_FIRST = (r'<meta[^>]*content\s*=\s*["\']?([^"\'>]*)'
-                         r'["\']?[^>]*name\s*=\s*["\']?robots["\']?')
+# 'robots' must be FOLLOWED by a delimiter (closing quote, whitespace,
+# '/', '>' or end-of-scan) so site-specific names that merely start
+# with it (name="robots-news") never match; [ \t\n\r] not \s (Java \s
+# includes \x0B, RE2 — the oracle engine — does not)
+_ROBOTS_NAME_FIRST = (r'<meta[^>]*name[ \t\n\r]*=[ \t\n\r]*["\']?robots'
+                      r'(?:["\' \t\n\r/])[^>]*'
+                      r'content[ \t\n\r]*=[ \t\n\r]*["\']?([^"\'>]*)')
+_ROBOTS_CONTENT_FIRST = (r'<meta[^>]*content[ \t\n\r]*=[ \t\n\r]*'
+                         r'["\']?([^"\'>]*)'
+                         r'["\']?[^>]*name[ \t\n\r]*=[ \t\n\r]*'
+                         r'["\']?robots(?:["\' \t\n\r/>]|$)')
 
 
 def meta_robots_col(html: Column, *, scan_bytes: int | None = 4096

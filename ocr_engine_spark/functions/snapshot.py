@@ -75,7 +75,13 @@ def keep_latest_revision(df: DataFrame, *, key_col: str | None = None,
            else F.col(key_col))
     tie = F.col("url") if "url" in df.columns else key
     ordk = F.struct(F.col(ts_col), tie)
-    row = F.struct(*[F.col(c) for c in df.columns])
+    # the output owns 'canonical_url'/'n_revisions': same-named input
+    # columns (re-applying the policy to its own output after unioning
+    # a new dump) are recomputed, not carried — carrying them would
+    # emit ambiguous duplicate columns
+    carried = [c for c in df.columns
+               if c not in ("canonical_url", "n_revisions")]
+    row = F.struct(*[F.col(c) for c in carried])
     return (df.groupBy(key.alias("__key"))
             .agg(F.max_by(row, ordk).alias("__row"),
                  F.count("*").alias("n_revisions"))

@@ -579,8 +579,8 @@ def main(argv: list[str] | None = None) -> int:
             dec.write.mode("overwrite").parquet(args.output)
             dec = spark.read.parquet(args.output)
         stats = (dec.agg(F.count("*").alias("urls"),
-                         F.sum(F.col("allowed").cast("int"))
-                         .alias("allowed")).first())
+                         F.coalesce(F.sum(F.col("allowed").cast("int")),
+                                    F.lit(0)).alias("allowed")).first())
         print(json.dumps({"agent": args.agent,
                           "urls": stats["urls"],
                           "allowed": int(stats["allowed"]),
@@ -607,7 +607,8 @@ def main(argv: list[str] | None = None) -> int:
                 os.path.join(args.output, "tokens"))
             stats = (spark.read.parquet(os.path.join(args.output, "tokens"))
                      .agg(F.count("*").alias("docs"),
-                          F.sum(F.size("tokens")).alias("tokens"))
+                          F.coalesce(F.sum(F.size("tokens")), F.lit(0))
+                          .alias("tokens"))
                      .first())
             out["encoded_docs"] = stats["docs"]
             out["total_tokens"] = int(stats["tokens"])

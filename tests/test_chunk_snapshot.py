@@ -113,3 +113,24 @@ def test_keep_latest_revision_custom_key(spark):
     got = {r.canonical_url: r.text
            for r in keep_latest_revision(df, key_col="doc_key").collect()}
     assert got == {"k1": "new", "k2": "solo"}
+
+
+def test_keep_latest_revision_reapplies_to_own_output(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [("http://a.example/x", dt.datetime(2024, 1, 1), "v1"),
+         ("http://a.example/x#m", dt.datetime(2024, 1, 2), "v2")],
+        ["url", "warc_ts", "text"])
+    once = keep_latest_revision(df)
+    new_dump = spark.createDataFrame(
+        [("http://a.example/x", dt.datetime(2024, 1, 5), "v3", 1)],
+        ["url", "warc_ts", "text", "n_revisions"]) \
+        .withColumn("canonical_url", F.col("url"))
+    again = keep_latest_revision(
+        once.unionByName(new_dump.select(*once.columns)))
+    rows = again.collect()
+    # no AMBIGUOUS_REFERENCE: output owns canonical_url/n_revisions
+    assert again.columns.count("canonical_url") == 1
+    assert len(rows) == 1
+    assert rows[0]["text"] == "v3"
+    assert rows[0]["n_revisions"] == 2  # counts within THIS input

@@ -48,7 +48,10 @@ def _py_rules(body, agent="*"):
             cur_agents.append(value.lower())
         elif field in ("allow", "disallow"):
             in_rules = True
-            if agent.lower() in cur_agents or "*" in cur_agents:
+            # RFC 9309: empty-pattern rules are no-ops (an empty
+            # Disallow is the canonical allow-all file)
+            if value and (agent.lower() in cur_agents
+                          or "*" in cur_agents):
                 rules.append((field == "allow", value))
     return rules
 
@@ -132,3 +135,27 @@ def test_path_extraction(spark):
     got = [r["p"] for r in
            df.select(robots_path_col(F.col("url")).alias("p")).collect()]
     assert got == ["/", "/a/b?q=1", "/?x"]
+
+
+def test_empty_disallow_is_allow_all(spark):
+    # the canonical allow-everything robots.txt must not block anything
+    robots = spark.createDataFrame(
+        [("ex.com", "User-agent: *\nDisallow:\n")],
+        ["host", "robots_txt"])
+    pages = spark.createDataFrame(
+        [("https://ex.com/a",), ("https://ex.com/docs/x.pdf",)], ["url"])
+    got = {r["url"]: (r["allowed"], r["matched_pattern"])
+           for r in robots_decisions(pages, robots).collect()}
+    assert all(v == (True, "(default)") for v in got.values())
+
+
+def test_filter_does_not_multiply_duplicate_urls(spark):
+    robots = spark.createDataFrame(
+        [("ex.com", "User-agent: *\nDisallow: /private\n")],
+        ["host", "robots_txt"])
+    pages = spark.createDataFrame(
+        [("https://ex.com/a", 1), ("https://ex.com/a", 2),
+         ("https://ex.com/private", 3)], ["url", "rev"])
+    kept = filter_robots_disallowed(pages, robots).collect()
+    # both revisions of the allowed url survive, EXACTLY once each
+    assert sorted(r["rev"] for r in kept) == [1, 2]

@@ -233,3 +233,22 @@ def test_meta_robots_prefix_bound(spark):
         meta_robots_col(F.col("html"), scan_bytes=4096).alias("d"))
         .collect()}
     assert got == {1: None, 2: "noindex"}
+
+
+def test_meta_robots_requires_exact_name(spark):
+    from ocr_engine_spark.functions.scrub import meta_robots_col
+    rows = [
+        # site-specific extension names that merely START with 'robots'
+        (1, b'<html><meta name="robots-news" content="noindex">'),
+        (2, b"<html><meta name=robotsx content=noindex>"),
+        (3, b"<html><meta content=noindex name=robots-news>"),
+        # real tag still matches in all delimiter forms
+        (4, b"<html><meta name=robots content=noindex>"),
+        (5, b'<html><meta name="robots" content="noindex">'),
+        (6, b"<html><meta content=noindex name=robots>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, html binary")
+    got = {r["doc_id"]: r["d"] for r in df.select(
+        "doc_id", meta_robots_col(F.col("html")).alias("d")).collect()}
+    assert got == {1: None, 2: None, 3: None,
+                   4: "noindex", 5: "noindex", 6: "noindex"}
