@@ -1200,6 +1200,95 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct().orderBy("url"))
 
 
+def _link_injected_corpus(spark: SparkSession) -> DataFrame:
+    """Pages fixture with deterministic per-url cross-host link
+    injection (robots_noindex discipline): the fixture's own anchors
+    are all root-relative (self-host edges), so an md5 bucket injects
+    an absolute https link to an UPPERCASE synthetic host (exercises
+    host lowercasing), a single-quoted protocol-relative link, or a
+    mailto + fragment pair (the dropped branches) in front of HTML
+    payloads. PDF payloads are never touched nor decoded."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    h = md5_int60_col(F.col("url"))
+    ext = F.concat(F.lit("EXT-"), (h % F.lit(7)).cast("string"),
+                   F.lit(".Example"))
+    b = F.pmod(h, F.lit(5))
+    inj = (F.when(b == 0, F.concat(F.lit('<a href="https://'), ext,
+                                   F.lit('/p">x</a>')))
+            .when(b == 1, F.concat(F.lit("<a href='//"), ext,
+                                   F.lit("/q'>y</a>")))
+            .when(b == 2, F.lit('<a href=mailto:a@b.c>z</a>'
+                                '<a href="#frag">f</a>')))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = (F.when(is_html & inj.isNotNull(),
+                    F.concat(F.encode(inj, "UTF-8"), F.col("html")))
+             .otherwise(F.col("html")))
+    return pages.select("url", html2.alias("html"))
+
+
+def q_outlink_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph edge extraction (functions/linkgraph.py):
+    href harvesting from raw payload bytes — one codegen'd
+    regexp_extract_all over an ISO-8859-1 decode, leading-'<' gated,
+    no UDF — resolved to target hosts and aggregated to (src_host,
+    dst_host, n_links) with map-side partial counts. The oracle
+    replays injection, DuckDB's blob escape projection (with the
+    printable-ASCII unescape of \\x22/\\x27/\\x09/\\x0A/\\x0D — raw
+    backslashes/high bytes stay escaped and the shared no-backslash
+    printable filter rejects them on BOTH engines), the href regex,
+    quote stripping and host resolution verbatim."""
+    from ocr_engine_spark.functions.linkgraph import host_edges
+    corpus = _link_injected_corpus(spark)
+    return host_edges(corpus).orderBy("src_host", "dst_host")
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (functions/linkgraph.py:pagerank)
+    over a deterministic synthetic host graph derived from the pages
+    fixture (each non-dangling host links to the 3 hosts at
+    (idx*7+j) mod N in md5-rank order; hosts with md5%5==0 keep no
+    out-edges, exercising the dangling-mass redistribution). Every
+    rank is a long in micro-units of total mass: integer add/div only,
+    so ranks are bit-identical across partitioning, parallelism and
+    reduce order — the 4N-executor reproducibility property — and the
+    oracle replays all 5 iterations verbatim in SQL."""
+    from pyspark.sql import Window
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.linkgraph import pagerank
+    from ocr_engine_spark.functions.scrub import host_col
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url"))
+    hosts = (pages.select(host_col(F.col("url")).alias("host"))
+             .distinct()
+             .withColumn("h60", md5_int60_col(F.col("host"))))
+    # global row_number over the host DIM table (bounded: |hosts|) —
+    # the corpus itself never sees a single-partition window
+    hi = hosts.withColumn(
+        "idx", F.row_number().over(Window.orderBy("h60", "host")) - 1)
+    n_h = hi.count()  # driver scalar: |hosts|, graph metadata
+    e = (hi.where(F.pmod(F.col("h60"), F.lit(5)) != 0)
+         .select("idx",
+                 F.col("host").alias("src_host"),
+                 F.explode(F.array(F.lit(1), F.lit(2),
+                                   F.lit(3))).alias("j"))
+         .withColumn("tidx", (F.col("idx") * 7 + F.col("j")) % n_h)
+         .join(hi.select(F.col("idx").alias("tidx"),
+                         F.col("host").alias("dst_host")), "tidx")
+         .select("src_host", "dst_host"))
+    return (pagerank(e, iterations=5)
+            .select(F.col("node").alias("host"),
+                    F.col("rank").alias("rank_micro"))
+            .orderBy(F.desc("rank_micro"), "host"))
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building (tokenizer-pipeline op): token frequency +
     document frequency over the corpus, Zipf head — one explode + one
@@ -1353,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "robots_noindex": q_robots_noindex,
         "robots_audit": q_robots_audit,
+        "outlink_hosts": q_outlink_hosts,
+        "host_pagerank": q_host_pagerank,
     }
 
 
@@ -2108,6 +2199,150 @@ def _robots_audit_oracle() -> str:
                coalesce(b.pattern, '(default)') AS matched_pattern
         FROM pg p LEFT JOIN best b USING (url)
         ORDER BY p.url
+    """
+
+
+def _blob_ascii_unescape(expr: str) -> str:
+    """DuckDB blob->VARCHAR escape projection, partially decoded back
+    to the raw printable stream: within printable ASCII the projection
+    escapes exactly ``"``, ``'`` and ``\\`` (verified exhaustively in
+    test_linkgraph), plus control/high bytes. Decoding the quote pair
+    and the whitespace trio makes the href grammar byte-identical to
+    what Spark's ISO-8859-1 decode sees; raw backslashes stay as
+    ``\\x5C`` and high/control bytes stay as ``\\xNN`` — both carry a
+    literal backslash, which the shared clean-ascii filter rejects on
+    both engines, so no raw byte can round-trip into a false match.
+    Unescaping is unambiguous because every raw backslash is itself
+    escaped (no inserted char can form a new escape)."""
+    out = expr
+    for code, rep in (("22", "chr(34)"), ("27", "chr(39)"),
+                      ("09", "chr(9)"), ("0A", "chr(10)"),
+                      ("0D", "chr(13)")):
+        out = f"replace({out}, chr(92) || 'x{code}', {rep})"
+    return out
+
+
+_LG_HOST_RE = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)'"
+
+
+def _outlink_hosts_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.linkgraph import A_HREF_RE
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    href_re = A_HREF_RE.replace("'", "''")
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    strip = ("CASE WHEN qv LIKE '\"%' OR qv LIKE concat(chr(39), '%') "
+             "THEN substr(qv, 2, length(qv) - 2) ELSE qv END")
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT AS h,
+                 substr(hex(html), 1, 2) = '3C' AS is_html,
+                 lower(regexp_extract(url, {_LG_HOST_RE}, 1)) AS src_host
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, src_host, is_html,
+                 CASE
+                   WHEN is_html AND h % 5 = 0 THEN
+                     encode('<a href="https://EXT-' || (h % 7)::VARCHAR
+                            || '.Example/p">x</a>') || html
+                   WHEN is_html AND h % 5 = 1 THEN
+                     encode('<a href=''//EXT-' || (h % 7)::VARCHAR
+                            || '.Example/q''>y</a>') || html
+                   WHEN is_html AND h % 5 = 2 THEN
+                     encode('<a href=mailto:a@b.c>z</a>'
+                            || '<a href="#frag">f</a>') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        dec AS (
+          SELECT url, src_host,
+                 CASE WHEN is_html THEN {unesc} END AS s
+          FROM inj),
+        h0 AS (
+          SELECT src_host,
+                 unnest(regexp_extract_all(s, '{href_re}', 2)) AS qv
+          FROM dec),
+        h1 AS (SELECT src_host, {strip} AS href FROM h0),
+        clean AS (
+          SELECT src_host, href FROM h1
+          WHERE href <> '' AND regexp_matches(href, '^[ -~]*$')
+            AND NOT contains(href, chr(92))),
+        tgt AS (
+          SELECT src_host,
+                 CASE
+                   WHEN regexp_matches(href,
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                     THEN lower(regexp_extract(href, {_LG_HOST_RE}, 1))
+                   WHEN href LIKE '//%'
+                     THEN lower(regexp_extract(href, '^//([^/?#]+)', 1))
+                   WHEN regexp_matches(href,
+                          '(?i)^(javascript|mailto|data|tel|about):')
+                     THEN NULL
+                   WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+                     THEN NULL
+                   WHEN href LIKE '#%' THEN NULL
+                   ELSE src_host
+                 END AS dst_host
+          FROM clean)
+        SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+        FROM tgt
+        WHERE dst_host IS NOT NULL AND dst_host <> '' AND src_host <> ''
+        GROUP BY src_host, dst_host
+        ORDER BY src_host, dst_host
+    """
+
+
+def _host_pagerank_oracle(iterations: int = 5,
+                          scale: int = 1_000_000_000_000) -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+        c{i} AS (SELECT e.dst AS node, sum(r.pr // d.deg) AS contrib
+                 FROM edges e JOIN {prev} r ON e.src = r.node
+                 JOIN deg d ON d.node = r.node GROUP BY e.dst),
+        d{i} AS (SELECT coalesce(sum(r.pr), 0) AS dangling
+                 FROM {prev} r LEFT JOIN deg d ON r.node = d.node
+                 WHERE d.deg IS NULL),
+        r{i} AS (SELECT n.node,
+                   (({scale} // nn.n) * 15) // 100
+                   + (85 * (coalesce(c.contrib, 0)
+                            + (dd.dangling // nn.n))) // 100 AS pr
+                 FROM nodes n CROSS JOIN nn CROSS JOIN d{i} dd
+                 LEFT JOIN c{i} c ON c.node = n.node)""")
+        prev = f"r{i}"
+    return f"""
+        WITH pg AS (
+          SELECT DISTINCT lower(regexp_extract(url, {_LG_HOST_RE}, 1))
+                   AS host
+          FROM read_parquet('{pages}')),
+        hh AS (SELECT host,
+                      ('0x' || substr(md5(host), 1, 15))::BIGINT AS h60
+               FROM pg),
+        hi AS (SELECT host, h60,
+                      row_number() OVER (ORDER BY h60, host) - 1 AS idx
+               FROM hh),
+        nh AS (SELECT count(*) AS n FROM hi),
+        e0 AS (SELECT s.host AS src, t.host AS dst
+               FROM hi s CROSS JOIN nh
+               CROSS JOIN (VALUES (1), (2), (3)) AS js(j)
+               JOIN hi t ON t.idx = (s.idx * 7 + js.j) % nh.n
+               WHERE s.h60 % 5 <> 0),
+        edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        deg AS (SELECT src AS node, count(*) AS deg FROM edges
+                GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, ({scale} // nn.n)::BIGINT AS pr
+               FROM nodes CROSS JOIN nn),{','.join(its)}
+        SELECT node AS host, pr::BIGINT AS rank_micro FROM {prev}
+        ORDER BY pr DESC, host
     """
 
 
@@ -3199,6 +3434,8 @@ def _oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "robots_noindex": _robots_noindex_oracle(),
+        "outlink_hosts": _outlink_hosts_oracle(),
+        "host_pagerank": _host_pagerank_oracle(),
         "robots_audit": _robots_audit_oracle(),
         "vocab_topk": r"""
             WITH t AS (

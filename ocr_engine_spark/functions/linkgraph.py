@@ -1,0 +1,300 @@
+"""Host-level web link graph: outlink extraction, edge list, PageRank.
+
+A crawl corpus is a graph, and the graph is a first-class training-data
+signal: Common Crawl publishes host-level PageRank/harmonic-centrality
+ranks with every crawl, GPT-3's WebText recipe selected pages by link
+popularity, and crawl frontiers are prioritized by exactly these
+scores. This module derives that signal from the pages table itself:
+
+  * ``outlink_hrefs_col`` — href extraction from raw HTML payload
+    bytes, entirely in JVM codegen'd expressions (decode + one
+    ``regexp_extract_all``): no UDF, no shuffle, pipelined into the
+    parquet scan. Byte-transparent ISO-8859-1 decode + a leading-``<``
+    gate, the ``meta_robots_col`` discipline (scrub.py:279) — legacy
+    charsets keep their ASCII hrefs verbatim and PDF payloads are
+    never decoded.
+  * ``outlink_records`` / ``host_edges`` — exploded per-link records
+    with resolved absolute target urls, and the (src_host, dst_host,
+    n_links) edge aggregate: ONE shuffle with map-side partial counts;
+    at 10^12 pages the edge table is the only thing that moves.
+  * ``pagerank`` — iterative damped PageRank in INTEGER FIXED-POINT
+    micro-units over DataFrame joins. Floats are the classic
+    distributed-PageRank reproducibility bug: float sums depend on
+    reduce order, so two runs (or two cluster sizes) disagree in the
+    low bits and downstream rank thresholds flap. Integer mass is
+    associative-commutative exactly, so ranks are bit-identical
+    regardless of partitioning, parallelism, or AQE decisions — and
+    DuckDB can replay every iteration verbatim (the oracle does).
+
+Scale notes (1000-executor / 10^12-page reading):
+  * extraction is map-only; the host-pair aggregate partial-combines
+    per map task, so the shuffle carries |distinct host pairs| per
+    partition, not |links|;
+  * each PageRank iteration is two key shuffles (rank join on src,
+    contribution sum on dst) + one broadcast of a 1-row dangling-mass
+    aggregate; on a real cluster bucket the edge table by ``src`` so
+    the rank join is Exchange-free and only the dst-sum shuffles;
+  * ``localCheckpoint`` per iteration truncates the otherwise
+    exponentially-growing lineage (cluster.py:connected_components
+    discipline); on an unreliable-storage cluster switch to
+    ``setCheckpointDir`` + reliable ``checkpoint`` at the same site;
+  * hot hosts (everyone links to google.com) skew the dst-sum; AQE
+    skew-join handles the join side, and the sum itself partial-
+    aggregates, so no salting is needed — the reducer sees one row
+    per (map partition, hot host).
+
+Regex, not DOM, on purpose: the extraction kernel's DOM pass
+(kernels/html_extract.py) is for byte-identical TEXT; link harvesting
+only needs anchors, and a single codegen'd regex over the raw payload
+is ~an order of magnitude cheaper than a second DOM pass at corpus
+scale. Known approximations are documented on each function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ocr_engine_spark.functions.scrub import host_col
+
+#: shared Java/RE2 pattern: an ``<a>`` tag's (first) href value,
+#: captured WITH its quotes (group 1) so quote stripping is a separate,
+#: engine-portable step. Explicit ``[ \t\n\r]`` classes, never ``\s``
+#: (Java ``\s`` includes ``\x0B``, RE2's does not — scrub.py:308), and
+#: a lazy ``[^>]*?`` so the FIRST href attribute in the tag wins (and
+#: ``data-href=`` can't match: the optional run must END in whitespace
+#: right before the ``href`` token).
+A_HREF_RE = (r"(?i)<a[ \t\n\r]([^>]*?[ \t\n\r])?href[ \t\n\r]*=[ \t\n\r]*"
+             r"(\"[^\"]*\"|'[^']*'|[^ \t\n\r>]+)")
+_HREF_GROUP = 2
+
+#: full anchor element with its inner text (group 2). Java-only (the
+#: pytest surface): anchor TEXT may be non-ASCII so it has no portable
+#: blob-escape oracle, unlike hrefs.
+A_ELEM_RE = (r"(?is)<a[ \t\n\r]([^>]*?[ \t\n\r])?href[ \t\n\r]*=[ \t\n\r]*"
+             r"(\"[^\"]*\"|'[^']*'|[^ \t\n\r>]+)[^>]*>(.*?)</a>")
+
+#: schemes that never yield a fetchable http(s)-style target
+_NON_FETCH_RE = r"(?i)^(javascript|mailto|data|tel|about):"
+
+
+def strip_quotes_col(v: Column) -> Column:
+    """``"x"``/``'x'`` -> ``x``; bare values pass through. (The capture
+    keeps quotes so this step is identical in Spark and DuckDB.)"""
+    first = F.substring(v, 1, 1)
+    inner = F.substring(v, 2, F.length(v) - F.lit(2))
+    return F.when((first == F.lit('"')) | (first == F.lit("'")), inner) \
+            .otherwise(v)
+
+
+def clean_ascii_href(href: Column) -> Column:
+    """True for hrefs that are printable-ASCII with no backslash.
+
+    This is the PORTABILITY GATE that makes href extraction oracle-
+    checkable over DuckDB's blob escape projection: a raw high byte is
+    a Latin-1 char on the Spark side (fails printable-ASCII) and a
+    ``\\xNN`` escape on the DuckDB side (fails the no-backslash test);
+    a raw backslash fails on both; pure printable-ASCII hrefs — i.e.
+    every standards-valid URL reference — pass identically on both.
+    """
+    return (href.rlike(r"^[ -~]*$") & ~href.contains("\\")
+            & (href != F.lit("")))
+
+
+def outlink_hrefs_col(html: Column, *, scan_bytes: int | None = None
+                      ) -> Column:
+    """Array of raw href values in an HTML payload (NULL for non-HTML
+    payloads — gated on the leading ``<`` byte so PDF bytes are never
+    decoded). Quote-stripped, filtered to clean printable-ASCII, order
+    preserved, duplicates kept (dedupe is the caller's policy).
+    ``scan_bytes`` bounds the decode for prefix-only uses; the default
+    decodes the full payload (links live in the body)."""
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    s = F.decode(prefix, "ISO-8859-1")
+    quoted = F.regexp_extract_all(s, F.lit(A_HREF_RE),
+                                  F.lit(_HREF_GROUP))
+    hrefs = F.filter(F.transform(quoted, strip_quotes_col),
+                     clean_ascii_href)
+    return F.when(F.substring(html, 1, 1) == F.lit(b"<"), hrefs)
+
+
+def target_host_col(href: Column, src_host: Column) -> Column:
+    """Host the href points at: absolute -> its own (lowercased) host,
+    protocol-relative -> the given host, root-/path-relative -> the
+    source host, fragments and non-fetch schemes -> NULL. This is the
+    edge-building resolution — it never materializes the full url."""
+    return (F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+                   host_col(href))
+            .when(href.startswith("//"),
+                  F.lower(F.regexp_extract(href, r"^//([^/?#]+)", 1)))
+            .when(href.rlike(_NON_FETCH_RE), F.lit(None))
+            .when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"),
+                  F.lit(None))  # other non-hierarchical schemes
+            .when(href.startswith("#"), F.lit(None))
+            .otherwise(src_host))
+
+
+def resolve_url_col(href: Column, base_url: Column) -> Column:
+    """Absolute target url for a href against its page url (RFC 3986
+    §5 reference resolution, minus dot-segment normalization — ``..``
+    segments are kept literal, a documented conservative approximation:
+    two spellings of one resource stay distinct rather than risking a
+    wrong merge). Fragments-only refs and non-fetch schemes -> NULL."""
+    scheme = F.regexp_extract(base_url,
+                              r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(base_url,
+                              r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    no_qf = F.regexp_replace(base_url, r"[?#].*$", "")
+    # directory of the base path; origin-only urls get a '/' root
+    base_dir = F.when(F.length(F.regexp_replace(no_qf, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")) == 0,
+                      F.concat(origin, F.lit("/"))) \
+                .otherwise(F.regexp_replace(no_qf, r"[^/]*$", ""))
+    return (F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+            .when(href.startswith("//"),
+                  F.concat(scheme, F.lit(":"), href))
+            .when(href.rlike(_NON_FETCH_RE), F.lit(None))
+            .when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), F.lit(None))
+            .when(href.startswith("#"), F.lit(None))
+            .when(href.startswith("/"), F.concat(origin, href))
+            .when(href.startswith("?"), F.concat(no_qf, href))
+            .otherwise(F.concat(base_dir, href)))
+
+
+def outlink_records(pages: DataFrame, *, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(url, href, target_url) — one row per extracted link, resolved
+    to an absolute target. Map-only: decode + regex + explode, no
+    shuffle; Catalyst prunes the scan to (url, html)."""
+    hrefs = outlink_hrefs_col(F.col(html_col))
+    return (pages
+            .select(F.col(url_col).alias("url"),
+                    F.explode(hrefs).alias("href"))
+            .withColumn("target_url",
+                        resolve_url_col(F.col("href"), F.col("url")))
+            .where(F.col("target_url").isNotNull()))
+
+
+def anchor_records(pages: DataFrame, *, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """(url, href, target_url, anchor_text) — links WITH their anchor
+    text (inner tags stripped, whitespace collapsed). Anchor text is
+    the classic target-page relevance signal (it describes the page it
+    points AT); aggregate it per target to build a queryable signal
+    table. Java-regex surface, pytest-verified (text may be non-ASCII
+    so there is no portable blob-escape oracle for it)."""
+    elems = F.regexp_extract_all(F.decode(F.col(html_col), "ISO-8859-1"),
+                                 F.lit(A_ELEM_RE), F.lit(0))
+    gated = F.when(F.substring(F.col(html_col), 1, 1) == F.lit(b"<"),
+                   elems)
+    out = (pages
+           .select(F.col(url_col).alias("url"),
+                   F.explode(gated).alias("elem"))
+           .select("url",
+                   strip_quotes_col(
+                       F.regexp_extract("elem", A_ELEM_RE, 2))
+                   .alias("href"),
+                   F.trim(F.regexp_replace(
+                       F.regexp_replace(
+                           F.regexp_extract("elem", A_ELEM_RE, 3),
+                           r"<[^>]*>", " "),
+                       r"[ \t\n\r]+", " ")).alias("anchor_text")))
+    return (out.where(clean_ascii_href(F.col("href")))
+            .withColumn("target_url",
+                        resolve_url_col(F.col("href"), F.col("url")))
+            .where(F.col("target_url").isNotNull())
+            .select("url", "href", "target_url", "anchor_text"))
+
+
+def host_edges(pages: DataFrame, *, url_col: str = "url",
+               html_col: str = "html",
+               keep_self_loops: bool = True) -> DataFrame:
+    """(src_host, dst_host, n_links) host-level edge aggregate over the
+    corpus. One shuffle (the groupBy partial-combines map-side); the
+    href explode and host resolution are pipelined into the scan."""
+    src = host_col(F.col(url_col))
+    hrefs = outlink_hrefs_col(F.col(html_col))
+    e = (pages
+         .select(src.alias("src_host"), F.explode(hrefs).alias("href"))
+         .select("src_host",
+                 target_host_col(F.col("href"),
+                                 F.col("src_host")).alias("dst_host"))
+         .where(F.col("dst_host").isNotNull()
+                & (F.col("dst_host") != F.lit(""))
+                & (F.col("src_host") != F.lit(""))))
+    if not keep_self_loops:
+        e = e.where(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"))
+
+
+#: total rank mass in fixed-point units: 1e12 keeps six significant
+#: digits of rank for graphs up to ~1e6 nodes per unit of precision
+#: lost to integer division; bump for bigger graphs.
+PAGERANK_SCALE = 1_000_000_000_000
+
+
+def pagerank(edges: DataFrame, *, src: str = "src_host",
+             dst: str = "dst_host", iterations: int = 10,
+             damping_pct: int = 85,
+             scale: int = PAGERANK_SCALE) -> DataFrame:
+    """(node, rank) damped PageRank over distinct directed edges, in
+    integer fixed-point (``rank`` is a long in units of 1/scale of the
+    total mass; ranks of a graph sum to ~scale, minus a bounded
+    integer-truncation loss of < 1 unit per node per division).
+
+    Deterministic BY CONSTRUCTION across partitioning, parallelism and
+    reduce order — every operation is integer add / integer div — so
+    two cluster sizes produce bit-identical ranks, and DuckDB replays
+    the whole iteration chain verbatim in the oracle. Self-loops are
+    dropped (the standard convention); dangling mass (nodes with no
+    out-edges) is redistributed uniformly each iteration, computed as
+    a 1-row aggregate broadcast back onto the nodes — never a driver
+    read inside the loop.
+
+    ``damping_pct`` is the damping factor in integer percent (85 =
+    the canonical 0.85), keeping the teleport arithmetic exact.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .where(F.col("s") != F.col("d"))
+         .distinct()
+         .persist())
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionByName(e.select(F.col("d").alias("node")))
+             .distinct()
+             .persist())
+    n = nodes.count()  # driver scalar: graph metadata, 1 value
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    base = scale // n
+    tele = (base * (100 - damping_pct)) // 100
+    ranks = (nodes.withColumn("rank", F.lit(base).cast("long"))
+             .localCheckpoint())
+    for _ in range(iterations):
+        r = ranks.join(deg, "node", "left")
+        linked = r.where(F.col("deg").isNotNull())
+        shares = (e.join(linked, e["s"] == linked["node"])
+                  .select(F.col("d").alias("node"),
+                          F.expr("rank div deg").alias("share")))
+        contrib = shares.groupBy("node").agg(
+            F.sum("share").alias("contrib"))
+        dangling = (r.where(F.col("deg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0))
+                         .alias("dangling")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         (F.lit(tele).cast("long")
+                          + F.expr(f"({damping_pct} * (coalesce(contrib,"
+                                   f" CAST(0 AS BIGINT)) + (dangling div"
+                                   f" {n}))) div 100"))
+                         .cast("long").alias("rank"))
+                 .localCheckpoint())
+    e.unpersist()
+    nodes.unpersist()
+    return ranks

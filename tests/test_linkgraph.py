@@ -1,0 +1,250 @@
+"""Link-graph layer: href extraction, url resolution, host edges, and
+integer fixed-point PageRank (ocr_engine_spark/functions/linkgraph.py).
+
+The extraction vectors are hand-written expected rows (quoted /
+single-quoted / bare hrefs, attribute-order traps, skip schemes,
+non-ASCII rejection); PageRank is checked three ways: against a pure-
+Python fixed-point replica (exact), against a float PageRank
+(tolerance — the fixed-point arithmetic approximates the textbook
+algorithm), and for bit-identity across different input partitioning
+(the reproducibility property the fixed-point design exists for).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_engine_spark.functions.linkgraph import (
+    PAGERANK_SCALE,
+    anchor_records,
+    host_edges,
+    outlink_records,
+    pagerank,
+    resolve_url_col,
+    target_host_col,
+)
+
+HTML = (b'<html><body>\n'
+        b'<a href="/about">About us</a>\n'
+        b'<a href="https://Other.Example.COM/x?q=1#f">ext <b>link</b></a>\n'
+        b"<a href='//cdn.example.net/lib.js'>cdn</a>\n"
+        b'<a href=bare/path.html>bare</a>\n'
+        b'<a href="#top">top</a>\n'
+        b'<a href="mailto:x@y.z">mail</a>\n'
+        b'<a href="?page=2">next</a>\n'
+        b'<a data-href="/no" href="/yes">first wins</a>\n'
+        b'<a href="">empty</a>\n'
+        b'<a href="/bs\\lash">bs</a>\n'
+        b'<a href="/hi\xffbyte">high</a>\n'
+        b'</body></html>')
+PDF = b'%PDF-1.4 <a href="/fake">never decoded</a>'
+BASE = "http://www.site-a.org/dir/page.html"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame([(BASE, HTML), ("http://b.org/", PDF)],
+                                 "url string, html binary")
+
+
+def test_outlink_records_vectors(pages):
+    got = {(r.href, r.target_url)
+           for r in outlink_records(pages).collect()}
+    assert got == {
+        ("/about", "http://www.site-a.org/about"),
+        ("https://Other.Example.COM/x?q=1#f",
+         "https://Other.Example.COM/x?q=1#f"),
+        ("//cdn.example.net/lib.js", "http://cdn.example.net/lib.js"),
+        ("bare/path.html", "http://www.site-a.org/dir/bare/path.html"),
+        ("?page=2", "http://www.site-a.org/dir/page.html?page=2"),
+        ("/yes", "http://www.site-a.org/yes"),
+    }
+    # fragment-only, mailto, empty, backslash, high-byte: all dropped;
+    # the PDF payload contributes nothing (never decoded)
+
+
+def test_anchor_records(pages):
+    got = {r.href: r.anchor_text for r in anchor_records(pages).collect()}
+    assert got["/about"] == "About us"
+    assert got["https://Other.Example.COM/x?q=1#f"] == "ext link"  # tag-strip
+    assert got["/yes"] == "first wins"  # data-href never matches
+    assert "/no" not in got
+
+
+def test_resolution_vectors(spark):
+    vecs = [
+        # (base, href, expected)
+        ("https://a.b/c/d.html", "e.html", "https://a.b/c/e.html"),
+        ("https://a.b/c/d.html", "/e", "https://a.b/e"),
+        ("https://a.b/c/d.html?q=1#z", "f.html", "https://a.b/c/f.html"),
+        ("https://a.b", "x.html", "https://a.b/x.html"),  # origin-only base
+        ("https://a.b/c/", "sub/y", "https://a.b/c/sub/y"),
+        ("https://a.b/c", "//cdn.z/l", "https://cdn.z/l"),
+        ("https://a.b/c", "ftp://f.g/h", "ftp://f.g/h"),
+        ("https://a.b/c", "#frag", None),
+        ("https://a.b/c", "javascript:void(0)", None),
+        ("https://a.b/c", "tel:+123", None),
+        ("https://a.b/c", "../up.html", "https://a.b/../up.html"),  # literal
+    ]
+    df = spark.createDataFrame([(b, h) for b, h, _ in vecs],
+                               "base string, href string")
+    out = df.select(
+        resolve_url_col(F.col("href"), F.col("base")).alias("r")).collect()
+    assert [r.r for r in out] == [e for _, _, e in vecs]
+
+
+def test_target_host_vectors(spark):
+    vecs = [
+        ("HTTPS://Big.Host/x", "self.host", "big.host"),
+        ("//CDN.Z/l", "self.host", "cdn.z"),
+        ("/rel", "self.host", "self.host"),
+        ("rel.html", "self.host", "self.host"),
+        ("mailto:a@b", "self.host", None),
+        ("urn:isbn:123", "self.host", None),
+        ("#f", "self.host", None),
+    ]
+    df = spark.createDataFrame([(h, s) for h, s, _ in vecs],
+                               "href string, src string")
+    out = df.select(
+        target_host_col(F.col("href"), F.col("src")).alias("t")).collect()
+    assert [r.t for r in out] == [e for _, _, e in vecs]
+
+
+def test_host_edges_and_self_loops(pages):
+    rows = {(r.src_host, r.dst_host): r.n_links
+            for r in host_edges(pages).collect()}
+    assert rows == {("www.site-a.org", "www.site-a.org"): 4,
+                    ("www.site-a.org", "other.example.com"): 1,
+                    ("www.site-a.org", "cdn.example.net"): 1}
+    no_self = {(r.src_host, r.dst_host)
+               for r in host_edges(pages, keep_self_loops=False).collect()}
+    assert ("www.site-a.org", "www.site-a.org") not in no_self
+    assert ("www.site-a.org", "cdn.example.net") in no_self
+
+
+def test_blob_escape_contract():
+    """The _blob_ascii_unescape oracle helper (entry module) assumes
+    DuckDB's blob escape projection escapes EXACTLY quote, apostrophe
+    and backslash within printable ASCII — pin that exhaustively so a
+    DuckDB upgrade that changes the projection fails loudly here, not
+    as a silent oracle mismatch."""
+    import re
+
+    import duckdb
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    con.register("t", pa.table({"b": pa.array([bytes(range(32, 127))],
+                                              pa.binary())}))
+    s = con.sql("SELECT b::VARCHAR FROM t").fetchall()[0][0]
+    escaped = {chr(int(m.group(1), 16))
+               for m in re.finditer(r"\\x([0-9A-F]{2})", s)}
+    assert escaped == {'"', "'", "\\"}
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+EDGES = [
+    # a hub, a chain into it, a 2-cycle, two dangling sinks
+    ("b", "a"), ("c", "a"), ("d", "a"), ("e", "a"),
+    ("a", "b"), ("a", "sink1"),
+    ("c", "d"), ("d", "e"), ("e", "c"),
+    ("f", "g"), ("g", "f"),
+    ("b", "sink2"), ("x", "x"),  # self loop: dropped
+]
+
+
+def ref_pagerank_fixed(edges, iterations=5, scale=PAGERANK_SCALE, dp=85):
+    es = {(s, d) for s, d in edges if s != d}
+    nodes = sorted({s for s, _ in es} | {d for _, d in es})
+    n = len(nodes)
+    deg = Counter(s for s, _ in es)
+    base = scale // n
+    tele = (base * (100 - dp)) // 100
+    rank = {v: base for v in nodes}
+    for _ in range(iterations):
+        contrib = defaultdict(int)
+        for s, d in es:
+            contrib[d] += rank[s] // deg[s]
+        dangling = sum(rank[v] for v in nodes if v not in deg)
+        rank = {v: tele + (dp * (contrib[v] + dangling // n)) // 100
+                for v in nodes}
+    return rank
+
+
+def ref_pagerank_float(edges, iterations=5, d=0.85):
+    es = {(s, dd) for s, dd in edges if s != dd}
+    nodes = sorted({s for s, _ in es} | {dd for _, dd in es})
+    n = len(nodes)
+    deg = Counter(s for s, _ in es)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = defaultdict(float)
+        for s, dd in es:
+            contrib[dd] += rank[s] / deg[s]
+        dangling = sum(rank[v] for v in nodes if v not in deg)
+        rank = {v: (1 - d) / n + d * (contrib[v] + dangling / n)
+                for v in nodes}
+    return rank
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src_host string, dst_host string")
+
+
+def test_pagerank_matches_fixed_point_reference(edges_df):
+    got = {r.node: r["rank"] for r in pagerank(edges_df,
+                                               iterations=5).collect()}
+    assert got == ref_pagerank_fixed(EDGES, iterations=5)
+
+
+def test_pagerank_close_to_float_reference(edges_df):
+    got = {r.node: r["rank"] for r in pagerank(edges_df,
+                                               iterations=5).collect()}
+    ref = ref_pagerank_float(EDGES, iterations=5)
+    for v, r in got.items():
+        assert abs(r / PAGERANK_SCALE - ref[v]) < 1e-6
+
+
+def test_pagerank_bit_identical_across_partitioning(edges_df):
+    """The reproducibility property: integer mass sums are reduce-order
+    independent, so any partitioning (any cluster size) produces the
+    same bits."""
+    a = {r.node: r["rank"]
+         for r in pagerank(edges_df.repartition(1),
+                           iterations=4).collect()}
+    b = {r.node: r["rank"]
+         for r in pagerank(edges_df.repartition(7, "dst_host"),
+                           iterations=4).collect()}
+    assert a == b
+
+
+def test_pagerank_mass_and_dangling(edges_df):
+    rows = pagerank(edges_df, iterations=5).collect()
+    total = sum(r["rank"] for r in rows)
+    n = len(rows)
+    # truncation-only loss: each division drops < 1 unit per node/edge
+    assert PAGERANK_SCALE * 0.999 < total <= PAGERANK_SCALE
+    got = {r.node: r["rank"] for r in rows}
+    # the f<->g 2-cycle is a rank trap (only teleport leaks out), so it
+    # tops everything; the hub 'a' outranks its spokes and the sinks
+    assert got["f"] == got["g"] == max(got.values())
+    assert got["a"] > max(got["c"], got["d"], got["e"], got["sink1"],
+                          got["sink2"])
+    assert got["sink1"] > 0 and got["sink2"] > 0
+    assert "x" not in got  # self-loop-only node has no edges left
+
+
+def test_pagerank_validations(edges_df, spark):
+    with pytest.raises(ValueError):
+        pagerank(edges_df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(edges_df, damping_pct=101)
+    empty = spark.createDataFrame([], "src_host string, dst_host string")
+    assert pagerank(empty, iterations=1).count() == 0

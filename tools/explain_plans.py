@@ -127,6 +127,19 @@ NOTES = {
                   "BroadcastHashJoin — the corpus is never shuffled by "
                   "the encoder (the groupBy(doc_id) rebuild is the one "
                   "corpus Exchange, map-side combined)",
+    "outlink_hosts": "href harvest + host resolution are one codegen'd "
+                     "Project over the pages scan (decode + "
+                     "regexp_extract_all + explode — zero Python, zero "
+                     "pre-agg Exchange); the only shuffle is the "
+                     "(src,dst) HashAggregate pair with map-side "
+                     "partial counts",
+    "pagerank_round": "one PageRank iteration (the loop body of "
+                      "linkgraph.pagerank, pre-localCheckpoint): rank "
+                      "join on src + partial_sum before the dst "
+                      "Exchange (map-side combine absorbs hot dst "
+                      "hosts); the 1-row dangling aggregate re-enters "
+                      "via BroadcastNestedLoopJoin — a 1-row broadcast, "
+                      "the one place that operator is the right plan",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -137,6 +150,33 @@ def _bpe_pair_counts(spark, sf_dir):
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return _pair_counts(word_table(docs))
 
+
+def _pagerank_round(spark, sf_dir):
+    # one un-checkpointed iteration body over a synthetic edge list
+    import pyspark.sql.functions as F
+    e = (spark.range(300)
+         .select((F.col("id") % 50).alias("s"),
+                 ((F.col("id") * 7 + 1) % 50).alias("d"))
+         .where(F.col("s") != F.col("d")).distinct())
+    deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionByName(e.select(F.col("d").alias("node"))).distinct())
+    ranks = nodes.withColumn("rank", F.lit(10 ** 9).cast("long"))
+    r = ranks.join(deg, "node", "left")
+    linked = r.where(F.col("deg").isNotNull())
+    shares = (e.join(linked, e["s"] == linked["node"])
+              .select(F.col("d").alias("node"),
+                      F.expr("rank div deg").alias("share")))
+    contrib = shares.groupBy("node").agg(F.sum("share").alias("contrib"))
+    dang = (r.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dangling")))
+    return (nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select("node", F.expr(
+                "3000000 + (85 * (coalesce(contrib, CAST(0 AS BIGINT))"
+                " + (dangling div 50))) div 100").alias("rank")))
+
 HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "salted_agg", "minhash_near_dups", "simhash_near_dups",
             "embedding_near_dups", "nested_fields", "line_prune",
@@ -146,6 +186,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "domain_blocklist", "chunk_documents", "tfidf_topk",
             "corpus_split", "kgram_dedup",
             "url_latest", "bpe_pair_counts", "bpe_encode",
+            "outlink_hosts", "pagerank_round",
             "extraction_pipeline"]
 
 
@@ -165,6 +206,7 @@ def main() -> None:
            "property that matters at 100 TB.", ""]
     qs = entrymod.queries()
     qs["bpe_pair_counts"] = _bpe_pair_counts
+    qs["pagerank_round"] = _pagerank_round
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         df.collect()  # AQE: materialize the FINAL plan
