@@ -2334,8 +2334,8 @@ def _host_pagerank_oracle(iterations: int = 5,
                JOIN hi t ON t.idx = (s.idx * 7 + js.j) % nh.n
                WHERE s.h60 % 5 <> 0),
         edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
-        nodes AS (SELECT src AS node FROM edges
-                  UNION SELECT dst FROM edges),
+        nodes AS (SELECT src AS node FROM e0
+                  UNION SELECT dst FROM e0),
         deg AS (SELECT src AS node, count(*) AS deg FROM edges
                 GROUP BY src),
         nn AS (SELECT count(*) AS n FROM nodes),

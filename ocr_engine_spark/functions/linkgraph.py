@@ -246,10 +246,12 @@ def pagerank(edges: DataFrame, *, src: str = "src_host",
     reduce order — every operation is integer add / integer div — so
     two cluster sizes produce bit-identical ranks, and DuckDB replays
     the whole iteration chain verbatim in the oracle. Self-loops are
-    dropped (the standard convention); dangling mass (nodes with no
-    out-edges) is redistributed uniformly each iteration, computed as
-    a 1-row aggregate broadcast back onto the nodes — never a driver
-    read inside the loop.
+    dropped from PROPAGATION (the standard convention) but their
+    endpoints stay in the node set — a host that only links to itself
+    is a dangling node with teleport-level rank, not an absent one.
+    Dangling mass (nodes with no out-edges) is redistributed uniformly
+    each iteration, computed as a 1-row aggregate broadcast back onto
+    the nodes — never a driver read inside the loop.
 
     ``damping_pct`` is the damping factor in integer percent (85 =
     the canonical 0.85), keeping the teleport arithmetic exact.
@@ -258,14 +260,14 @@ def pagerank(edges: DataFrame, *, src: str = "src_host",
         raise ValueError("iterations must be >= 1")
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
-    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-         .where(F.col("s") != F.col("d"))
-         .distinct()
-         .persist())
-    nodes = (e.select(F.col("s").alias("node"))
-             .unionByName(e.select(F.col("d").alias("node")))
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (e0.select(F.col("s").alias("node"))
+             .unionByName(e0.select(F.col("d").alias("node")))
              .distinct()
              .persist())
+    e = (e0.where(F.col("s") != F.col("d"))
+         .distinct()
+         .persist())
     n = nodes.count()  # driver scalar: graph metadata, 1 value
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))

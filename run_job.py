@@ -190,6 +190,17 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--id-col", default="doc_id")
     bp.add_argument("--text-col", default="text")
 
+    lg = sub.add_parser("linkgraph", help="host link graph + PageRank "
+                                          "from raw page payloads")
+    lg.add_argument("--input", required=True, help="pages parquet "
+                                                   "(url, html)")
+    lg.add_argument("--output", required=True,
+                    help="writes <output>/edges and <output>/ranks")
+    lg.add_argument("--iterations", type=int, default=10)
+    lg.add_argument("--damping-pct", type=int, default=85)
+    lg.add_argument("--top", type=int, default=10,
+                    help="top hosts to include in the JSON summary")
+
     pl = sub.add_parser(
         "pipeline",
         help="corpus -> quality filter -> dedup -> epoch shuffle -> "
@@ -569,6 +580,28 @@ def main(argv: list[str] | None = None) -> int:
             "n_chunks": written.count(),
             "n_docs": written.select(args.id_col).distinct().count(),
             "chunk_tokens": args.chunk_tokens, "stride": args.stride}))
+    elif args.cmd == "linkgraph":
+        from pyspark.sql import functions as F
+        from ocr_engine_spark.functions.linkgraph import (
+            host_edges, pagerank,
+        )
+        pages = spark.read.parquet(args.input)
+        edges = host_edges(pages)
+        edges.write.mode("overwrite").parquet(
+            os.path.join(args.output, "edges"))
+        edges = spark.read.parquet(os.path.join(args.output, "edges"))
+        ranks = pagerank(edges, iterations=args.iterations,
+                         damping_pct=args.damping_pct)
+        ranks.write.mode("overwrite").parquet(
+            os.path.join(args.output, "ranks"))
+        ranks = spark.read.parquet(os.path.join(args.output, "ranks"))
+        top = [{"host": r["node"], "rank_micro": r["rank"]}
+               for r in ranks.orderBy(F.desc("rank"), "node")
+                             .limit(args.top).collect()]
+        print(json.dumps({"hosts": ranks.count(),
+                          "edges": edges.count(),
+                          "iterations": args.iterations,
+                          "top": top}))
     elif args.cmd == "robots":
         from pyspark.sql import functions as F
         from ocr_engine_spark.functions.robots import robots_decisions

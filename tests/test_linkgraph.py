@@ -160,8 +160,8 @@ EDGES = [
 
 
 def ref_pagerank_fixed(edges, iterations=5, scale=PAGERANK_SCALE, dp=85):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     es = {(s, d) for s, d in edges if s != d}
-    nodes = sorted({s for s, _ in es} | {d for _, d in es})
     n = len(nodes)
     deg = Counter(s for s, _ in es)
     base = scale // n
@@ -178,8 +178,8 @@ def ref_pagerank_fixed(edges, iterations=5, scale=PAGERANK_SCALE, dp=85):
 
 
 def ref_pagerank_float(edges, iterations=5, d=0.85):
+    nodes = sorted({s for s, _ in edges} | {dd for _, dd in edges})
     es = {(s, dd) for s, dd in edges if s != dd}
-    nodes = sorted({s for s, _ in es} | {dd for _, dd in es})
     n = len(nodes)
     deg = Counter(s for s, _ in es)
     rank = {v: 1.0 / n for v in nodes}
@@ -237,8 +237,10 @@ def test_pagerank_mass_and_dangling(edges_df):
     assert got["f"] == got["g"] == max(got.values())
     assert got["a"] > max(got["c"], got["d"], got["e"], got["sink1"],
                           got["sink2"])
+    # self-loop-only node: present as an isolated dangling node with
+    # teleport-level rank (it propagates nothing, receives no links)
+    assert 0 < got["x"] < min(got["f"], got["a"])
     assert got["sink1"] > 0 and got["sink2"] > 0
-    assert "x" not in got  # self-loop-only node has no edges left
 
 
 def test_pagerank_validations(edges_df, spark):
