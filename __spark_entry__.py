@@ -1247,6 +1247,21 @@ def q_outlink_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_edges(corpus).orderBy("src_host", "dst_host")
 
 
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text signal table (linkgraph.anchor_term_profile): the
+    top-5 anchor terms pointing at each host, over the link-injected
+    fixture corpus. ascii_only=True is the oracle-portability regime:
+    a record whose anchor text carries a raw high/control byte fails
+    the printable gate on the Spark side and carries a blob-escape
+    backslash on the DuckDB side — rejected identically. The oracle
+    replays the element regex, tag stripping, whitespace collapse,
+    tokenization, counting and the top-k window verbatim."""
+    from ocr_engine_spark.functions.linkgraph import anchor_term_profile
+    corpus = _link_injected_corpus(spark)
+    return (anchor_term_profile(corpus, top_k=5, ascii_only=True)
+            .orderBy("dst_host", "pos"))
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point PageRank (functions/linkgraph.py:pagerank)
     over a deterministic synthetic host graph derived from the pages
@@ -1444,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_audit": q_robots_audit,
         "outlink_hosts": q_outlink_hosts,
         "host_pagerank": q_host_pagerank,
+        "anchor_terms": q_anchor_terms,
     }
 
 
@@ -2291,6 +2307,98 @@ def _outlink_hosts_oracle() -> str:
         WHERE dst_host IS NOT NULL AND dst_host <> '' AND src_host <> ''
         GROUP BY src_host, dst_host
         ORDER BY src_host, dst_host
+    """
+
+
+def _anchor_terms_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.linkgraph import A_ELEM_RE
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    elem_re = A_ELEM_RE.replace("'", "''")
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    strip = ("CASE WHEN qv LIKE '\"%' OR qv LIKE concat(chr(39), '%') "
+             "THEN substr(qv, 2, length(qv) - 2) ELSE qv END")
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT AS h,
+                 substr(hex(html), 1, 2) = '3C' AS is_html,
+                 lower(regexp_extract(url, {_LG_HOST_RE}, 1)) AS src_host
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, src_host, is_html,
+                 CASE
+                   WHEN is_html AND h % 5 = 0 THEN
+                     encode('<a href="https://EXT-' || (h % 7)::VARCHAR
+                            || '.Example/p">x</a>') || html
+                   WHEN is_html AND h % 5 = 1 THEN
+                     encode('<a href=''//EXT-' || (h % 7)::VARCHAR
+                            || '.Example/q''>y</a>') || html
+                   WHEN is_html AND h % 5 = 2 THEN
+                     encode('<a href=mailto:a@b.c>z</a>'
+                            || '<a href="#frag">f</a>') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        dec AS (
+          SELECT src_host,
+                 CASE WHEN is_html THEN {unesc} END AS s
+          FROM inj),
+        el AS (
+          SELECT src_host,
+                 unnest(regexp_extract_all(s, '{elem_re}', 0)) AS elem
+          FROM dec),
+        hv AS (
+          SELECT src_host,
+                 regexp_extract(elem, '{elem_re}', 2) AS qv,
+                 trim(regexp_replace(regexp_replace(
+                        regexp_extract(elem, '{elem_re}', 3),
+                        '<[^>]*>', ' ', 'g'),
+                      '[ \\t\\n\\r]+', ' ', 'g')) AS anchor_text
+          FROM el),
+        hr AS (SELECT src_host, {strip} AS href, anchor_text FROM hv),
+        clean AS (
+          SELECT src_host, href, anchor_text FROM hr
+          WHERE href <> '' AND regexp_matches(href, '^[ -~]*$')
+            AND NOT contains(href, chr(92))
+            AND regexp_matches(anchor_text, '^[ -~]*$')
+            AND NOT contains(anchor_text, chr(92))),
+        tgt AS (
+          SELECT anchor_text,
+                 CASE
+                   WHEN regexp_matches(href,
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                     THEN lower(regexp_extract(href, {_LG_HOST_RE}, 1))
+                   WHEN href LIKE '//%'
+                     THEN lower(regexp_extract(href, '^//([^/?#]+)', 1))
+                   WHEN regexp_matches(href,
+                          '(?i)^(javascript|mailto|data|tel|about):')
+                     THEN NULL
+                   WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+                     THEN NULL
+                   WHEN href LIKE '#%' THEN NULL
+                   ELSE src_host
+                 END AS dst_host
+          FROM clean),
+        toks AS (
+          SELECT dst_host,
+                 unnest(regexp_split_to_array(lower(anchor_text),
+                                              '[^a-z0-9]+')) AS term
+          FROM tgt WHERE dst_host IS NOT NULL AND dst_host <> ''),
+        counts AS (
+          SELECT dst_host, term, count(*)::BIGINT AS n_term
+          FROM toks WHERE term <> ''
+          GROUP BY dst_host, term),
+        ranked AS (
+          SELECT dst_host, term, n_term,
+                 row_number() OVER (PARTITION BY dst_host
+                                    ORDER BY n_term DESC, term ASC)
+                   AS pos
+          FROM counts)
+        SELECT dst_host, term, n_term, pos::INT AS pos FROM ranked
+        WHERE pos <= 5
+        ORDER BY dst_host, pos
     """
 
 
@@ -3436,6 +3544,7 @@ def _oracle_sql() -> dict[str, str]:
         "robots_noindex": _robots_noindex_oracle(),
         "outlink_hosts": _outlink_hosts_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
+        "anchor_terms": _anchor_terms_oracle(),
         "robots_audit": _robots_audit_oracle(),
         "vocab_topk": r"""
             WITH t AS (

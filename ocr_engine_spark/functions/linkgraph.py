@@ -205,6 +205,39 @@ def anchor_records(pages: DataFrame, *, url_col: str = "url",
             .select("url", "href", "target_url", "anchor_text"))
 
 
+def anchor_term_profile(pages: DataFrame, *, url_col: str = "url",
+                        html_col: str = "html", top_k: int = 5,
+                        ascii_only: bool = False) -> DataFrame:
+    """(dst_host, term, n_term, pos) — the ``top_k`` most frequent
+    anchor-text terms pointing AT each host. Anchor text describes the
+    page it points at (the classic search-engine relevance signal and
+    a WebText-style quality cue); aggregating it per target host gives
+    a queryable signal table for crawl prioritization and labeling.
+
+    One shuffle for the (host, term) count (map-side partial agg), one
+    for the per-host top-k window — the window partitions on dst_host,
+    so groups are bounded by a host's distinct anchor vocabulary, never
+    by corpus size. ``ascii_only`` drops records whose anchor text
+    isn't printable-ASCII (the oracle-portability regime — see
+    clean_ascii_href); the default keeps all text."""
+    a = anchor_records(pages, url_col=url_col, html_col=html_col)
+    if ascii_only:
+        a = a.where(F.col("anchor_text").rlike(r"^[ -~]*$")
+                    & ~F.col("anchor_text").contains("\\"))
+    toks = (a.select(host_col(F.col("target_url")).alias("dst_host"),
+                     F.explode(F.split(F.lower(F.col("anchor_text")),
+                                       r"[^a-z0-9]+")).alias("term"))
+            .where((F.col("term") != F.lit(""))
+                   & (F.col("dst_host") != F.lit(""))))
+    counts = toks.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).alias("n_term"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("dst_host")
+         .orderBy(F.desc("n_term"), F.asc("term")))
+    return (counts.withColumn("pos", F.row_number().over(w))
+            .where(F.col("pos") <= top_k))
+
+
 def host_edges(pages: DataFrame, *, url_col: str = "url",
                html_col: str = "html",
                keep_self_loops: bool = True) -> DataFrame:

@@ -145,6 +145,30 @@ def test_blob_escape_contract():
     assert escaped == {'"', "'", "\\"}
 
 
+def test_anchor_term_profile(spark):
+    from ocr_engine_spark.functions.linkgraph import anchor_term_profile
+
+    html = (b'<html><a href="https://t.example/a">great docs</a>'
+            b'<a href="https://t.example/b">great API</a>'
+            b'<a href="https://t.example/c">docs</a>'
+            b'<a href="https://u.example/">caf\xe9 menu</a>'
+            b'<a href="/self">home</a></html>')
+    pages = spark.createDataFrame([("http://s.example/p", html)],
+                                  "url string, html binary")
+    rows = anchor_term_profile(pages, top_k=2, ascii_only=True).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.dst_host, []).append((r.term, r.n_term, r.pos))
+    # tie between 'docs'(2) ... 'great'(2): n desc then term asc
+    assert by_host["t.example"] == [("docs", 2, 1), ("great", 2, 2)]
+    assert by_host["s.example"] == [("home", 1, 1)]
+    # non-ASCII anchor text dropped in ascii_only mode
+    assert "u.example" not in by_host
+    # default keeps it
+    all_rows = anchor_term_profile(pages, top_k=2).collect()
+    assert any(r.dst_host == "u.example" for r in all_rows)
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
