@@ -267,8 +267,8 @@ PAGERANK_SCALE = 1_000_000_000_000
 
 
 def pagerank(edges: DataFrame, *, src: str = "src_host",
-             dst: str = "dst_host", iterations: int = 10,
-             damping_pct: int = 85,
+             dst: str = "dst_host", weight: str | None = None,
+             iterations: int = 10, damping_pct: int = 85,
              scale: int = PAGERANK_SCALE) -> DataFrame:
     """(node, rank) damped PageRank over distinct directed edges, in
     integer fixed-point (``rank`` is a long in units of 1/scale of the
@@ -288,24 +288,40 @@ def pagerank(edges: DataFrame, *, src: str = "src_host",
 
     ``damping_pct`` is the damping factor in integer percent (85 =
     the canonical 0.85), keeping the teleport arithmetic exact.
+
+    ``weight`` names an integer edge-weight column (e.g. ``n_links``
+    from host_edges): a node's rank splits over out-edges in
+    proportion ``(rank * w) div sum_w`` instead of evenly — still pure
+    integer arithmetic. Weights must be positive; parallel (src, dst)
+    rows are summed into one weighted edge. The
+    rank*weight product must fit a long: rank <= scale (1e12 default),
+    so per-node weight sums up to ~9e6 are safe — host-level link
+    counts, not raw-page multiplicities.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
-    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    wcol = (F.col(weight).cast("long") if weight is not None
+            else F.lit(1).cast("long"))
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                      wcol.alias("w"))
     nodes = (e0.select(F.col("s").alias("node"))
              .unionByName(e0.select(F.col("d").alias("node")))
              .distinct()
              .persist())
-    e = (e0.where(F.col("s") != F.col("d"))
-         .distinct()
-         .persist())
+    e = e0.where(F.col("s") != F.col("d"))
+    if weight is None:
+        e = e.distinct()
+    else:
+        e = (e.groupBy("s", "d").agg(F.sum("w").alias("w")))
+    e = e.persist()
     n = nodes.count()  # driver scalar: graph metadata, 1 value
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
+    # out-mass denominator: weight sum (== out-degree when unweighted)
     deg = e.groupBy(F.col("s").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg"))
+        F.sum("w").alias("deg"))
     base = scale // n
     tele = (base * (100 - damping_pct)) // 100
     ranks = (nodes.withColumn("rank", F.lit(base).cast("long"))
@@ -315,7 +331,7 @@ def pagerank(edges: DataFrame, *, src: str = "src_host",
         linked = r.where(F.col("deg").isNotNull())
         shares = (e.join(linked, e["s"] == linked["node"])
                   .select(F.col("d").alias("node"),
-                          F.expr("rank div deg").alias("share")))
+                          F.expr("(rank * w) div deg").alias("share")))
         contrib = shares.groupBy("node").agg(
             F.sum("share").alias("contrib"))
         dangling = (r.where(F.col("deg").isNull())

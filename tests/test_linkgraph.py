@@ -267,6 +267,44 @@ def test_pagerank_mass_and_dangling(edges_df):
     assert got["sink1"] > 0 and got["sink2"] > 0
 
 
+def ref_pagerank_weighted(edges, iterations=4, scale=PAGERANK_SCALE,
+                          dp=85):
+    agg = Counter()
+    for s, d, w in edges:
+        if s != d:
+            agg[(s, d)] += w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    wsum = Counter()
+    for (s, _), w in agg.items():
+        wsum[s] += w
+    base = scale // n
+    tele = (base * (100 - dp)) // 100
+    rank = {v: base for v in nodes}
+    for _ in range(iterations):
+        contrib = defaultdict(int)
+        for (s, d), w in agg.items():
+            contrib[d] += (rank[s] * w) // wsum[s]
+        dangling = sum(rank[v] for v in nodes if v not in wsum)
+        rank = {v: tele + (dp * (contrib[v] + dangling // n)) // 100
+                for v in nodes}
+    return rank
+
+
+def test_pagerank_weighted(spark):
+    wedges = [("a", "b", 9), ("a", "c", 1), ("b", "a", 1),
+              ("c", "a", 1), ("a", "b", 2),  # parallel edge: summed
+              ("d", "a", 5)]
+    df = spark.createDataFrame(
+        wedges, "src_host string, dst_host string, n_links long")
+    got = {r.node: r["rank"]
+           for r in pagerank(df, weight="n_links",
+                             iterations=4).collect()}
+    assert got == ref_pagerank_weighted(wedges, iterations=4)
+    # the heavy edge a->b (11:1) pushes b far above c
+    assert got["b"] > 3 * got["c"]
+
+
 def test_pagerank_validations(edges_df, spark):
     with pytest.raises(ValueError):
         pagerank(edges_df, iterations=0)
