@@ -1262,19 +1262,14 @@ def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dst_host", "pos"))
 
 
-def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer fixed-point PageRank (functions/linkgraph.py:pagerank)
-    over a deterministic synthetic host graph derived from the pages
-    fixture (each non-dangling host links to the 3 hosts at
-    (idx*7+j) mod N in md5-rank order; hosts with md5%5==0 keep no
-    out-edges, exercising the dangling-mass redistribution). Every
-    rank is a long in micro-units of total mass: integer add/div only,
-    so ranks are bit-identical across partitioning, parallelism and
-    reduce order — the 4N-executor reproducibility property — and the
-    oracle replays all 5 iterations verbatim in SQL."""
+def _synthetic_host_edges(spark: SparkSession) -> DataFrame:
+    """Deterministic synthetic host graph over the pages fixture: each
+    non-dangling host links to the 3 hosts at (idx*7+j) mod N in
+    md5-rank order; hosts with md5%5==0 keep no out-edges (dangling).
+    Shared by the PageRank and harmonic-centrality queries; the oracle
+    twin is _synth_edges_cte()."""
     from pyspark.sql import Window
     from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
-    from ocr_engine_spark.functions.linkgraph import pagerank
     from ocr_engine_spark.functions.scrub import host_col
     from ocr_engine_spark.functions.text import md5_int60_col
     ensure_entry_fixture(_ENTRY_CORPUS)
@@ -1289,19 +1284,48 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = hosts.withColumn(
         "idx", F.row_number().over(Window.orderBy("h60", "host")) - 1)
     n_h = hi.count()  # driver scalar: |hosts|, graph metadata
-    e = (hi.where(F.pmod(F.col("h60"), F.lit(5)) != 0)
-         .select("idx",
-                 F.col("host").alias("src_host"),
-                 F.explode(F.array(F.lit(1), F.lit(2),
-                                   F.lit(3))).alias("j"))
-         .withColumn("tidx", (F.col("idx") * 7 + F.col("j")) % n_h)
-         .join(hi.select(F.col("idx").alias("tidx"),
-                         F.col("host").alias("dst_host")), "tidx")
-         .select("src_host", "dst_host"))
+    return (hi.where(F.pmod(F.col("h60"), F.lit(5)) != 0)
+            .select("idx",
+                    F.col("host").alias("src_host"),
+                    F.explode(F.array(F.lit(1), F.lit(2),
+                                      F.lit(3))).alias("j"))
+            .withColumn("tidx", (F.col("idx") * 7 + F.col("j")) % n_h)
+            .join(hi.select(F.col("idx").alias("tidx"),
+                            F.col("host").alias("dst_host")), "tidx")
+            .select("src_host", "dst_host"))
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (functions/linkgraph.py:pagerank)
+    over the deterministic synthetic host graph
+    (_synthetic_host_edges; dangling hosts exercise the dangling-mass
+    redistribution). Every rank is a long in micro-units of total
+    mass: integer add/div only, so ranks are bit-identical across
+    partitioning, parallelism and reduce order — the 4N-executor
+    reproducibility property — and the oracle replays all 5 iterations
+    verbatim in SQL."""
+    from ocr_engine_spark.functions.linkgraph import pagerank
+    e = _synthetic_host_edges(spark)
     return (pagerank(e, iterations=5)
             .select(F.col("node").alias("host"),
                     F.col("rank").alias("rank_micro"))
             .orderBy(F.desc("rank_micro"), "host"))
+
+
+def q_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall-style harmonic centrality with integer KMV sketches
+    (functions/linkgraph.py:harmonic_centrality) over the same
+    synthetic host graph as q_host_pagerank. k=4 on a ~10-host graph
+    drives the balls PAST the sketch capacity, so both estimator
+    regimes (exact small-ball count AND the (k-1)*2^45 div kth-min
+    order-statistic read) are value-checked; the oracle replays all 3
+    sketch-merge iterations verbatim with DuckDB list functions."""
+    from ocr_engine_spark.functions.linkgraph import harmonic_centrality
+    e = _synthetic_host_edges(spark)
+    return (harmonic_centrality(e, iterations=3, k=4)
+            .select(F.col("node").alias("host"), "reach_est",
+                    "harmonic_micro")
+            .orderBy(F.desc("harmonic_micro"), "host"))
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1459,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_audit": q_robots_audit,
         "outlink_hosts": q_outlink_hosts,
         "host_pagerank": q_host_pagerank,
+        "host_harmonic": q_host_harmonic,
         "anchor_terms": q_anchor_terms,
     }
 
@@ -2402,6 +2427,72 @@ def _anchor_terms_oracle() -> str:
     """
 
 
+def _synth_edges_cte(pages: str) -> str:
+    """Oracle twin of _synthetic_host_edges: CTE chain ending in
+    ``edges`` (distinct, self-loops dropped) and ``e0`` (raw)."""
+    return f"""pg AS (
+          SELECT DISTINCT lower(regexp_extract(url, {_LG_HOST_RE}, 1))
+                   AS host
+          FROM read_parquet('{pages}')),
+        hh AS (SELECT host,
+                      ('0x' || substr(md5(host), 1, 15))::BIGINT AS h60
+               FROM pg),
+        hi AS (SELECT host, h60,
+                      row_number() OVER (ORDER BY h60, host) - 1 AS idx
+               FROM hh),
+        nh AS (SELECT count(*) AS n FROM hi),
+        e0 AS (SELECT s.host AS src, t.host AS dst
+               FROM hi s CROSS JOIN nh
+               CROSS JOIN (VALUES (1), (2), (3)) AS js(j)
+               JOIN hi t ON t.idx = (s.idx * 7 + js.j) % nh.n
+               WHERE s.h60 % 5 <> 0),
+        edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)"""
+
+
+def _host_harmonic_oracle(iterations: int = 3, k: int = 4) -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.linkgraph import KMV_DOMAIN
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+
+    def est(sk: str) -> str:
+        return (f"CASE WHEN len({sk}) < {k} THEN len({sk})::BIGINT "
+                f"ELSE ({k - 1} * CAST({KMV_DOMAIN} AS BIGINT)) "
+                f"// greatest({sk}[{k}], CAST(1 AS BIGINT)) END")
+
+    its = []
+    prev = "s0"
+    for t in range(1, iterations + 1):
+        its.append(f"""
+        u{t} AS (SELECT node, unnest(sk) AS hv FROM {prev}
+                 UNION ALL
+                 SELECT e.dst AS node, unnest(s.sk) AS hv
+                 FROM edges e JOIN {prev} s ON e.src = s.node),
+        m{t} AS (SELECT node,
+                        list_slice(list_sort(list_distinct(list(hv))),
+                                   1, {k}) AS sk
+                 FROM u{t} GROUP BY node),
+        s{t} AS (SELECT p.node, m.sk, {est('m.sk')} AS prev_est,
+                        p.h + (({est('m.sk')} - p.prev_est) * 1000000)
+                          // {t} AS h
+                 FROM {prev} p JOIN m{t} m ON m.node = p.node)""")
+        prev = f"s{t}"
+    return f"""
+        WITH {_synth_edges_cte(pages)},
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        s0 AS (SELECT node,
+                      [('0x' || substr(md5(node), 1, 15))::BIGINT
+                       // 32768] AS sk,
+                      CAST(1 AS BIGINT) AS prev_est,
+                      CAST(0 AS BIGINT) AS h
+               FROM nodes),{','.join(its)}
+        SELECT node AS host, prev_est AS reach_est, h AS harmonic_micro
+        FROM {prev}
+        ORDER BY h DESC, host
+    """
+
+
 def _host_pagerank_oracle(iterations: int = 5,
                           scale: int = 1_000_000_000_000) -> str:
     from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
@@ -2425,23 +2516,7 @@ def _host_pagerank_oracle(iterations: int = 5,
                  LEFT JOIN c{i} c ON c.node = n.node)""")
         prev = f"r{i}"
     return f"""
-        WITH pg AS (
-          SELECT DISTINCT lower(regexp_extract(url, {_LG_HOST_RE}, 1))
-                   AS host
-          FROM read_parquet('{pages}')),
-        hh AS (SELECT host,
-                      ('0x' || substr(md5(host), 1, 15))::BIGINT AS h60
-               FROM pg),
-        hi AS (SELECT host, h60,
-                      row_number() OVER (ORDER BY h60, host) - 1 AS idx
-               FROM hh),
-        nh AS (SELECT count(*) AS n FROM hi),
-        e0 AS (SELECT s.host AS src, t.host AS dst
-               FROM hi s CROSS JOIN nh
-               CROSS JOIN (VALUES (1), (2), (3)) AS js(j)
-               JOIN hi t ON t.idx = (s.idx * 7 + js.j) % nh.n
-               WHERE s.h60 % 5 <> 0),
-        edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        WITH {_synth_edges_cte(pages)},
         nodes AS (SELECT src AS node FROM e0
                   UNION SELECT dst FROM e0),
         deg AS (SELECT src AS node, count(*) AS deg FROM edges
@@ -3544,6 +3619,7 @@ def _oracle_sql() -> dict[str, str]:
         "robots_noindex": _robots_noindex_oracle(),
         "outlink_hosts": _outlink_hosts_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
+        "host_harmonic": _host_harmonic_oracle(),
         "anchor_terms": _anchor_terms_oracle(),
         "robots_audit": _robots_audit_oracle(),
         "vocab_topk": r"""

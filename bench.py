@@ -42,7 +42,7 @@ HEADLINE = [
     "tfidf_topk", "bpe_train", "bpe_encode",
     "dsir_select",
     "host_skew", "domain_blocklist", "robots_noindex", "robots_audit",
-    "outlink_hosts", "host_pagerank", "anchor_terms",
+    "outlink_hosts", "host_pagerank", "host_harmonic", "anchor_terms",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",
     "embedding_lsh_pairs", "embedding_near_dups", "ivf_topk",
     "semantic_dedup", "decontaminate", "decontaminate_bloom",

@@ -265,6 +265,104 @@ def host_edges(pages: DataFrame, *, url_col: str = "url",
 #: lost to integer division; bump for bigger graphs.
 PAGERANK_SCALE = 1_000_000_000_000
 
+#: KMV sketch hash domain: md5_int60 div 2^15 -> uniform in [0, 2^45).
+#: Chosen so the estimator's (k-1) * DOMAIN product stays far inside a
+#: long for k up to ~2^17; at 10^9 nodes the expected 45-bit collision
+#: count (~n^2 / 2^46) perturbs estimates by ~1e-5 relative — noise
+#: against the sketch's own 1/sqrt(k-2) error.
+KMV_DOMAIN = 1 << 45
+
+
+def harmonic_centrality(edges: DataFrame, *, src: str = "src_host",
+                        dst: str = "dst_host", iterations: int = 5,
+                        k: int = 32) -> DataFrame:
+    """(node, reach_est, harmonic_micro) — harmonic centrality
+    H(v) = sum over u of 1/d(u, v) (incoming distances, truncated at
+    ``iterations`` hops), the rank Common Crawl publishes as its
+    primary host ranking, estimated HyperBall-style (Boldi & Vigna,
+    "In-Core Computation of Geometric Centralities with HyperBall",
+    2013): iterate ball sketches over in-edges, read |ball_t(v)| off
+    the sketch each round, and accumulate (|ball_t| - |ball_{t-1}|)/t.
+
+    Sketches are K-MINIMUM-VALUES instead of HyperBall's HyperLogLog
+    registers, on purpose: a KMV sketch is a sorted array of the k
+    smallest 45-bit node hashes in the ball, so every operation —
+    union (concat + distinct + sort + slice), cardinality read
+    ((k-1) * 2^45 div kth_min, or the EXACT length while the ball
+    still fits in k), delta accumulation in integer micro-units — is
+    integer-exact, reduce-order independent, bit-identical across
+    cluster sizes, and replayable verbatim in the SQL oracle. Balls
+    smaller than k are counted EXACTLY (small/medium-site centralities
+    have zero sketch error; only mega-ball estimates carry the
+    ~1/sqrt(k-2) relative error).
+
+    Scale shape per iteration: one shuffle moving (dst, sketch) pairs
+    (k longs each — bounded state, like HyperBall's registers), one
+    groupBy merging sketches, localCheckpoint lineage truncation.
+    ``iterations`` bounds the distance horizon; the web graph's
+    effective diameter is small (~12), and truncated harmonic at t
+    hops is itself a standard centrality (all farther nodes contribute
+    < 1/t each).
+
+    Self-loops contribute nothing (v is already in its own ball at
+    distance 0) and are dropped.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if k < 4:
+        raise ValueError("k must be >= 4")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .where(F.col("s") != F.col("d"))
+         .distinct()
+         .persist())
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionByName(e.select(F.col("d").alias("node")))
+             .distinct())
+    from ocr_engine_spark.functions.text import md5_int60_col
+
+    def est_col(sk: Column) -> Column:
+        # exact while the ball fits; (k-1)-th order statistic otherwise
+        return (F.when(F.size(sk) < k, F.size(sk).cast("long"))
+                .otherwise(F.expr(
+                    f"({k - 1} * CAST({KMV_DOMAIN} AS BIGINT))"
+                    f" div greatest(element_at(sk, {k}),"
+                    f" CAST(1 AS BIGINT))")))
+
+    # init: ball_0(v) = {v}; prev_est = 1 (v itself, distance 0);
+    # 45-bit hash via integer div (float division of 60-bit longs
+    # would lose precision past 2^53)
+    state = (nodes
+             .withColumn("__h60", md5_int60_col(F.col("node")))
+             .withColumn("sk", F.array(F.expr("__h60 div 32768")))
+             .drop("__h60")
+             .withColumn("prev_est", F.lit(1).cast("long"))
+             .withColumn("h_micro", F.lit(0).cast("long"))
+             .localCheckpoint())
+    for t in range(1, iterations + 1):
+        ssel = state.select("node", "sk")
+        contrib = (e.join(ssel, e["s"] == ssel["node"])
+                   .select(F.col("d").alias("node"), "sk"))
+        # collect_list order is nondeterministic; distinct+sort+slice
+        # makes the merged sketch a pure SET function of its inputs
+        merged = (state.select("node", "sk").unionByName(contrib)
+                  .groupBy("node")
+                  .agg(F.slice(F.array_sort(F.array_distinct(
+                      F.flatten(F.collect_list("sk")))), 1, k)
+                      .alias("sk")))
+        state = (state.select("node", "prev_est", "h_micro")
+                 .join(merged, "node")
+                 .withColumn("__est", est_col(F.col("sk")))
+                 .select("node", "sk",
+                         F.col("__est").alias("prev_est"),
+                         (F.col("h_micro")
+                          + F.expr("((__est - prev_est) * 1000000)"
+                                   f" div {t}")).alias("h_micro"))
+                 .localCheckpoint())
+    e.unpersist()
+    return state.select("node",
+                        F.col("prev_est").alias("reach_est"),
+                        F.col("h_micro").alias("harmonic_micro"))
+
 
 def pagerank(edges: DataFrame, *, src: str = "src_host",
              dst: str = "dst_host", weight: str | None = None,
