@@ -1247,6 +1247,26 @@ def q_outlink_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_edges(corpus).orderBy("src_host", "dst_host")
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl frontier (linkgraph.crawl_frontier): PageRank over the
+    synthetic host graph joined onto the fixture pages, priority =
+    (rank + teleport floor) x staleness hours, per-host politeness
+    budget of 2, deterministic global top-40. Closes the crawl loop —
+    extract -> graph -> rank -> SCHEDULE — and the oracle replays the
+    whole composition: graph synthesis, all 5 PageRank iterations, the
+    staleness arithmetic, the politeness window and the top-n."""
+    from ocr_engine_spark.functions.linkgraph import (
+        crawl_frontier, pagerank,
+    )
+    e = _synthetic_host_edges(spark)
+    ranks = pagerank(e, iterations=5)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "warc_ts"))
+    return crawl_frontier(pages, ranks, now_epoch=1767225600,
+                          per_host_budget=2, top_n=40)
+
+
 def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text signal table (linkgraph.anchor_term_profile): the
     top-5 anchor terms pointing at each host, over the link-injected
@@ -1484,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_hosts": q_outlink_hosts,
         "host_pagerank": q_host_pagerank,
         "host_harmonic": q_host_harmonic,
+        "crawl_frontier": q_crawl_frontier,
         "anchor_terms": q_anchor_terms,
     }
 
@@ -2493,11 +2514,12 @@ def _host_harmonic_oracle(iterations: int = 3, k: int = 4) -> str:
     """
 
 
-def _host_pagerank_oracle(iterations: int = 5,
-                          scale: int = 1_000_000_000_000) -> str:
-    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
-    ensure_entry_fixture(_ENTRY_CORPUS)
-    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+def _pagerank_ctes(iterations: int = 5,
+                   scale: int = 1_000_000_000_000) -> tuple[str, str]:
+    """(CTE fragment, final rank CTE name) — the unrolled fixed-point
+    PageRank chain; assumes ``edges`` and ``e0`` are already defined
+    (see _synth_edges_cte). Shared by the host_pagerank and
+    crawl_frontier oracles."""
     its = []
     prev = "r0"
     for i in range(1, iterations + 1):
@@ -2515,17 +2537,61 @@ def _host_pagerank_oracle(iterations: int = 5,
                  FROM nodes n CROSS JOIN nn CROSS JOIN d{i} dd
                  LEFT JOIN c{i} c ON c.node = n.node)""")
         prev = f"r{i}"
-    return f"""
-        WITH {_synth_edges_cte(pages)},
-        nodes AS (SELECT src AS node FROM e0
+    frag = f"""nodes AS (SELECT src AS node FROM e0
                   UNION SELECT dst FROM e0),
         deg AS (SELECT src AS node, count(*) AS deg FROM edges
                 GROUP BY src),
         nn AS (SELECT count(*) AS n FROM nodes),
         r0 AS (SELECT node, ({scale} // nn.n)::BIGINT AS pr
-               FROM nodes CROSS JOIN nn),{','.join(its)}
-        SELECT node AS host, pr::BIGINT AS rank_micro FROM {prev}
+               FROM nodes CROSS JOIN nn),{','.join(its)}"""
+    return frag, prev
+
+
+def _host_pagerank_oracle(iterations: int = 5) -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    chain, last = _pagerank_ctes(iterations)
+    return f"""
+        WITH {_synth_edges_cte(pages)},
+        {chain}
+        SELECT node AS host, pr::BIGINT AS rank_micro FROM {last}
         ORDER BY pr DESC, host
+    """
+
+
+def _crawl_frontier_oracle(now_epoch: int = 1767225600,
+                           budget: int = 2, top_n: int = 40) -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    chain, last = _pagerank_ctes(5)
+    return f"""
+        WITH {_synth_edges_cte(pages)},
+        {chain},
+        pp AS (SELECT url,
+                      lower(regexp_extract(url, {_LG_HOST_RE}, 1))
+                        AS host,
+                      coalesce(epoch(warc_ts)::BIGINT, 0) AS ts
+               FROM read_parquet('{pages}')),
+        jr AS (SELECT p.url, p.host,
+                      coalesce(r.pr, 0)::BIGINT AS rank_micro,
+                      greatest(({now_epoch} - p.ts) // 3600,
+                               CAST(1 AS BIGINT)) AS staleness_h
+               FROM pp p LEFT JOIN {last} r ON r.node = p.host),
+        sc AS (SELECT *,
+                      (rank_micro + 1000000) * staleness_h AS priority
+               FROM jr),
+        wd AS (SELECT *,
+                      row_number() OVER (PARTITION BY host
+                                         ORDER BY priority DESC, url)
+                        AS host_pos
+               FROM sc)
+        SELECT url, host, rank_micro, staleness_h, priority,
+               host_pos::INT AS host_pos
+        FROM wd WHERE host_pos <= {budget}
+        ORDER BY priority DESC, url
+        LIMIT {top_n}
     """
 
 
@@ -3620,6 +3686,7 @@ def _oracle_sql() -> dict[str, str]:
         "outlink_hosts": _outlink_hosts_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
         "host_harmonic": _host_harmonic_oracle(),
+        "crawl_frontier": _crawl_frontier_oracle(),
         "anchor_terms": _anchor_terms_oracle(),
         "robots_audit": _robots_audit_oracle(),
         "vocab_topk": r"""

@@ -265,6 +265,61 @@ def host_edges(pages: DataFrame, *, url_col: str = "url",
 #: lost to integer division; bump for bigger graphs.
 PAGERANK_SCALE = 1_000_000_000_000
 
+def crawl_frontier(pages: DataFrame, ranks: DataFrame, *,
+                   now_epoch: int, per_host_budget: int = 2,
+                   top_n: int = 100, url_col: str = "url",
+                   ts_col: str = "warc_ts",
+                   rank_col: str = "rank") -> DataFrame:
+    """(url, host, rank_micro, staleness_h, priority, host_pos) — the
+    re-crawl frontier: which urls to fetch next, closing the crawl
+    loop (extract -> link graph -> rank -> SCHEDULE). Priority is
+    integer ``(rank_micro + 1e6) * max(staleness_hours, 1)`` — host
+    importance (PageRank/harmonic micro-units from this module) scaled
+    by how stale our copy is; the +1e6 teleport floor keeps unranked
+    hosts ordered by staleness instead of collapsing to priority 0. A
+    missing timestamp counts as epoch 0 (never crawled -> maximal
+    staleness). All integer arithmetic: the schedule is reproducible
+    across cluster sizes, like every rank in this module.
+
+    Politeness: at most ``per_host_budget`` urls per host (row_number
+    over a per-host window — group size is a host's url count; hot
+    hosts sort within one partition, the standard top-k-per-key shape)
+    then a global deterministic top-``top_n``
+    (TakeOrderedAndProject, no global sort).
+
+    ``ranks`` is (node, rank) host-keyed — a dim table against the
+    url-keyed pages side. Not broadcast-hinted on purpose: at web
+    scale |hosts| is itself huge; AQE picks broadcast when it fits.
+
+    ``now_epoch`` is an explicit epoch-seconds literal, never wall
+    clock — schedules must be replayable.
+    """
+    from pyspark.sql import Window
+    cand = pages.select(
+        F.col(url_col).alias("url"),
+        host_col(F.col(url_col)).alias("host"),
+        F.coalesce(F.unix_timestamp(F.col(ts_col)),
+                   F.lit(0)).alias("__ts"))
+    r = ranks.select(F.col("node").alias("host"),
+                     F.col(rank_col).alias("rank_micro"))
+    scored = (cand.join(r, "host", "left")
+              .withColumn("rank_micro",
+                          F.coalesce("rank_micro",
+                                     F.lit(0).cast("long")))
+              .withColumn("staleness_h", F.expr(
+                  f"greatest(({now_epoch} - __ts) div 3600,"
+                  f" CAST(1 AS BIGINT))"))
+              .withColumn("priority", F.expr(
+                  "(rank_micro + 1000000) * staleness_h")))
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), "url")
+    return (scored.withColumn("host_pos", F.row_number().over(w))
+            .where(F.col("host_pos") <= per_host_budget)
+            .orderBy(F.desc("priority"), "url")
+            .limit(top_n)
+            .select("url", "host", "rank_micro", "staleness_h",
+                    "priority", "host_pos"))
+
+
 #: KMV sketch hash domain: md5_int60 div 2^15 -> uniform in [0, 2^45).
 #: Chosen so the estimator's (k-1) * DOMAIN product stays far inside a
 #: long for k up to ~2^17; at 10^9 nodes the expected 45-bit collision

@@ -305,6 +305,45 @@ def test_pagerank_weighted(spark):
     assert got["b"] > 3 * got["c"]
 
 
+def test_crawl_frontier(spark):
+    from ocr_engine_spark.functions.linkgraph import crawl_frontier
+
+    now = 1_767_225_600  # 2026-01-01T00:00:00Z
+    hour = 3600
+    rows = [
+        ("https://hot.example/a", now - 10 * hour),
+        ("https://hot.example/b", now - 20 * hour),
+        ("https://hot.example/c", now - 30 * hour),  # over budget
+        ("https://cold.example/x", now - 10 * hour),
+        ("https://new.example/y", None),             # never crawled
+    ]
+    pages = spark.createDataFrame(
+        [(u, None if t is None else __import__("datetime").datetime
+          .utcfromtimestamp(t)) for u, t in rows],
+        "url string, warc_ts timestamp")
+    ranks = spark.createDataFrame(
+        [("hot.example", 500_000_000)], "node string, rank long")
+    out = crawl_frontier(pages, ranks, now_epoch=now,
+                         per_host_budget=2, top_n=10).collect()
+    got = [(r.url, r.rank_micro, r.staleness_h, r.priority, r.host_pos)
+           for r in out]
+    by_url = {u: (rm, st, p, hp) for u, rm, st, p, hp in got}
+    # budget: hot.example keeps its 2 STALEST urls (higher priority)
+    assert "https://hot.example/c" in by_url
+    assert "https://hot.example/b" in by_url
+    assert "https://hot.example/a" not in by_url
+    # never-crawled: epoch-0 staleness dominates everything
+    assert got[0][0] == "https://new.example/y"
+    assert by_url["https://new.example/y"][0] == 0  # unranked
+    # unranked-but-stale beats nothing here, but holds a real priority
+    assert by_url["https://cold.example/x"][2] == 1_000_000 * 10
+    # ranked host's priority = (rank + floor) * staleness
+    assert by_url["https://hot.example/c"][2] == 501_000_000 * 30
+    # output is priority-descending
+    assert [p for _, _, _, p, _ in got] == sorted(
+        (p for _, _, _, p, _ in got), reverse=True)
+
+
 # ---------------------------------------------------------------------------
 # Harmonic centrality (KMV sketches)
 # ---------------------------------------------------------------------------
