@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections import Counter, defaultdict
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from ocr_engine_spark.functions.linkgraph import (
@@ -303,6 +304,44 @@ def test_pagerank_weighted(spark):
     assert got == ref_pagerank_weighted(wedges, iterations=4)
     # the heavy edge a->b (11:1) pushes b far above c
     assert got["b"] > 3 * got["c"]
+
+
+_SEG = st.from_regex(r"[a-z0-9]{1,3}", fullmatch=True)
+_HOST = st.from_regex(r"[a-z]{1,6}\.[a-z]{2,3}", fullmatch=True)
+_RELPATH = st.lists(_SEG, min_size=1, max_size=3).map("/".join)
+
+
+def _href_strategy():
+    return st.one_of(
+        _RELPATH,                                        # relative
+        _RELPATH.map(lambda p: "/" + p),                 # root-relative
+        _SEG.map(lambda s: "?" + s + "=1"),              # query-only
+        st.tuples(_HOST, _SEG).map(lambda t: f"//{t[0]}/{t[1]}"),
+        st.tuples(_HOST, _SEG).map(lambda t: f"https://{t[0]}/{t[1]}"),
+        st.tuples(_RELPATH, _SEG).map(lambda t: f"{t[0]}#{t[1]}"),
+    )
+
+
+def _base_strategy():
+    return st.tuples(
+        _HOST, st.one_of(st.just(""), _RELPATH.map(lambda p: "/" + p)),
+        st.one_of(st.just(""), _SEG.map(lambda s: "?" + s)),
+    ).map(lambda t: f"http://{t[0]}{t[1]}{t[2]}")
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(_base_strategy(), _href_strategy()),
+                min_size=1, max_size=25))
+def test_resolution_matches_urljoin(spark, pairs):
+    """On the dot-segment-free subset this module supports,
+    resolve_url_col must agree with the stdlib's RFC 3986 reference
+    resolver (urllib.parse.urljoin) exactly."""
+    from urllib.parse import urljoin
+    df = spark.createDataFrame(pairs, "base string, href string")
+    got = [r.r for r in df.select(
+        resolve_url_col(F.col("href"), F.col("base")).alias("r"))
+        .collect()]
+    assert got == [urljoin(b, h) for b, h in pairs]
 
 
 def test_crawl_frontier(spark):
