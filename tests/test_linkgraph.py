@@ -344,6 +344,25 @@ def test_resolution_matches_urljoin(spark, pairs):
     assert got == [urljoin(b, h) for b, h in pairs]
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=400),
+                min_size=1, max_size=30))
+def test_outlink_extraction_fuzz(spark, payloads):
+    """Arbitrary payload bytes (including ones that start with '<' and
+    contain mangled half-anchors) must never error, and every href
+    that comes out must satisfy the clean-printable-ASCII gate — the
+    invariant the DuckDB oracle parity rests on."""
+    rows = [(f"http://fuzz.example/{i}", b"<a href=" + p)
+            for i, p in enumerate(payloads)]
+    rows += [(f"http://raw.example/{i}", p)
+             for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = outlink_records(df).collect()
+    for r in out:
+        assert all(0x20 <= ord(c) <= 0x7E for c in r.href)
+        assert "\\" not in r.href and r.href != ""
+
+
 def test_crawl_frontier(spark):
     from ocr_engine_spark.functions.linkgraph import crawl_frontier
 
