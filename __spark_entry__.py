@@ -1267,6 +1267,36 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                           per_host_budget=2, top_n=40)
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level mirror detection (dedup.mirror_host_pairs): per-host
+    KMV sketches over content fingerprints, candidates from shared
+    sketch values, Broder resemblance read off the sketches — integer
+    permille. The fixture corpus is augmented with deterministic
+    mirrors (hosts with md5%3==0 duplicated under an m- host with
+    identical texts): those must surface at resemblance 1000; the
+    md5 threshold keeps unrelated host pairs out. The oracle replays
+    mirroring, fingerprints, per-host k-min ranks, the fanout guard,
+    the candidate join and the sketch estimator verbatim."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.dedup import mirror_host_pairs
+    from ocr_engine_spark.functions.scrub import host_col
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "text"))
+    host = host_col(F.col("url"))
+    rest = F.regexp_extract(
+        F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    mirrored = (pages
+                .where(F.pmod(md5_int60_col(host), F.lit(3)) == 0)
+                .select(F.concat(F.lit("https://m-"), host, rest)
+                        .alias("url"), "text"))
+    corpus = pages.unionByName(mirrored)
+    return (mirror_host_pairs(corpus, k=16, min_permille=300)
+            .orderBy("host_a", "host_b"))
+
+
 def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text signal table (linkgraph.anchor_term_profile): the
     top-5 anchor terms pointing at each host, over the link-injected
@@ -1505,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "host_harmonic": q_host_harmonic,
         "crawl_frontier": q_crawl_frontier,
+        "mirror_hosts": q_mirror_hosts,
         "anchor_terms": q_anchor_terms,
     }
 
@@ -2353,6 +2384,61 @@ def _outlink_hosts_oracle() -> str:
         WHERE dst_host IS NOT NULL AND dst_host <> '' AND src_host <> ''
         GROUP BY src_host, dst_host
         ORDER BY src_host, dst_host
+    """
+
+
+def _mirror_hosts_oracle(k: int = 16, min_permille: int = 300,
+                         max_fanout: int = 256) -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    fp = (r"('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+',"
+          r" ' ', 'g'))), 1, 15))::BIGINT // 32768")
+    return f"""
+        WITH pg AS (
+          SELECT url, text,
+                 lower(regexp_extract(url, {_LG_HOST_RE}, 1)) AS host
+          FROM read_parquet('{pages}')),
+        mir AS (
+          SELECT 'm-' || host AS host, text
+          FROM pg
+          WHERE ('0x' || substr(md5(host), 1, 15))::BIGINT % 3 = 0),
+        all0 AS (SELECT host, text FROM pg
+                 UNION ALL SELECT host, text FROM mir),
+        fps AS (SELECT DISTINCT host, {fp} AS fp
+                FROM all0 WHERE host <> ''),
+        rk AS (SELECT host, fp,
+                      row_number() OVER (PARTITION BY host
+                                         ORDER BY fp) AS r
+               FROM fps),
+        sk AS (SELECT host, list_sort(list(fp)) AS sk
+               FROM rk WHERE r <= {k} GROUP BY host),
+        ex AS (SELECT host, unnest(sk) AS fp FROM sk),
+        light AS (SELECT fp FROM ex GROUP BY fp
+                  HAVING count(*) <= {max_fanout}),
+        exl AS (SELECT e.host, e.fp
+                FROM ex e JOIN light l ON l.fp = e.fp),
+        cand AS (SELECT DISTINCT a.host AS host_a, b.host AS host_b
+                 FROM exl a JOIN exl b
+                   ON a.fp = b.fp AND a.host < b.host),
+        sc AS (SELECT c.host_a, c.host_b,
+                      list_slice(list_sort(list_distinct(
+                          list_concat(sa.sk, sb.sk))), 1, {k}) AS u,
+                      sa.sk AS ska, sb.sk AS skb
+               FROM cand c
+               JOIN sk sa ON sa.host = c.host_a
+               JOIN sk sb ON sb.host = c.host_b),
+        fin AS (SELECT host_a, host_b,
+                       len(list_intersect(u,
+                           list_intersect(ska, skb)))::INT AS shared,
+                       len(u)::INT AS union_size
+                FROM sc)
+        SELECT host_a, host_b, shared, union_size,
+               ((shared * 1000) // union_size)::BIGINT
+                 AS resemblance_permille
+        FROM fin
+        WHERE (shared * 1000) // union_size >= {min_permille}
+        ORDER BY host_a, host_b
     """
 
 
@@ -3687,6 +3773,7 @@ def _oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle(),
         "host_harmonic": _host_harmonic_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),
+        "mirror_hosts": _mirror_hosts_oracle(),
         "anchor_terms": _anchor_terms_oracle(),
         "robots_audit": _robots_audit_oracle(),
         "vocab_topk": r"""

@@ -43,7 +43,7 @@ HEADLINE = [
     "dsir_select",
     "host_skew", "domain_blocklist", "robots_noindex", "robots_audit",
     "outlink_hosts", "host_pagerank", "host_harmonic", "anchor_terms",
-    "crawl_frontier",
+    "crawl_frontier", "mirror_hosts",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",
     "embedding_lsh_pairs", "embedding_near_dups", "ivf_topk",
     "semantic_dedup", "decontaminate", "decontaminate_bloom",

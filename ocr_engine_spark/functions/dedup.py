@@ -612,3 +612,95 @@ def dedup_kgrams(df: DataFrame, k: int = 50, *, id_col: str = "doc_id",
                          - F.coalesce(F.col("__kept"), F.lit(0)))
                         .cast("long"))
             .drop("__kept"))
+
+
+# ---------------------------------------------------------------------------
+# Host-level mirror detection (KMV content-set resemblance)
+# ---------------------------------------------------------------------------
+
+#: KMV fingerprint domain for host sketches: md5_int60 div 2^15 (the
+#: linkgraph.KMV_DOMAIN convention) — 45 bits keeps every estimator
+#: product inside a long.
+
+
+def mirror_host_pairs(pages: DataFrame, *, url_col: str = "url",
+                      text_col: str = "text", k: int = 64,
+                      min_permille: int = 500,
+                      max_fp_fanout: int = 256) -> DataFrame:
+    """(host_a, host_b, shared, union_size, resemblance_permille) —
+    pairs of hosts whose CONTENT SETS resemble each other: mirror
+    sites, aggregator copies, www/non-www splits that url
+    canonicalization could not merge. Host-level resemblance is a
+    different animal from document dedup: two mirrors can disagree on
+    every url while agreeing on every byte of content.
+
+    Method — per-host KMV sketch over content fingerprints:
+
+      1. distinct (host, fingerprint) pairs (one shuffle, the only
+         corpus-sized one);
+      2. each host keeps its k SMALLEST 45-bit fingerprints — ranked
+         with the range-partition prefix-rank engine
+         (sample.global_stratum_ranks), so a million-page host never
+         sees a one-task-per-host window sort;
+      3. candidate pairs from an equi-join on shared sketch values —
+         mirrors share small fingerprints by construction, unrelated
+         hosts almost never do; no all-pairs comparison anywhere;
+      4. resemblance from the sketches alone (Broder): with
+         U = kmin_k(A ∪ B), J ≈ |U ∩ A ∩ B| / |U| — EXACT Jaccard
+         whenever |A ∪ B| <= k, an estimate with ~1/sqrt(k) error
+         past that. Integer arithmetic only (permille via div), so
+         results are bit-identical across cluster sizes and the
+         DuckDB oracle replays them verbatim.
+
+    ``max_fp_fanout`` drops fingerprints shared by more hosts than the
+    bound before the candidate join (a boilerplate page every host
+    serves would otherwise create a hot-key quadratic blowup);
+    dropping them from CANDIDATE GENERATION only — sketches keep them
+    for the resemblance read, so the estimate is unbiased.
+    """
+    from ocr_engine_spark.functions.sample import global_stratum_ranks
+    from ocr_engine_spark.functions.scrub import host_col
+
+    # 45-bit fingerprints (integer div, never float — 60-bit values
+    # exceed double precision): the linkgraph.KMV_DOMAIN convention
+    fps = (pages.select(host_col(F.col(url_col)).alias("host"),
+                        md5_int60_col(normalized_col(F.col(text_col)))
+                        .alias("__fp60"))
+           .withColumn("fp", F.expr("__fp60 div 32768"))
+           .drop("__fp60")
+           .where(F.col("host") != F.lit(""))
+           .distinct())
+    ranked = global_stratum_ranks(fps, strata_col="host", id_col="fp",
+                                  order_col="fp")
+    if ranked is None:
+        return pages.sparkSession.createDataFrame(
+            [], "host_a string, host_b string, shared int, "
+                "union_size int, resemblance_permille long")
+    sk = (ranked.where(F.col("__grank") <= k)
+          .groupBy("host")
+          .agg(F.array_sort(F.collect_list("fp")).alias("sk")))
+    ex = sk.select("host", F.explode("sk").alias("fp"))
+    light = (ex.groupBy("fp").agg(F.count(F.lit(1)).alias("__fan"))
+             .where(F.col("__fan") <= max_fp_fanout))
+    exl = ex.join(light.select("fp"), "fp")
+    a = exl.select(F.col("host").alias("host_a"), "fp")
+    b = exl.select(F.col("host").alias("host_b"), "fp")
+    cand = (a.join(b, "fp")
+            .where(F.col("host_a") < F.col("host_b"))
+            .select("host_a", "host_b")
+            .distinct())
+    ska = sk.select(F.col("host").alias("host_a"),
+                    F.col("sk").alias("sk_a"))
+    skb = sk.select(F.col("host").alias("host_b"),
+                    F.col("sk").alias("sk_b"))
+    scored = (cand.join(ska, "host_a").join(skb, "host_b")
+              .withColumn("__u", F.slice(F.array_sort(F.array_distinct(
+                  F.concat("sk_a", "sk_b"))), 1, k))
+              .withColumn("shared", F.size(F.array_intersect(
+                  "__u", F.array_intersect("sk_a", "sk_b"))))
+              .withColumn("union_size", F.size("__u"))
+              .withColumn("resemblance_permille", F.expr(
+                  "CAST((shared * 1000) div union_size AS BIGINT)")))
+    return (scored.where(F.col("resemblance_permille") >= min_permille)
+            .select("host_a", "host_b", "shared", "union_size",
+                    "resemblance_permille"))

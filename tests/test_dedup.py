@@ -143,3 +143,90 @@ def test_minhash_index_incremental_dedup(spark, tmp_path):
              for r in jaccard_pairs(union, threshold=0.9).collect()
              if r.id_b >= 5000 and r.id_a < 5000}
     assert got == brute and len(got) > 20
+
+
+def _ref_mirror_pairs(rows, k=16, min_permille=100, max_fanout=256):
+    """Pure-Python replica of mirror_host_pairs' integer pipeline."""
+    import hashlib
+    import re as _re
+    from collections import defaultdict
+
+    def fp45(text):
+        norm = _re.sub(r"\s+", " ", text.lower()).strip()
+        return int(hashlib.md5(norm.encode()).hexdigest()[:15],
+                   16) // 32768
+
+    by_host = defaultdict(set)
+    for url, text in rows:
+        m = _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", url)
+        host = m.group(1).lower() if m else ""
+        if host:
+            by_host[host].add(fp45(text))
+    sk = {h: sorted(v)[:k] for h, v in by_host.items()}
+    fan = defaultdict(set)
+    for h, vals in sk.items():
+        for v in vals:
+            fan[v].add(h)
+    cand = {tuple(sorted((a, b)))
+            for v, hs in fan.items() if len(hs) <= max_fanout
+            for a in hs for b in hs if a < b}
+    out = {}
+    for a, b in cand:
+        u = sorted(set(sk[a]) | set(sk[b]))[:k]
+        shared = len(set(u) & set(sk[a]) & set(sk[b]))
+        perm = (shared * 1000) // len(u)
+        if perm >= min_permille:
+            out[(a, b)] = (shared, len(u), perm)
+    return out
+
+
+def test_mirror_host_pairs(spark):
+    from ocr_engine_spark.functions.dedup import mirror_host_pairs
+
+    rows = []
+    for i in range(10):
+        rows.append((f"https://m1.ex/p{i}", f"content number {i} words"))
+        rows.append((f"https://M2.ex/q{i}", f"content number {i} words"))
+    for i in range(3):
+        rows.append((f"https://h3.ex/r{i}", f"content number {i} words"))
+    for i in range(7):
+        rows.append((f"https://h3.ex/s{i}", f"other text {i}"))
+    for i in range(5):
+        rows.append((f"https://h4.ex/t{i}", f"unrelated {i}"))
+    pages = spark.createDataFrame(rows, "url string, text string")
+    got = {(r.host_a, r.host_b): (r.shared, r.union_size,
+                                  r.resemblance_permille)
+           for r in mirror_host_pairs(pages, k=16,
+                                      min_permille=100).collect()}
+    assert got == _ref_mirror_pairs(rows, k=16, min_permille=100)
+    # perfect mirror at 1000 permille (host lowercased on both sides)
+    assert got[("m1.ex", "m2.ex")] == (10, 10, 1000)
+    assert ("h4.ex", "m1.ex") not in got  # no shared content, no pair
+
+
+def test_mirror_fanout_guard(spark):
+    """A fingerprint every host shares is dropped from CANDIDATE
+    GENERATION when it exceeds max_fp_fanout (no quadratic hot key),
+    but sketches keep it, so pairs found through other values still
+    count it in the resemblance read."""
+    from ocr_engine_spark.functions.dedup import mirror_host_pairs
+
+    rows = [(f"https://h{i}.ex/common", "the shared boilerplate page")
+            for i in range(6)]
+    rows += [(f"https://h{i}.ex/u{i}", f"unique {i}") for i in range(6)]
+    # h0/h1 also share a second page -> a pair discoverable without
+    # the boilerplate fingerprint
+    rows += [("https://h0.ex/x", "twin page"), ("https://h1.ex/y",
+                                                "twin page")]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    strict = {(r.host_a, r.host_b): r.resemblance_permille
+              for r in mirror_host_pairs(pages, k=16, min_permille=1,
+                                         max_fp_fanout=2).collect()}
+    assert set(strict) == {("h0.ex", "h1.ex")}
+    # 3 fps each (common, unique, twin); shared = {common, twin} = 2
+    # of union 4 -> 500 permille: the guarded fp still counted here
+    assert strict[("h0.ex", "h1.ex")] == 500
+    loose = {(r.host_a, r.host_b)
+             for r in mirror_host_pairs(pages, k=16, min_permille=1,
+                                        max_fp_fanout=64).collect()}
+    assert len(loose) == 15  # all C(6,2) pairs via the boilerplate fp
