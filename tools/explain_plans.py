@@ -133,6 +133,18 @@ NOTES = {
                      "pre-agg Exchange); the only shuffle is the "
                      "(src,dst) HashAggregate pair with map-side "
                      "partial counts",
+    "crawl_frontier": "rank table enters as a checkpoint scan (the "
+                      "iterative PageRank materializes per round); the "
+                      "politeness window partitions on host (bounded "
+                      "groups) and the global top-n is "
+                      "TakeOrderedAndProject — no global sort of the "
+                      "frontier",
+    "mirror_hosts": "per-host k-min via the range-partition prefix-rank "
+                    "engine (no one-task-per-host window over the "
+                    "corpus); candidates from an fp equi-join after the "
+                    "fanout-guard semi-join; the estimator is array ops "
+                    "in a Project — the only corpus-sized shuffle is "
+                    "the distinct (host, fp)",
     "pagerank_round": "one PageRank iteration (the loop body of "
                       "linkgraph.pagerank, pre-localCheckpoint): rank "
                       "join on src + partial_sum before the dst "
@@ -186,7 +198,8 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "domain_blocklist", "chunk_documents", "tfidf_topk",
             "corpus_split", "kgram_dedup",
             "url_latest", "bpe_pair_counts", "bpe_encode",
-            "outlink_hosts", "pagerank_round",
+            "outlink_hosts", "pagerank_round", "crawl_frontier",
+            "mirror_hosts",
             "extraction_pipeline"]
 
 
