@@ -2586,8 +2586,8 @@ def _host_harmonic_oracle(iterations: int = 3, k: int = 4) -> str:
         prev = f"s{t}"
     return f"""
         WITH {_synth_edges_cte(pages)},
-        nodes AS (SELECT src AS node FROM edges
-                  UNION SELECT dst FROM edges),
+        nodes AS (SELECT src AS node FROM e0
+                  UNION SELECT dst FROM e0),
         s0 AS (SELECT node,
                       [('0x' || substr(md5(node), 1, 15))::BIGINT
                        // 32768] AS sk,

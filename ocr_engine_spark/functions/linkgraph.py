@@ -360,19 +360,21 @@ def harmonic_centrality(edges: DataFrame, *, src: str = "src_host",
     < 1/t each).
 
     Self-loops contribute nothing (v is already in its own ball at
-    distance 0) and are dropped.
+    distance 0) and are dropped from propagation; their endpoints stay
+    in the node set (reach 1, harmonic 0 — isolated, not absent), the
+    same convention as pagerank.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if k < 4:
         raise ValueError("k must be >= 4")
-    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-         .where(F.col("s") != F.col("d"))
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (e0.select(F.col("s").alias("node"))
+             .unionByName(e0.select(F.col("d").alias("node")))
+             .distinct())
+    e = (e0.where(F.col("s") != F.col("d"))
          .distinct()
          .persist())
-    nodes = (e.select(F.col("s").alias("node"))
-             .unionByName(e.select(F.col("d").alias("node")))
-             .distinct())
     from ocr_engine_spark.functions.text import md5_int60_col
 
     def est_col(sk: Column) -> Column:

@@ -79,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--resolve", action="store_true",
                     help="also resolve pairs into clusters and write the"
                          " keep-one deduped corpus")
+    dd.add_argument("--mirrors", action="store_true",
+                    help="also detect mirror HOSTS (KMV content-set "
+                         "resemblance; requires a url column)")
+    dd.add_argument("--url-col", default="url")
 
     ib = sub.add_parser("index", help="build persisted IVF index")
     ib.add_argument("--input", required=True, help="embeddings parquet")
@@ -200,6 +204,14 @@ def main(argv: list[str] | None = None) -> int:
     lg.add_argument("--damping-pct", type=int, default=85)
     lg.add_argument("--top", type=int, default=10,
                     help="top hosts to include in the JSON summary")
+    lg.add_argument("--harmonic", action="store_true",
+                    help="also write KMV harmonic-centrality ranks")
+    lg.add_argument("--frontier", type=int, metavar="NOW_EPOCH",
+                    default=None,
+                    help="also write the re-crawl frontier scheduled "
+                         "against this epoch-seconds instant")
+    lg.add_argument("--per-host-budget", type=int, default=2)
+    lg.add_argument("--frontier-top", type=int, default=1000)
 
     pl = sub.add_parser(
         "pipeline",
@@ -331,6 +343,14 @@ def main(argv: list[str] | None = None) -> int:
             out["clusters"] = decisions.count()
             out["kept_docs"] = obs.get["n"]
             decisions.unpersist()
+        if args.mirrors:
+            from ocr_engine_spark.functions.dedup import mirror_host_pairs
+            mp = mirror_host_pairs(docs, url_col=args.url_col,
+                                   text_col=args.text_col)
+            mp.write.mode("overwrite").parquet(
+                os.path.join(args.output, "mirror_hosts"))
+            out["mirror_host_pairs"] = spark.read.parquet(
+                os.path.join(args.output, "mirror_hosts")).count()
         print(json.dumps(out))
     elif args.cmd == "index":
         from ocr_engine_spark.functions.similarity import IvfIndex
@@ -598,10 +618,29 @@ def main(argv: list[str] | None = None) -> int:
         top = [{"host": r["node"], "rank_micro": r["rank"]}
                for r in ranks.orderBy(F.desc("rank"), "node")
                              .limit(args.top).collect()]
-        print(json.dumps({"hosts": ranks.count(),
-                          "edges": edges.count(),
-                          "iterations": args.iterations,
-                          "top": top}))
+        out = {"hosts": ranks.count(), "edges": edges.count(),
+               "iterations": args.iterations, "top": top}
+        if args.harmonic:
+            from ocr_engine_spark.functions.linkgraph import (
+                harmonic_centrality,
+            )
+            hc = harmonic_centrality(edges, iterations=args.iterations)
+            hc.write.mode("overwrite").parquet(
+                os.path.join(args.output, "harmonic"))
+            out["harmonic_hosts"] = spark.read.parquet(
+                os.path.join(args.output, "harmonic")).count()
+        if args.frontier is not None:
+            from ocr_engine_spark.functions.linkgraph import (
+                crawl_frontier,
+            )
+            fr = crawl_frontier(pages, ranks, now_epoch=args.frontier,
+                                per_host_budget=args.per_host_budget,
+                                top_n=args.frontier_top)
+            fr.write.mode("overwrite").parquet(
+                os.path.join(args.output, "frontier"))
+            out["frontier_urls"] = spark.read.parquet(
+                os.path.join(args.output, "frontier")).count()
+        print(json.dumps(out))
     elif args.cmd == "robots":
         from pyspark.sql import functions as F
         from ocr_engine_spark.functions.robots import robots_decisions

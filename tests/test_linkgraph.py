@@ -414,8 +414,8 @@ def _h45(node: str) -> int:
 
 def ref_harmonic_kmv(edges, iterations, k):
     """Pure-Python replica of harmonic_centrality's integer pipeline."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     es = {(s, d) for s, d in edges if s != d}
-    nodes = sorted({s for s, _ in es} | {d for _, d in es})
     domain = 1 << 45
     sk = {v: [_h45(v)] for v in nodes}
     prev = {v: 1 for v in nodes}
@@ -440,8 +440,8 @@ def ref_harmonic_kmv(edges, iterations, k):
 def ref_harmonic_exact(edges, iterations):
     """Exact truncated harmonic centrality by reverse BFS (what the
     sketch computes EXACTLY while every ball fits within k)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     es = {(s, d) for s, d in edges if s != d}
-    nodes = sorted({s for s, _ in es} | {d for _, d in es})
     rev = defaultdict(set)
     for s, d in es:
         rev[d].add(s)
