@@ -67,9 +67,10 @@ A_HREF_RE = (r"(?i)<a[ \t\n\r]([^>]*?[ \t\n\r])?href[ \t\n\r]*=[ \t\n\r]*"
              r"(\"[^\"]*\"|'[^']*'|[^ \t\n\r>]+)")
 _HREF_GROUP = 2
 
-#: full anchor element with its inner text (group 2). Java-only (the
-#: pytest surface): anchor TEXT may be non-ASCII so it has no portable
-#: blob-escape oracle, unlike hrefs.
+#: full anchor element (href = group 2, inner text = group 3). Anchor
+#: TEXT may be non-ASCII, so queries that want oracle parity gate it
+#: with the same clean-printable filter (see anchor_term_profile's
+#: ascii_only).
 A_ELEM_RE = (r"(?is)<a[ \t\n\r]([^>]*?[ \t\n\r])?href[ \t\n\r]*=[ \t\n\r]*"
              r"(\"[^\"]*\"|'[^']*'|[^ \t\n\r>]+)[^>]*>(.*?)</a>")
 
@@ -180,8 +181,8 @@ def anchor_records(pages: DataFrame, *, url_col: str = "url",
     text (inner tags stripped, whitespace collapsed). Anchor text is
     the classic target-page relevance signal (it describes the page it
     points AT); aggregate it per target to build a queryable signal
-    table. Java-regex surface, pytest-verified (text may be non-ASCII
-    so there is no portable blob-escape oracle for it)."""
+    table (anchor_term_profile — whose ascii_only mode makes the whole
+    path blob-escape-oracle-portable despite non-ASCII anchor text)."""
     elems = F.regexp_extract_all(F.decode(F.col(html_col), "ISO-8859-1"),
                                  F.lit(A_ELEM_RE), F.lit(0))
     gated = F.when(F.substring(F.col(html_col), 1, 1) == F.lit(b"<"),
@@ -264,6 +265,7 @@ def host_edges(pages: DataFrame, *, url_col: str = "url",
 #: digits of rank for graphs up to ~1e6 nodes per unit of precision
 #: lost to integer division; bump for bigger graphs.
 PAGERANK_SCALE = 1_000_000_000_000
+
 
 def crawl_frontier(pages: DataFrame, ranks: DataFrame, *,
                    now_epoch: int, per_host_budget: int = 2,
