@@ -304,3 +304,46 @@ def start_windowed_metrics_stream(pages_stream: DataFrame, output_path: str,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def start_edge_stream(pages_stream: DataFrame, output_root: str,
+                      checkpoint_path: str, *,
+                      table: str = "host_edges",
+                      available_now: bool = True):
+    """Continuous link-graph construction: each micro-batch's pages
+    reduce to (src_host, dst_host, n_links) partial counts, committed
+    as a log-structured edge DELTA through the ``ManifestCatalog``
+    marker protocol — exactly-once across checkpoint recovery, the
+    ``start_near_dedup_stream`` discipline (a replayed batch_id is a
+    no-op). Deltas are ADDITIVE: integer counts merge by sum, so the
+    merged graph is independent of micro-batch boundaries and replay
+    order, and a rank job (pagerank / harmonic_centrality) can run at
+    any instant on a consistent committed prefix of the crawl. No
+    unbounded streaming-aggregation state anywhere: the only state is
+    the commit log."""
+    from ocr_engine_spark.engine.catalog import ManifestCatalog
+    from ocr_engine_spark.functions.linkgraph import host_edges
+
+    cat = ManifestCatalog(output_root)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in cat.committed_batches(table):
+            return  # replayed after recovery; already committed
+        cat.write_batch(host_edges(batch_df), table, batch_id)
+
+    w = (pages_stream.writeStream
+         .foreachBatch(_process)
+         .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_edge_table(spark: SparkSession, output_root: str, *,
+                    table: str = "host_edges") -> DataFrame:
+    """Merged (src_host, dst_host, n_links) over every committed edge
+    delta — the batch-equivalent edge table, boundary-independent."""
+    from ocr_engine_spark.engine.catalog import ManifestCatalog
+    return (ManifestCatalog(output_root).read_table(spark, table)
+            .groupBy("src_host", "dst_host")
+            .agg(F.sum("n_links").alias("n_links")))

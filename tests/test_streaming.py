@@ -547,3 +547,67 @@ def test_stream_stream_enrich_join(spark, tmp_path):
     rows = spark.sql("SELECT * FROM enriched ORDER BY url").collect()
     assert [(r.url, r.fetch_status) for r in rows] == \
         [("https://a.com/1", 200)]
+
+
+def test_stream_edge_table_matches_batch(spark, tmp_path):
+    """Continuous link-graph construction: per-micro-batch edge deltas
+    merge (by sum) to exactly the batch host_edges of the whole
+    corpus, independent of micro-batch boundaries; restarting the
+    drained stream commits nothing new (marker-protocol idempotence)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_engine_spark.functions.linkgraph import host_edges
+    from ocr_engine_spark.streaming.stream_job import (
+        read_edge_table, read_pages_stream, start_edge_stream,
+    )
+
+    t0 = datetime.datetime(2025, 5, 1, 12, 0, 0)
+    src = tmp_path / "pages_in"
+    src.mkdir()
+
+    def page(url, *hrefs):
+        body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (url, f"<html>{body}</html>".encode())
+
+    def write_file(name, rows):
+        pq.write_table(pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+            "text": pa.array([""] * len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }), str(src / name))
+
+    write_file("f1.parquet", [
+        page("https://a.ex/1", "https://b.ex/x", "/local", "https://b.ex/y"),
+        page("https://b.ex/1", "https://a.ex/z")])
+    write_file("f2.parquet", [
+        page("https://a.ex/2", "https://b.ex/x"),      # same edge again
+        page("https://c.ex/1", "//a.ex/p", "#skip")])
+
+    out = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_pages_stream(spark, str(src),
+                               max_files_per_trigger=1)
+    q = start_edge_stream(stream, out, ckpt)
+    q.awaitTermination(180)
+
+    got = {(r.src_host, r.dst_host): r.n_links
+           for r in read_edge_table(spark, out).collect()}
+    batch_pages = read_pages(spark, str(src))
+    want = {(r.src_host, r.dst_host): r.n_links
+            for r in host_edges(batch_pages).collect()}
+    assert got == want
+    assert got[("a.ex", "b.ex")] == 3  # merged across micro-batches
+
+    # drained restart: marker protocol makes replay a no-op
+    q2 = start_edge_stream(read_pages_stream(spark, str(src),
+                                             max_files_per_trigger=1),
+                           out, ckpt)
+    q2.awaitTermination(180)
+    got2 = {(r.src_host, r.dst_host): r.n_links
+            for r in read_edge_table(spark, out).collect()}
+    assert got2 == got
