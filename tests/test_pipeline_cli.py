@@ -56,3 +56,23 @@ def test_bpe_cli(tmp_path):
     assert payload["encoded_docs"] > 0
     assert payload["total_tokens"] > payload["encoded_docs"]
     assert (out / "merges").exists() and (out / "tokens").exists()
+
+
+def test_linkgraph_cli(tmp_path, corpus_dir):
+    out = str(tmp_path / "graph")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_job.py"), "linkgraph",
+         "--input", os.path.join(corpus_dir, "pages.parquet"),
+         "--output", out, "--iterations", "3", "--harmonic",
+         "--frontier", "1767225600", "--frontier-top", "25"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["hosts"] > 0 and rep["edges"] > 0
+    assert rep["harmonic_hosts"] == rep["hosts"]
+    # per-host budget (default 2) caps the frontier below the top-n
+    assert rep["frontier_urls"] == min(25, 2 * rep["hosts"])
+    assert len(rep["top"]) > 0
+    for sub in ("edges", "ranks", "harmonic", "frontier"):
+        assert os.path.isdir(os.path.join(out, sub))
