@@ -271,7 +271,8 @@ def crawl_frontier(pages: DataFrame, ranks: DataFrame, *,
                    now_epoch: int, per_host_budget: int = 2,
                    top_n: int = 100, url_col: str = "url",
                    ts_col: str = "warc_ts",
-                   rank_col: str = "rank") -> DataFrame:
+                   rank_col: str = "rank",
+                   robots: DataFrame | None = None) -> DataFrame:
     """(url, host, rank_micro, staleness_h, priority, host_pos) — the
     re-crawl frontier: which urls to fetch next, closing the crawl
     loop (extract -> link graph -> rank -> SCHEDULE). Priority is
@@ -295,6 +296,11 @@ def crawl_frontier(pages: DataFrame, ranks: DataFrame, *,
 
     ``now_epoch`` is an explicit epoch-seconds literal, never wall
     clock — schedules must be replayable.
+
+    ``robots`` optionally takes a (url, allowed) decisions table
+    (functions/robots.py:robots_decisions): disallowed urls never
+    enter the schedule; urls ABSENT from the table stay schedulable
+    (RFC 9309 default-allow, the robots module's own convention).
     """
     from pyspark.sql import Window
     cand = pages.select(
@@ -302,6 +308,10 @@ def crawl_frontier(pages: DataFrame, ranks: DataFrame, *,
         host_col(F.col(url_col)).alias("host"),
         F.coalesce(F.unix_timestamp(F.col(ts_col)),
                    F.lit(0)).alias("__ts"))
+    if robots is not None:
+        blocked = (robots.where(~F.col("allowed"))
+                   .select(F.col("url").alias("url")))
+        cand = cand.join(blocked, "url", "left_anti")
     r = ranks.select(F.col("node").alias("host"),
                      F.col(rank_col).alias("rank_micro"))
     scored = (cand.join(r, "host", "left")

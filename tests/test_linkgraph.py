@@ -400,6 +400,17 @@ def test_crawl_frontier(spark):
     # output is priority-descending
     assert [p for _, _, _, p, _ in got] == sorted(
         (p for _, _, _, p, _ in got), reverse=True)
+    # robots gate: disallowed urls never enter the schedule; urls
+    # absent from the decisions table stay schedulable (default-allow)
+    robots = spark.createDataFrame(
+        [("https://new.example/y", False),
+         ("https://hot.example/c", True)],
+        "url string, allowed boolean")
+    gated = {r.url for r in crawl_frontier(
+        pages, ranks, now_epoch=now, per_host_budget=2, top_n=10,
+        robots=robots).collect()}
+    assert "https://new.example/y" not in gated
+    assert {"https://hot.example/c", "https://cold.example/x"} <= gated
 
 
 # ---------------------------------------------------------------------------
