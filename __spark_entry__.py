@@ -674,6 +674,34 @@ def q_line_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(1_000_000_007))).alias("pruned_hash_sum"))
 
 
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup, keep-first (functions/
+    dedup.py:dedup_paragraphs — the MassiveText/RefinedWeb motif):
+    doc_id % 7 docs duplicate their own text (within-doc repeats),
+    doc_id % 4 docs share an injected viral paragraph (cross-doc
+    repeats); every byte of the deduped texts is pinned by the
+    md5-int mod-sum."""
+    from ocr_engine_spark.functions.dedup import dedup_paragraphs
+    from ocr_engine_spark.functions.text import md5_int60_col
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t1 = F.when(F.col("doc_id") % 7 == 0,
+                F.concat_ws("\n\n", F.col("text"), F.col("text")))\
+        .otherwise(F.col("text"))
+    t2 = F.when(F.col("doc_id") % 4 == 0,
+                F.concat(t1, F.lit(
+                    "\n\nSHARE THIS ARTICLE ON SOCIAL MEDIA")))\
+        .otherwise(t1)
+    d = docs.select("doc_id", t2.alias("text"))
+    out = dedup_paragraphs(d)
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("chars_before"),
+        F.sum(F.length("dedup_text").cast("long")).alias("chars_after"),
+        F.sum("n_removed").alias("paras_removed"),
+        F.sum(F.pmod(md5_int60_col(F.col("dedup_text")),
+                     F.lit(1_000_000_007))).alias("dedup_hash_sum"))
+
+
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition signal: duplicate
     3-gram fraction, profiled per source (plus a doubled-text probe on
@@ -1506,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "pii_scrub": q_pii_scrub,
         "line_prune": q_line_prune,
+        "para_dedup": q_para_dedup,
         "quality_filter": q_quality_filter,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -2022,6 +2051,51 @@ _LINE_PRUNE_ORACLE = r"""
            sum(length(pruned))::BIGINT AS chars_after,
            sum(('0x' || substr(md5(pruned), 1, 15))::BIGINT
                % 1000000007)::BIGINT AS pruned_hash_sum
+    FROM out
+"""
+
+
+_PARA_DEDUP_ORACLE = r"""
+    WITH d0 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0
+             THEN text || chr(10) || chr(10) || text
+             ELSE text END AS t1
+      FROM documents WHERE doc_id < 200),
+    d AS (SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN t1 || chr(10) || chr(10)
+                           || 'SHARE THIS ARTICLE ON SOCIAL MEDIA'
+                      ELSE t1 END AS text
+          FROM d0),
+    p0 AS (SELECT doc_id, text,
+                  string_split(text, chr(10) || chr(10)) AS ps
+           FROM d),
+    paras AS (
+      SELECT doc_id, i AS pos, ps[i] AS p
+      FROM p0, LATERAL unnest(generate_series(1, len(ps))) u(i)),
+    el AS (SELECT doc_id, pos, p,
+                  row_number() OVER (PARTITION BY p
+                                     ORDER BY doc_id, pos) AS rn
+           FROM paras WHERE trim(p) <> ''),
+    kept AS (
+      SELECT doc_id, pos, p FROM paras WHERE trim(p) = ''
+      UNION ALL
+      SELECT doc_id, pos, p FROM el WHERE rn = 1),
+    reb AS (SELECT doc_id,
+                   string_agg(p, chr(10) || chr(10) ORDER BY pos) AS dt,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    out AS (SELECT d.doc_id, d.text, coalesce(reb.dt, '') AS dt,
+                   len(string_split(d.text, chr(10) || chr(10)))
+                     - coalesce(reb.n_kept, 0) AS removed
+            FROM d LEFT JOIN reb USING (doc_id))
+    SELECT count(*) AS n_docs,
+           sum(length(text))::BIGINT AS chars_before,
+           sum(length(dt))::BIGINT AS chars_after,
+           sum(removed)::BIGINT AS paras_removed,
+           sum(('0x' || substr(md5(dt), 1, 15))::BIGINT
+               % 1000000007)::BIGINT AS dedup_hash_sum
     FROM out
 """
 
@@ -3338,6 +3412,7 @@ def _oracle_sql() -> dict[str, str]:
         "nested_fields": _nested_fields_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "line_prune": _LINE_PRUNE_ORACLE,
+        "para_dedup": _PARA_DEDUP_ORACLE,
         "pack_sequences": _pack_sequences_oracle(),
         "shard_manifest": _shard_manifest_oracle(),
         "kgram_dedup": r"""

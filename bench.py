@@ -32,7 +32,8 @@ HEADLINE = [
     "rolling_fingerprints", "fingerprint_distinct",
     "exact_dups", "ngram_jaccard", "minhash_near_dups", "dedup_clusters",
     "corpus_stats",
-    "vocab_topk", "pii_scrub", "line_prune", "repetition_ratio",
+    "vocab_topk", "pii_scrub", "line_prune", "para_dedup",
+    "repetition_ratio",
     "quality_filter", "pack_sequences", "shard_manifest",
     "kgram_dedup", "stratified_sample", "corpus_split", "split_leakage",
     "domain_mix",

@@ -615,6 +615,89 @@ def dedup_kgrams(df: DataFrame, k: int = 50, *, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# exact paragraph dedup (keep-first, MassiveText/RefinedWeb motif)
+# ---------------------------------------------------------------------------
+
+
+def dedup_paragraphs(df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text", min_chars: int = 0,
+                     out_col: str = "dedup_text") -> DataFrame:
+    """Corpus-wide EXACT paragraph dedup with keep-first semantics —
+    the paragraph-granularity exact dedup of the MassiveText /
+    RefinedWeb family (Rae et al. 2021 arXiv:2112.11446 §A.1.2; Penedo
+    et al. 2023 arXiv:2306.01116): every byte-identical paragraph
+    (``"\\n\\n"``-separated block) survives only at its
+    lexicographically first ``(id, position)`` occurrence and is
+    removed everywhere else — including LATER occurrences inside the
+    same document. Surviving paragraphs keep their original in-document
+    order (``out_col``; a fully consumed document keeps ``""``).
+    Output adds ``n_paras`` / ``n_removed`` per document.
+
+    Differs from prune_frequent_lines (scrub.py), which removes EVERY
+    occurrence of lines frequent across >= min_docs documents (a
+    boilerplate heuristic): here duplication itself is the offense and
+    the first copy always survives — the "each span trained on once"
+    guarantee (Lee et al. 2022) at paragraph granularity, complementing
+    dedup_kgrams' word-k-gram granularity above.
+
+    Eligibility: blank/whitespace-only paragraphs (structural
+    artifacts) and paragraphs shorter than ``min_chars`` characters
+    never participate — they are always kept in place (RefinedWeb
+    likewise spares short spans to avoid nuking common short
+    sentences).
+
+    Scale design: paragraphs cross the winner shuffle as 128-bit md5
+    fingerprints, never as text (the exact_duplicate_groups
+    convention; collision odds at a trillion distinct paragraphs
+    ~2^80/2^128 — negligible); the first occurrence per fingerprint is
+    a groupBy ``min(struct(id, pos))`` — map-side partial aggregation
+    absorbs viral paragraphs before the exchange, where a
+    ``Window.partitionBy(fingerprint)`` would sort a 10^8-occurrence
+    cookie banner in ONE task — and the winner table (one row per
+    distinct eligible paragraph) joins back on the fingerprint.
+    Shuffles: winner argmin (fingerprint keys with map-side combine),
+    fingerprint join-back, per-doc reassembly — the same bounded-skew
+    shape as dedup_kgrams.
+    """
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n\n"))
+         .alias("__pos", "__p"))
+    elig = paras.withColumn(
+        "__elig", (F.trim("__p") != "") &
+                  (F.length("__p") >= F.lit(int(min_chars))))
+    keyed = elig.withColumn(
+        "__fp", F.when(F.col("__elig"), F.md5("__p")))
+    firsts = (keyed.filter("__elig")
+              .groupBy("__fp")
+              .agg(F.min(F.struct("__id", "__pos")).alias("__first")))
+    # ineligible rows carry a null fingerprint: the left join never
+    # matches them and the filter's first arm keeps them verbatim
+    kept = (keyed.join(firsts, "__fp", "left")
+            .filter((~F.col("__elig"))
+                    | (F.struct("__id", "__pos") == F.col("__first"))))
+    rebuilt = (kept.groupBy("__id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("__pos"), F.col("__p")))),
+                            lambda s: s["__p"]),
+                        "\n\n").alias(out_col),
+                    F.count("*").alias("__kept")))
+    return (df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+            .drop("__id")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+            .withColumn("n_paras",
+                        F.size(F.split(F.col(text_col), "\n\n"))
+                        .cast("long"))
+            .withColumn("n_removed",
+                        (F.col("n_paras")
+                         - F.coalesce(F.col("__kept"), F.lit(0)))
+                        .cast("long"))
+            .drop("__kept"))
+
+
+# ---------------------------------------------------------------------------
 # Host-level mirror detection (KMV content-set resemblance)
 # ---------------------------------------------------------------------------
 
