@@ -65,8 +65,10 @@ def pack_sequences(df: DataFrame, seq_len: int, *, id_col: str = "doc_id",
     ``tokenizer`` is THE tokenizer seam: a ``Column -> Column`` mapping
     text to ``array<long>`` token ids (default ``token_ids_col``, the
     oracle-checkable fake vocab). A real tokenizer drops in as a
-    Pandas-UDF column with the same type — the packing math never
-    changes (tested with a swapped tokenizer in test_pack).
+    Pandas-UDF column — or a precomputed id-array column — with the
+    same type; the packing math never changes (test_pack swaps in both
+    a char-codepoint tokenizer and the repo's own learned distributed
+    BPE, functions/bpe.py, end-to-end).
     """
     spark = df.sparkSession
     tokenizer = tokenizer or token_ids_col
