@@ -744,6 +744,23 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_eod.cast("long")).alias("n_eod"))
 
 
+def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-boundary spans of packed sequences (functions/pack.py:
+    pack_sequences_with_spans — the block-diagonal attention-mask
+    information packed pre-training needs). Emits every (seq_id,
+    doc_id, span) row, so a mis-attributed slot, a gap, or a lost
+    boundary-crossing span value-mismatches the DuckDB replay."""
+    from ocr_engine_spark.functions.pack import pack_sequences_with_spans
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    seqs = pack_sequences_with_spans(docs, seq_len=128)
+    return (seqs.select("seq_id",
+                        F.explode("doc_spans").alias("__s"))
+            .select("seq_id", F.col("__s.doc_id").alias("doc_id"),
+                    F.col("__s.span_start").alias("span_start"),
+                    F.col("__s.span_end").alias("span_end"))
+            .orderBy("seq_id", "span_start"))
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard manifest (functions/shards.py): pack -> assign
     seq_id div seqs_per_shard -> per-shard count / token-count /
@@ -1539,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
         "pack_sequences": q_pack_sequences,
+        "pack_spans": q_pack_spans,
         "shard_manifest": q_shard_manifest,
         "kgram_dedup": q_kgram_dedup,
         "dsir_select": q_dsir_select,
@@ -1944,9 +1962,10 @@ def _pack_c_cte(seq_len: int = 128) -> str:
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND CURRENT ROW))::BIGINT - n AS start
               FROM n),
-        e AS (SELECT start + i - 1 AS gpos, ids[i] AS tid
+        e AS (SELECT doc_id, start + i - 1 AS gpos, ids[i] AS tid
               FROM o, LATERAL unnest(generate_series(1, n)) u(i)),
-        s AS (SELECT gpos // {seq_len} AS seq_id, tid FROM e),
+        s AS (SELECT doc_id, gpos // {seq_len} AS seq_id,
+                     gpos % {seq_len} AS slot, tid FROM e),
         c AS (SELECT seq_id, count(*) AS n_slots,
                      sum(tid) AS tok_sum,
                      sum(CASE WHEN tid = {EOD_ID} THEN 1 ELSE 0 END)
@@ -1964,6 +1983,17 @@ def _pack_sequences_oracle(seq_len: int = 128) -> str:
                sum(tok_sum)::BIGINT AS token_checksum,
                sum(eod)::BIGINT AS n_eod
         FROM c
+    """
+
+
+def _pack_spans_oracle(seq_len: int = 128) -> str:
+    return _pack_c_cte(seq_len) + """
+        SELECT s.seq_id::BIGINT AS seq_id, s.doc_id,
+               min(slot)::INT AS span_start,
+               (max(slot) + 1)::INT AS span_end
+        FROM s JOIN c USING (seq_id)
+        GROUP BY s.seq_id, s.doc_id
+        ORDER BY seq_id, span_start
     """
 
 
@@ -3414,6 +3444,7 @@ def _oracle_sql() -> dict[str, str]:
         "line_prune": _LINE_PRUNE_ORACLE,
         "para_dedup": _PARA_DEDUP_ORACLE,
         "pack_sequences": _pack_sequences_oracle(),
+        "pack_spans": _pack_spans_oracle(),
         "shard_manifest": _shard_manifest_oracle(),
         "kgram_dedup": r"""
             WITH toks AS (

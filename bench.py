@@ -34,7 +34,7 @@ HEADLINE = [
     "corpus_stats",
     "vocab_topk", "pii_scrub", "line_prune", "para_dedup",
     "repetition_ratio",
-    "quality_filter", "pack_sequences", "shard_manifest",
+    "quality_filter", "pack_sequences", "pack_spans", "shard_manifest",
     "kgram_dedup", "stratified_sample", "corpus_split", "split_leakage",
     "domain_mix",
     "temperature_sample",

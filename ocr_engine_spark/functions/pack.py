@@ -70,6 +70,74 @@ def pack_sequences(df: DataFrame, seq_len: int, *, id_col: str = "doc_id",
     a char-codepoint tokenizer and the repo's own learned distributed
     BPE, functions/bpe.py, end-to-end).
     """
+    ex = _packed_slots(df, seq_len, id_col=id_col, text_col=text_col,
+                       partitions=partitions, tokenizer=tokenizer)
+    return (ex.groupBy("seq_id")
+            .agg(F.count("*").alias("__n_slots"),
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("__slot"), F.col("__tid")))),
+                     lambda s: s["__tid"]).alias("tokens"))
+            .filter(F.col("__n_slots") == seq_len)
+            .select("seq_id", "tokens"))
+
+
+def pack_sequences_with_spans(df: DataFrame, seq_len: int, *,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              partitions: int | None = None,
+                              tokenizer=None) -> DataFrame:
+    """``pack_sequences`` plus per-sequence document boundaries:
+    (seq_id, tokens, doc_spans) where ``doc_spans`` is the
+    start-ordered ``array<struct<span_start:int, span_end:int,
+    doc_id>>`` of ``[span_start, span_end)`` slot ranges each document
+    contributed (its trailing EOD separator included in its span) —
+    the boundary information packed pre-training needs to build
+    block-diagonal attention masks and reset position ids so tokens
+    never attend across document boundaries.
+
+    Invariants: spans tile the sequence exactly (sorted, disjoint,
+    covering ``[0, seq_len)``); a document crossing a sequence
+    boundary contributes one span to EACH sequence it touches.
+
+    Cost over pack_sequences: one extra (seq_id, doc) aggregation pair
+    — a per-sequence fold could derive spans from the sorted token
+    structs instead, but immutable-array folds rebuild the accumulator
+    per element (O(seq_len^2) per sequence); the extra map-side-
+    combined aggregation is the scalable shape. The slot explode is
+    evaluated per branch, but the dominant tokenize cost is persisted
+    in phase 1 and paid once.
+    """
+    ex = _packed_slots(df, seq_len, id_col=id_col, text_col=text_col,
+                       partitions=partitions, tokenizer=tokenizer)
+    seqs = (ex.groupBy("seq_id")
+            .agg(F.count("*").alias("__n_slots"),
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("__slot"), F.col("__tid")))),
+                     lambda s: s["__tid"]).alias("tokens"))
+            .filter(F.col("__n_slots") == seq_len)
+            .select("seq_id", "tokens"))
+    spans = (ex.groupBy("seq_id", "__id")
+             .agg(F.min("__slot").cast("int").alias("span_start"),
+                  (F.max("__slot") + 1).cast("int").alias("span_end"))
+             .groupBy("seq_id")
+             .agg(F.array_sort(F.collect_list(F.struct(
+                 F.col("span_start"), F.col("span_end"),
+                 F.col("__id").alias("doc_id")))).alias("doc_spans")))
+    # inner join: the ragged-tail sequence (filtered from seqs) drops
+    # its spans too
+    return seqs.join(spans, "seq_id").select("seq_id", "tokens",
+                                             "doc_spans")
+
+
+def _packed_slots(df: DataFrame, seq_len: int, *, id_col: str,
+                  text_col: str, partitions: int | None,
+                  tokenizer) -> DataFrame:
+    """Shared packing core: (``__id``, seq_id, ``__slot``, ``__tid``)
+    — one row per token of the global EOD-joined stream, tagged with
+    its sequence, in-sequence slot and source document. Both public
+    variants aggregate from here."""
     spark = df.sparkSession
     tokenizer = tokenizer or token_ids_col
     if partitions is None:
@@ -107,18 +175,12 @@ def pack_sequences(df: DataFrame, seq_len: int, *, id_col: str = "doc_id",
           .withColumn("__start",
                       F.col("__part_off") + F.sum("__n").over(w)
                       - F.col("__n")))
-    ex = d2.select("__start", F.posexplode("__ids").alias("__pos", "__tid"))
+    ex = d2.select("__id", "__start",
+                   F.posexplode("__ids").alias("__pos", "__tid"))
     # integer `div`, not `/`: at 10^12-token scale a double division
     # loses exactness past 2^53
-    ex = (ex.withColumn("__gpos", F.col("__start") + F.col("__pos"))
-          .select(F.expr(f"__gpos div {int(seq_len)}").alias("seq_id"),
-                  F.pmod("__gpos", F.lit(seq_len)).alias("__slot"),
-                  F.col("__tid")))
-    return (ex.groupBy("seq_id")
-            .agg(F.count("*").alias("__n_slots"),
-                 F.transform(
-                     F.array_sort(F.collect_list(
-                         F.struct(F.col("__slot"), F.col("__tid")))),
-                     lambda s: s["__tid"]).alias("tokens"))
-            .filter(F.col("__n_slots") == seq_len)
-            .select("seq_id", "tokens"))
+    return (ex.withColumn("__gpos", F.col("__start") + F.col("__pos"))
+            .select("__id",
+                    F.expr(f"__gpos div {int(seq_len)}").alias("seq_id"),
+                    F.pmod("__gpos", F.lit(seq_len)).alias("__slot"),
+                    F.col("__tid")))

@@ -6,7 +6,7 @@ import os
 import pyspark.sql.functions as F
 
 from ocr_engine_spark.functions.pack import (
-    EOD_ID, pack_sequences, token_ids_col,
+    EOD_ID, pack_sequences, pack_sequences_with_spans, token_ids_col,
 )
 from tests.conftest import TESTDATA_SF001
 
@@ -147,3 +147,63 @@ def test_pack_real_bpe_tokenizer(spark):
                ids, seq_len=L,
                tokenizer=lambda _: F.col("__bpe")).collect()}
     assert got == expected
+
+
+def _span_reference(per_doc: dict, L: int):
+    """Expected (seq_id -> [(start, end, doc_id), ...]) from per-doc
+    token lists: label every global position with its doc, slice."""
+    labeled = []
+    for did in sorted(per_doc):
+        labeled.extend((did,) * len(per_doc[did]))
+    n_seqs = len(labeled) // L
+    spans = {}
+    for s in range(n_seqs):
+        seg = labeled[s * L:(s + 1) * L]
+        out, start = [], 0
+        for i in range(1, L + 1):
+            if i == L or seg[i] != seg[start]:
+                out.append((start, i, seg[start]))
+                start = i
+        spans[s] = out
+    return spans
+
+
+def test_pack_spans_match_reference(spark):
+    """doc_spans must tile each sequence exactly and attribute every
+    slot range to the document that produced it (EOD included),
+    matching an independently labeled reference stream."""
+    docs = spark.read.parquet(
+        os.path.join(TESTDATA_SF001, "documents.parquet")).filter(
+        F.col("doc_id") < 40)
+    per_doc = {r.doc_id: list(r.ids) for r in docs.select(
+        "doc_id", token_ids_col(F.col("text")).alias("ids")).collect()}
+    L = 64
+    expected = _span_reference(per_doc, L)
+    rows = pack_sequences_with_spans(docs, seq_len=L).collect()
+    got = {r.seq_id: [(s["span_start"], s["span_end"], s["doc_id"])
+                      for s in r.doc_spans] for r in rows}
+    assert got == expected
+    # tokens identical to the plain variant
+    plain = {r.seq_id: list(r.tokens)
+             for r in pack_sequences(docs, seq_len=L).collect()}
+    assert {r.seq_id: list(r.tokens) for r in rows} == plain
+    # invariants: sorted, disjoint, tiling [0, L)
+    for spans in got.values():
+        assert spans[0][0] == 0 and spans[-1][1] == L
+        for (s0, e0, _), (s1, e1, _) in zip(spans, spans[1:]):
+            assert e0 == s1 and s0 < e0 and s1 < e1
+
+
+def test_pack_spans_doc_crossing_boundary(spark):
+    """A document longer than seq_len must contribute one span to each
+    sequence it crosses."""
+    rows = [(1, "aa bb cc dd ee ff gg hh ii jj"), (2, "kk ll")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    L = 4
+    out = pack_sequences_with_spans(docs, seq_len=L).collect()
+    seqs_with_doc1 = [r.seq_id for r in out
+                      if any(s["doc_id"] == 1 for s in r.doc_spans)]
+    assert len(seqs_with_doc1) >= 2  # doc 1 has 11 tokens > 2 seqs
+    for r in out:
+        assert sum(s["span_end"] - s["span_start"]
+                   for s in r.doc_spans) == L
