@@ -453,6 +453,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution (cluster.py:
+    representative_decisions — keep-BEST-per-cluster, ties to min id):
+    MinHash-LSH pairs over the exactly-doubled corpus, each member
+    scored with a deterministic pseudo-quality ((doc_id*37) % 101) so
+    about half the clusters keep the COPY rather than the min id, and
+    ~1% tie (exercising the min-id tie-break). Oracle: recursive-CTE
+    components + the same max-then-min resolution, every decision row
+    value-checked."""
+    from ocr_engine_spark.functions.cluster import representative_decisions
+    from ocr_engine_spark.functions.dedup import minhash_dedup_pairs
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    pairs = minhash_dedup_pairs(doubled, threshold=0.9)
+    scores = doubled.select(
+        "doc_id", ((F.col("doc_id") * 37) % 101).alias("score"))
+    return representative_decisions(pairs, scores).orderBy("doc_id")
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at max_hamming=3 via pigeonhole blocking
     (recall 1 by construction — the DuckDB oracle computes the
@@ -1538,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs": q_embedding_pairs,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_best": q_dedup_best,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "embedding_near_dups": q_embedding_near_dups,
@@ -3369,6 +3390,61 @@ def _oracle_sql() -> dict[str, str]:
             SELECT n::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id,
                    (n = min(r)) AS keep
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "dedup_best": r"""
+            WITH RECURSIVE doubled AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id + 1000000, text
+              FROM documents WHERE doc_id < 100),
+            toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM doubled),
+            sh AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 2, 0)),
+                         i -> array_to_string(t[i:i+2], ' '))) AS sh
+                FROM toks)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
+                    >= 0.9),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(n, r) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
+            comp AS (SELECT n AS doc_id, min(r) AS cluster_id
+                     FROM reach GROUP BY n),
+            sc AS (SELECT doc_id, cluster_id,
+                          (doc_id * 37) % 101 AS score FROM comp),
+            best AS (SELECT cluster_id, max(score) AS b FROM sc
+                     GROUP BY cluster_id),
+            win AS (SELECT sc.cluster_id, min(sc.doc_id) AS keep_id
+                    FROM sc JOIN best
+                      ON sc.cluster_id = best.cluster_id
+                     AND sc.score = best.b
+                    GROUP BY sc.cluster_id)
+            SELECT sc.doc_id::BIGINT AS doc_id,
+                   sc.cluster_id::BIGINT AS cluster_id,
+                   sc.score::BIGINT AS score,
+                   (sc.doc_id = win.keep_id) AS keep
+            FROM sc JOIN win ON sc.cluster_id = win.cluster_id
+            ORDER BY doc_id
         """,
         "simhash_near_dups": _simhash_near_dups_oracle(),
         "embedding_lsh_pairs": _embedding_lsh_pairs_oracle(),

@@ -31,6 +31,7 @@ HEADLINE = [
     "doc_profile", "lang_guess", "bpe_token_count",
     "rolling_fingerprints", "fingerprint_distinct",
     "exact_dups", "ngram_jaccard", "minhash_near_dups", "dedup_clusters",
+    "dedup_best",
     "corpus_stats",
     "vocab_topk", "pii_scrub", "line_prune", "para_dedup",
     "repetition_ratio",

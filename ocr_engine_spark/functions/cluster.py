@@ -118,19 +118,69 @@ def dedup_decisions(pairs: DataFrame, src: str = "id_a",
                        (F.col("node") == F.col("component")).alias("keep"))
 
 
+def representative_decisions(pairs: DataFrame, scores: DataFrame, *,
+                             src: str = "id_a", dst: str = "id_b",
+                             id_col: str = "doc_id",
+                             score_col: str = "score",
+                             max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id, score, keep) — keep-BEST-per-cluster: the
+    member with the highest ``score_col`` survives, ties broken by
+    minimum id. Curation pipelines keep the best document of a
+    near-dup cluster (longest, highest quality score, most recent
+    crawl), not an arbitrary one; min-id keep (``dedup_decisions``) is
+    the deterministic fallback when no quality signal exists.
+
+    ``scores`` is any (id, score) table — quality_score output, text
+    length, ppl_bucket rank. Members missing from ``scores`` carry a
+    null score and never win unless the whole cluster is score-less
+    (then the min id of the cluster wins, degrading gracefully to the
+    min-id rule).
+
+    Resolution is two map-side-combined aggregations per cluster (max
+    score, then min id among the maximizers) instead of a struct
+    argmax: ``max(struct(score, id))`` would tie-break toward the
+    LARGEST id, and negating ids to flip the order doesn't exist for
+    string ids (urls)."""
+    comp = connected_components(pairs, src, dst, max_iter=max_iter)
+    m = comp.join(
+        scores.select(F.col(id_col).alias("node"),
+                      F.col(score_col).alias("score")),
+        "node", "left")
+    best = m.groupBy("component").agg(F.max("score").alias("__best"))
+    winners = (m.join(best, "component")
+               # null-safe: an all-null cluster has __best null and
+               # every member ties — min id below resolves it
+               .filter(F.col("score").eqNullSafe(F.col("__best")))
+               .groupBy("component").agg(F.min("node").alias("__keep")))
+    return (m.join(winners, "component")
+            .select(F.col("node").alias(id_col),
+                    F.col("component").alias("cluster_id"),
+                    "score",
+                    (F.col("node") == F.col("__keep")).alias("keep")))
+
+
 def drop_near_duplicates(df: DataFrame, *, id_col: str = "doc_id",
                          text_col: str = "text", threshold: float = 0.8,
                          num_perm: int = 64, bands: int = 16,
                          n: int = 3, seed: int = 42,
+                         score_col: str | None = None,
                          max_iter: int = 20) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH pairs -> connected components
-    -> drop everything but the min-id doc of each cluster. Docs with no
-    near-dup pair pass through untouched (left-anti join against the
-    loser set only — the 100 TB corpus never joins against itself)."""
+    -> drop everything but one doc per cluster: the min-id member by
+    default, or the best-``score_col`` member (ties to min id) when a
+    quality column of ``df`` is named. Docs with no near-dup pair pass
+    through untouched (left-anti join against the loser set only — the
+    100 TB corpus never joins against itself)."""
     pairs = minhash_dedup_pairs(df, id_col=id_col, text_col=text_col,
                                 threshold=threshold, num_perm=num_perm,
                                 bands=bands, n=n, seed=seed)
-    losers = (dedup_decisions(pairs, max_iter=max_iter)
+    if score_col is None:
+        decisions = dedup_decisions(pairs, max_iter=max_iter)
+    else:
+        decisions = representative_decisions(
+            pairs, df.select(id_col, score_col), id_col=id_col,
+            score_col=score_col, max_iter=max_iter)
+    losers = (decisions
               .filter(~F.col("keep"))
               .select(F.col("doc_id").alias(id_col)))
     return df.join(losers, id_col, "left_anti")

@@ -96,3 +96,42 @@ def test_string_ids_preserved(spark):
         "https://c.com/z": "https://a.com/y",
         "https://p.com/2": "https://p.com/2",
         "https://q.com/1": "https://p.com/2"}
+
+
+def test_representative_decisions_keep_best(spark):
+    from ocr_engine_spark.functions.cluster import representative_decisions
+    pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11)])
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (10, 4.0), (11, 4.0)],
+        "doc_id long, score double")
+    dec = representative_decisions(pairs, scores)
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dec.collect()}
+    # cluster {1,2,3}: node 2 has the best score; cluster {10,11}:
+    # tie -> min id
+    assert got == {1: (1, False), 2: (1, True), 3: (1, False),
+                   10: (10, True), 11: (10, False)}
+
+
+def test_representative_decisions_missing_scores(spark):
+    from ocr_engine_spark.functions.cluster import representative_decisions
+    pairs = _pairs(spark, [(1, 2), (5, 6)])
+    # node 2 unscored -> node 1 wins; cluster {5,6} fully unscored ->
+    # min id wins (graceful degradation to the min-id rule)
+    scores = spark.createDataFrame([(1, 0.1)], "doc_id long, score double")
+    dec = representative_decisions(pairs, scores)
+    got = {r["doc_id"]: r["keep"] for r in dec.collect()}
+    assert got == {1: True, 2: False, 5: True, 6: False}
+
+
+def test_drop_near_duplicates_keep_best_score(spark):
+    base_text = ("the quick brown fox jumps over the lazy dog again and "
+                 "again every single day of the long week")
+    rows = [(1, base_text, 0.2), (2, base_text, 0.9),
+            (3, "completely different content about spark shuffle "
+                "partitions and broadcast joins at terabyte scale", 0.5)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, quality double")
+    kept = sorted(r["doc_id"] for r in drop_near_duplicates(
+        df, threshold=0.9, score_col="quality").collect())
+    # the HIGHER-quality copy (id 2) survives, not the min id
+    assert kept == [2, 3]
