@@ -145,6 +145,25 @@ NOTES = {
                     "fanout-guard semi-join; the estimator is array ops "
                     "in a Project — the only corpus-sized shuffle is "
                     "the distinct (host, fp)",
+    "para_dedup": "the paragraph winner argmin groups on the 128-bit "
+                  "md5 fingerprint with map-side partial min (a partial "
+                  "SortAggregate before the Exchange — struct-min "
+                  "buffers aren't hash-aggregable; its sort is bounded "
+                  "per MAP partition): a viral paragraph's occurrences "
+                  "pre-collapse before the shuffle and never sort in "
+                  "one window task; fingerprint join-back and the "
+                  "order-preserving per-doc rebuild are the only other "
+                  "Exchanges",
+    "pack_spans": "document spans are one extra map-side-combined "
+                  "(seq_id, doc) HashAggregate pair over the shared "
+                  "packed-slot core — not an O(seq_len^2) per-sequence "
+                  "array fold; the tokenize cost stays persisted in "
+                  "phase 1 and is paid once across both branches",
+    "dedup_best": "keep-best resolution adds two map-side-combined "
+                  "per-cluster aggregates (max score, then min id among "
+                  "the maximizers) after the CC rounds; scores attach "
+                  "by a node-id equi-join — no window over cluster "
+                  "members, so a mega-cluster never sorts in one task",
     "pagerank_round": "one PageRank iteration (the loop body of "
                       "linkgraph.pagerank, pre-localCheckpoint): rank "
                       "join on src + partial_sum before the dst "
@@ -192,7 +211,8 @@ def _pagerank_round(spark, sf_dir):
 HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "salted_agg", "minhash_near_dups", "simhash_near_dups",
             "embedding_near_dups", "nested_fields", "line_prune",
-            "pack_sequences", "dedup_clusters", "cer_gate",
+            "pack_sequences", "pack_spans", "dedup_clusters",
+            "dedup_best", "para_dedup", "cer_gate",
             "semantic_dedup", "decontaminate", "dsir_select",
             "shard_manifest", "shuffle_corpus", "ppl_filter",
             "domain_blocklist", "chunk_documents", "tfidf_topk",
