@@ -694,6 +694,43 @@ def q_line_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(1_000_000_007))).alias("pruned_hash_sum"))
 
 
+#: decomposed accents (e + U+0301) + composed é — shared byte-for-byte
+#: by the Spark query and the DuckDB oracle so NFC has real work
+_UNI_PREFIX = "résumé é "
+
+
+def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene (functions/unicode_clean.py): even docs are
+    double-encoded (mojibake) INSIDE the query with the exact inverse
+    of the repair (decode(encode(utf8), latin-1)); repair must restore
+    them byte-identically and leave odd docs untouched (their U+0301
+    blocks the Latin-1 guard). NFC then composes the decomposed
+    accents. Oracle: the repair-identity property — DuckDB computes
+    the hashes of the PRE-mojibake texts directly plus nfc_normalize;
+    any wrong repair/compose decision shifts a hash sum."""
+    from ocr_engine_spark.functions.text import md5_int60_col
+    from ocr_engine_spark.functions.unicode_clean import (
+        nfc_col, repair_double_utf8_col,
+    )
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    accented = F.concat(F.lit(_UNI_PREFIX), F.col("text"))
+    moji = F.decode(F.encode(accented, "UTF-8"), "ISO-8859-1")
+    t = F.when(F.col("doc_id") % 2 == 0, moji).otherwise(accented)
+    d = docs.select("doc_id", t.alias("t"))
+    rep = repair_double_utf8_col(F.col("t"))
+    out = d.select("doc_id", rep.alias("rep"),
+                   nfc_col(rep).alias("nfc"),
+                   (rep != F.col("t")).alias("was_rep"))
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("was_rep").cast("long")).alias("n_repaired"),
+        F.sum(F.pmod(md5_int60_col(F.col("rep")),
+                     F.lit(1_000_000_007))).alias("repaired_hash_sum"),
+        F.sum(F.pmod(md5_int60_col(F.col("nfc")),
+                     F.lit(1_000_000_007))).alias("nfc_hash_sum"),
+        F.sum(F.length("nfc").cast("long")).alias("nfc_chars"))
+
+
 def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact paragraph dedup, keep-first (functions/
     dedup.py:dedup_paragraphs — the MassiveText/RefinedWeb motif):
@@ -1573,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "line_prune": q_line_prune,
         "para_dedup": q_para_dedup,
+        "unicode_clean": q_unicode_clean,
         "quality_filter": q_quality_filter,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -2104,6 +2142,32 @@ _LINE_PRUNE_ORACLE = r"""
                % 1000000007)::BIGINT AS pruned_hash_sum
     FROM out
 """
+
+
+def _unicode_clean_oracle() -> str:
+    # independent-expectation oracle: repair(double_encode(x)) == x by
+    # the inverse-roundtrip theorem (and the U+0301 in the prefix blocks
+    # repair on the odd docs), so DuckDB hashes the PRE-mojibake text
+    # directly and nfc_normalize provides the composition twin — it
+    # never re-implements the Latin-1 roundtrip (DuckDB has no Latin-1
+    # codec), which keeps the two implementations independent
+    return f"""
+        WITH d AS (
+          SELECT doc_id, '{_UNI_PREFIX}' || text AS acc
+          FROM documents WHERE doc_id < 150),
+        r AS (SELECT doc_id, acc AS rep, nfc_normalize(acc) AS nfc,
+                     (doc_id % 2 = 0) AS was_rep
+              FROM d)
+        SELECT count(*) AS n_docs,
+               sum(CASE WHEN was_rep THEN 1 ELSE 0 END)::BIGINT
+                   AS n_repaired,
+               sum(('0x' || substr(md5(rep), 1, 15))::BIGINT
+                   % 1000000007)::BIGINT AS repaired_hash_sum,
+               sum(('0x' || substr(md5(nfc), 1, 15))::BIGINT
+                   % 1000000007)::BIGINT AS nfc_hash_sum,
+               sum(length(nfc))::BIGINT AS nfc_chars
+        FROM r
+    """
 
 
 _PARA_DEDUP_ORACLE = r"""
@@ -3519,6 +3583,7 @@ def _oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         "line_prune": _LINE_PRUNE_ORACLE,
         "para_dedup": _PARA_DEDUP_ORACLE,
+        "unicode_clean": _unicode_clean_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "pack_spans": _pack_spans_oracle(),
         "shard_manifest": _shard_manifest_oracle(),

@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_best",
     "corpus_stats",
     "vocab_topk", "pii_scrub", "line_prune", "para_dedup",
+    "unicode_clean",
     "repetition_ratio",
     "quality_filter", "pack_sequences", "pack_spans", "shard_manifest",
     "kgram_dedup", "stratified_sample", "corpus_split", "split_leakage",
