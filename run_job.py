@@ -79,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--resolve", action="store_true",
                     help="also resolve pairs into clusters and write the"
                          " keep-one deduped corpus")
+    dd.add_argument("--keep-best", metavar="COLUMN", default=None,
+                    help="with --resolve: keep the cluster member with "
+                         "the highest COLUMN value (ties to min id) "
+                         "instead of the min-id member")
     dd.add_argument("--mirrors", action="store_true",
                     help="also detect mirror HOSTS (KMV content-set "
                          "resemblance; requires a url column)")
@@ -321,13 +325,25 @@ def main(argv: list[str] | None = None) -> int:
                 os.path.join(args.output, "near_dup_pairs")).count()}
         if args.resolve:
             from pyspark.sql import Observation, functions as F
-            from ocr_engine_spark.functions.cluster import dedup_decisions
+            from ocr_engine_spark.functions.cluster import (
+                dedup_decisions, representative_decisions,
+            )
             stored = spark.read.parquet(
                 os.path.join(args.output, "near_dup_pairs"))
             # decisions are tiny (near-dup nodes only): persist so the
             # clusters write, the loser anti-join side and the count
             # share one computation
-            decisions = dedup_decisions(stored).persist()
+            if args.keep_best:
+                decisions = representative_decisions(
+                    stored, docs.select(args.id_col, args.keep_best),
+                    id_col=args.id_col, score_col=args.keep_best)
+                # downstream reads the dedup_decisions column contract
+                if args.id_col != "doc_id":
+                    decisions = decisions.withColumnRenamed(
+                        args.id_col, "doc_id")
+                decisions = decisions.persist()
+            else:
+                decisions = dedup_decisions(stored).persist()
             decisions.write.mode("overwrite").parquet(
                 os.path.join(args.output, "clusters"))
             losers = (decisions.filter(~F.col("keep"))

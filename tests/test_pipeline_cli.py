@@ -76,3 +76,29 @@ def test_linkgraph_cli(tmp_path, corpus_dir):
     assert len(rep["top"]) > 0
     for sub in ("edges", "ranks", "harmonic", "frontier"):
         assert os.path.isdir(os.path.join(out, sub))
+
+
+def test_dedup_keep_best_cli(tmp_path):
+    """--resolve --keep-best n_chars: the kept member of every cluster
+    must carry the cluster-max n_chars (ties to min doc_id)."""
+    import pyarrow.parquet as pq
+    out = tmp_path / "dd"
+    r = subprocess.run(
+        [sys.executable, "run_job.py", "dedup",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(out), "--resolve", "--keep-best", "n_chars"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["clusters"] > 0
+    assert payload["kept_docs"] > 0
+    dec = pq.read_table(str(out / "clusters")).to_pandas()
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "n_chars"]).to_pandas()
+    merged = dec.merge(docs, on="doc_id")
+    for cid, g in merged.groupby("cluster_id"):
+        best = g[g["n_chars"] == g["n_chars"].max()]
+        assert g[g["keep"]]["doc_id"].tolist() == \
+            [int(best["doc_id"].min())]
