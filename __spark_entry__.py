@@ -1414,6 +1414,47 @@ def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dst_host", "pos"))
 
 
+_SPAM_WORDS = ["win", "free", "prize", "click", "offer", "winner",
+               "cash", "bonus", "claim", "urgent", "deal", "lottery"]
+
+
+def q_spam_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality classifier (functions/classify.py): the
+    fastText-style filter stage of the GPT-3/CCNet recipes, as a
+    multiclass multinomial Naive Bayes fit AND scored entirely in
+    DataFrame aggregates with integer micro-nat fixed-point scores.
+    Demo regime: a planted spam corpus — every document doubled under
+    a shifted id with three spam-vocabulary tokens appended (word
+    index (doc_id + 7k) mod 12 so all twelve words appear on both
+    sides of the id-parity split) — train on even ids, report the
+    held-out confusion matrix. The oracle replays tokenization,
+    hashed buckets, the smoothed per-(label, bucket) log-likelihoods,
+    priors, every quantization, per-doc integer score sums and the
+    argmax tie-break window verbatim."""
+    from ocr_engine_spark.functions.classify import (
+        nb_confusion, nb_fit, nb_predict,
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.array(*[F.lit(w) for w in _SPAM_WORDS])
+    planted = F.concat_ws(" ", F.col("text"), *[
+        F.element_at(words,
+                     ((F.col("doc_id") + 7 * k) % 12 + 1).cast("int"))
+        for k in (1, 2, 3)])
+    spam = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       planted.alias("text"), F.lit("spam").alias("label"))
+    corpus = docs.withColumn("label", F.lit("ham")).unionByName(spam)
+    train = corpus.filter(F.col("doc_id") % 2 == 0)
+    test = corpus.filter(F.col("doc_id") % 2 == 1)
+    # the fitted model tables are tiny (<= k*buckets rows); persisting
+    # them keeps the scorer from re-running the training aggregation
+    # once per consumer branch
+    labels, cond = nb_fit(train, buckets=4096, alpha=1.0)
+    labels, cond = labels.persist(), cond.persist()
+    pred = nb_predict(test, labels, cond, buckets=4096)
+    return (nb_confusion(pred, test)
+            .orderBy("true_label", "pred_label"))
+
+
 def _synthetic_host_edges(spark: SparkSession) -> DataFrame:
     """Deterministic synthetic host graph over the pages fixture: each
     non-dangling host links to the 3 hosts at (idx*7+j) mod N in
@@ -1643,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "mirror_hosts": q_mirror_hosts,
         "anchor_terms": q_anchor_terms,
+        "spam_classifier": q_spam_classifier,
     }
 
 
@@ -2720,6 +2762,98 @@ def _anchor_terms_oracle() -> str:
         SELECT dst_host, term, n_term, pos::INT AS pos FROM ranked
         WHERE pos <= 5
         ORDER BY dst_host, pos
+    """
+
+
+def _spam_classifier_oracle() -> str:
+    """Dense replay of the sparse NB scorer: Spark computes
+    prior + n_grams*floor + sum(delta) with delta = llh_q - floor_q;
+    the oracle computes the algebraically identical dense form
+    prior + sum(llh_q if (label, bucket) seen else floor_q) — every
+    quantization is the same single round(ln(..)*1e6), so the integer
+    scores agree bit-for-bit."""
+    words = ", ".join(f"({i}, '{w}')"
+                      for i, w in enumerate(_SPAM_WORDS))
+    return rf"""
+        WITH sw(idx, w) AS (VALUES {words}),
+        spam AS (
+          SELECT d.doc_id + 1000000 AS doc_id,
+                 d.text || ' ' || w1.w || ' ' || w2.w || ' ' || w3.w
+                   AS text,
+                 'spam' AS label
+          FROM documents d
+          JOIN sw w1 ON w1.idx = (d.doc_id + 7) % 12
+          JOIN sw w2 ON w2.idx = (d.doc_id + 14) % 12
+          JOIN sw w3 ON w3.idx = (d.doc_id + 21) % 12),
+        corpus AS (
+          SELECT doc_id, text, 'ham' AS label FROM documents
+          UNION ALL SELECT * FROM spam),
+        tok AS (
+          SELECT doc_id, label,
+                 list_filter(string_split_regex(lower(text),
+                                                '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+          FROM corpus),
+        grams AS (
+          SELECT doc_id, label, t[i] AS g
+          FROM tok, unnest(generate_series(1, len(t))) AS u(i)
+          UNION ALL
+          SELECT doc_id, label, array_to_string(t[i:i+1], ' ') AS g
+          FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        b AS (
+          SELECT doc_id, label,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096
+                   AS bucket
+          FROM grams),
+        cb AS (
+          SELECT label, bucket, count(*)::BIGINT AS c
+          FROM b WHERE doc_id % 2 = 0 GROUP BY label, bucket),
+        tot AS (
+          SELECT label, sum(c)::BIGINT AS t_l FROM cb GROUP BY label),
+        model AS (
+          SELECT cb.label, cb.bucket,
+                 CAST(round(ln((cb.c + 1.0) / (tot.t_l + 4096.0))
+                            * 1000000.0) AS BIGINT) AS llh
+          FROM cb JOIN tot USING (label)),
+        floors AS (
+          SELECT label,
+                 CAST(round(ln(1.0 / (t_l + 4096.0)) * 1000000.0)
+                      AS BIGINT) AS floor_micro
+          FROM tot),
+        priors AS (
+          SELECT label,
+                 CAST(round(ln(count(*)::DOUBLE /
+                        (SELECT count(*) FROM corpus
+                         WHERE doc_id % 2 = 0)) * 1000000.0)
+                      AS BIGINT) AS prior_micro
+          FROM corpus WHERE doc_id % 2 = 0 GROUP BY label),
+        gsum AS (
+          SELECT tb.doc_id, f.label,
+                 sum(coalesce(m.llh, f.floor_micro))::BIGINT AS s
+          FROM (SELECT doc_id, bucket FROM b WHERE doc_id % 2 = 1) tb
+          CROSS JOIN floors f
+          LEFT JOIN model m
+            ON m.label = f.label AND m.bucket = tb.bucket
+          GROUP BY tb.doc_id, f.label),
+        spine AS (
+          SELECT doc_id, label AS true_label FROM corpus
+          WHERE doc_id % 2 = 1),
+        scored AS (
+          SELECT sp.doc_id, sp.true_label, p.label,
+                 p.prior_micro + coalesce(g.s, 0) AS score
+          FROM spine sp
+          CROSS JOIN priors p
+          LEFT JOIN gsum g
+            ON g.doc_id = sp.doc_id AND g.label = p.label),
+        pred AS (
+          SELECT doc_id, true_label, label AS pred_label,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, label) AS rn
+          FROM scored)
+        SELECT true_label, pred_label, count(*)::BIGINT AS n_docs
+        FROM pred WHERE rn = 1
+        GROUP BY true_label, pred_label
+        ORDER BY true_label, pred_label
     """
 
 
@@ -4023,6 +4157,7 @@ def _oracle_sql() -> dict[str, str]:
         "mirror_hosts": _mirror_hosts_oracle(),
         "anchor_terms": _anchor_terms_oracle(),
         "robots_audit": _robots_audit_oracle(),
+        "spam_classifier": _spam_classifier_oracle(),
         "vocab_topk": r"""
             WITH t AS (
               SELECT doc_id,

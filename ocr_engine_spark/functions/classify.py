@@ -1,0 +1,162 @@
+r"""Multiclass multinomial Naive Bayes text classifier — the trainable
+quality/domain/language classifier stage of an LLM training-data
+pipeline (the fastText-style linear filter of the GPT-3 / CCNet /
+RefinedWeb recipes: Brown et al. 2020 §A "quality classifier",
+Wenzek et al. 2020 §4.4), trained AND scored entirely as DataFrame
+aggregates — no driver-side model object, no per-row Python, no MLlib.
+
+Relationship to functions/dsir.py: DSIR's bucket log-ratio is exactly a
+BINARY NB likelihood ratio without a prior. This module is the general
+k-class version with log-priors and an argmax decision, so one engine
+surface covers language ID by training data (vs the fixed stopword
+heuristic in functions/text.py), binary quality filtering (train on
+kept-vs-rejected labels), and domain routing.
+
+Model = two SMALL tables (never a driver-side object):
+
+  * ``labels(label, prior_micro, floor_micro, n_grams_l)`` — one row
+    per class: quantized log prior ``ln(n_docs_l / n_docs)`` and the
+    smoothing floor ``ln(alpha / (t_l + alpha*B))`` every UNSEEN
+    (label, bucket) pair scores;
+  * ``cond(label, bucket, delta_micro)`` — only (label, bucket) pairs
+    SEEN in training, carrying ``llh_micro - floor_micro`` (how much
+    better than the floor a seen bucket scores). <= k*B rows, so the
+    scoring join is always a broadcast.
+
+The floor/delta decomposition is the standard sparse-NB identity
+
+  score(d, l) = prior_l + n_grams(d) * floor_l
+                + sum_{g in d, (l, b(g)) seen} delta(l, b(g))
+
+which lets the scorer join documents' grams against ONLY the seen
+pairs instead of densifying to k*B per document.
+
+Exactness across engines (same fixed-point discipline as dsir.py):
+``llh``, ``floor`` and ``prior`` are each quantized ONCE to integer
+micro-nats; ``delta`` is an exact integer difference of two quantized
+values; all downstream sums and the argmax comparison are 64-bit
+integer arithmetic, so the DuckDB oracle replays every score
+bit-for-bit. Ties (integer-equal scores) break on the smaller label
+string via a replayable row_number window.
+
+Plan shape at 100 TB:
+
+  * fit: gram explosion is map-side; the (label, bucket) count shuffles
+    at most k*B distinct keys with map-side combine — a few MB
+    regardless of corpus size; doc priors shuffle one row per label;
+  * predict: grams join a BROADCAST cond table (fan-out k per gram at
+    most — in practice only labels that saw the bucket), then ONE
+    shuffle on (doc, label) with map-side combine; the per-doc argmax
+    is a k-row-per-key window over the same doc key.
+  * gram-less documents (empty text) still classify — by prior alone —
+    via the left join from the document spine.
+
+Reference parity: the reference repo has no trainable classifier; this
+is part of the LLM-training-data layer the graft adds (SURVEY.md §2
+"beyond-reference pipeline operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ocr_engine_spark.functions.decontam import ngrams_col, word_tokens_col
+from ocr_engine_spark.functions.dsir import MICRO, bucket_col, gram_buckets
+
+__all__ = ["nb_fit", "nb_predict", "nb_confusion"]
+
+
+def nb_fit(labeled: DataFrame, *, buckets: int = 4096, alpha: float = 1.0,
+           text_col: str = "text", label_col: str = "label",
+           ns: tuple[int, ...] = (1, 2)) -> tuple[DataFrame, DataFrame]:
+    """Fit multinomial NB on ``labeled`` (one text + one label per row).
+
+    Returns ``(labels, cond)`` — see module docstring for the schema
+    contract. Deterministic in (data, buckets, alpha, ns); both outputs
+    are pure lazy plans (persist them if scoring repeatedly).
+    """
+    lab = F.col(label_col).alias("label")
+    # the label RIDES the gram explosion — no grams-back-to-labels
+    # join ever exists (doc identity is irrelevant to the fit).
+    # Tokens materialized before the HOF n-gram transforms, same
+    # discipline as dsir.gram_buckets.
+    toks = labeled.select(lab, word_tokens_col(F.col(text_col))
+                          .alias("__t"))
+    gr = F.concat(*[ngrams_col(F.col("__t"), n) for n in ns])
+    grams = (toks.select("label", F.explode(gr).alias("__g"))
+             .select("label", bucket_col(F.col("__g"), buckets)
+                     .alias("bucket")))
+    # seen (label, bucket) counts: <= k*B keys, map-side combine makes
+    # this exchange tiny at any corpus size
+    cb = grams.groupBy("label", "bucket").agg(F.count("*").alias("c"))
+    tot = cb.groupBy("label").agg(F.sum("c").alias("t_l"))
+    pri = (labeled.groupBy(lab).agg(F.count("*").alias("n_l"))
+           .withColumn("n_all", F.sum("n_l").over(Window.partitionBy())))
+    alpha_b = float(alpha) * buckets  # python-folded, mirrored in SQL
+    # floor and llh are each quantized ONCE; delta is their exact
+    # integer difference — the replayable fixed-point contract
+    floor = F.round(F.log(F.lit(float(alpha))
+                          / (F.col("t_l") + F.lit(alpha_b)))
+                    * F.lit(MICRO), 0).cast("long")
+    prior = F.round(F.log(F.col("n_l") / F.col("n_all"))
+                    * F.lit(MICRO), 0).cast("long")
+    labels = (tot.join(pri, "label")
+              .select("label", prior.alias("prior_micro"),
+                      floor.alias("floor_micro"),
+                      F.col("t_l").alias("n_grams_l")))
+    llh = F.round(F.log((F.col("c") + F.lit(float(alpha)))
+                        / (F.col("t_l") + F.lit(alpha_b)))
+                  * F.lit(MICRO), 0).cast("long")
+    cond = (cb.join(tot, "label")
+            .select("label", "bucket",
+                    (llh - floor).alias("delta_micro")))
+    return labels, cond
+
+
+def nb_predict(docs: DataFrame, labels: DataFrame, cond: DataFrame, *,
+               buckets: int = 4096, id_col: str = "doc_id",
+               text_col: str = "text",
+               ns: tuple[int, ...] = (1, 2)) -> DataFrame:
+    """Score ``docs`` against a fitted model; returns one row per input
+    document: ``(id, pred_label, score_micro, n_grams)`` — the argmax
+    class, its integer micro-nat log-joint, and the document's gram
+    count (0 for empty text → prior-only decision)."""
+    grams = gram_buckets(docs, buckets=buckets, id_col=id_col,
+                         text_col=text_col, ns=ns)
+    n_g = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    # only SEEN (label, bucket) pairs carry a delta; the fan-out is the
+    # number of labels that saw the bucket, the shuffle key is
+    # (doc, label) with map-side combine
+    dsum = (grams.join(F.broadcast(cond), "bucket")
+            .groupBy(id_col, "label")
+            .agg(F.sum("delta_micro").alias("sum_delta")))
+    spine = (docs.select(id_col)
+             .join(n_g, id_col, "left")
+             .withColumn("n_grams", F.coalesce(F.col("n_grams"),
+                                               F.lit(0)))
+             .crossJoin(F.broadcast(labels)))
+    scored = (spine.join(dsum, [id_col, "label"], "left")
+              .withColumn("sum_delta", F.coalesce(F.col("sum_delta"),
+                                                  F.lit(0)))
+              .withColumn("score_micro",
+                          F.col("prior_micro")
+                          + F.col("n_grams") * F.col("floor_micro")
+                          + F.col("sum_delta")))
+    w = Window.partitionBy(id_col).orderBy(F.col("score_micro").desc(),
+                                           F.col("label"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, F.col("label").alias("pred_label"),
+                    "score_micro", "n_grams"))
+
+
+def nb_confusion(pred: DataFrame, truth: DataFrame, *,
+                 id_col: str = "doc_id",
+                 label_col: str = "label") -> DataFrame:
+    """(true_label, pred_label, n_docs) confusion counts — the
+    held-out evaluation table for a fitted classifier."""
+    t = truth.select(F.col(id_col),
+                     F.col(label_col).alias("true_label"))
+    return (pred.join(t, id_col)
+            .groupBy("true_label", "pred_label")
+            .agg(F.count("*").alias("n_docs")))

@@ -1,0 +1,127 @@
+"""Multinomial Naive Bayes classifier (functions/classify.py).
+
+Covers: (1) the sparse floor/delta score decomposition is EXACTLY the
+dense NB log-joint (brute-force recomputation in Python over the same
+quantized integers); (2) a planted-vocabulary signal is actually
+learned (held-out accuracy, not train accuracy); (3) gram-less
+documents fall back to the prior argmax; (4) determinism across
+repartitionings.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_engine_spark.functions.classify import (
+    nb_confusion, nb_fit, nb_predict,
+)
+
+BUCKETS = 512
+
+SPAM_WORDS = ["win", "free", "prize", "click", "offer", "winner",
+              "cash", "bonus", "claim", "urgent", "deal", "lottery"]
+
+
+def _spam_corpus(spark, n=120):
+    """Deterministic two-class corpus: ham rows are plain pseudo-text,
+    spam rows carry three planted spam-vocabulary tokens."""
+    base = ["the quick brown fox jumps over the lazy dog",
+            "spark plans shuffle data across the cluster nodes",
+            "a table scan reads columns and filters rows early"]
+    rows = []
+    for i in range(n):
+        text = base[i % 3]
+        rows.append((i, text, "ham"))
+        # (i + 7k) mod 12 walks ALL twelve words across both id
+        # parities — (i*k) mod 12 would plant only even-index words in
+        # the even-id (train) half and the signal wouldn't generalize
+        w = [SPAM_WORDS[(i + 7 * k) % len(SPAM_WORDS)] for k in (1, 2, 3)]
+        rows.append((1_000_000 + i, text + " " + " ".join(w), "spam"))
+    return spark.createDataFrame(rows, "doc_id long, text string,"
+                                       " label string")
+
+
+def test_score_decomposition_matches_dense_nb(spark):
+    """prior + n*floor + sum(delta) == dense sum of quantized llh over
+    every gram — recomputed independently in Python."""
+    corpus = _spam_corpus(spark, n=12)
+    labels, cond = nb_fit(corpus, buckets=BUCKETS, alpha=1.0)
+    lab = {r["label"]: r for r in labels.collect()}
+    delta = {(r["label"], r["bucket"]): r["delta_micro"]
+             for r in cond.collect()}
+
+    # independent dense model from raw counts
+    from ocr_engine_spark.functions.dsir import gram_buckets
+    gb = gram_buckets(corpus, buckets=BUCKETS).collect()
+    by_label = {}
+    id2label = {r["doc_id"]: r["label"] for r in corpus.collect()}
+    for r in gb:
+        l = id2label[r["doc_id"]]
+        by_label.setdefault(l, {})
+        by_label[l][r["bucket"]] = by_label[l].get(r["bucket"], 0) + 1
+    n_docs = corpus.count()
+    n_by_label = {l: sum(1 for v in id2label.values() if v == l)
+                  for l in by_label}
+
+    def dense_score(doc_buckets, l):
+        t_l = sum(by_label[l].values())
+        prior = round(math.log(n_by_label[l] / n_docs) * 1e6)
+        s = prior
+        for b in doc_buckets:
+            c = by_label[l].get(b, 0)
+            s += round(math.log((c + 1.0) / (t_l + BUCKETS)) * 1e6)
+        return s
+
+    pred = nb_predict(corpus, labels, cond, buckets=BUCKETS)
+    got = {r["doc_id"]: r for r in pred.collect()}
+    doc_buckets = {}
+    for r in gb:
+        doc_buckets.setdefault(r["doc_id"], []).append(r["bucket"])
+    for did, bl in list(doc_buckets.items())[:40]:
+        best = max(sorted(by_label), key=lambda l: (dense_score(bl, l),))
+        # replicate the tie-break: highest score, then smallest label
+        scores = {l: dense_score(bl, l) for l in by_label}
+        mx = max(scores.values())
+        best = min(l for l, s in scores.items() if s == mx)
+        assert got[did]["pred_label"] == best
+        assert got[did]["score_micro"] == scores[best]
+    assert lab  # fitted labels table non-empty
+
+
+def test_heldout_accuracy_on_planted_signal(spark):
+    corpus = _spam_corpus(spark, n=120)
+    train = corpus.filter(F.col("doc_id") % 2 == 0)
+    test = corpus.filter(F.col("doc_id") % 2 == 1)
+    labels, cond = nb_fit(train, buckets=BUCKETS)
+    pred = nb_predict(test, labels, cond, buckets=BUCKETS)
+    conf = nb_confusion(pred, test).collect()
+    n_ok = sum(r["n_docs"] for r in conf
+               if r["true_label"] == r["pred_label"])
+    n_all = sum(r["n_docs"] for r in conf)
+    assert n_all == test.count()
+    assert n_ok / n_all >= 0.95
+
+
+def test_gramless_doc_gets_prior_argmax(spark):
+    corpus = _spam_corpus(spark, n=30)
+    # make priors asymmetric: drop half the spam rows
+    corpus = corpus.filter((F.col("label") == "ham")
+                           | (F.col("doc_id") % 2 == 0))
+    labels, cond = nb_fit(corpus, buckets=BUCKETS)
+    empty = spark.createDataFrame([(7, " ")], "doc_id long, text string")
+    out = nb_predict(empty, labels, cond, buckets=BUCKETS).collect()
+    assert len(out) == 1
+    assert out[0]["n_grams"] == 0
+    assert out[0]["pred_label"] == "ham"  # majority prior
+
+
+def test_deterministic_across_partitionings(spark):
+    corpus = _spam_corpus(spark, n=60)
+    outs = []
+    for parts in (1, 7):
+        labels, cond = nb_fit(corpus.repartition(parts), buckets=BUCKETS)
+        pred = nb_predict(corpus.repartition(parts), labels, cond,
+                          buckets=BUCKETS)
+        outs.append(sorted(map(tuple, pred.collect())))
+    assert outs[0] == outs[1]
