@@ -1455,6 +1455,22 @@ def q_spam_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("true_label", "pred_label"))
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text search (functions/search.py): Lucene-flavored
+    Okapi BM25 top-15 for a five-term query over the documents table,
+    postings built in one shuffle, per-(term, doc) contributions
+    quantized once to integer micro-units so per-doc scores are exact
+    integer sums. The oracle replays tokenization, tf/df/dl counting,
+    idf, the tf normalization (all float literals pinned to DOUBLE),
+    the single quantization and the (score DESC, doc_id) top-k
+    verbatim."""
+    from ocr_engine_spark.functions.search import bm25_topk, doc_postings
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    post = doc_postings(docs)
+    return bm25_topk(post, ["table", "scan", "filter", "join", "order"],
+                     15).orderBy("rank")
+
+
 def _synthetic_host_edges(spark: SparkSession) -> DataFrame:
     """Deterministic synthetic host graph over the pages fixture: each
     non-dangling host links to the 3 hosts at (idx*7+j) mod N in
@@ -1685,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "anchor_terms": q_anchor_terms,
         "spam_classifier": q_spam_classifier,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -4158,6 +4175,57 @@ def _oracle_sql() -> dict[str, str]:
         "anchor_terms": _anchor_terms_oracle(),
         "robots_audit": _robots_audit_oracle(),
         "spam_classifier": _spam_classifier_oracle(),
+        "bm25_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            post AS (
+              SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term
+                    FROM tok)
+              GROUP BY doc_id, dl, term),
+            qt AS (
+              SELECT * FROM post
+              WHERE term IN ('table', 'scan', 'filter', 'join',
+                             'order')),
+            st AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     sum(dl)::BIGINT AS total_dl
+              FROM (SELECT doc_id, any_value(dl) AS dl
+                    FROM post GROUP BY doc_id)),
+            dft AS (
+              SELECT term, count(*)::BIGINT AS dft FROM qt
+              GROUP BY term),
+            idf AS (
+              SELECT term, st.n_docs, st.total_dl,
+                     ln(1.0::DOUBLE
+                        + (st.n_docs - dft.dft + 0.5::DOUBLE)
+                          / (dft.dft + 0.5::DOUBLE)) AS idf
+              FROM dft, st),
+            scored AS (
+              SELECT qt.doc_id,
+                     sum(CAST(round(
+                       idf.idf
+                       * (qt.tf * 2.2::DOUBLE
+                          / (qt.tf + 1.2::DOUBLE
+                             * (0.25::DOUBLE
+                                + 0.75::DOUBLE * qt.dl
+                                  / (idf.total_dl / idf.n_docs))))
+                       * 1000000.0::DOUBLE) AS BIGINT))::BIGINT
+                       AS score_micro,
+                     count(*)::BIGINT AS n_terms_hit
+              FROM qt JOIN idf USING (term)
+              GROUP BY qt.doc_id)
+            SELECT row_number() OVER (ORDER BY score_micro DESC,
+                                      doc_id)::INT AS rank,
+                   doc_id, score_micro, n_terms_hit
+            FROM (SELECT * FROM scored
+                  ORDER BY score_micro DESC, doc_id LIMIT 15)
+            ORDER BY rank
+        """,
         "vocab_topk": r"""
             WITH t AS (
               SELECT doc_id,

@@ -1,0 +1,189 @@
+r"""BM25 full-text search over an inverted index built, stored and
+probed entirely as DataFrame ops — the corpus-search stage a training
+-data pipeline needs for decontamination forensics, targeted corpus
+audits ("which documents mention X") and eval-set curation.
+
+Scoring is Lucene-flavored Okapi BM25 (Robertson & Zaragoza 2009):
+
+  idf(t)     = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))        [>= 0]
+  tfn(t, d)  = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+  score(d)   = sum_{t in query} idf(t) * tfn(t, d)
+
+Exactness across engines: the per-(term, doc) contribution
+``idf * tfn`` is quantized ONCE to integer micro-units
+(``round(.. * 1e6)`` as BIGINT) and per-doc scores are integer sums —
+the same fixed-point discipline as functions/dsir.py, so the DuckDB
+oracle replays every score and the top-k order bit-for-bit.
+
+Plan shape at 100 TB:
+
+  * postings build: tokenize map-side, ONE shuffle on (doc, term) with
+    map-side combine; doc lengths fall out of the same pass;
+  * the stored index partitions postings by a term-hash bucket
+    (``partitionBy("tbkt")``), so a query's scan reads only
+    ``|query terms| / buckets`` of the index via partition pruning —
+    and a term's GLOBAL document frequency lives wholly inside its
+    bucket, so pruning never changes a df count;
+  * query scoring: the df/idf table is |query| rows (broadcast); the
+    doc-length join is co-keyed on doc_id; top-k is a
+    TakeOrderedAndProject, never a global sort;
+  * corpus-level stats (N, total length) are two scalars computed once
+    at build time and stored as index metadata through Spark writers
+    (object-store safe, same discipline as IvfIndex/MinHashIndex).
+
+Reference parity: the reference has no search surface; this is part of
+the beyond-reference LLM-data layer (SURVEY.md §2 extension table).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_engine_spark.functions.decontam import word_tokens_col
+from ocr_engine_spark.functions.dsir import MICRO
+from ocr_engine_spark.functions.text import md5_int60_col
+
+__all__ = ["doc_postings", "bm25_topk", "SearchIndex"]
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def tokenize_query(q: str) -> list[str]:
+    """Driver-side twin of word_tokens_col for the (tiny) query string:
+    lowercase alphanumeric runs, deduplicated, original order."""
+    seen: dict[str, None] = {}
+    for t in _WORD_RE.findall(q.lower()):
+        seen.setdefault(t)
+    return list(seen)
+
+
+def doc_postings(docs: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, term, tf) postings plus the document length ``dl`` repeated
+    on every row (one shuffle; dl via a size() before the explode, so
+    no second aggregation pass is needed)."""
+    toks = docs.select(F.col(id_col),
+                       word_tokens_col(F.col(text_col)).alias("__t"))
+    return (toks.select(id_col, F.size("__t").alias("dl"),
+                        F.explode("__t").alias("term"))
+            .groupBy(id_col, "dl", "term")
+            .agg(F.count("*").alias("tf")))
+
+
+def bm25_topk(postings: DataFrame, query_terms: list[str], k: int, *,
+              k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+              stats: tuple[int, int] | None = None) -> DataFrame:
+    """Top-``k`` (rank, id, score_micro, n_terms_hit) for a bag of
+    query terms against a postings table from ``doc_postings``.
+
+    ``stats`` is the corpus (n_docs, total_dl) pair; pass the stored
+    index metadata when searching an index (the postings may be a
+    pruned scan that no longer sees the whole corpus). Defaults to
+    computing both from ``postings`` in the same plan.
+    """
+    from pyspark.sql import Window
+
+    if not query_terms:
+        raise ValueError("empty query")
+    qt = postings.filter(F.col("term").isin(list(query_terms)))
+    if stats is None:
+        st = (postings.groupBy(id_col).agg(F.first("dl").alias("dl"))
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum("dl").alias("total_dl")))
+    else:
+        spark = postings.sparkSession
+        st = spark.createDataFrame([stats], "n_docs long, total_dl long")
+    dft = qt.groupBy("term").agg(F.count("*").alias("dft"))
+    # idf per query term: |query| rows after the broadcast cross join
+    # with the 1-row stats — never a driver round trip
+    idf_t = (dft.crossJoin(F.broadcast(st))
+             .select("term", "n_docs", "total_dl",
+                     F.log(F.lit(1.0)
+                           + (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+                           / (F.col("dft") + F.lit(0.5))).alias("idf")))
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)
+           / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                         + F.lit(b) * F.col("dl") / avgdl)))
+    contrib = F.round(F.col("idf") * tfn * F.lit(MICRO), 0).cast("long")
+    scored = (qt.join(F.broadcast(idf_t), "term")
+              .select(id_col, contrib.alias("c_micro"))
+              .groupBy(id_col)
+              .agg(F.sum("c_micro").alias("score_micro"),
+                   F.count("*").alias("n_terms_hit")))
+    topk = (scored.orderBy(F.col("score_micro").desc(), F.col(id_col))
+            .limit(k))
+    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col))
+    return (topk.withColumn("rank", F.row_number().over(w))
+            .select("rank", id_col, "score_micro", "n_terms_hit"))
+
+
+class SearchIndex:
+    """Build-once / query-many inverted index (the 10^12-doc shape):
+    postings written ``partitionBy("tbkt")`` on a term-hash bucket so
+    a query scans only its terms' buckets via partition pruning, with
+    the corpus stats (N, total length) stored as index metadata
+    through Spark writers — same lifecycle discipline as IvfIndex
+    (similarity.py) and MinHashIndex (dedup.py)."""
+
+    def __init__(self, path: str, buckets: int, n_docs: int,
+                 total_dl: int, id_col: str = "doc_id"):
+        self.path = path
+        self.buckets = buckets
+        self.n_docs = n_docs
+        self.total_dl = total_dl
+        self.id_col = id_col
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.path, "postings")
+
+    @classmethod
+    def build(cls, docs: DataFrame, path: str, *, buckets: int = 64,
+              id_col: str = "doc_id", text_col: str = "text"
+              ) -> "SearchIndex":
+        spark = docs.sparkSession
+        post = doc_postings(docs, id_col=id_col, text_col=text_col)
+        post = post.withColumn(
+            "tbkt", (md5_int60_col(F.col("term")) % buckets).cast("int"))
+        post.write.partitionBy("tbkt").mode("overwrite") \
+            .parquet(os.path.join(path, "postings"))
+        stats = (post.groupBy(id_col).agg(F.first("dl").alias("dl"))
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum("dl").alias("total_dl")).collect()[0])
+        spark.createDataFrame(
+            [(buckets, int(stats["n_docs"]), int(stats["total_dl"]))],
+            "buckets int, n_docs long, total_dl long") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "meta"))
+        return cls(path, buckets, int(stats["n_docs"]),
+                   int(stats["total_dl"]), id_col)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str,
+             id_col: str = "doc_id") -> "SearchIndex":
+        r = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+        return cls(path, int(r["buckets"]), int(r["n_docs"]),
+                   int(r["total_dl"]), id_col)
+
+    def search(self, spark: SparkSession, query: str, k: int = 10, *,
+               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+        """Top-k BM25 over the stored index; the tbkt IN (...) filter
+        is a literal partition predicate, so the scan reads only the
+        query terms' buckets (plan-asserted in tests)."""
+        terms = tokenize_query(query)
+        if not terms:
+            raise ValueError("query has no indexable terms")
+        bkts = sorted({self._bucket(t) for t in terms})
+        post = (spark.read.parquet(self.postings_path)
+                .filter(F.col("tbkt").isin(bkts)))
+        return bm25_topk(post, terms, k, k1=k1, b=b, id_col=self.id_col,
+                         stats=(self.n_docs, self.total_dl))
+
+    def _bucket(self, term: str) -> int:
+        import hashlib
+        return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) \
+            % self.buckets

