@@ -1471,6 +1471,28 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      15).orderBy("rank")
 
 
+def q_video_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video clip-overlap detection (multimodal.frame_phash +
+    video_overlap): every sampled frame of the fixture corpus gets an
+    integer-exact 64-bit average hash from its decoded pixels (Arrow
+    kernel, no per-row Python), then one phash equi-join finds video
+    pairs sharing >= 2 distinct frames — re-posted/trimmed footage.
+    The fixture's videos genuinely overlap (frame seed = video seed +
+    frame_no, video seeds 4 apart), so neighbors share real identical
+    frames. The oracle recomputes EVERY pixel of EVERY sampled frame
+    from the generator arithmetic in SQL, rebuilds each 64-bit hash
+    from integer cross products, and replays the join — a drift in
+    any pixel, block boundary or bit position breaks the hash
+    values."""
+    from ocr_engine_spark.functions.multimodal import (
+        frame_phash, media_df, sample_frames, video_overlap,
+    )
+    media = media_df(spark, n=200, seed=42)
+    fh = frame_phash(sample_frames(media, every_k=2))
+    return (video_overlap(fh, min_shared=2)
+            .orderBy("media_a", "media_b"))
+
+
 def _synthetic_host_edges(spark: SparkSession) -> DataFrame:
     """Deterministic synthetic host graph over the pages fixture: each
     non-dangling host links to the 3 hosts at (idx*7+j) mod N in
@@ -1702,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_terms,
         "spam_classifier": q_spam_classifier,
         "bm25_topk": q_bm25_topk,
+        "video_overlap": q_video_overlap,
     }
 
 
@@ -4175,6 +4198,50 @@ def _oracle_sql() -> dict[str, str]:
         "anchor_terms": _anchor_terms_oracle(),
         "robots_audit": _robots_audit_oracle(),
         "spam_classifier": _spam_classifier_oracle(),
+        "video_overlap": r"""
+            WITH v AS (
+              SELECT i AS media_id, 8 + (i % 5) * 4 AS nf,
+                     42 * 1000003 + i AS seed
+              FROM generate_series(0, 199) AS t(i) WHERE i % 4 = 3),
+            f AS (
+              SELECT media_id, fno, seed + fno AS fs
+              FROM v, unnest(generate_series(0, nf - 1, 2)) AS u(fno)),
+            px AS (
+              SELECT media_id, fno,
+                     (idx * 2654435761 + fs) % 251 AS val,
+                     ((idx // 192) * 8) // 48 AS yc,
+                     (((idx // 3) % 64) * 8) // 64 AS xc
+              FROM f, unnest(generate_series(0, 64 * 48 * 3 - 1))
+                        AS g(idx)),
+            cells AS (
+              SELECT media_id, fno, yc * 8 + xc AS cell,
+                     sum(val)::BIGINT AS cs, count(*)::BIGINT AS cc
+              FROM px GROUP BY media_id, fno, yc * 8 + xc),
+            tot AS (
+              SELECT media_id, fno, sum(cs)::BIGINT AS ts,
+                     sum(cc)::BIGINT AS tc
+              FROM cells GROUP BY media_id, fno),
+            ph AS (
+              SELECT c.media_id, c.fno,
+                     sum(CASE WHEN c.cs * t.tc > t.ts * c.cc
+                         THEN 1::HUGEINT << c.cell
+                         ELSE 0::HUGEINT END) AS hu
+              FROM cells c JOIN tot t USING (media_id, fno)
+              GROUP BY c.media_id, c.fno),
+            ph2 AS (
+              SELECT media_id,
+                     (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                           THEN hu - 18446744073709551616::HUGEINT
+                           ELSE hu END)::BIGINT AS phash
+              FROM ph)
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   count(DISTINCT a.phash)::BIGINT AS n_shared
+            FROM ph2 a JOIN ph2 b
+              ON a.phash = b.phash AND a.media_id < b.media_id
+            GROUP BY media_a, media_b
+            HAVING count(DISTINCT a.phash) >= 2
+            ORDER BY media_a, media_b
+        """,
         "bm25_topk": r"""
             WITH tok AS (
               SELECT doc_id,

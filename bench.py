@@ -50,6 +50,7 @@ HEADLINE = [
     "simhash_near_dups", "embedding_topk", "embedding_pairs",
     "embedding_lsh_pairs", "embedding_near_dups", "ivf_topk",
     "semantic_dedup", "decontaminate", "decontaminate_bloom",
+    "video_overlap",
     "nested_fields",
 ]
 

@@ -337,3 +337,108 @@ def media_df(spark, n: int = 200, seed: int = 42,
     df = spark.createDataFrame(gen_media_rows(n, seed), MEDIA_SCHEMA)
     # partition by media_id hash: payload sizes vary, ids don't skew
     return df.repartition(p, F.xxhash64("media_id"))
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing + clip-overlap detection
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_no", IntegerType()),
+    StructField("phash", LongType()),
+    StructField("status", StringType()),
+])
+
+
+def ahash64(px: "np.ndarray") -> int:
+    """Integer-exact 64-bit average hash (aHash) of an (h, w, c) uint8
+    pixel array: 8x8 block grid, bit i set iff the block's mean
+    intensity strictly exceeds the global mean. Means are never
+    materialized as floats — each bit is the integer cross product
+    ``block_sum * total_count > total_sum * block_count`` — so the
+    DuckDB oracle replays every bit with BIGINT arithmetic (exact up
+    to ~50-megapixel frames before the cross product could overflow).
+    Blocks left empty by sub-8x8 inputs score bit 0 deterministically.
+    Stored as a signed int64 (bit 63 wraps negative, both engines
+    alike)."""
+    h, w, c = px.shape
+    gray = px.astype(np.int64).sum(axis=2)  # per-pixel channel sum
+    yc = (np.arange(h) * 8) // h
+    xc = (np.arange(w) * 8) // w
+    cell = (yc[:, None] * 8 + xc[None, :]).ravel()
+    cs = np.zeros(64, dtype=np.int64)
+    np.add.at(cs, cell, gray.ravel())
+    cc = np.bincount(cell, minlength=64).astype(np.int64) * c
+    ts, tc = int(gray.sum()), h * w * c
+    v = 0
+    for i in np.nonzero(cs * tc > ts * cc)[0]:
+        v |= 1 << int(i)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _phash_batches_factory(payload_col: str):
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, fnos, hashes, statuses = [], [], [], []
+            frame_nos = (b["frame_no"] if "frame_no" in b.columns
+                         else [0] * len(b))
+            for mid, fno, payload in zip(b["media_id"], frame_nos,
+                                         b[payload_col]):
+                ids.append(mid)
+                fnos.append(fno)
+                try:
+                    raw = bytes(payload)
+                    if raw[:4] != MAGIC_IMG:
+                        raise ValueError("not a FIMG payload")
+                    hashes.append(ahash64(decode_fake_pixels(raw)))
+                    statuses.append("ok")
+                except Exception as exc:  # errors are data
+                    hashes.append(None)
+                    statuses.append(f"error: {exc}")
+            yield pd.DataFrame({
+                "media_id": pd.array(ids, dtype="int64"),
+                "frame_no": pd.array(fnos, dtype="int32"),
+                "phash": pd.array(hashes, dtype="Int64"),
+                "status": statuses})
+    return _phash
+
+
+def frame_phash(frames: DataFrame) -> DataFrame:
+    """Perceptual hash per sampled video frame (input: FRAME_SCHEMA
+    from ``sample_frames``). Arrow-batched kernel, co-partitioned with
+    its input on media_id — no shuffle added."""
+    return frames.mapInPandas(_phash_batches_factory("frame_payload"),
+                              PHASH_SCHEMA)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual hash per image payload (input: MEDIA_SCHEMA);
+    frame_no is 0 for stills."""
+    return (media.filter(F.col("kind") == "image")
+            .mapInPandas(_phash_batches_factory("payload"), PHASH_SCHEMA))
+
+
+def video_overlap(frame_hashes: DataFrame, min_shared: int = 2
+                  ) -> DataFrame:
+    """Clip-overlap detection (the video analog of near-dup pairs):
+    unordered video pairs sharing >= ``min_shared`` DISTINCT frame
+    phashes — re-posted or trimmed copies of the same footage share
+    exact frame content, so their frames hash equal.
+
+    Plan shape: ONE equi-join shuffle keyed on phash (group sizes are
+    the few frames sharing identical content — never a cross join),
+    then a (pair) aggregate with map-side combine. At 10^12 frames a
+    degenerate constant frame (e.g. black) would skew the phash key;
+    pre-filter such hashes by frequency the way scrub.line_prune drops
+    boilerplate lines."""
+    fh = frame_hashes.filter(F.col("status") == "ok")
+    a = fh.select(F.col("media_id").alias("media_a"),
+                  F.col("phash"))
+    b = fh.select(F.col("media_id").alias("media_b"),
+                  F.col("phash"))
+    return (a.join(b, "phash")
+            .filter(F.col("media_a") < F.col("media_b"))
+            .groupBy("media_a", "media_b")
+            .agg(F.countDistinct("phash").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

@@ -111,3 +111,75 @@ def test_no_python_row_udfs_in_plan(media):
         .toString()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash + clip overlap
+# ---------------------------------------------------------------------------
+
+def test_ahash64_properties():
+    from ocr_engine_spark.functions.multimodal import ahash64
+    # flat image: no block strictly exceeds the mean -> hash 0
+    flat = np.full((16, 16, 3), 100, dtype=np.uint8)
+    assert ahash64(flat) == 0
+    # top half bright, bottom dark: exactly the top 4 block rows set
+    half = np.zeros((16, 16, 1), dtype=np.uint8)
+    half[:8] = 200
+    got = ahash64(half)
+    want = 0
+    for i in range(32):  # cells 0..31 = top 4 rows of the 8x8 grid
+        want |= 1 << i
+    assert got == want
+    # deterministic + content-sensitive
+    px = np.arange(12 * 12 * 3, dtype=np.uint8).reshape(12, 12, 3) % 251
+    assert ahash64(px) == ahash64(px.copy())
+    px2 = px.copy()
+    px2[0, 0, 0] = 250
+    # a single-pixel tweak may or may not flip a bit, but the function
+    # must not crash on it and stays in int64 range
+    assert -(1 << 63) <= ahash64(px2) < (1 << 63)
+
+
+def test_identical_content_same_phash(spark):
+    from ocr_engine_spark.functions.multimodal import (
+        MEDIA_SCHEMA, image_phash,
+    )
+    pay = encode_fake_image(32, 24, 3, 777)
+    df = spark.createDataFrame(
+        [(1, "u1", "image", pay), (2, "u2", "image", pay),
+         (3, "u3", "image", encode_fake_image(32, 24, 3, 778))],
+        MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in image_phash(df).collect()}
+    assert all(r["status"] == "ok" for r in rows.values())
+    assert rows[1]["phash"] == rows[2]["phash"]
+    assert rows[1]["phash"] != rows[3]["phash"]
+
+
+def test_video_overlap_pairs(spark, media):
+    from ocr_engine_spark.functions.multimodal import (
+        frame_phash, video_overlap,
+    )
+    fh = frame_phash(sample_frames(media, every_k=2))
+    assert fh.filter(F.col("status") != "ok").count() == 0
+    pairs = {(r["media_a"], r["media_b"]): r["n_shared"]
+             for r in video_overlap(fh, min_shared=2).collect()}
+    # adjacent videos (ids 4 apart) share frames by seed construction:
+    # video 3 (seed s, frames 0..) and video 7 (seed s+4) both sample
+    # even frame_nos, so overlap count = frames at distance 4
+    assert pairs, "fixture videos must overlap"
+    assert (3, 7) in pairs and pairs[(3, 7)] >= 2
+    # every reported pair is video x video with ordered ids
+    assert all(a < b for a, b in pairs)
+
+
+def test_phash_error_rows_are_data(spark):
+    from ocr_engine_spark.functions.multimodal import (
+        MEDIA_SCHEMA, image_phash,
+    )
+    df = spark.createDataFrame(
+        [(1, "u", "image", b"GARBAGE"), (2, "u2", "image", None)],
+        MEDIA_SCHEMA)
+    rows = image_phash(df).collect()
+    assert len(rows) == 2
+    assert all(r["status"].startswith("error") for r in rows)
+    assert all(r["phash"] is None for r in rows)
