@@ -171,6 +171,23 @@ NOTES = {
                       "hosts); the 1-row dangling aggregate re-enters "
                       "via BroadcastNestedLoopJoin — a 1-row broadcast, "
                       "the one place that operator is the right plan",
+    "spam_classifier": "the NB fit is JOIN-FREE (label rides the gram "
+                       "explosion; the (label, bucket) agg shuffles at "
+                       "most k*4096 keys with map-side combine); the "
+                       "scorer joins a BROADCAST cond/labels model and "
+                       "shuffles once on (doc, label) — the corpus "
+                       "never joins itself, no BatchEvalPython",
+    "bm25_topk": "postings build is ONE (doc, term) shuffle with "
+                 "map-side combine; the |query|-row idf table enters "
+                 "as a broadcast; top-k is TakeOrderedAndProject — "
+                 "never a global sort; df/N stats ride a 1-row "
+                 "broadcast cross join, no driver round trip",
+    "video_overlap": "frame sampling + phash are Arrow-batched "
+                     "MapInPandas co-partitioned on media_id (no "
+                     "BatchEvalPython); the overlap join is ONE "
+                     "equi-join shuffle keyed on phash (group size = "
+                     "frames sharing identical content) and a "
+                     "map-side-combined pair aggregate — no cross join",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -220,6 +237,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "url_latest", "bpe_pair_counts", "bpe_encode",
             "outlink_hosts", "pagerank_round", "crawl_frontier",
             "mirror_hosts",
+            "spam_classifier", "bm25_topk", "video_overlap",
             "extraction_pipeline"]
 
 
