@@ -1493,6 +1493,29 @@ def q_video_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_a", "media_b"))
 
 
+def q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search (search.pos_postings + phrase_search): the
+    decontamination-forensics query — which documents contain a given
+    token sequence verbatim, where, how often. Two phrases over one
+    persisted positional-postings build: a plain bigram and a trigram
+    with a REPEATED term (the same positions array enters the
+    array_intersect chain under two different shifts). The oracle
+    replays tokenization with positions, the per-(doc, term) position
+    lists and every shifted list intersection verbatim."""
+    from ocr_engine_spark.functions.search import (
+        phrase_search, pos_postings,
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pp = pos_postings(docs).persist()  # shared by both phrase plans
+    a = (phrase_search(pp, ["table", "hash"])
+         .withColumn("phrase", F.lit("table hash")))
+    b = (phrase_search(pp, ["the", "batch", "batch"])
+         .withColumn("phrase", F.lit("the batch batch")))
+    return (a.unionByName(b)
+            .select("phrase", "doc_id", "n_matches", "first_pos")
+            .orderBy("phrase", "doc_id"))
+
+
 def _synthetic_host_edges(spark: SparkSession) -> DataFrame:
     """Deterministic synthetic host graph over the pages fixture: each
     non-dangling host links to the 3 hosts at (idx*7+j) mod N in
@@ -1725,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_classifier": q_spam_classifier,
         "bm25_topk": q_bm25_topk,
         "video_overlap": q_video_overlap,
+        "phrase_hits": q_phrase_hits,
     }
 
 
@@ -4198,6 +4222,55 @@ def _oracle_sql() -> dict[str, str]:
         "anchor_terms": _anchor_terms_oracle(),
         "robots_audit": _robots_audit_oracle(),
         "spam_classifier": _spam_classifier_oracle(),
+        "phrase_hits": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            pp AS (
+              SELECT doc_id, term, list_sort(list(pos)) AS positions
+              FROM (SELECT doc_id, t[i] AS term, i - 1 AS pos
+                    FROM tok, unnest(generate_series(1, len(t)))
+                           AS u(i))
+              GROUP BY doc_id, term),
+            p1 AS (
+              SELECT 'table hash' AS phrase, a.doc_id,
+                     len(list_intersect(a.p0,
+                         list_transform(b.p1, x -> x - 1)))::INT
+                       AS n_matches,
+                     list_min(list_intersect(a.p0,
+                         list_transform(b.p1, x -> x - 1)))::INT
+                       AS first_pos
+              FROM (SELECT doc_id, positions AS p0 FROM pp
+                    WHERE term = 'table') a
+              JOIN (SELECT doc_id, positions AS p1 FROM pp
+                    WHERE term = 'hash') b USING (doc_id)
+              WHERE len(list_intersect(a.p0,
+                        list_transform(b.p1, x -> x - 1))) >= 1),
+            p2 AS (
+              SELECT 'the batch batch' AS phrase, a.doc_id,
+                     len(list_intersect(list_intersect(a.p0,
+                         list_transform(b.p1, x -> x - 1)),
+                         list_transform(b.p1, x -> x - 2)))::INT
+                       AS n_matches,
+                     list_min(list_intersect(list_intersect(a.p0,
+                         list_transform(b.p1, x -> x - 1)),
+                         list_transform(b.p1, x -> x - 2)))::INT
+                       AS first_pos
+              FROM (SELECT doc_id, positions AS p0 FROM pp
+                    WHERE term = 'the') a
+              JOIN (SELECT doc_id, positions AS p1 FROM pp
+                    WHERE term = 'batch') b USING (doc_id)
+              WHERE len(list_intersect(list_intersect(a.p0,
+                        list_transform(b.p1, x -> x - 1)),
+                        list_transform(b.p1, x -> x - 2))) >= 1)
+            SELECT phrase, doc_id, n_matches, first_pos FROM p1
+            UNION ALL
+            SELECT phrase, doc_id, n_matches, first_pos FROM p2
+            ORDER BY phrase, doc_id
+        """,
         "video_overlap": r"""
             WITH v AS (
               SELECT i AS media_id, 8 + (i % 5) * 4 AS nf,

@@ -43,7 +43,7 @@ HEADLINE = [
     "shuffle_corpus", "ppl_filter", "chunk_documents", "snapshot_diff",
     "url_latest",
     "tfidf_topk", "bpe_train", "bpe_encode",
-    "dsir_select", "spam_classifier", "bm25_topk",
+    "dsir_select", "spam_classifier", "bm25_topk", "phrase_hits",
     "host_skew", "domain_blocklist", "robots_noindex", "robots_audit",
     "outlink_hosts", "host_pagerank", "host_harmonic", "anchor_terms",
     "crawl_frontier", "mirror_hosts",

@@ -187,3 +187,60 @@ class SearchIndex:
         import hashlib
         return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) \
             % self.buckets
+
+
+# ---------------------------------------------------------------------------
+# positional postings + exact-phrase search
+# ---------------------------------------------------------------------------
+
+def pos_postings(docs: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, term, positions) positional postings — the phrase-query
+    layer over the same one-shuffle build as ``doc_postings`` (the
+    positions array replaces the bare tf; ``size(positions)`` IS tf,
+    so one table can serve both scorers)."""
+    toks = docs.select(F.col(id_col),
+                       word_tokens_col(F.col(text_col)).alias("__t"))
+    return (toks.select(id_col, F.posexplode("__t").alias("pos", "term"))
+            .groupBy(id_col, "term")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions")))
+
+
+def phrase_search(pos_post: DataFrame, phrase_terms: list[str], *,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact-phrase occurrences — the decontamination-forensics query
+    ("which documents contain this benchmark sentence verbatim").
+
+    A phrase starting at token position p exists iff
+    ``p + i in positions(term_i)`` for every phrase slot i, so the
+    matcher is ONE chain of ``array_intersect`` over slot-shifted
+    position arrays — no joins beyond the per-doc term regroup, no
+    window, no UDF. Repeated phrase terms reuse the same positions
+    array under different shifts (("the", "batch", "batch") works).
+
+    Returns (id, n_matches, first_pos), only docs with >= 1 match.
+    Plan shape: the term filter prunes the postings scan; one shuffle
+    regroups the (few) query-term rows per doc; everything after is a
+    map-side expression. Docs missing any slot term fall out through
+    the null intersect chain.
+    """
+    terms = list(phrase_terms)
+    if not terms:
+        raise ValueError("empty phrase")
+    qt = pos_post.filter(F.col("term").isin(sorted(set(terms))))
+    g = (qt.groupBy(id_col)
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("term", "positions"))).alias("__m")))
+    def _shifted(term: str, k: int):
+        # NB: the HOF lambda must take exactly ONE parameter — a second
+        # parameter (even defaulted) makes pyspark bind the element's
+        # ARRAY INDEX to it, silently corrupting the shift
+        return F.transform(F.element_at(F.col("__m"), term),
+                           lambda p: p - F.lit(k))
+
+    acc = F.element_at(F.col("__m"), terms[0])
+    for i, t in enumerate(terms[1:], 1):
+        acc = F.array_intersect(acc, _shifted(t, i))
+    return (g.select(F.col(id_col), F.size(acc).alias("n_matches"),
+                     F.array_min(acc).alias("first_pos"))
+            .filter(F.col("n_matches") >= 1))

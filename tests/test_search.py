@@ -9,6 +9,8 @@ filter; (4) determinism across partitionings.
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ocr_engine_spark.functions.search import (
@@ -106,3 +108,63 @@ def test_deterministic_across_partitionings(spark):
                      for r in bm25_topk(post, ["scan", "rows"],
                                         10).collect()])
     assert outs[0] == outs[1]
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+
+def _phrase_corpus(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat the cat sat down"),
+        (2, "cat sat cat sat cat sat"),
+        (3, "sat the cat"),
+        (4, "the dog sat on the cat"),
+        (5, "batch batch batch end"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_phrase_search_matches_python(spark):
+    from ocr_engine_spark.functions.search import (
+        phrase_search, pos_postings,
+    )
+    pp = pos_postings(_phrase_corpus(spark))
+    for phrase in (["the", "cat"], ["cat", "sat"],
+                   ["the", "cat", "sat"], ["batch", "batch"],
+                   ["batch", "batch", "batch"], ["on", "the"],
+                   ["missing", "cat"]):
+        got = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+               for r in phrase_search(pp, phrase).collect()}
+        want = {}
+        for did, text in [(r[0], r[1])
+                          for r in _phrase_corpus(spark).collect()]:
+            toks = text.split()
+            hits = [i for i in range(len(toks) - len(phrase) + 1)
+                    if toks[i:i + len(phrase)] == phrase]
+            if hits:
+                want[did] = (len(hits), hits[0])
+        assert got == want, phrase
+
+
+def test_phrase_search_empty_raises(spark):
+    from ocr_engine_spark.functions.search import (
+        phrase_search, pos_postings,
+    )
+    pp = pos_postings(_phrase_corpus(spark))
+    with pytest.raises(ValueError):
+        phrase_search(pp, [])
+
+
+def test_pos_postings_size_is_tf(spark):
+    from ocr_engine_spark.functions.search import (
+        doc_postings, pos_postings,
+    )
+    docs = _phrase_corpus(spark)
+    via_pos = {(r["doc_id"], r["term"]): len(r["positions"])
+               for r in pos_postings(docs).collect()}
+    via_tf = {(r["doc_id"], r["term"]): r["tf"]
+              for r in doc_postings(docs).collect()}
+    assert via_pos == via_tf

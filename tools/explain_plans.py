@@ -188,6 +188,12 @@ NOTES = {
                      "equi-join shuffle keyed on phash (group size = "
                      "frames sharing identical content) and a "
                      "map-side-combined pair aggregate — no cross join",
+    "phrase_hits": "the term filter prunes the postings before the "
+                   "per-doc regroup; the whole matcher is an "
+                   "array_intersect chain over slot-shifted position "
+                   "arrays — no join beyond the regroup, no window, "
+                   "no UDF; both phrases share one persisted postings "
+                   "build",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -238,6 +244,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "outlink_hosts", "pagerank_round", "crawl_frontier",
             "mirror_hosts",
             "spam_classifier", "bm25_topk", "video_overlap",
+            "phrase_hits",
             "extraction_pipeline"]
 
 
