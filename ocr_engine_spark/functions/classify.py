@@ -63,7 +63,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ocr_engine_spark.functions.decontam import ngrams_col, word_tokens_col
 from ocr_engine_spark.functions.dsir import MICRO, bucket_col, gram_buckets
 
-__all__ = ["nb_fit", "nb_predict", "nb_confusion"]
+__all__ = ["nb_fit", "nb_predict", "nb_confusion",
+           "save_nb_model", "load_nb_model"]
 
 
 def nb_fit(labeled: DataFrame, *, buckets: int = 4096, alpha: float = 1.0,
@@ -160,3 +161,22 @@ def nb_confusion(pred: DataFrame, truth: DataFrame, *,
     return (pred.join(t, id_col)
             .groupBy("true_label", "pred_label")
             .agg(F.count("*").alias("n_docs")))
+
+
+def save_nb_model(labels: DataFrame, cond: DataFrame, path: str) -> None:
+    """Persist a fitted model through Spark writers (object-store safe
+    — same discipline as IvfIndex/SearchIndex metadata). Both tables
+    are small (k and <= k*buckets rows); one file each keeps the load
+    cheap."""
+    import os
+    labels.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "labels"))
+    cond.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "cond"))
+
+
+def load_nb_model(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(labels, cond) back from ``save_nb_model`` output."""
+    import os
+    return (spark.read.parquet(os.path.join(path, "labels")),
+            spark.read.parquet(os.path.join(path, "cond")))

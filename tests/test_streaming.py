@@ -611,3 +611,85 @@ def test_stream_edge_table_matches_batch(spark, tmp_path):
     got2 = {(r.src_host, r.dst_host): r.n_links
             for r in read_edge_table(spark, out).collect()}
     assert got2 == got
+
+
+def test_stream_classify_against_model(spark, tmp_path):
+    """Micro-batches are scored against the persisted NB model with
+    exactly-once commits; checkpoint recovery neither re-scores nor
+    duplicates; a model re-fit between batches is picked up without a
+    stream restart (the per-batch load)."""
+    import datetime
+    import time
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from ocr_engine_spark.engine.catalog import ManifestCatalog
+    from ocr_engine_spark.functions.classify import nb_fit, save_nb_model
+    from ocr_engine_spark.streaming.stream_job import (
+        start_classify_stream,
+    )
+
+    spam_text = "win free prize click offer winner cash bonus claim"
+    ham_text = "spark plans shuffle data across the cluster nodes"
+    labeled = spark.createDataFrame(
+        [(i, (spam_text if i % 2 else ham_text) + f" v{i}",
+          "spam" if i % 2 else "ham") for i in range(40)],
+        "doc_id long, text string, label string")
+    model_path = str(tmp_path / "nb_model")
+    labels, cond = nb_fit(labeled, buckets=512)
+    save_nb_model(labels, cond, model_path)
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    t0 = datetime.datetime(2025, 5, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        tbl = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+            "html": pa.array([b""] * len(rows), pa.binary()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, str(src / name))
+        time.sleep(0.05)
+
+    write_file("f1.parquet", [
+        ("https://a.example.com/1", spam_text + " urgent lottery"),
+        ("https://a.example.com/2", ham_text + " with agg stages")])
+    write_file("f2.parquet", [
+        ("https://b.example.com/3", "free cash prize deal claim now")])
+
+    out_root = str(tmp_path / "cls_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string").option("maxFilesPerTrigger", "1")
+            .parquet(str(src)))
+        q = start_classify_stream(stream, model_path, out_root, ckpt,
+                                  buckets=512)
+        q.awaitTermination(180)
+
+    run()
+    cat = ManifestCatalog(out_root)
+    got = {r["url"]: r["pred_label"]
+           for r in cat.read_table(spark, "pages_classified").collect()}
+    assert got == {"https://a.example.com/1": "spam",
+                   "https://a.example.com/2": "ham",
+                   "https://b.example.com/3": "spam"}
+    n_batches = len(cat.committed_batches("pages_classified"))
+    assert n_batches >= 2
+
+    # recovery with one more file: old batches not re-scored, new one
+    # commits exactly once
+    write_file("f3.parquet", [
+        ("https://c.example.com/4", ham_text + " and broadcast joins")])
+    run()
+    rows = cat.read_table(spark, "pages_classified").collect()
+    assert len(rows) == 4
+    assert len(cat.committed_batches("pages_classified")) == \
+        n_batches + 1
+    got2 = {r["url"]: r["pred_label"] for r in rows}
+    assert got2["https://c.example.com/4"] == "ham"
