@@ -70,14 +70,39 @@ def gram_buckets(df: DataFrame, *, buckets: int, id_col: str = "doc_id",
                  text_col: str = "text", ns: tuple[int, ...] = (1, 2)
                  ) -> DataFrame:
     """One (id, bucket) row per word n-gram occurrence (n in ``ns``,
-    paper default unigram+bigram). Pure map-side: tokenize once,
-    concatenate the per-n gram arrays, explode."""
+    paper default unigram+bigram).
+
+    Gram strings are built with codegen'd window ``lead``s over the
+    pos-exploded token table, not with the ``ngrams_col`` array HOF:
+    HOF lambdas are interpreted per element and the array form measured
+    2.5x slower on the same output (see dedup.dedup_kgrams for the
+    same cliff at 17x with nested lambdas). All ``ns`` variants ride
+    ONE window pass — each position emits a struct per n, exploded and
+    gated so document tails never form shortened grams. Costs one
+    (id, pos) exchange for the window; every consumer of this table
+    (the bucket-count fit, the per-doc score agg) shuffles anyway."""
+    from pyspark.sql import Window
+
     toks = df.select(F.col(id_col), word_tokens_col(F.col(text_col))
                      .alias("__t"))
-    grams = F.concat(*[ngrams_col(F.col("__t"), n) for n in ns])
-    return (toks.select(id_col, F.explode(grams).alias("__g"))
-            .select(id_col, bucket_col(F.col("__g"), buckets)
-                    .alias("bucket")))
+    pos = toks.select(id_col, F.posexplode("__t").alias("__p", "__w"))
+    wnd = Window.partitionBy(id_col).orderBy("__p")
+    variants = []
+    for n in ns:
+        parts = [F.col("__w")] + [F.lead("__w", j).over(wnd)
+                                  for j in range(1, n)]
+        gate = parts[-1].isNotNull() if n > 1 else F.lit(True)
+        variants.append(F.struct(F.concat_ws(" ", *parts).alias("g"),
+                                 gate.alias("ok")))
+    # the window expressions are materialized in their own Project
+    # before the generator — a filter referencing them across the
+    # explode otherwise gets pushed into the window project, which
+    # Catalyst rejects (UNSUPPORTED_EXPR_FOR_OPERATOR)
+    staged = pos.select(id_col, F.array(*variants).alias("__vs"))
+    ex = (staged.select(id_col, F.explode("__vs").alias("__s"))
+          .filter(F.col("__s.ok")))
+    return ex.select(id_col, bucket_col(F.col("__s.g"), buckets)
+                     .alias("bucket"))
 
 
 def bucket_log_ratios(target: DataFrame, raw: DataFrame, *,
