@@ -36,6 +36,10 @@ COLLECT_ALLOWLIST = {
     "functions/dedup.py": [
         '"params")).first()',       # index params: 1 row
     ],
+    "functions/search.py": [
+        '.alias("total_dl")).collect()[0])',  # corpus stats: 1 row
+        '"meta")).collect()[0]',              # index metadata: 1 row
+    ],
     "functions/bpe.py": [
         ".first())  # 1-row argmax read, IVF-seed discipline",
     ],
