@@ -278,6 +278,35 @@ def raw_response_col(text_col: str = "clean_text") -> F.Column:
     return F.when(bill_like & all_null, F.col(text_col))
 
 
+def _local_input_bytes(df: DataFrame) -> int:
+    """Total bytes of a LOCAL file-backed source (file listing only, no
+    job). 0 = unknown/in-memory; -1 = remote store (trust its scan)."""
+    import os
+    from urllib.parse import unquote, urlparse
+    total = 0
+    for f in df.inputFiles():
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return -1
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return 0
+    return total
+
+
+def _max_partition_bytes(spark) -> int:
+    import re as _re
+    conf = spark.conf.get("spark.sql.files.maxPartitionBytes",
+                          "134217728")
+    # Spark size-config strings keep their suffix ('128m', '64MB', ...)
+    m = _re.match(r"(\d+)\s*([kmgt]?)b?$", str(conf).strip().lower())
+    if m:
+        return int(m.group(1)) * (
+            1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[m.group(2)])
+    return 134_217_728
+
+
 def _estimated_scan_splits(df: DataFrame) -> int:
     """Metadata-only estimate of how many scan splits the source yields
     (total input bytes / spark.sql.files.maxPartitionBytes — file
@@ -285,28 +314,10 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     paths estimate 0, i.e. 'under-parallelized' — the safe local
     answer; a table-scale source estimates millions and is never
     shuffled for balance."""
-    import os
-    import re as _re
-    from urllib.parse import unquote, urlparse
-    files = df.inputFiles()
-    conf = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes",
-                                    "134217728")
-    # Spark size-config strings keep their suffix ('128m', '64MB', ...)
-    m = _re.match(r"(\d+)\s*([kmgt]?)b?$", str(conf).strip().lower())
-    if m:
-        max_bytes = int(m.group(1)) * (
-            1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[m.group(2)])
-    else:
-        max_bytes = 134_217_728
-    total = 0
-    for f in files:
-        u = urlparse(f)
-        if u.scheme not in ("file", ""):
-            return 1 << 30  # remote store: trust the scan's own splits
-        try:
-            total += os.path.getsize(unquote(u.path))
-        except OSError:
-            return 0
+    total = _local_input_bytes(df)
+    if total < 0:
+        return 1 << 30  # remote store: trust the scan's own splits
+    max_bytes = _max_partition_bytes(df.sparkSession)
     return -(-total // max_bytes) if total else 0
 
 
@@ -359,7 +370,36 @@ def extract_pages(pages: DataFrame, *, partitions: int | None = None,
     return out
 
 
-def read_pages(spark: "SparkSession", path: str) -> DataFrame:
+def read_pages(spark: "SparkSession", path: str, *,
+               autosplit: bool = True) -> DataFrame:
     """Catalog-agnostic pages scan (Iceberg table name or parquet path —
-    sandbox has no Iceberg jars; see engine/catalog.py seam)."""
-    return spark.read.schema(PAGES_SCHEMA).parquet(path)
+    sandbox has no Iceberg jars; see engine/catalog.py seam).
+
+    ``autosplit`` (default on): when a LOCAL corpus layout
+    under-parallelizes the scan (< 4 splits per executor slot — the
+    one-big-file fixture regime), lower
+    ``spark.sql.files.maxPartitionBytes`` so the SCAN ITSELF yields
+    that parallelism instead of letting extract_pages' auto-balance
+    buy a full-payload repartition. Measured at pinned cores on the
+    36800-page corpus: the payload shuffle drags the 2->8 scaling leg
+    from 0.89 to 0.73 and costs ~2x the whole JVM->Arrow plumbing —
+    splitting at the source is strictly better whenever the layout
+    allows it (parquet can't split finer than a row group; the fixture
+    writer uses 512-row groups precisely so it can). Floor 16 MB so a
+    tiny corpus never degenerates to per-row-group tasks. NOTE: this
+    sets a SESSION conf (file-scan splits are decided at execution
+    time, a per-read option does not exist) — it only ever lowers the
+    value, and a 10^12-row table never triggers it (its scan already
+    yields millions of splits). Remote stores are untouched."""
+    df = spark.read.schema(PAGES_SCHEMA).parquet(path)
+    if autosplit:
+        slots = spark.sparkContext.defaultParallelism
+        total = _local_input_bytes(df)
+        want = slots * 4
+        if total > 0 and -(-total // _max_partition_bytes(spark)) < want:
+            target = max(16 << 20, total // want)
+            if target < _max_partition_bytes(spark):
+                spark.conf.set("spark.sql.files.maxPartitionBytes",
+                               str(int(target)))
+                df = spark.read.schema(PAGES_SCHEMA).parquet(path)
+    return df

@@ -219,3 +219,48 @@ def test_oversize_payload_guard(monkeypatch):
     assert big.status == "error" and "exceeds" in big.error
     assert big.payload_kind == "oversize" and big.extracted_text is None
     assert ok.status == "success"
+
+
+def test_read_pages_autosplit(spark, tmp_path):
+    """A one-file corpus that would under-parallelize the scan gets
+    split at the SOURCE (maxPartitionBytes lowered) so auto-balance
+    never buys the full-payload shuffle; the resulting plan has no
+    Exchange before the kernel stage and >= 4 tasks/slot when row
+    groups allow it."""
+    from ocr_engine_spark.engine.extract_job import (
+        extract_pages, read_pages,
+    )
+    from ocr_engine_spark.fixtures.gen_pages import write
+
+    corpus = str(tmp_path / "pages_autosplit")
+    # Common-Crawl page weight so the one file clears the 16 MB split
+    # floor (a truly tiny corpus stays one split and falls back to the
+    # cheap balance shuffle in extract_pages — also asserted below)
+    write(corpus, n_pages=1200, seed=7, para_scale=48)
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    try:
+        pages = read_pages(spark, corpus + "/pages.parquet")
+        slots = spark.sparkContext.defaultParallelism
+        n_splits = pages.rdd.getNumPartitions()
+        assert n_splits > 1  # source-split fired
+        assert int(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes")) >= 16 << 20
+        out = extract_pages(pages, with_fields=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        below_kernel = plan.split("MapInArrow")[-1]
+        if n_splits >= slots * 4:
+            assert "Exchange" not in below_kernel
+        assert out.count() == pages.count()  # generator adds variants
+
+        # tiny corpus: floor keeps it one split; auto-balance still
+        # buys the (cheap) shuffle downstream
+        tiny = str(tmp_path / "pages_tiny")
+        write(tiny, n_pages=60, seed=7)
+        tpages = read_pages(spark, tiny + "/pages.parquet")
+        assert tpages.rdd.getNumPartitions() == 1
+        tplan = (extract_pages(tpages, with_fields=False)
+                 ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" in tplan.split("MapInArrow")[-1]
+    finally:
+        if before is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", before)
