@@ -143,10 +143,26 @@ class SearchIndex:
 
     @classmethod
     def build(cls, docs: DataFrame, path: str, *, buckets: int = 64,
-              id_col: str = "doc_id", text_col: str = "text"
-              ) -> "SearchIndex":
+              positions: bool = True, id_col: str = "doc_id",
+              text_col: str = "text") -> "SearchIndex":
+        """``positions=True`` (default) stores the per-(doc, term)
+        position array alongside tf, enabling ``phrase()`` queries
+        over the same pruned scan — tf stays a separate column so
+        bag-of-words scoring never deserializes the arrays (Parquet
+        column pruning drops them at the scan)."""
         spark = docs.sparkSession
-        post = doc_postings(docs, id_col=id_col, text_col=text_col)
+        if positions:
+            toks = docs.select(F.col(id_col),
+                               word_tokens_col(F.col(text_col))
+                               .alias("__t"))
+            post = (toks.select(id_col, F.size("__t").alias("dl"),
+                                F.posexplode("__t").alias("pos", "term"))
+                    .groupBy(id_col, "dl", "term")
+                    .agg(F.sort_array(F.collect_list("pos"))
+                         .alias("positions"))
+                    .withColumn("tf", F.size("positions").cast("long")))
+        else:
+            post = doc_postings(docs, id_col=id_col, text_col=text_col)
         post = post.withColumn(
             "tbkt", (md5_int60_col(F.col("term")) % buckets).cast("int"))
         post.write.partitionBy("tbkt").mode("overwrite") \
@@ -177,11 +193,31 @@ class SearchIndex:
         terms = tokenize_query(query)
         if not terms:
             raise ValueError("query has no indexable terms")
-        bkts = sorted({self._bucket(t) for t in terms})
-        post = (spark.read.parquet(self.postings_path)
-                .filter(F.col("tbkt").isin(bkts)))
+        post = self._pruned(spark, terms)
         return bm25_topk(post, terms, k, k1=k1, b=b, id_col=self.id_col,
                          stats=(self.n_docs, self.total_dl))
+
+    def phrase(self, spark: SparkSession, phrase: str) -> DataFrame:
+        """Exact-phrase occurrences over the stored index (requires a
+        positions build). Ordered duplicates preserved: 'batch batch'
+        means two consecutive 'batch' tokens. Bucket pruning is safe —
+        every slot term's postings live wholly inside its bucket."""
+        terms = [t for t in _WORD_RE.findall(phrase.lower())]
+        if not terms:
+            raise ValueError("phrase has no indexable terms")
+        post = self._pruned(spark, terms)
+        if "positions" not in post.columns:
+            raise ValueError("index was built without positions")
+        return phrase_search(post.select(self.id_col, "term",
+                                         "positions"),
+                             terms, id_col=self.id_col)
+
+    def _pruned(self, spark: SparkSession, terms: list[str]) -> DataFrame:
+        """The postings scan restricted to the terms' hash buckets —
+        a literal partition predicate (plan-asserted in tests)."""
+        bkts = sorted({self._bucket(t) for t in terms})
+        return (spark.read.parquet(self.postings_path)
+                .filter(F.col("tbkt").isin(bkts)))
 
     def _bucket(self, term: str) -> int:
         import hashlib

@@ -112,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
     ts.add_argument("--index", required=True, help="textindex dir")
     ts.add_argument("--query", required=True, help="free-text query")
     ts.add_argument("--k", type=int, default=10)
+    ts.add_argument("--phrase", action="store_true",
+                    help="exact-phrase match instead of BM25 ranking")
 
     cf = sub.add_parser("classify", help="fit NB classifier on labeled "
                                          "docs; score a corpus")
@@ -421,11 +423,19 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "textsearch":
         from ocr_engine_spark.functions.search import SearchIndex
         idx = SearchIndex.load(spark, args.index)
-        rows = idx.search(spark, args.query, k=args.k).collect()
-        print(json.dumps([{"rank": r["rank"], "doc_id": r[idx.id_col],
-                           "score_micro": r["score_micro"],
-                           "n_terms_hit": r["n_terms_hit"]}
-                          for r in rows]))
+        if args.phrase:
+            rows = (idx.phrase(spark, args.query)
+                    .orderBy(idx.id_col).limit(args.k).collect())
+            print(json.dumps([{"doc_id": r[idx.id_col],
+                               "n_matches": r["n_matches"],
+                               "first_pos": r["first_pos"]}
+                              for r in rows]))
+        else:
+            rows = idx.search(spark, args.query, k=args.k).collect()
+            print(json.dumps([{"rank": r["rank"], "doc_id": r[idx.id_col],
+                               "score_micro": r["score_micro"],
+                               "n_terms_hit": r["n_terms_hit"]}
+                              for r in rows]))
     elif args.cmd == "classify":
         from pyspark.sql import functions as F
         from ocr_engine_spark.functions.classify import nb_fit, nb_predict

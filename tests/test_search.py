@@ -168,3 +168,32 @@ def test_pos_postings_size_is_tf(spark):
     via_tf = {(r["doc_id"], r["term"]): r["tf"]
               for r in doc_postings(docs).collect()}
     assert via_pos == via_tf
+
+
+def test_index_phrase_equals_direct(spark, tmp_path):
+    from ocr_engine_spark.functions.search import (
+        SearchIndex, phrase_search, pos_postings,
+    )
+    docs = _phrase_corpus(spark)
+    idx = SearchIndex.build(docs, str(tmp_path / "pix"), buckets=8)
+    direct = sorted(map(tuple,
+                        phrase_search(pos_postings(docs),
+                                      ["the", "cat"]).collect()))
+    via_index = sorted(map(tuple,
+                           idx.phrase(spark, "The, CAT!").collect()))
+    assert via_index == direct
+    # repeated-term phrase through the index
+    got = {r["doc_id"]: r["n_matches"]
+           for r in idx.phrase(spark, "batch batch").collect()}
+    assert got == {5: 2}
+    # bag-of-words search still works on the positions build
+    assert idx.search(spark, "cat sat", 3).count() == 3
+
+
+def test_index_without_positions_rejects_phrase(spark, tmp_path):
+    from ocr_engine_spark.functions.search import SearchIndex
+    docs = _phrase_corpus(spark)
+    idx = SearchIndex.build(docs, str(tmp_path / "npix"), buckets=8,
+                            positions=False)
+    with pytest.raises(ValueError):
+        idx.phrase(spark, "the cat").collect()
