@@ -1516,6 +1516,18 @@ def q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("phrase", "doc_id"))
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (text.collocations_topk): the top-20
+    bigram collocations of the documents corpus at min_count=5 — the
+    phrase-mining stage of tokenizer/vocab design. The oracle replays
+    tokenization, the window-lead bigrams, both count tables, the
+    double-product PMI assembly and the single micro-nat quantization
+    verbatim."""
+    from ocr_engine_spark.functions.text import collocations_topk
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return collocations_topk(docs, 20, min_count=5).orderBy("rank")
+
+
 def _synthetic_host_edges(spark: SparkSession) -> DataFrame:
     """Deterministic synthetic host graph over the pages fixture: each
     non-dangling host links to the 3 hosts at (idx*7+j) mod N in
@@ -1749,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "video_overlap": q_video_overlap,
         "phrase_hits": q_phrase_hits,
+        "collocations": q_collocations,
     }
 
 
@@ -4222,6 +4235,44 @@ def _oracle_sql() -> dict[str, str]:
         "anchor_terms": _anchor_terms_oracle(),
         "robots_audit": _robots_audit_oracle(),
         "spam_classifier": _spam_classifier_oracle(),
+        "collocations": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            pos AS (
+              SELECT doc_id, i, t[i] AS w, t[i + 1] AS nxt,
+                     i < len(t) AS has_next
+              FROM tok, unnest(generate_series(1, len(t))) AS u(i)),
+            uni AS (SELECT w, count(*)::BIGINT AS c FROM pos GROUP BY w),
+            big AS (
+              SELECT w AS a, nxt AS b, count(*)::BIGINT AS c_ab
+              FROM pos WHERE has_next GROUP BY w, nxt
+              HAVING count(*) >= 5),
+            tot AS (
+              SELECT (SELECT sum(c) FROM uni)::BIGINT AS t_uni,
+                     (SELECT sum(c_ab) FROM big)::BIGINT AS t_bi),
+            scored AS (
+              SELECT big.a || ' ' || big.b AS bigram, big.c_ab,
+                     ua.c AS c_a, ub.c AS c_b,
+                     CAST(round(ln(
+                       (big.c_ab::DOUBLE * tot.t_uni::DOUBLE
+                        * tot.t_uni::DOUBLE)
+                       / (tot.t_bi::DOUBLE * ua.c::DOUBLE
+                          * ub.c::DOUBLE))
+                       * 1000000.0::DOUBLE) AS BIGINT) AS pmi_micro
+              FROM big
+              JOIN uni ua ON ua.w = big.a
+              JOIN uni ub ON ub.w = big.b, tot)
+            SELECT row_number() OVER (ORDER BY pmi_micro DESC,
+                                      bigram)::INT AS rank,
+                   bigram, c_ab, c_a, c_b, pmi_micro
+            FROM (SELECT * FROM scored
+                  ORDER BY pmi_micro DESC, bigram LIMIT 20)
+            ORDER BY rank
+        """,
         "phrase_hits": r"""
             WITH tok AS (
               SELECT doc_id,

@@ -286,3 +286,68 @@ def tfidf_topk(df, k: int = 5, *, id_col: str = "doc_id",
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(id_col, "rank", "token", "tf", "df", "score_micro"))
+
+
+def collocations_topk(df, k: int = 20, *, min_count: int = 5,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Top-``k`` bigram collocations by PMI — the phrase-mining stage
+    of tokenizer/vocabulary design (Mikolov et al. 2013 word2vec
+    phrases; Manning & Schütze ch. 5):
+
+      pmi = ln( p(a b) / (p(a) * p(b)) )
+          = ln( c_ab * T_uni^2 / (T_bi * c_a * c_b) )
+
+    with unigram/bigram counts over ``word_tokens_col`` tokens and a
+    ``min_count`` floor on the bigram (PMI is degenerate for rare
+    pairs — a hapax pair of hapax words maximizes it).
+
+    Exactness: one quantization to integer micro-nats per surviving
+    bigram (the dsir.py fixed-point rule) — the ln argument is
+    assembled as BIGINT products cast once to DOUBLE, so both engines
+    round the same value. Returns (rank, bigram, c_ab, c_a, c_b,
+    pmi_micro), rank 1 = highest PMI, ties by bigram ascending.
+
+    Plan shape at 100 TB: tokens pos-explode map-side; bigrams come
+    from ONE codegen'd window lead over (id, pos) (the HOF-cliff rule,
+    see dedup.dedup_kgrams); unigram + bigram counts are two map-side-
+    combined aggregates whose keys are vocabulary-bounded (Heaps' law);
+    the count join is vocabulary-sized; top-k is
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window, functions as F
+
+    from ocr_engine_spark.functions.decontam import word_tokens_col
+
+    toks = df.select(F.col(id_col), word_tokens_col(F.col(text_col))
+                     .alias("__t"))
+    pos = toks.select(id_col, F.posexplode("__t").alias("__p", "__w"))
+    uni = pos.groupBy(F.col("__w").alias("w")) \
+             .agg(F.count("*").alias("c"))
+    wnd = Window.partitionBy(id_col).orderBy("__p")
+    nxt = F.lead("__w", 1).over(wnd)
+    big = (pos.select(F.col("__w").alias("a"), nxt.alias("b"))
+           .filter(F.col("b").isNotNull())
+           .groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+           .filter(F.col("c_ab") >= min_count))
+    # scalar totals ride a 1-row broadcast cross join (dsir.py pattern)
+    totals = (uni.agg(F.sum("c").alias("t_uni"))
+              .crossJoin(big.agg(F.sum("c_ab").alias("t_bi"))))
+    ca = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    j = (big.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b")
+         .crossJoin(F.broadcast(totals)))
+    # each factor casts to DOUBLE BEFORE multiplying: t_uni^2 as BIGINT
+    # overflows at ~10^9.5 corpus tokens; IEEE double products are
+    # order-deterministic so the oracle replays them exactly
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = dbl("c_ab") * dbl("t_uni") * dbl("t_uni")
+    den = dbl("t_bi") * dbl("c_a") * dbl("c_b")
+    pmi_micro = F.round(F.log(num / den) * F.lit(1e6), 0).cast("long")
+    scored = j.select(F.concat_ws(" ", "a", "b").alias("bigram"),
+                      "c_ab", "c_a", "c_b",
+                      pmi_micro.alias("pmi_micro"))
+    topk = scored.orderBy(F.col("pmi_micro").desc(),
+                          F.col("bigram")).limit(k)
+    w = Window.orderBy(F.col("pmi_micro").desc(), F.col("bigram"))
+    return (topk.withColumn("rank", F.row_number().over(w))
+            .select("rank", "bigram", "c_ab", "c_a", "c_b",
+                    "pmi_micro"))

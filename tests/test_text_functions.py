@@ -173,3 +173,42 @@ def test_tfidf_topk_matches_python(spark):
         want += [(i, r + 1, t, c, d, s)
                  for r, (t, c, d, s) in enumerate(scored[:3])]
     assert got == want
+
+
+def test_collocations_match_python(spark):
+    """PMI collocations vs an independent Python reference (same
+    quantization contract), including the min_count floor and
+    tie-break order."""
+    import math
+    from collections import Counter
+    from ocr_engine_spark.functions.text import collocations_topk
+
+    texts = ["new york is big", "new york city", "in new york today",
+             "a big city", "the city is big", "new day", "york pub",
+             "new york new york"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = [tuple(r) for r in
+           collocations_topk(docs, 10, min_count=2).collect()]
+
+    uni, big = Counter(), Counter()
+    for t in texts:
+        ws = t.split()
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    t_uni = sum(uni.values())
+    surviving = {p: c for p, c in big.items() if c >= 2}
+    t_bi = sum(surviving.values())
+    want = []
+    for (a, b), c_ab in surviving.items():
+        pmi = round(math.log((c_ab * float(t_uni) * float(t_uni))
+                             / (float(t_bi) * uni[a] * uni[b])) * 1e6)
+        want.append((f"{a} {b}", c_ab, uni[a], uni[b], pmi))
+    want.sort(key=lambda r: (-r[4], r[0]))
+    want = [(i + 1, *r) for i, r in enumerate(want[:10])]
+    assert got == want
+    # 'new york' is the highest-COUNT surviving collocation (pure PMI
+    # ranks rarer pairs above it — the known PMI-vs-frequency tension
+    # min_count exists to bound)
+    assert "new york" in {r[1] for r in got}
+    assert max(got, key=lambda r: r[2])[1] == "new york"

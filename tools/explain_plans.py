@@ -188,6 +188,12 @@ NOTES = {
                      "equi-join shuffle keyed on phash (group size = "
                      "frames sharing identical content) and a "
                      "map-side-combined pair aggregate — no cross join",
+    "collocations": "bigrams from ONE codegen'd window lead (the "
+                    "HOF-cliff rule); unigram+bigram counts are "
+                    "map-side-combined vocabulary-bounded aggregates; "
+                    "count joins broadcast; totals ride a 1-row "
+                    "broadcast cross join; TakeOrderedAndProject "
+                    "top-k",
     "phrase_hits": "the term filter prunes the postings before the "
                    "per-doc regroup; the whole matcher is an "
                    "array_intersect chain over slot-shifted position "
@@ -244,7 +250,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "outlink_hosts", "pagerank_round", "crawl_frontier",
             "mirror_hosts",
             "spam_classifier", "bm25_topk", "video_overlap",
-            "phrase_hits",
+            "phrase_hits", "collocations",
             "extraction_pipeline"]
 
 
