@@ -185,6 +185,52 @@ class SearchIndex:
         return cls(path, int(r["buckets"]), int(r["n_docs"]),
                    int(r["total_dl"]), id_col)
 
+    def append(self, docs: DataFrame, *, text_col: str = "text"
+               ) -> "SearchIndex":
+        """Incremental ingest (the MinHashIndex lifecycle move): new
+        documents' postings append into the SAME term-hash-partitioned
+        layout — the historical corpus is never re-tokenized — and the
+        corpus stats update in metadata, so df/idf stay globally exact
+        (a term's rows old and new still live wholly inside its
+        bucket). Caller contract: ``docs`` must be NEW ids (dedup
+        upstream; url_latest / drop_near_duplicates are the engine's
+        tools for that) — duplicate ids would double-count df. Not
+        atomic vs concurrent readers; run it as the periodic batch
+        job, the same lambda split start_near_dedup_stream documents.
+        """
+        spark = docs.sparkSession
+        has_pos = "positions" in spark.read.parquet(
+            self.postings_path).columns
+        if has_pos:
+            toks = docs.select(F.col(self.id_col),
+                               word_tokens_col(F.col(text_col))
+                               .alias("__t"))
+            post = (toks.select(self.id_col, F.size("__t").alias("dl"),
+                                F.posexplode("__t").alias("pos", "term"))
+                    .groupBy(self.id_col, "dl", "term")
+                    .agg(F.sort_array(F.collect_list("pos"))
+                         .alias("positions"))
+                    .withColumn("tf", F.size("positions").cast("long")))
+        else:
+            post = doc_postings(docs, id_col=self.id_col,
+                                text_col=text_col)
+        post = post.withColumn(
+            "tbkt",
+            (md5_int60_col(F.col("term")) % self.buckets).cast("int"))
+        post.write.partitionBy("tbkt").mode("append") \
+            .parquet(self.postings_path)
+        stats = (post.groupBy(self.id_col).agg(F.first("dl").alias("dl"))
+                 .agg(F.count("*").alias("n"),
+                      F.sum("dl").alias("t")).collect()[0])
+        self.n_docs += int(stats["n"] or 0)
+        self.total_dl += int(stats["t"] or 0)
+        spark.createDataFrame(
+            [(self.buckets, self.n_docs, self.total_dl)],
+            "buckets int, n_docs long, total_dl long") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(self.path, "meta"))
+        return self
+
     def search(self, spark: SparkSession, query: str, k: int = 10, *,
                k1: float = 1.2, b: float = 0.75) -> DataFrame:
         """Top-k BM25 over the stored index; the tbkt IN (...) filter

@@ -39,6 +39,7 @@ COLLECT_ALLOWLIST = {
     "functions/search.py": [
         '.alias("total_dl")).collect()[0])',  # corpus stats: 1 row
         '"meta")).collect()[0]',              # index metadata: 1 row
+        '.alias("t")).collect()[0])',         # append stats delta: 1 row
     ],
     "functions/bpe.py": [
         ".first())  # 1-row argmax read, IVF-seed discipline",

@@ -197,3 +197,31 @@ def test_index_without_positions_rejects_phrase(spark, tmp_path):
                             positions=False)
     with pytest.raises(ValueError):
         idx.phrase(spark, "the cat").collect()
+
+
+def test_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental append == full rebuild, value for value: same top-k
+    scores (df/idf/avgdl all shift with the new docs) and the same
+    phrase hits; metadata stats updated; collect-lint-visible reads
+    stay 1-row."""
+    from ocr_engine_spark.functions.search import SearchIndex
+    first = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    rest = spark.createDataFrame(DOCS[4:], "doc_id long, text string")
+    alldocs = spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    inc = SearchIndex.build(first, str(tmp_path / "inc"), buckets=8)
+    inc.append(rest)
+    full = SearchIndex.build(alldocs, str(tmp_path / "full"), buckets=8)
+    assert (inc.n_docs, inc.total_dl) == (full.n_docs, full.total_dl)
+
+    # re-load from disk: metadata round-trips
+    inc2 = SearchIndex.load(spark, str(tmp_path / "inc"))
+    assert (inc2.n_docs, inc2.total_dl) == (full.n_docs, full.total_dl)
+
+    q = "table scan rows"
+    got = [tuple(r) for r in inc2.search(spark, q, 10).collect()]
+    want = [tuple(r) for r in full.search(spark, q, 10).collect()]
+    assert got == want
+    gp = sorted(map(tuple, inc2.phrase(spark, "the table").collect()))
+    wp = sorted(map(tuple, full.phrase(spark, "the table").collect()))
+    assert gp == wp
