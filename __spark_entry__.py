@@ -1528,6 +1528,51 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations_topk(docs, 20, min_count=5).orderBy("rank")
 
 
+_META_SNIPPETS = [
+    "<title> Injected  Page\tTitle </title>"
+    "<meta name='description' content='a concise page summary'>",
+    "<meta content=\"content-first summary\" name=description>"
+    "<link rel=canonical href='https://canon.example.com/a'>",
+    "<link href=https://canon.example.org/b rel='canonical'>"
+    "<title>second title variant</title>",
+]
+
+
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-section page metadata (scrub.page_metadata): title, meta
+    description and rel=canonical per url — the quality-signal /
+    site-dedup-hint extraction a webtext pipeline runs right after
+    fetch. Corpus: the pages fixture with a deterministic per-url
+    injection (md5 bucket: title+description / content-first
+    description + canonical / href-first canonical + title /
+    untouched; PDFs never injected nor decoded). The oracle replays
+    injection, both attribute orders of all three grammars, the
+    whitespace collapse and the printable-ASCII portability gate over
+    DuckDB's blob-escape projection."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import page_metadata
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_META_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_META_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_META_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    out = page_metadata(corpus, scan_bytes=None)
+    return (out.filter(F.col("title").isNotNull()
+                       | F.col("meta_description").isNotNull()
+                       | F.col("canonical_url").isNotNull())
+            .orderBy("url"))
+
+
 def _synthetic_host_edges(spark: SparkSession) -> DataFrame:
     """Deterministic synthetic host graph over the pages fixture: each
     non-dangling host links to the 3 hosts at (idx*7+j) mod N in
@@ -1762,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_overlap": q_video_overlap,
         "phrase_hits": q_phrase_hits,
         "collocations": q_collocations,
+        "page_metadata": q_page_metadata,
     }
 
 
@@ -2931,6 +2977,68 @@ def _spam_classifier_oracle() -> str:
         FROM pred WHERE rn = 1
         GROUP BY true_label, pred_label
         ORDER BY true_label, pred_label
+    """
+
+
+def _page_metadata_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import (
+        _CANON_HREF_FIRST, _CANON_REL_FIRST, _DESC_CONTENT_FIRST,
+        _DESC_NAME_FIRST, _TITLE_RE,
+    )
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _META_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+
+    def fld(pat: str) -> str:
+        p = pat.replace("\t", "\\t").replace("\n", "\\n") \
+               .replace("\r", "\\r").replace("'", "''")
+        return f"""
+            SELECT CASE WHEN v IS NOT NULL
+                  AND v NOT LIKE '%' || chr(92) || '%'
+                  AND regexp_matches(v, '^[ -~]*$')
+                 THEN v END FROM (SELECT nullif(trim(regexp_replace(
+                   regexp_extract({unesc}, '{p}', 1),
+                   '[ \\t\\n\\r]+', ' ', 'g')), '') AS v)"""
+
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        ext AS (
+          SELECT url,
+                 CASE WHEN is_html THEN ({fld(_TITLE_RE)}) END
+                   AS title,
+                 CASE WHEN is_html THEN coalesce(
+                   ({fld(_DESC_NAME_FIRST)}),
+                   ({fld(_DESC_CONTENT_FIRST)})) END
+                   AS meta_description,
+                 CASE WHEN is_html THEN coalesce(
+                   ({fld(_CANON_REL_FIRST)}),
+                   ({fld(_CANON_HREF_FIRST)})) END
+                   AS canonical_url
+          FROM inj)
+        SELECT url, title, meta_description, canonical_url
+        FROM ext
+        WHERE title IS NOT NULL OR meta_description IS NOT NULL
+           OR canonical_url IS NOT NULL
+        ORDER BY url
     """
 
 
@@ -4273,6 +4381,7 @@ def _oracle_sql() -> dict[str, str]:
                   ORDER BY pmi_micro DESC, bigram LIMIT 20)
             ORDER BY rank
         """,
+        "page_metadata": _page_metadata_oracle(),
         "phrase_hits": r"""
             WITH tok AS (
               SELECT doc_id,

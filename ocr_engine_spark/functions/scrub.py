@@ -334,3 +334,68 @@ def robots_report(df: DataFrame, *, html_col: str = "html",
             .agg(F.count("*").alias("n_pages"),
                  F.sum("__drop").alias("n_dropped"))
             .orderBy("directive"))
+
+
+# ---------------------------------------------------------------------------
+# page metadata (title / meta description / canonical url)
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = r"(?i)<title[^>]*>([^<]*)</title>"
+_DESC_NAME_FIRST = (r'(?i)<meta[^>]*name[ \t\n\r]*=[ \t\n\r]*'
+                    r'["\']?description(?:["\' \t\n\r/])[^>]*'
+                    r'content[ \t\n\r]*=[ \t\n\r]*["\']?([^"\'>]*)')
+_DESC_CONTENT_FIRST = (r'(?i)<meta[^>]*content[ \t\n\r]*=[ \t\n\r]*'
+                       r'["\']?([^"\'>]*)'
+                       r'["\']?[^>]*name[ \t\n\r]*=[ \t\n\r]*'
+                       r'["\']?description(?:["\' \t\n\r/>]|$)')
+_CANON_REL_FIRST = (r'(?i)<link[^>]*rel[ \t\n\r]*=[ \t\n\r]*'
+                    r'["\']?canonical(?:["\' \t\n\r/])[^>]*'
+                    r'href[ \t\n\r]*=[ \t\n\r]*["\']?([^"\' \t\n\r>]*)')
+_CANON_HREF_FIRST = (r'(?i)<link[^>]*href[ \t\n\r]*=[ \t\n\r]*'
+                     r'["\']?([^"\' \t\n\r>]*)'
+                     r'["\']?[^>]*rel[ \t\n\r]*=[ \t\n\r]*'
+                     r'["\']?canonical(?:["\' \t\n\r/>]|$)')
+
+
+def page_metadata(pages: DataFrame, *, url_col: str = "url",
+                  html_col: str = "html",
+                  scan_bytes: int | None = 8192,
+                  ascii_only: bool = True) -> DataFrame:
+    """(url, title, meta_description, canonical_url) — the head-section
+    page signals a webtext pipeline keys on (title/description feed
+    quality scoring and search snippets; ``rel=canonical`` is the
+    site's OWN dedup hint and belongs next to canonical_url_col's
+    syntactic merge). First match wins per field; both attribute
+    orders for meta/link; values whitespace-collapsed; empty -> NULL;
+    non-HTML payloads gated on the leading ``<`` byte and never
+    decoded. Follows meta_robots_col's charset discipline (ISO-8859-1
+    prefix decode, case-insensitive ASCII grammar) and — under
+    ``ascii_only`` (default) — linkgraph's clean-printable portability
+    gate: a value with a raw high byte fails printable-ASCII on the
+    Spark side and carries a blob-escape backslash on the DuckDB side,
+    rejected identically, which makes the whole extractor
+    oracle-checkable. Pure map-side Project: zero shuffle, zero UDF.
+    """
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+
+    def _field(pattern: str) -> Column:
+        v = F.nullif(F.trim(F.regexp_replace(
+            F.regexp_extract(head, pattern, 1),
+            r"[ \t\n\r]+", " ")), F.lit(""))
+        if ascii_only:
+            v = F.when(v.rlike(r"^[ -~]*$") & ~v.contains("\\"), v)
+        return v
+
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    title = F.when(is_html, _field(_TITLE_RE))
+    desc = F.when(is_html, F.coalesce(_field(_DESC_NAME_FIRST),
+                                      _field(_DESC_CONTENT_FIRST)))
+    canon = F.when(is_html, F.coalesce(_field(_CANON_REL_FIRST),
+                                       _field(_CANON_HREF_FIRST)))
+    return pages.select(F.col(url_col).alias("url"),
+                        title.alias("title"),
+                        desc.alias("meta_description"),
+                        canon.alias("canonical_url"))

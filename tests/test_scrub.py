@@ -252,3 +252,40 @@ def test_meta_robots_requires_exact_name(spark):
         "doc_id", meta_robots_col(F.col("html")).alias("d")).collect()}
     assert got == {1: None, 2: None, 3: None,
                    4: "noindex", 5: "noindex", 6: "noindex"}
+
+
+def test_page_metadata_extraction(spark):
+    """Title / description / canonical over both attribute orders,
+    whitespace collapse, PDF gating, high-byte portability gate."""
+    from ocr_engine_spark.functions.scrub import page_metadata
+    rows = [
+        ("u1", b"<html><title> A \t B </title>"
+               b"<meta name='description' content='hello  there'>"
+               b"<link rel=canonical href='https://ex.com/a'>"),
+        ("u2", b"<html><meta content=\"desc first\" name=description>"
+               b"<link href=https://ex.com/b rel='canonical'>"
+               b"<title>T2</title>"),
+        ("u3", b"<html><title>caf\xe9</title>"),   # high byte -> NULL
+        ("u4", b"%PDF-1.4 <title>x</title>"),      # not HTML -> NULLs
+        ("u5", b"<html>nothing here"),
+        ("u6", b"<html><title></title>"),          # empty -> NULL
+        ("u7", b"<html><title>first</title><title>second</title>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: (r["title"], r["meta_description"],
+                      r["canonical_url"])
+           for r in page_metadata(df).collect()}
+    assert got["u1"] == ("A B", "hello there", "https://ex.com/a")
+    assert got["u2"] == ("T2", "desc first", "https://ex.com/b")
+    assert got["u3"] == (None, None, None)
+    assert got["u4"] == (None, None, None)
+    assert got["u5"] == (None, None, None)
+    assert got["u6"] == (None, None, None)
+    assert got["u7"][0] == "first"  # first match wins
+    # prefix bound: metadata past scan_bytes is invisible
+    far = spark.createDataFrame(
+        [("u8", b"<html>" + b"x" * 9000 + b"<title>late</title>")],
+        "url string, html binary")
+    assert page_metadata(far).collect()[0]["title"] is None
+    assert page_metadata(far, scan_bytes=None) \
+        .collect()[0]["title"] == "late"

@@ -194,6 +194,10 @@ NOTES = {
                     "count joins broadcast; totals ride a 1-row "
                     "broadcast cross join; TakeOrderedAndProject "
                     "top-k",
+    "page_metadata": "title/description/canonical are ONE map-side "
+                     "Project of codegen'd regexp_extracts over the "
+                     "bounded ISO-8859-1 prefix decode — zero shuffle, "
+                     "zero UDF, pipelined into the scan",
     "phrase_hits": "the term filter prunes the postings before the "
                    "per-doc regroup; the whole matcher is an "
                    "array_intersect chain over slot-shifted position "
@@ -250,7 +254,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "outlink_hosts", "pagerank_round", "crawl_frontier",
             "mirror_hosts",
             "spam_classifier", "bm25_topk", "video_overlap",
-            "phrase_hits", "collocations",
+            "phrase_hits", "collocations", "page_metadata",
             "extraction_pipeline"]
 
 
