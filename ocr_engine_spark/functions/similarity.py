@@ -369,6 +369,21 @@ class IvfIndex:
         return cls(path, cents, id_col, vec_col,
                    int(rows[0].n_assign) if rows else 1)
 
+    def append(self, embeddings: DataFrame) -> "IvfIndex":
+        """Incremental ingest (the SearchIndex/MinHashIndex lifecycle
+        move): new vectors are assigned against the STORED centroids —
+        the historical corpus is never re-assigned, probes keep their
+        partition pruning because the appended rows land in the same
+        ``cell=`` directories. Centroids intentionally do NOT move
+        (moving them would strand old assignments); when drift
+        accumulates, rebuild — the compact-then-swap batch job.
+        Caller contract: new ids only (dedup upstream)."""
+        assigned = ivf_assign(embeddings, self.centroids, self.id_col,
+                              self.vec_col, self.n_assign)
+        assigned.write.partitionBy("cell").mode("append") \
+            .parquet(self.assignment_path)
+        return self
+
     def probe_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
         import math
 

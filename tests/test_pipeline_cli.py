@@ -128,3 +128,33 @@ def test_textindex_textsearch_cli(tmp_path):
     # scores strictly ordered (ties broken by doc_id upstream)
     scores = [h["score_micro"] for h in hits]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_classify_cli(tmp_path):
+    """classify subcommand: fit on labeled parquet, score a corpus,
+    prediction distribution reported."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    spam = "win free prize click offer winner cash bonus claim"
+    ham = "spark plans shuffle data across the cluster nodes"
+    tbl = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array([(spam if i % 2 else ham) + f" v{i}"
+                          for i in range(40)]),
+        "label": pa.array(["spam" if i % 2 else "ham"
+                           for i in range(40)]),
+    })
+    train = tmp_path / "train.parquet"
+    pq.write_table(tbl, str(train))
+    out = tmp_path / "preds"
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    r = subprocess.run(
+        [sys.executable, "run_job.py", "classify",
+         "--train", str(train),
+         "--input", str(train), "--output", str(out),
+         "--buckets", "512"],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    # training data scores itself perfectly with disjoint vocab
+    assert rep["by_label"] == {"ham": 20, "spam": 20}

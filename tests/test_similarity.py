@@ -157,3 +157,28 @@ def test_ivf_assign_arrow_k1_spill_sentinel(spark):
             for r in ivf_assign(df, cents, n_assign=2,
                                 method=method).collect())
         assert cells == [(0, -1), (0, 0), (1, -1), (1, 0)]
+
+
+def test_ivf_index_append_equals_rebuild(emb, query_vec, tmp_path):
+    """Incremental append against the STORED centroids == building the
+    index over the full corpus with those same centroids: identical
+    top-k, pruning intact, history never re-assigned."""
+    from ocr_engine_spark.functions.similarity import IvfIndex, ivf_assign
+    spark = emb.sparkSession
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = IvfIndex.build(first, str(tmp_path / "inc"), n_centroids=8)
+    idx.append(rest)
+    got = [(r.vec_id, r.cosine) for r in
+           idx.topk(spark, query_vec, k=10, n_probe=8).collect()]
+    # reference: assign the FULL corpus with the stored centroids
+    full = ivf_assign(emb, idx.centroids, n_assign=idx.n_assign)
+    scoped = full.dropDuplicates(["vec_id"])
+    from ocr_engine_spark.functions.similarity import brute_topk
+    want = [(r.vec_id, r.cosine) for r in
+            brute_topk(scoped, query_vec, 10).collect()]
+    assert got == want
+    q = idx.topk(spark, query_vec, k=5, n_probe=2)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
