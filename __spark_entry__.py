@@ -1727,6 +1727,62 @@ def q_nested_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("url"))
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher structural-rule battery (Rae et al. 2021 App. A:
+    shape rules + line/paragraph repetition rules) as one map-side
+    Project feeding one aggregate — functions/gopher.py. Nine probe
+    classes (doc_id % 11) each deterministically rewrite their slice
+    so every rule demonstrably fires; the report groups BY probe class
+    so the oracle value-checks each rule against exactly the docs
+    engineered to trip it."""
+    from ocr_engine_spark.functions import gopher
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    probe = F.col("doc_id") % 11
+    head60 = F.substring(F.col("text"), 1, 60)
+    head80 = F.substring(F.col("text"), 1, 80)
+    nl, nl2 = F.lit("\n"), F.lit("\n\n")
+    t = (F.when(probe == 0,          # every word its own bullet line
+                F.concat(F.lit("- "),
+                         F.regexp_replace("text", " ", "\n- ")))
+         .when(probe == 1,           # every line ends with '...'
+               F.regexp_replace("text", " ", "...\n"))
+         .when(probe == 2,           # all-numeric words
+               F.regexp_replace("text", "[a-z]", "7"))
+         .when(probe == 3,           # '#' between every pair of words
+               F.regexp_replace("text", " ", " # "))
+         .when(probe == 4,           # 2/3 duplicate lines
+               F.concat(head60, nl, head60, nl, head60))
+         .when(probe == 5,           # duplicate paragraph
+               F.concat(head80, nl2, head80, nl2,
+                        F.lit("unique tail paragraph here")))
+         .when(probe == 6, F.substring("text", 1, 30))   # too short
+         .when(probe == 7,           # 16-char words: mean length > 10
+               F.regexp_replace("text", "[a-z]+", "aaaaaaaaaaaaaaaa"))
+         .when(probe == 8,           # strip the required stopwords
+               F.regexp_replace(
+                   "text", r"\b(the|be|to|of|and|that|have|with)\b", "zz"))
+         .otherwise(F.col("text")))
+    sig = gopher.gopher_signals(
+        docs.select(probe.alias("probe"), t.alias("text")), "text")
+    aggs = [F.count("*").alias("n_docs")]
+    for name, build in gopher.RULES.items():
+        aggs.append(F.sum(build().cast("long")).alias(f"fail_{name}"))
+    aggs += [
+        F.sum((~gopher.gopher_fail_col()).cast("long")).alias("n_kept"),
+        F.sum("n_words").alias("sum_words"),
+        F.round(F.sum("mean_word_len"), 6).alias("sum_mean_wlen"),
+        F.round(F.sum("symbol_ratio"), 6).alias("sum_symbol"),
+        F.round(F.sum("bullet_line_frac"), 6).alias("sum_bullet"),
+        F.round(F.sum("ellipsis_line_frac"), 6).alias("sum_ellipsis"),
+        F.round(F.sum("alpha_word_frac"), 6).alias("sum_alpha"),
+        F.sum("n_required_stops").alias("sum_stops"),
+        F.round(F.sum("dup_line_char_frac"), 6).alias("sum_dup_line_chars"),
+        F.round(F.sum("dup_para_frac"), 6).alias("sum_dup_paras"),
+    ]
+    return sig.groupBy("probe").agg(*aggs).orderBy("probe")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1808,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_hits": q_phrase_hits,
         "collocations": q_collocations,
         "page_metadata": q_page_metadata,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -3381,6 +3438,119 @@ def _stop_count(lang: str) -> str:
             f"w -> w in ({words})))")
 
 
+# Full replay of functions/gopher.py: the nine probe rewrites, every
+# signal definition (words = \S+ runs; the two-space widening trick for
+# the no-lookahead non-alpha counter; JVM-array dup fractions as DuckDB
+# list ops) and every App.-A threshold, grouped by probe class.
+_GOPHER_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id % 11 AS probe,
+        CASE doc_id % 11
+          WHEN 0 THEN '- ' || regexp_replace(text, ' ', chr(10) || '- ', 'g')
+          WHEN 1 THEN regexp_replace(text, ' ', '...' || chr(10), 'g')
+          WHEN 2 THEN regexp_replace(text, '[a-z]', '7', 'g')
+          WHEN 3 THEN regexp_replace(text, ' ', ' # ', 'g')
+          WHEN 4 THEN substr(text, 1, 60) || chr(10) || substr(text, 1, 60)
+                      || chr(10) || substr(text, 1, 60)
+          WHEN 5 THEN substr(text, 1, 80) || chr(10) || chr(10)
+                      || substr(text, 1, 80) || chr(10) || chr(10)
+                      || 'unique tail paragraph here'
+          WHEN 6 THEN substr(text, 1, 30)
+          WHEN 7 THEN regexp_replace(text, '[a-z]+',
+                                     'aaaaaaaaaaaaaaaa', 'g')
+          WHEN 8 THEN regexp_replace(text,
+                 '\b(the|be|to|of|and|that|have|with)\b', 'zz', 'g')
+          ELSE text END AS text
+      FROM documents WHERE doc_id < 400),
+    s1 AS (
+      SELECT probe, text,
+        len(regexp_extract_all(text, '\S+')) AS n_words,
+        length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
+        len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\.\.\.'))
+          + len(regexp_extract_all(text, '…')) AS n_sym,
+        len(regexp_extract_all(text, '\n')) + 1 AS n_lines,
+        len(regexp_extract_all(text, '(?m)^[ \t]*[-*•‣▪]')) AS n_bullet,
+        len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$'))
+            AS n_ellipsis,
+        len(regexp_extract_all(
+              ' ' || regexp_replace(text, '\s+', '  ', 'g') || ' ',
+              ' [^A-Za-z ]+ ')) AS n_nonalpha,
+        (regexp_matches(lower(text), '\bthe\b')::INT
+         + regexp_matches(lower(text), '\bbe\b')::INT
+         + regexp_matches(lower(text), '\bto\b')::INT
+         + regexp_matches(lower(text), '\bof\b')::INT
+         + regexp_matches(lower(text), '\band\b')::INT
+         + regexp_matches(lower(text), '\bthat\b')::INT
+         + regexp_matches(lower(text), '\bhave\b')::INT
+         + regexp_matches(lower(text), '\bwith\b')::INT) AS n_stops,
+        string_split(text, chr(10)) AS lines,
+        string_split(text, chr(10) || chr(10)) AS paras
+      FROM d),
+    s2 AS (
+      SELECT probe, n_words, n_stops,
+        round(word_chars::DOUBLE / greatest(n_words, 1), 6)
+            AS mean_word_len,
+        round(n_sym::DOUBLE / greatest(n_words, 1), 6) AS symbol_ratio,
+        round(n_bullet::DOUBLE / n_lines, 6) AS bullet_line_frac,
+        round(n_ellipsis::DOUBLE / n_lines, 6) AS ellipsis_line_frac,
+        round((n_words - n_nonalpha)::DOUBLE / greatest(n_words, 1), 6)
+            AS alpha_word_frac,
+        round((len(lines) - len(list_distinct(lines)))::DOUBLE
+              / greatest(len(lines), 1), 6) AS dup_line_frac,
+        round((length(array_to_string(lines, ''))
+               - length(array_to_string(list_distinct(lines), '')))::DOUBLE
+              / greatest(length(array_to_string(lines, '')), 1), 6)
+            AS dup_line_char_frac,
+        round((len(paras) - len(list_distinct(paras)))::DOUBLE
+              / greatest(len(paras), 1), 6) AS dup_para_frac,
+        round((length(array_to_string(paras, ''))
+               - length(array_to_string(list_distinct(paras), '')))::DOUBLE
+              / greatest(length(array_to_string(paras, '')), 1), 6)
+            AS dup_para_char_frac
+      FROM s1),
+    s3 AS (
+      SELECT *,
+        (n_words < 50) AS f_few, (n_words > 100000) AS f_many,
+        (mean_word_len < 3.0 OR mean_word_len > 10.0) AS f_wlen,
+        (symbol_ratio > 0.1) AS f_sym,
+        (bullet_line_frac > 0.9) AS f_bullet,
+        (ellipsis_line_frac > 0.3) AS f_ellipsis,
+        (alpha_word_frac < 0.8) AS f_alpha,
+        (n_stops < 2) AS f_stops,
+        (dup_line_frac > 0.30) AS f_dl, (dup_para_frac > 0.30) AS f_dp,
+        (dup_line_char_frac > 0.20) AS f_dlc,
+        (dup_para_char_frac > 0.20) AS f_dpc
+      FROM s2)
+    SELECT probe, count(*) AS n_docs,
+      sum(f_few::INT)::BIGINT AS fail_too_few_words,
+      sum(f_many::INT)::BIGINT AS fail_too_many_words,
+      sum(f_wlen::INT)::BIGINT AS fail_word_len_out_of_range,
+      sum(f_sym::INT)::BIGINT AS fail_symbol_heavy,
+      sum(f_bullet::INT)::BIGINT AS fail_bullet_heavy,
+      sum(f_ellipsis::INT)::BIGINT AS fail_ellipsis_heavy,
+      sum(f_alpha::INT)::BIGINT AS fail_non_alpha,
+      sum(f_stops::INT)::BIGINT AS fail_missing_stopwords,
+      sum(f_dl::INT)::BIGINT AS fail_dup_lines,
+      sum(f_dp::INT)::BIGINT AS fail_dup_paragraphs,
+      sum(f_dlc::INT)::BIGINT AS fail_dup_line_chars,
+      sum(f_dpc::INT)::BIGINT AS fail_dup_para_chars,
+      sum((NOT (f_few OR f_many OR f_wlen OR f_sym OR f_bullet
+                OR f_ellipsis OR f_alpha OR f_stops OR f_dl OR f_dp
+                OR f_dlc OR f_dpc))::INT)::BIGINT AS n_kept,
+      sum(n_words)::BIGINT AS sum_words,
+      round(sum(mean_word_len), 6) AS sum_mean_wlen,
+      round(sum(symbol_ratio), 6) AS sum_symbol,
+      round(sum(bullet_line_frac), 6) AS sum_bullet,
+      round(sum(ellipsis_line_frac), 6) AS sum_ellipsis,
+      round(sum(alpha_word_frac), 6) AS sum_alpha,
+      sum(n_stops)::BIGINT AS sum_stops,
+      round(sum(dup_line_char_frac), 6) AS sum_dup_line_chars,
+      round(sum(dup_para_frac), 6) AS sum_dup_paras
+    FROM s3 GROUP BY probe ORDER BY probe
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     # the Bloom prefilter + exact-confirm pipeline is semantically
@@ -4382,6 +4552,7 @@ def _oracle_sql() -> dict[str, str]:
             ORDER BY rank
         """,
         "page_metadata": _page_metadata_oracle(),
+        "gopher_rules": _GOPHER_ORACLE,
         "phrase_hits": r"""
             WITH tok AS (
               SELECT doc_id,
