@@ -1783,6 +1783,21 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.groupBy("probe").agg(*aggs).orderBy("probe")
 
 
+def q_seed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding seed-centroid quality scoring (the LAION /
+    FineWeb-Edu curation motif, functions/similarity.py): centroid of
+    the label-0 curated slice via a dim-row aggregate, then every
+    vector scored by cosine to that centroid as a map-only literal
+    projection. Top-50 by score (ties to vec_id)."""
+    from ocr_engine_spark.functions.similarity import seed_quality_scores
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return (seed_quality_scores(emb, F.col("label") == 0)
+            .select("vec_id", "label", "seed_cosine")
+            .orderBy(F.col("seed_cosine").desc(), F.col("vec_id").asc())
+            .limit(50))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1865,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "page_metadata": q_page_metadata,
         "gopher_rules": q_gopher_rules,
+        "seed_quality": q_seed_quality,
     }
 
 
@@ -4553,6 +4569,23 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "page_metadata": _page_metadata_oracle(),
         "gopher_rules": _GOPHER_ORACLE,
+        "seed_quality": """
+            WITH e AS (SELECT vec_id, label,
+                              embedding::DOUBLE[] AS v FROM embeddings),
+            x AS (SELECT unnest(generate_series(1, len(v))) AS pos,
+                         unnest(v) AS x
+                  FROM e WHERE label = 0),
+            g AS (SELECT pos, round(avg(x), 10) AS m FROM x GROUP BY pos),
+            c AS (SELECT list(m ORDER BY pos) AS cv FROM g)
+            SELECT vec_id, label,
+                   round(list_dot_product(v, cv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(cv, cv))), 6)
+                       AS seed_cosine
+            FROM e, c
+            ORDER BY seed_cosine DESC, vec_id ASC
+            LIMIT 50
+        """,
         "phrase_hits": r"""
             WITH tok AS (
               SELECT doc_id,

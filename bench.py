@@ -51,6 +51,7 @@ HEADLINE = [
     "crawl_frontier", "mirror_hosts",
     "simhash_near_dups", "embedding_topk", "embedding_pairs",
     "embedding_lsh_pairs", "embedding_near_dups", "ivf_topk",
+    "seed_quality",
     "semantic_dedup", "decontaminate", "decontaminate_bloom",
     "video_overlap",
     "nested_fields",

@@ -571,3 +571,42 @@ def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
               .distinct())
     return verify_cosine_pairs(base, cands, threshold,
                                broadcast_max_bytes=broadcast_max_bytes)
+
+
+# ---------------------------------------------------------------------------
+# seed-centroid quality scoring (LAION / FineWeb-Edu motif)
+# ---------------------------------------------------------------------------
+
+def seed_centroid(embeddings: DataFrame, seed_pred,
+                  vec_col: str = "embedding") -> list[float]:
+    """Per-dimension mean of a curated seed subset: posexplode +
+    groupBy(pos) avg — the shuffle carries exactly ``dim`` rows after
+    map-side combine no matter how large the seed set is, then ONE
+    dim-row driver read (the IVF-seed discipline). Means are rounded
+    to 10 decimals in-plan (the same cross-engine portability grid as
+    ``refine_centroids``)."""
+    seeds = embeddings.filter(seed_pred).select(
+        F.col(vec_col).cast("array<double>").alias("v"))
+    rows = (seeds.select(F.posexplode("v").alias("pos", "x"))
+            .groupBy("pos").agg(F.round(F.avg("x"), 10).alias("m"))
+            .orderBy("pos").collect())  # dim rows: bounded by design
+    return [r["m"] for r in rows]
+
+
+def seed_quality_scores(embeddings: DataFrame, seed_pred,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Embedding-similarity quality score (the LAION / FineWeb-Edu
+    curation motif): every document scored by cosine to the centroid
+    of a small curated seed set, so 'looks like the good data' becomes
+    a sortable column. The centroid enters the scan as a LITERAL —
+    scoring is map-only (no join, no shuffle, no UDF) and at 10^12
+    rows costs exactly one extra projected expression per row; rank /
+    threshold / bucket downstream however the recipe needs.
+
+    ``seed_pred`` is any boolean Column over ``embeddings`` (e.g.
+    ``F.col('label') == 0`` for an annotated seed slice)."""
+    c = _vec_lit(seed_centroid(embeddings, seed_pred, vec_col))
+    sim = cosine_col(F.col(vec_col).cast("array<double>"), c)
+    return embeddings.select(
+        "*", F.round(sim, 6).alias("seed_cosine"))

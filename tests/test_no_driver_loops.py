@@ -26,6 +26,7 @@ COLLECT_ALLOWLIST = {
         'first = base.select("v").first()',  # dim probe: 1 row
         '.orderBy("cell").collect()',  # index centroids: k rows
         '.collect())  # k x dim rows: bounded by design',  # Lloyd means
+        '.collect())  # dim rows: bounded by design',  # seed centroid
     ],
     "functions/pack.py": [
         '.orderBy("__part").collect())',  # per-partition totals: |parts|

@@ -182,3 +182,33 @@ def test_ivf_index_append_equals_rebuild(emb, query_vec, tmp_path):
     q.collect()
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_seed_quality_matches_numpy(emb):
+    """Seed-centroid scoring == an independent numpy model (centroid
+    on the label-0 slice, cosine per row) within the 1e-6 rounding."""
+    import numpy as np
+    from ocr_engine_spark.functions.similarity import seed_quality_scores
+
+    got = {r["vec_id"]: r["seed_cosine"]
+           for r in seed_quality_scores(emb, F.col("label") == 0)
+           .collect()}
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    seed = np.stack([np.array(r["embedding"], dtype="float64")
+                     for r in rows if r["label"] == 0])
+    cent = np.round(seed.mean(axis=0), 10)
+    for r in rows:
+        v = np.array(r["embedding"], dtype="float64")
+        want = float(v @ cent / (np.linalg.norm(v) * np.linalg.norm(cent)))
+        assert got[r["vec_id"]] == pytest.approx(want, abs=2e-6)
+
+
+def test_seed_quality_scoring_is_map_only(emb):
+    """After the bounded centroid read, scoring must be a pure
+    projection: no Exchange, no join, no Python eval in the plan."""
+    from ocr_engine_spark.functions.similarity import seed_quality_scores
+
+    plan = seed_quality_scores(emb, F.col("label") == 0).limit(7) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for node in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node
