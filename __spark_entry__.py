@@ -1798,6 +1798,45 @@ def q_seed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(50))
 
 
+_HEADING_SNIPPETS = [
+    "<h1> Injected  Main\tTitle </h1><p>body</p><h2>Section One</h2>"
+    "<h3 class='x'>Deep dive</h3>",
+    "<H2 id=a>Upper case tag</H2><h1>After h2</h1><h6>tiny</h6>",
+    "<h3>with <b>bold</b> tail</h3><h7>not a heading</h7>"
+    "<h2>ok two</h2><h4></h4>",
+]
+
+
+def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h1-h6 heading outline per page (scrub.heading_records): the
+    document-structure signal next to page_metadata. Corpus: the pages
+    fixture with deterministic per-url heading injections (md5 bucket:
+    plain hierarchy / case+order variants / trap set with child-tag
+    skip, h7 non-heading and empty drop; PDFs never injected nor
+    decoded). The oracle replays injection, the tag grammar, position
+    numbering with gate holes, whitespace collapse and the
+    printable-ASCII gate over DuckDB's blob-escape projection."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import heading_records
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_HEADING_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_HEADING_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_HEADING_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return (heading_records(corpus, scan_bytes=None)
+            .orderBy("url", "pos"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1881,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "gopher_rules": q_gopher_rules,
         "seed_quality": q_seed_quality,
+        "heading_outline": q_heading_outline,
     }
 
 
@@ -3113,6 +3153,59 @@ def _page_metadata_oracle() -> str:
            OR canonical_url IS NOT NULL
         ORDER BY url
     """
+
+
+def _heading_outline_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _HEADING_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    pat = "(?i)<h([1-6])[^>]*>([^<]*)</h"
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        ms AS (
+          SELECT url, regexp_extract_all({unesc}, '{pat}') AS arr
+          FROM inj WHERE is_html),
+        ex AS (
+          SELECT url, unnest(generate_series(1, len(arr))) - 1 AS pos,
+                 unnest(arr) AS m
+          FROM ms),
+        v AS (
+          SELECT url, pos::BIGINT AS pos,
+                 regexp_extract(m, '(?i)<h([1-6])', 1)::BIGINT AS level,
+                 nullif(trim(regexp_replace(
+                   regexp_extract(m, '{pat}', 2),
+                   '[ \\t\\n\\r]+', ' ', 'g')), '') AS h
+          FROM ex),
+        g AS (
+          SELECT url, pos, level,
+                 CASE WHEN h NOT LIKE '%' || chr(92) || '%'
+                       AND regexp_matches(h, '^[ -~]*$')
+                      THEN h END AS heading
+          FROM v)
+        SELECT url, pos, level, heading FROM g
+        WHERE heading IS NOT NULL
+        ORDER BY url, pos
+    """
+
 
 
 def _synth_edges_cte(pages: str) -> str:
@@ -4568,6 +4661,7 @@ def _oracle_sql() -> dict[str, str]:
             ORDER BY rank
         """,
         "page_metadata": _page_metadata_oracle(),
+        "heading_outline": _heading_outline_oracle(),
         "gopher_rules": _GOPHER_ORACLE,
         "seed_quality": """
             WITH e AS (SELECT vec_id, label,

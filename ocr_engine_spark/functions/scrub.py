@@ -399,3 +399,68 @@ def page_metadata(pages: DataFrame, *, url_col: str = "url",
                         title.alias("title"),
                         desc.alias("meta_description"),
                         canon.alias("canonical_url"))
+
+
+# ---------------------------------------------------------------------------
+# heading outline (h1-h6 document structure)
+# ---------------------------------------------------------------------------
+
+_HEADING_RE = r"(?i)<h([1-6])[^>]*>([^<]*)</h"
+
+
+def heading_records(pages: DataFrame, *, url_col: str = "url",
+                    html_col: str = "html",
+                    scan_bytes: int | None = 8192,
+                    ascii_only: bool = True) -> DataFrame:
+    """(url, pos, level, heading) — every ``<h1>``–``<h6>`` element in
+    document order: the page's own structural outline, a direct
+    quality/topicality signal (heading density and hierarchy feed
+    boilerplate vs article classification, and h1s are title
+    candidates next to ``page_metadata``).
+
+    One codegen'd ``regexp_extract_all`` over the bounded ISO-8859-1
+    prefix decode + a map-side posexplode — zero shuffle, zero UDF,
+    zero array lambdas. Pinned semantics (replayed verbatim by the
+    oracle): a heading is captured only when its text is TAG-FREE
+    (``[^<]*`` up to the closing ``</h``) — headings with child
+    elements are skipped, not partially captured; the closing tag's
+    level digit is not validated; text is whitespace-collapsed and
+    trimmed; empty headings are dropped; ``pos`` numbers the MATCHED
+    headings per url in document order (empty or portability-gated
+    entries keep their slot, so dropped rows leave holes). Follows meta_robots_col's
+    charset discipline (leading-``<`` PDF gate, never decodes non-HTML
+    payloads) and — under ``ascii_only`` — linkgraph's clean-printable
+    portability gate."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    ms = F.when(is_html,
+                F.regexp_extract_all(head, F.lit(_HEADING_RE), F.lit(0)))
+    e = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(ms).alias("pos", "m"))
+    level = F.regexp_extract("m", r"(?i)<h([1-6])", 1).cast("long")
+    txt = F.nullif(F.trim(F.regexp_replace(
+        F.regexp_extract("m", _HEADING_RE, 2),
+        r"[ \t\n\r]+", " ")), F.lit(""))
+    if ascii_only:
+        txt = F.when(txt.rlike(r"^[ -~]*$") & ~txt.contains("\\"), txt)
+    return (e.select("url", F.col("pos").cast("long").alias("pos"),
+                     level.alias("level"), txt.alias("heading"))
+            .filter(F.col("heading").isNotNull()))
+
+
+def outline_profile(pages: DataFrame, **kwargs) -> DataFrame:
+    """Per-url outline summary over ``heading_records``: heading count,
+    level histogram bounds, and the first h1 (title candidate) — one
+    map-side extract + one aggregate."""
+    h = heading_records(pages, **kwargs)
+    return (h.groupBy("url").agg(
+        F.count("*").alias("n_headings"),
+        F.min("level").alias("min_level"),
+        F.max("level").alias("max_level"),
+        F.min(F.when(F.col("level") == 1,
+                     F.struct("pos", "heading"))).alias("__h1"))
+        .select("url", "n_headings", "min_level", "max_level",
+                F.col("__h1")["heading"].alias("first_h1")))

@@ -289,3 +289,53 @@ def test_page_metadata_extraction(spark):
     assert page_metadata(far).collect()[0]["title"] is None
     assert page_metadata(far, scan_bytes=None) \
         .collect()[0]["title"] == "late"
+
+
+def test_heading_records_extraction(spark):
+    """h1-h6 outline: levels, document order, attr/case variants,
+    child-tag skip semantics, empty drop, PDF + high-byte gates."""
+    from ocr_engine_spark.functions.scrub import heading_records
+    rows = [
+        ("u1", b"<html><h1> Main \t Title </h1><p>x</p>"
+               b"<H2 id=a>Upper</H2><h3 class='y'>Deep  dive</h3>"),
+        ("u2", b"<html><h3>with <b>bold</b> tail</h3>"   # child tag: skip
+               b"<h7>seven</h7>"                         # not a heading
+               b"<h2>ok two</h2><h4></h4>"),             # empty: drop
+        ("u3", b"<html><h1>caf\xe9</h1><h2>clean</h2>"), # high byte gated
+        ("u4", b"%PDF-1.4 <h1>x</h1>"),                  # PDF: never decode
+        ("u5", b"<html><h2>mismatch close</h5></html>"), # close level free
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [(r["url"], r["pos"], r["level"], r["heading"])
+           for r in heading_records(df).orderBy("url", "pos").collect()]
+    assert got == [
+        ("u1", 0, 1, "Main Title"),
+        ("u1", 1, 2, "Upper"),
+        ("u1", 2, 3, "Deep dive"),
+        ("u2", 0, 2, "ok two"),
+        ("u3", 1, 2, "clean"),   # pos 0 was the gated high-byte h1
+        ("u5", 0, 2, "mismatch close"),
+    ]
+    # prefix bound: headings past scan_bytes are invisible
+    far = spark.createDataFrame(
+        [("u8", b"<html>" + b"x" * 9000 + b"<h1>late</h1>")],
+        "url string, html binary")
+    assert heading_records(far).count() == 0
+    assert heading_records(far, scan_bytes=None).count() == 1
+
+
+def test_outline_profile(spark):
+    from ocr_engine_spark.functions.scrub import outline_profile
+    rows = [
+        ("u1", b"<html><h2>s</h2><h1>the title</h1><h1>other</h1>"
+               b"<h3>deep</h3>"),
+        ("u2", b"<html><h4>only</h4>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r.asDict()
+           for r in outline_profile(df).collect()}
+    assert got["u1"]["n_headings"] == 4
+    assert got["u1"]["min_level"] == 1
+    assert got["u1"]["max_level"] == 3
+    assert got["u1"]["first_h1"] == "the title"   # lowest pos among h1s
+    assert got["u2"]["first_h1"] is None
