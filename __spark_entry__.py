@@ -1837,6 +1837,27 @@ def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "pos"))
 
 
+def q_gopher_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram half of the Gopher repetition battery
+    (functions/gopher.py:gopher_ngram_signals): per-doc top-n-gram
+    char fraction (n=2,3,4) and overlap-aware duplicated-n-gram
+    coverage (n=5..10), all ns through ONE unioned (doc, n, gram)
+    count shuffle. Probes: doc_id%3==0 doubled text (coverage 1),
+    %3==1 first-8-token echo (partial coverage), else untouched."""
+    from ocr_engine_spark.functions.gopher import gopher_ngram_signals
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    toks8 = F.concat_ws(" ", F.slice(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8))
+    t = (F.when(F.col("doc_id") % 3 == 0,
+                F.concat_ws(" ", F.col("text"), F.col("text")))
+         .when(F.col("doc_id") % 3 == 1,
+               F.concat_ws(" ", F.col("text"), toks8))
+         .otherwise(F.col("text")))
+    return (gopher_ngram_signals(docs.select("doc_id", t.alias("text")))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1921,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "seed_quality": q_seed_quality,
         "heading_outline": q_heading_outline,
+        "gopher_ngrams": q_gopher_ngrams,
     }
 
 
@@ -3660,6 +3682,85 @@ _GOPHER_ORACLE = r"""
 """
 
 
+# Replay of gopher_ngram_signals: probes, pinned lowercased tokens,
+# per-n gram slicing, count/tie-break top pick, overlap-aware dup
+# coverage via distinct covered positions — all ns in one pass.
+_GOPHER_NGRAM_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE
+          WHEN doc_id % 3 = 0 THEN text || ' ' || text
+          WHEN doc_id % 3 = 1 THEN text || ' ' || array_to_string(
+            string_split_regex(trim(lower(text)), '\s+')[1:8], ' ')
+          ELSE text END AS text
+      FROM documents WHERE doc_id < 120),
+    t AS (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM d),
+    st AS (SELECT doc_id, length(array_to_string(toks, '')) AS wchars,
+                  len(toks) AS ntok FROM t),
+    p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p,
+                 unnest(toks) AS w FROM t),
+    gpos AS (
+      SELECT doc_id, n, toks,
+             unnest(generate_series(1, greatest(len(toks) - n + 1, 0)))
+               AS p
+      FROM t CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10))
+                        ns(n)),
+    g AS (SELECT doc_id, n, p,
+                 array_to_string(toks[p:p+n-1], ' ') AS gm
+          FROM gpos),
+    cnt AS (SELECT doc_id, n, gm, count(*) AS c
+            FROM g GROUP BY doc_id, n, gm),
+    top AS (
+      SELECT doc_id, n, c, gm FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                    ORDER BY c DESC, gm ASC) AS rn
+        FROM cnt WHERE n IN (2, 3, 4)) WHERE rn = 1),
+    topf AS (
+      SELECT doc_id, n,
+             round(c * length(gm) / (wchars + ntok - 1)::DOUBLE, 6)
+               AS frac
+      FROM top JOIN st USING (doc_id)),
+    dupk AS (SELECT doc_id, n, gm FROM cnt WHERE n >= 5 AND c > 1),
+    cov AS (
+      SELECT DISTINCT doc_id, n, cp FROM (
+        SELECT g.doc_id, g.n,
+               unnest(generate_series(g.p, g.p + g.n - 1)) AS cp
+        FROM g JOIN dupk USING (doc_id, n, gm))),
+    covc AS (
+      SELECT cov.doc_id, cov.n, sum(length(p.w))::BIGINT AS covch
+      FROM cov JOIN p ON cov.doc_id = p.doc_id AND cov.cp = p.p
+      GROUP BY cov.doc_id, cov.n),
+    dupf AS (
+      SELECT doc_id, n, round(covch / wchars::DOUBLE, 6) AS frac
+      FROM covc JOIN st USING (doc_id)),
+    u AS (SELECT doc_id, 't' || n AS k, frac FROM topf
+          UNION ALL SELECT doc_id, 'd' || n, frac FROM dupf)
+    SELECT d.doc_id,
+      coalesce(max(CASE WHEN k = 't2' THEN frac END), 0.0)
+        AS top_2gram_char_frac,
+      coalesce(max(CASE WHEN k = 't3' THEN frac END), 0.0)
+        AS top_3gram_char_frac,
+      coalesce(max(CASE WHEN k = 't4' THEN frac END), 0.0)
+        AS top_4gram_char_frac,
+      coalesce(max(CASE WHEN k = 'd5' THEN frac END), 0.0)
+        AS dup_5gram_char_frac,
+      coalesce(max(CASE WHEN k = 'd6' THEN frac END), 0.0)
+        AS dup_6gram_char_frac,
+      coalesce(max(CASE WHEN k = 'd7' THEN frac END), 0.0)
+        AS dup_7gram_char_frac,
+      coalesce(max(CASE WHEN k = 'd8' THEN frac END), 0.0)
+        AS dup_8gram_char_frac,
+      coalesce(max(CASE WHEN k = 'd9' THEN frac END), 0.0)
+        AS dup_9gram_char_frac,
+      coalesce(max(CASE WHEN k = 'd10' THEN frac END), 0.0)
+        AS dup_10gram_char_frac
+    FROM d LEFT JOIN u USING (doc_id)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     # the Bloom prefilter + exact-confirm pipeline is semantically
@@ -4662,6 +4763,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "page_metadata": _page_metadata_oracle(),
         "heading_outline": _heading_outline_oracle(),
+        "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "gopher_rules": _GOPHER_ORACLE,
         "seed_quality": """
             WITH e AS (SELECT vec_id, label,

@@ -36,7 +36,7 @@ HEADLINE = [
     "vocab_topk", "pii_scrub", "line_prune", "para_dedup",
     "unicode_clean",
     "repetition_ratio",
-    "quality_filter", "gopher_rules", "pack_sequences", "pack_spans", "shard_manifest",
+    "quality_filter", "gopher_rules", "gopher_ngrams", "pack_sequences", "pack_spans", "shard_manifest",
     "kgram_dedup", "stratified_sample", "corpus_split", "split_leakage",
     "domain_mix",
     "temperature_sample",

@@ -228,3 +228,138 @@ def gopher_report(df: DataFrame, text_col: str = "text",
     if group_by is None:
         return sig.agg(*aggs)
     return sig.groupBy(group_by).agg(*aggs).orderBy(group_by)
+
+
+# ---------------------------------------------------------------------------
+# n-gram repetition family (the rest of the Gopher App. A battery)
+# ---------------------------------------------------------------------------
+
+# Gopher App. A thresholds: max fraction of characters in the TOP
+# n-gram (n=2,3,4) / in DUPLICATED n-grams (n=5..10).
+TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_ngram_signals(df: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         top_ns: tuple = (2, 3, 4),
+                         dup_ns: tuple = (5, 6, 7, 8, 9, 10)
+                         ) -> DataFrame:
+    """Per-document n-gram repetition signals — the remaining Gopher
+    App. A family beyond the line/paragraph rules:
+
+    * ``top_{n}gram_char_frac`` (n in ``top_ns``): characters covered
+      by ALL occurrences of the single most frequent n-gram, over the
+      single-space-joined token stream — pinned as
+      ``count * length(gram) / (word_chars + n_tokens - 1)``; ties on
+      count break to the lexicographically smallest gram.
+    * ``dup_{n}gram_char_frac`` (n in ``dup_ns``): characters of
+      tokens COVERED by at least one occurrence of any n-gram that
+      appears more than once in the document, over total token
+      characters (overlap-aware: a token under several duplicated
+      grams counts once — the DataTrove/Dolma coverage convention,
+      not the double-counting sum).
+
+    Tokens are the engine's pinned lowercased whitespace tokens
+    (`text.tokens_col`); documents shorter than ``n`` tokens score 0.
+
+    Scale shape (the reason this is one operator, not 9): every n
+    shares ONE pos-exploded token table and ONE window pass; gram
+    construction is the codegen'd window-lead chain (the array-HOF
+    interpreter cliff never fires — see dedup.dedup_kgrams), all ns
+    UNION into a single (doc, n, gram) count shuffle with map-side
+    combine absorbing hot grams, the top pick is a bounded
+    (doc, n)-partitioned window, and dup coverage re-joins occurrences
+    on the same (doc, n, gram) key then dedups covered positions on
+    (doc, n, pos) — every shuffle key is bounded by document length,
+    never by corpus size."""
+    from pyspark.sql import Window
+
+    from ocr_engine_spark.functions.text import tokens_col
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    base = df.select(F.col(id_col).alias("__id"),
+                     tokens_col(F.lower(F.col(text_col))).alias("__t"))
+    stats = base.select(
+        "__id",
+        F.length(F.concat_ws("", F.col("__t"))).alias("__wchars"),
+        F.size("__t").alias("__ntok"))
+    pos = base.select("__id", F.posexplode("__t").alias("__p", "__w"))
+    wnd = Window.partitionBy("__id").orderBy("__p")
+
+    def gram_frame(n: int) -> DataFrame:
+        parts = [F.col("__w")] + [F.lead("__w", j).over(wnd)
+                                  for j in range(1, n - 1)]
+        last = F.lead("__w", n - 1).over(wnd)
+        # concat_ws skips nulls — gate on the last lead so a document
+        # tail never forms a shortened gram
+        return (pos.select("__id", F.lit(n).alias("__n"), "__p",
+                           F.concat_ws(" ", *parts, last).alias("__g"),
+                           last.isNotNull().alias("__ok"))
+                .filter(F.col("__ok")).drop("__ok"))
+
+    grams = gram_frame(all_ns[0])
+    for n in all_ns[1:]:
+        grams = grams.unionByName(gram_frame(n))
+    counts = (grams.groupBy("__id", "__n", "__g")
+              .agg(F.count("*").alias("__c")))
+
+    rn = F.row_number().over(
+        Window.partitionBy("__id", "__n")
+        .orderBy(F.col("__c").desc(), F.col("__g").asc()))
+    top = (counts.filter(F.col("__n").isin(*top_ns))
+           .withColumn("__rn", rn).filter(F.col("__rn") == 1)
+           .join(stats, "__id")
+           .select("__id", "__n",
+                   F.when(F.col("__ntok") > 0,
+                          F.round(F.col("__c") * F.length("__g")
+                                  / (F.col("__wchars")
+                                     + F.col("__ntok") - 1).cast("double"),
+                                  6)).otherwise(F.lit(0.0))
+                   .alias("__frac")))
+    top_wide = top.groupBy("__id").agg(
+        *[F.max(F.when(F.col("__n") == n, F.col("__frac")))
+          .alias(f"top_{n}gram_char_frac") for n in top_ns])
+
+    dup_keys = (counts.filter(F.col("__n").isin(*dup_ns)
+                              & (F.col("__c") > 1))
+                .select("__id", "__n", "__g"))
+    covered = (grams.join(dup_keys, ["__id", "__n", "__g"])
+               .select("__id", "__n",
+                       F.explode(F.sequence(
+                           F.col("__p"),
+                           F.col("__p") + F.col("__n") - 1)).alias("__p"))
+               .distinct()
+               .join(pos, ["__id", "__p"])
+               .groupBy("__id", "__n")
+               .agg(F.sum(F.length("__w")).alias("__cov")))
+    dup_wide = (covered.join(stats, "__id")
+                .groupBy("__id").agg(
+                    *[F.max(F.when(F.col("__n") == n,
+                                   F.round(F.col("__cov")
+                                           / F.col("__wchars")
+                                           .cast("double"), 6)))
+                      .alias(f"dup_{n}gram_char_frac") for n in dup_ns]))
+
+    out = (df.select(F.col(id_col))
+           .join(top_wide, F.col(id_col) == top_wide["__id"], "left")
+           .drop("__id")
+           .join(dup_wide, F.col(id_col) == dup_wide["__id"], "left")
+           .drop("__id"))
+    fills = {f"top_{n}gram_char_frac": 0.0 for n in top_ns}
+    fills.update({f"dup_{n}gram_char_frac": 0.0 for n in dup_ns})
+    return out.fillna(fills)
+
+
+def gopher_ngram_fail_col(top_ns=(2, 3, 4),
+                          dup_ns=(5, 6, 7, 8, 9, 10)) -> Column:
+    """True when any n-gram repetition threshold is exceeded (call on
+    the `gopher_ngram_signals` output)."""
+    pred = F.lit(False)
+    for n in top_ns:
+        pred = pred | (F.col(f"top_{n}gram_char_frac")
+                       > TOP_NGRAM_MAX[n])
+    for n in dup_ns:
+        pred = pred | (F.col(f"dup_{n}gram_char_frac")
+                       > DUP_NGRAM_MAX[n])
+    return pred

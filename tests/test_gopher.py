@@ -135,3 +135,85 @@ def test_plan_is_jvm_only(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------- n-gram family
+
+def _ref_ngram_signals(text, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    toks = text.lower().split()
+    out = {}
+    for n in top_ns:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            out[f"top_{n}gram_char_frac"] = 0.0
+            continue
+        from collections import Counter
+        cnt = Counter(grams)
+        top = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        joined = len(" ".join(toks))
+        out[f"top_{n}gram_char_frac"] = round(
+            top[1] * len(top[0]) / joined, 6)
+    wchars = sum(len(t) for t in toks)
+    for n in dup_ns:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        from collections import Counter
+        cnt = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if cnt[g] > 1:
+                covered.update(range(i, i + n))
+        cov = sum(len(toks[p]) for p in covered)
+        out[f"dup_{n}gram_char_frac"] = round(cov / wchars, 6) \
+            if wchars else 0.0
+    return out
+
+
+NGRAM_DOCS = [
+    ("repeat_tail", "alpha beta gamma delta epsilon zeta eta theta "
+                    "iota kappa alpha beta gamma delta epsilon zeta "
+                    "eta theta iota kappa closing words here"),
+    ("unique", "one two three four five six seven eight nine ten "
+               "eleven twelve thirteen fourteen fifteen sixteen"),
+    ("hot_bigram", "spam ham spam ham spam ham spam ham eggs and "
+                   "some other words to dilute the signal a bit"),
+    ("short", "tiny doc"),
+    ("exact_n", "a b c d e"),          # exactly 5 tokens: one 5-gram
+    ("doubled", " ".join(["w%d" % i for i in range(12)] * 2)),
+]
+
+
+def test_ngram_signals_match_python_reference(spark):
+    from ocr_engine_spark.functions.gopher import gopher_ngram_signals
+    df = spark.createDataFrame(NGRAM_DOCS, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_ngram_signals(df, id_col="doc_id").collect()}
+    for name, text in NGRAM_DOCS:
+        want = _ref_ngram_signals(text)
+        for k, v in want.items():
+            assert got[name][k] == pytest.approx(v, abs=1e-9), (name, k)
+    # sanity on intent: the doubled doc is fully covered at n=5..10
+    assert got["doubled"]["dup_5gram_char_frac"] == 1.0
+    assert got["doubled"]["dup_10gram_char_frac"] == 1.0
+    # hot bigram dominates its doc
+    assert got["hot_bigram"]["top_2gram_char_frac"] > 0.2
+    # unique doc has zero dup coverage
+    assert got["unique"]["dup_5gram_char_frac"] == 0.0
+
+
+def test_ngram_fail_col(spark):
+    from ocr_engine_spark.functions.gopher import (
+        gopher_ngram_fail_col, gopher_ngram_signals,
+    )
+    df = spark.createDataFrame(NGRAM_DOCS, "doc_id string, text string")
+    # Gopher's n-gram thresholds presume the >= 50-word shape rule has
+    # already run: on a SHORT doc even a single-occurrence top 4-gram
+    # exceeds 0.16 of the characters, so only a long unique doc is a
+    # meaningful negative control
+    rows = NGRAM_DOCS + [
+        ("unique_long", " ".join("tok%02d" % i for i in range(80)))]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sig = gopher_ngram_signals(df, id_col="doc_id")
+    flagged = {r["doc_id"]
+               for r in sig.filter(gopher_ngram_fail_col()).collect()}
+    assert "doubled" in flagged and "hot_bigram" in flagged
+    assert "unique_long" not in flagged
