@@ -1858,6 +1858,38 @@ def q_gopher_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _drift_frames(spark: SparkSession, sf_dir: str):
+    """Two 'snapshots' from the documents fixture with an injected
+    source remap (src0 absorbed into src1 in the new half) so the
+    drift is real and deterministic."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    old = docs.filter(F.col("doc_id") < 250).select("source")
+    new = (docs.filter(F.col("doc_id") >= 250)
+           .select(F.when(F.col("source") == "src0", "src1")
+                   .otherwise(F.col("source")).alias("source")))
+    return old, new
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-value snapshot drift (functions/drift.py): smoothed shares
+    and KL/JS contribution terms in exact integer micro-nats, one row
+    per source value across both halves of the documents fixture."""
+    from ocr_engine_spark.functions.drift import distribution_drift
+
+    old, new = _drift_frames(spark, sf_dir)
+    return distribution_drift(old, new, "source").orderBy("value")
+
+
+def q_corpus_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-row drift gate input: KL(new||old), Jensen-Shannon and
+    total variation as exact integer sums (partitioning-invariant by
+    construction — test_drift pins the bit-identity property)."""
+    from ocr_engine_spark.functions.drift import drift_summary
+
+    old, new = _drift_frames(spark, sf_dir)
+    return drift_summary(old, new, "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1943,6 +1975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_quality": q_seed_quality,
         "heading_outline": q_heading_outline,
         "gopher_ngrams": q_gopher_ngrams,
+        "corpus_drift": q_corpus_drift,
+        "corpus_drift_summary": q_corpus_drift_summary,
     }
 
 
@@ -3761,6 +3795,52 @@ _GOPHER_NGRAM_ORACLE = r"""
 """
 
 
+# Replay of functions/drift.py: side-tagged counts, add-alpha shares,
+# single micro-nat quantization per divergence term.
+_DRIFT_VALUES_CTE = r"""
+    WITH o AS (SELECT source AS value FROM documents
+               WHERE doc_id < 250),
+    n AS (SELECT CASE WHEN source = 'src0' THEN 'src1'
+                      ELSE source END AS value
+          FROM documents WHERE doc_id >= 250 AND doc_id < 500),
+    u AS (SELECT value, 1 AS o_, 0 AS n_ FROM o
+          UNION ALL SELECT value, 0, 1 FROM n),
+    c AS (SELECT value, sum(o_)::BIGINT AS n_old,
+                 sum(n_)::BIGINT AS n_new
+          FROM u GROUP BY value),
+    t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new,
+                 count(*) AS k FROM c),
+    p AS (SELECT value, n_old, n_new,
+                 (n_old + 0.5) / (t_old + 0.5 * k) AS po,
+                 (n_new + 0.5) / (t_new + 0.5 * k) AS pn
+          FROM c, t),
+    d AS (SELECT value, n_old, n_new,
+                 round(po * 1e6, 0)::BIGINT AS p_old_micro,
+                 round(pn * 1e6, 0)::BIGINT AS p_new_micro,
+                 round(pn * ln(pn / po) * 1e6, 0)::BIGINT
+                   AS kl_term_micro,
+                 round((pn * ln(pn / (po + pn) * 2)
+                        + po * ln(po / (po + pn) * 2)) / 2 * 1e6,
+                       0)::BIGINT AS js_term_micro
+          FROM p)
+"""
+
+_DRIFT_ORACLE = _DRIFT_VALUES_CTE + """
+    SELECT * FROM d ORDER BY value
+"""
+
+_DRIFT_SUMMARY_ORACLE = _DRIFT_VALUES_CTE + """
+    SELECT count(*)::BIGINT AS n_values,
+           sum(n_old)::BIGINT AS total_old,
+           sum(n_new)::BIGINT AS total_new,
+           sum(kl_term_micro)::BIGINT AS kl_micro,
+           sum(js_term_micro)::BIGINT AS js_micro,
+           (sum(abs(p_new_micro - p_old_micro)) // 2)::BIGINT
+             AS tv_micro
+    FROM d
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     # the Bloom prefilter + exact-confirm pipeline is semantically
@@ -4764,6 +4844,8 @@ def _oracle_sql() -> dict[str, str]:
         "page_metadata": _page_metadata_oracle(),
         "heading_outline": _heading_outline_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
+        "corpus_drift": _DRIFT_ORACLE,
+        "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,
         "gopher_rules": _GOPHER_ORACLE,
         "seed_quality": """
             WITH e AS (SELECT vec_id, label,

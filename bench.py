@@ -41,6 +41,7 @@ HEADLINE = [
     "domain_mix",
     "temperature_sample",
     "shuffle_corpus", "ppl_filter", "chunk_documents", "snapshot_diff",
+    "corpus_drift", "corpus_drift_summary",
     "url_latest",
     "tfidf_topk", "bpe_train", "bpe_encode",
     "dsir_select", "spam_classifier", "bm25_topk", "phrase_hits",
