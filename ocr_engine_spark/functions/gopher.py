@@ -200,19 +200,23 @@ RULES = {
 }
 
 
-def gopher_fail_col() -> Column:
-    """True when ANY rule fails (call on the `gopher_signals` output)."""
+def gopher_fail_col(rules=None) -> Column:
+    """True when ANY selected rule fails (call on the `gopher_signals`
+    output). ``rules`` is an iterable of RULES keys; None = all —
+    real recipes tune the subset (e.g. a code corpus drops the
+    stopword and symbol screens)."""
     pred = F.lit(False)
-    for build in RULES.values():
-        pred = pred | build()
+    for name in (RULES if rules is None else rules):
+        pred = pred | RULES[name]()
     return pred
 
 
-def filter_gopher(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep only documents passing every Gopher rule; original columns
-    (signals dropped)."""
+def filter_gopher(df: DataFrame, text_col: str = "text",
+                  rules=None) -> DataFrame:
+    """Keep only documents passing every selected Gopher rule;
+    original columns (signals dropped)."""
     sig = gopher_signals(df, text_col)
-    return sig.filter(~gopher_fail_col()).select(*df.columns)
+    return sig.filter(~gopher_fail_col(rules)).select(*df.columns)
 
 
 def gopher_report(df: DataFrame, text_col: str = "text",

@@ -193,6 +193,32 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--output", default=None,
                     help="optionally write the per-key diff parquet")
 
+    gq = sub.add_parser("gopher", help="full Gopher quality-rule "
+                                       "battery: report + kept corpus")
+    gq.add_argument("--input", required=True, help="documents parquet")
+    gq.add_argument("--output", help="kept-corpus parquet sink")
+    gq.add_argument("--ngrams", action="store_true",
+                    help="also apply the n-gram repetition family "
+                         "(top-n-gram + duplicated-n-gram coverage)")
+    gq.add_argument("--skip-rule", action="append", default=[],
+                    metavar="NAME",
+                    help="drop a rule from the FILTER (report still "
+                         "shows it); repeatable — rule names are the "
+                         "RULES keys in functions/gopher.py")
+    gq.add_argument("--id-col", default="doc_id")
+    gq.add_argument("--text-col", default="text")
+
+    dr = sub.add_parser("drift", help="distribution drift between two "
+                                      "corpus snapshots (KL/JS/TV gate)")
+    dr.add_argument("--old", required=True, help="old snapshot parquet")
+    dr.add_argument("--new", required=True, help="new snapshot parquet")
+    dr.add_argument("--column", required=True,
+                    help="categorical column to compare (bucket "
+                         "numeric columns upstream)")
+    dr.add_argument("--alpha", type=float, default=0.5,
+                    help="add-alpha smoothing")
+    dr.add_argument("--output", help="per-value drift table parquet")
+
     ck = sub.add_parser("chunk", help="sliding-window document chunks")
     ck.add_argument("--input", required=True, help="documents parquet")
     ck.add_argument("--output", required=True, help="chunks parquet dir")
@@ -667,6 +693,42 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"statuses": counts,
                           "total": sum(counts.values()),
                           "out": args.output}))
+    elif args.cmd == "gopher":
+        from pyspark.sql import functions as F
+
+        from ocr_engine_spark.functions import gopher
+        docs = spark.read.parquet(args.input)
+        rep = gopher.gopher_report(docs, args.text_col) \
+            .collect()[0].asDict()  # 1-row report
+        unknown = set(args.skip_rule) - set(gopher.RULES)
+        if unknown:
+            raise SystemExit(f"unknown --skip-rule: {sorted(unknown)}")
+        rules = [r for r in gopher.RULES if r not in set(args.skip_rule)]
+        kept = gopher.filter_gopher(docs, args.text_col, rules=rules)
+        if args.ngrams:
+            sig = gopher.gopher_ngram_signals(
+                kept, id_col=args.id_col, text_col=args.text_col)
+            bad = (sig.filter(gopher.gopher_ngram_fail_col())
+                   .select(F.col(args.id_col)))
+            rep["fail_ngram_repetition"] = bad.count()
+            kept = kept.join(bad, args.id_col, "left_anti")
+        if args.output:
+            kept.write.mode("overwrite").parquet(args.output)
+            rep["n_written"] = spark.read.parquet(args.output).count()
+        print(json.dumps(rep))
+    elif args.cmd == "drift":
+        from ocr_engine_spark.functions.drift import (
+            distribution_drift, drift_summary,
+        )
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+        if args.output:
+            (distribution_drift(old, new, args.column, alpha=args.alpha)
+             .write.mode("overwrite").parquet(args.output))
+        s = drift_summary(old, new, args.column, alpha=args.alpha) \
+            .collect()[0].asDict()  # 1-row gate
+        s["column"] = args.column
+        print(json.dumps(s))
     elif args.cmd == "chunk":
         from ocr_engine_spark.functions.chunk import chunk_documents
         docs = spark.read.parquet(args.input)

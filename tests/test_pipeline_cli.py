@@ -158,3 +158,39 @@ def test_classify_cli(tmp_path):
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     # training data scores itself perfectly with disjoint vocab
     assert rep["by_label"] == {"ham": 20, "spam": 20}
+
+
+@pytest.mark.slow
+def test_gopher_and_drift_cli(tmp_path):
+    """gopher: report JSON + kept corpus with the n-gram family;
+    drift: per-value table + 1-row gate JSON over two snapshots."""
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    kept = str(tmp_path / "kept")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_job.py"), "gopher",
+         "--input", docs, "--output", kept, "--ngrams",
+         # the synthetic word-salad corpus has no natural stopword
+         # presence and many short docs; tune the subset like a real
+         # recipe would (the report still shows the skipped rules)
+         "--skip-rule", "missing_stopwords",
+         "--skip-rule", "too_few_words"],
+        env=env, cwd=REPO, capture_output=True, text=True, check=True)
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["n_docs"] == 500
+    assert rep["fail_missing_stopwords"] > 0  # reported even when skipped
+    assert 0 < rep["n_written"] <= rep["n_docs"]
+    assert "fail_ngram_repetition" in rep
+
+    table = str(tmp_path / "drift")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_job.py"), "drift",
+         "--old", docs, "--new", kept, "--column", "source",
+         "--output", table],
+        env=env, cwd=REPO, capture_output=True, text=True, check=True)
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["column"] == "source"
+    assert s["total_old"] == 500 and s["total_new"] == rep["n_written"]
+    assert s["kl_micro"] >= 0 and s["tv_micro"] >= 0
+    import glob
+    assert glob.glob(os.path.join(table, "*.parquet"))
