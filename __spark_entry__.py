@@ -1434,6 +1434,24 @@ def q_spam_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_engine_spark.functions.classify import (
         nb_confusion, nb_fit, nb_predict,
     )
+    train, test = _spam_split(spark, sf_dir)
+    # the fitted model tables are tiny (<= k*buckets rows); persisting
+    # them keeps the scorer from re-running the training aggregation
+    # once per consumer branch
+    labels, cond = nb_fit(train, buckets=4096, alpha=1.0)
+    labels, cond = labels.persist(), cond.persist()
+    pred = nb_predict(test, labels, cond, buckets=4096)
+    return (nb_confusion(pred, test)
+            .orderBy("true_label", "pred_label"))
+
+
+_PR_THRESHOLDS = [-5_000_000, -1_000_000, 0, 1_000_000, 5_000_000,
+                  20_000_000]
+
+
+def _spam_split(spark: SparkSession, sf_dir: str):
+    """The shared planted-spam corpus split used by the classifier
+    queries: (train, test) halves by doc_id parity."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     words = F.array(*[F.lit(w) for w in _SPAM_WORDS])
     planted = F.concat_ws(" ", F.col("text"), *[
@@ -1443,16 +1461,39 @@ def q_spam_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     spam = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
                        planted.alias("text"), F.lit("spam").alias("label"))
     corpus = docs.withColumn("label", F.lit("ham")).unionByName(spam)
-    train = corpus.filter(F.col("doc_id") % 2 == 0)
-    test = corpus.filter(F.col("doc_id") % 2 == 1)
-    # the fitted model tables are tiny (<= k*buckets rows); persisting
-    # them keeps the scorer from re-running the training aggregation
-    # once per consumer branch
+    return (corpus.filter(F.col("doc_id") % 2 == 0),
+            corpus.filter(F.col("doc_id") % 2 == 1))
+
+
+def q_classifier_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point table for the trainable quality filter: the
+    margin (integer micro-nat log-odds of spam vs best other class,
+    classify.nb_margin) swept over six thresholds in ONE aggregate
+    pass (classify.pr_sweep). A deployed filter is a threshold choice;
+    this is the precision/recall evidence it is chosen on (GPT-3
+    appendix A / CCNet style). Ratios are published as exact ppm
+    integers — round-half-up via integer arithmetic — so the oracle
+    comparison is bit-exact with no float rounding seam."""
+    from ocr_engine_spark.functions.classify import (
+        nb_fit, nb_margin, pr_sweep,
+    )
+    train, test = _spam_split(spark, sf_dir)
     labels, cond = nb_fit(train, buckets=4096, alpha=1.0)
     labels, cond = labels.persist(), cond.persist()
-    pred = nb_predict(test, labels, cond, buckets=4096)
-    return (nb_confusion(pred, test)
-            .orderBy("true_label", "pred_label"))
+    marg = nb_margin(test, labels, cond, pos_label="spam", buckets=4096)
+    sweep = pr_sweep(marg, test, _PR_THRESHOLDS, pos_label="spam")
+
+    def ppm(num: str, den: str):
+        return (F.when(F.expr(den) > 0, F.expr(
+            f"(2 * 1000000 * ({num}) + ({den})) div (2 * ({den}))"))
+                .otherwise(F.lit(0)).cast("long"))
+
+    return (sweep.select(
+        "threshold_micro", "tp", "fp", "fn", "tn",
+        ppm("tp", "tp + fp").alias("precision_ppm"),
+        ppm("tp", "tp + fn").alias("recall_ppm"),
+        ppm("2 * tp", "2 * tp + fp + fn").alias("f1_ppm"))
+            .orderBy("threshold_micro"))
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1966,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "anchor_terms": q_anchor_terms,
         "spam_classifier": q_spam_classifier,
+        "classifier_pr": q_classifier_pr,
         "bm25_topk": q_bm25_topk,
         "video_overlap": q_video_overlap,
         "phrase_hits": q_phrase_hits,
@@ -3057,13 +3099,14 @@ def _anchor_terms_oracle() -> str:
     """
 
 
-def _spam_classifier_oracle() -> str:
-    """Dense replay of the sparse NB scorer: Spark computes
-    prior + n_grams*floor + sum(delta) with delta = llh_q - floor_q;
-    the oracle computes the algebraically identical dense form
-    prior + sum(llh_q if (label, bucket) seen else floor_q) — every
-    quantization is the same single round(ln(..)*1e6), so the integer
-    scores agree bit-for-bit."""
+def _spam_nb_cte() -> str:
+    """Shared dense replay of the sparse NB scorer, up through the
+    per-(test doc, label) integer score table ``scored``: Spark
+    computes prior + n_grams*floor + sum(delta) with
+    delta = llh_q - floor_q; the oracle computes the algebraically
+    identical dense form prior + sum(llh_q if (label, bucket) seen
+    else floor_q) — every quantization is the same single
+    round(ln(..)*1e6), so the integer scores agree bit-for-bit."""
     words = ", ".join(f"({i}, '{w}')"
                       for i, w in enumerate(_SPAM_WORDS))
     return rf"""
@@ -3136,8 +3179,13 @@ def _spam_classifier_oracle() -> str:
           FROM spine sp
           CROSS JOIN priors p
           LEFT JOIN gsum g
-            ON g.doc_id = sp.doc_id AND g.label = p.label),
-        pred AS (
+            ON g.doc_id = sp.doc_id AND g.label = p.label)
+    """
+
+
+def _spam_classifier_oracle() -> str:
+    return _spam_nb_cte() + r"""
+        , pred AS (
           SELECT doc_id, true_label, label AS pred_label,
                  row_number() OVER (PARTITION BY doc_id
                                     ORDER BY score DESC, label) AS rn
@@ -3146,6 +3194,47 @@ def _spam_classifier_oracle() -> str:
         FROM pred WHERE rn = 1
         GROUP BY true_label, pred_label
         ORDER BY true_label, pred_label
+    """
+
+
+def _classifier_pr_oracle() -> str:
+    """Margin + threshold-sweep tail over the shared ``scored`` table:
+    margin = score(spam) - best other score (exact integer), then the
+    confusion counts and round-half-up ppm ratios at each threshold —
+    pure integer arithmetic end to end, replaying classify.nb_margin
+    and classify.pr_sweep plus the query's ppm publication."""
+    ths = ", ".join(f"({t})" for t in _PR_THRESHOLDS)
+
+    def ppm(num: str, den: str) -> str:
+        return (f"(CASE WHEN ({den}) > 0 THEN "
+                f"(2 * 1000000 * ({num}) + ({den})) // (2 * ({den})) "
+                f"ELSE 0 END)::BIGINT")
+
+    return _spam_nb_cte() + rf"""
+        , margin AS (
+          SELECT doc_id, true_label = 'spam' AS pos,
+                 max(CASE WHEN label = 'spam' THEN score END)
+                 - max(CASE WHEN label <> 'spam' THEN score END)
+                   AS m
+          FROM scored GROUP BY doc_id, true_label),
+        th(threshold_micro) AS (VALUES {ths}),
+        cnt AS (
+          SELECT th.threshold_micro::BIGINT AS threshold_micro,
+                 sum(CASE WHEN m >= th.threshold_micro AND pos
+                     THEN 1 ELSE 0 END)::BIGINT AS tp,
+                 sum(CASE WHEN m >= th.threshold_micro AND NOT pos
+                     THEN 1 ELSE 0 END)::BIGINT AS fp,
+                 sum(CASE WHEN m < th.threshold_micro AND pos
+                     THEN 1 ELSE 0 END)::BIGINT AS fn,
+                 sum(CASE WHEN m < th.threshold_micro AND NOT pos
+                     THEN 1 ELSE 0 END)::BIGINT AS tn
+          FROM margin CROSS JOIN th
+          GROUP BY th.threshold_micro)
+        SELECT threshold_micro, tp, fp, fn, tn,
+               {ppm('tp', 'tp + fp')} AS precision_ppm,
+               {ppm('tp', 'tp + fn')} AS recall_ppm,
+               {ppm('2 * tp', '2 * tp + fp + fn')} AS f1_ppm
+        FROM cnt ORDER BY threshold_micro
     """
 
 
@@ -4803,6 +4892,7 @@ def _oracle_sql() -> dict[str, str]:
         "anchor_terms": _anchor_terms_oracle(),
         "robots_audit": _robots_audit_oracle(),
         "spam_classifier": _spam_classifier_oracle(),
+        "classifier_pr": _classifier_pr_oracle(),
         "collocations": r"""
             WITH tok AS (
               SELECT doc_id,

@@ -114,14 +114,12 @@ def nb_fit(labeled: DataFrame, *, buckets: int = 4096, alpha: float = 1.0,
     return labels, cond
 
 
-def nb_predict(docs: DataFrame, labels: DataFrame, cond: DataFrame, *,
-               buckets: int = 4096, id_col: str = "doc_id",
-               text_col: str = "text",
-               ns: tuple[int, ...] = (1, 2)) -> DataFrame:
-    """Score ``docs`` against a fitted model; returns one row per input
-    document: ``(id, pred_label, score_micro, n_grams)`` — the argmax
-    class, its integer micro-nat log-joint, and the document's gram
-    count (0 for empty text → prior-only decision)."""
+def _nb_scored(docs: DataFrame, labels: DataFrame, cond: DataFrame, *,
+               buckets: int, id_col: str, text_col: str,
+               ns: tuple[int, ...]) -> DataFrame:
+    """The shared scoring core: one row per (document, label) with the
+    exact integer micro-nat log-joint — consumed by the argmax
+    (nb_predict) and by the binary margin (nb_margin)."""
     grams = gram_buckets(docs, buckets=buckets, id_col=id_col,
                          text_col=text_col, ns=ns)
     n_g = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
@@ -136,19 +134,94 @@ def nb_predict(docs: DataFrame, labels: DataFrame, cond: DataFrame, *,
              .withColumn("n_grams", F.coalesce(F.col("n_grams"),
                                                F.lit(0)))
              .crossJoin(F.broadcast(labels)))
-    scored = (spine.join(dsum, [id_col, "label"], "left")
-              .withColumn("sum_delta", F.coalesce(F.col("sum_delta"),
-                                                  F.lit(0)))
-              .withColumn("score_micro",
-                          F.col("prior_micro")
-                          + F.col("n_grams") * F.col("floor_micro")
-                          + F.col("sum_delta")))
+    return (spine.join(dsum, [id_col, "label"], "left")
+            .withColumn("sum_delta", F.coalesce(F.col("sum_delta"),
+                                                F.lit(0)))
+            .withColumn("score_micro",
+                        F.col("prior_micro")
+                        + F.col("n_grams") * F.col("floor_micro")
+                        + F.col("sum_delta")))
+
+
+def nb_predict(docs: DataFrame, labels: DataFrame, cond: DataFrame, *,
+               buckets: int = 4096, id_col: str = "doc_id",
+               text_col: str = "text",
+               ns: tuple[int, ...] = (1, 2)) -> DataFrame:
+    """Score ``docs`` against a fitted model; returns one row per input
+    document: ``(id, pred_label, score_micro, n_grams)`` — the argmax
+    class, its integer micro-nat log-joint, and the document's gram
+    count (0 for empty text → prior-only decision)."""
+    scored = _nb_scored(docs, labels, cond, buckets=buckets,
+                        id_col=id_col, text_col=text_col, ns=ns)
     w = Window.partitionBy(id_col).orderBy(F.col("score_micro").desc(),
                                            F.col("label"))
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(id_col, F.col("label").alias("pred_label"),
                     "score_micro", "n_grams"))
+
+
+def nb_margin(docs: DataFrame, labels: DataFrame, cond: DataFrame, *,
+              pos_label, buckets: int = 4096, id_col: str = "doc_id",
+              text_col: str = "text",
+              ns: tuple[int, ...] = (1, 2)) -> DataFrame:
+    """(id, margin_micro): integer log-odds of ``pos_label`` against
+    the best OTHER class — the thresholdable score a filter recipe
+    sweeps (argmax alone cannot trade precision for recall). Exact
+    integer difference of the same micro-nat scores nb_predict ranks,
+    so margin >= 0 coincides with the argmax choosing ``pos_label``
+    up to the deterministic label tie-break."""
+    scored = _nb_scored(docs, labels, cond, buckets=buckets,
+                        id_col=id_col, text_col=text_col, ns=ns)
+    pos = F.col("label") == F.lit(pos_label)
+    return (scored.groupBy(id_col)
+            .agg((F.max(F.when(pos, F.col("score_micro")))
+                  - F.max(F.when(~pos, F.col("score_micro"))))
+                 .alias("margin_micro")))
+
+
+def pr_sweep(margins: DataFrame, truth: DataFrame,
+             thresholds: list[int], *, pos_label,
+             id_col: str = "doc_id",
+             label_col: str = "label") -> DataFrame:
+    """Precision/recall/F1 at each margin threshold, in ONE aggregate
+    pass (K thresholds -> K*4 conditional counters, then an unpivot —
+    never K scans): (threshold_micro, tp, fp, fn, tn, precision,
+    recall, f1). Zero-denominator cells are pinned to 0.0. This is the
+    operating-point table a quality-filter deployment publishes so the
+    precision/recall trade is chosen on evidence, not vibes."""
+    t = truth.select(F.col(id_col),
+                     (F.col(label_col) == F.lit(pos_label)).alias("__pos"))
+    j = margins.join(t, id_col)
+    aggs = []
+    for i, th in enumerate(thresholds):
+        p = F.col("margin_micro") >= F.lit(int(th))
+        aggs += [
+            F.sum((p & F.col("__pos")).cast("long")).alias(f"tp_{i}"),
+            F.sum((p & ~F.col("__pos")).cast("long")).alias(f"fp_{i}"),
+            F.sum((~p & F.col("__pos")).cast("long")).alias(f"fn_{i}"),
+            F.sum((~p & ~F.col("__pos")).cast("long")).alias(f"tn_{i}"),
+        ]
+    row = j.agg(*aggs)
+    stack = ", ".join(
+        f"{int(th)}L, tp_{i}, fp_{i}, fn_{i}, tn_{i}"
+        for i, th in enumerate(thresholds))
+    cells = row.selectExpr(
+        f"stack({len(thresholds)}, {stack}) AS "
+        "(threshold_micro, tp, fp, fn, tn)")
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.round(F.col("tp") / (F.col("tp") + F.col("fp"))
+                          .cast("double"), 6)).otherwise(F.lit(0.0))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.round(F.col("tp") / (F.col("tp") + F.col("fn"))
+                         .cast("double"), 6)).otherwise(F.lit(0.0))
+    f1 = F.when((2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+                F.round(2 * F.col("tp")
+                        / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+                        .cast("double"), 6)).otherwise(F.lit(0.0))
+    return cells.select("threshold_micro", "tp", "fp", "fn", "tn",
+                        prec.alias("precision"), rec.alias("recall"),
+                        f1.alias("f1"))
 
 
 def nb_confusion(pred: DataFrame, truth: DataFrame, *,

@@ -125,3 +125,65 @@ def test_deterministic_across_partitionings(spark):
                           buckets=BUCKETS)
         outs.append(sorted(map(tuple, pred.collect())))
     assert outs[0] == outs[1]
+
+
+@pytest.fixture
+def nb_corpus(spark):
+    """Held-out split of the planted-signal corpus: (train, test)."""
+    corpus = _spam_corpus(spark, n=120)
+    train = corpus.filter(F.col("doc_id") % 2 == 0)
+    test = corpus.filter(F.col("doc_id") % 2 == 1)
+    return train, test
+
+
+def test_margin_consistent_with_argmax(spark, nb_corpus):
+    """margin >= 0 <=> argmax picks the positive class (up to the
+    deterministic label tie-break, exact integer scores both sides)."""
+    from ocr_engine_spark.functions.classify import (
+        nb_fit, nb_margin, nb_predict,
+    )
+    train, test = nb_corpus
+    labels, cond = nb_fit(train, buckets=512)
+    pred = nb_predict(test, labels, cond, buckets=512)
+    marg = nb_margin(test, labels, cond, pos_label="spam", buckets=512)
+    j = {r["doc_id"]: (r["pred_label"], r["margin_micro"])
+         for r in pred.join(marg, "doc_id").collect()}
+    assert j
+    for doc, (pl, m) in j.items():
+        if m > 0:
+            assert pl == "spam", doc
+        elif m < 0:
+            assert pl == "ham", doc
+
+
+def test_pr_sweep_matches_python(spark, nb_corpus):
+    from ocr_engine_spark.functions.classify import (
+        nb_fit, nb_margin, pr_sweep,
+    )
+    train, test = nb_corpus
+    labels, cond = nb_fit(train, buckets=512)
+    marg = nb_margin(test, labels, cond, pos_label="spam", buckets=512)
+    ths = [-2_000_000, -500_000, 0, 500_000, 2_000_000]
+    got = {r["threshold_micro"]: r.asDict()
+           for r in pr_sweep(marg, test, ths, pos_label="spam")
+           .collect()}
+    rows = [(r["margin_micro"], r["label"] == "spam")
+            for r in marg.join(
+                test.select("doc_id", "label"), "doc_id").collect()]
+    for th in ths:
+        tp = sum(1 for m, p in rows if m >= th and p)
+        fp = sum(1 for m, p in rows if m >= th and not p)
+        fn = sum(1 for m, p in rows if m < th and p)
+        tn = sum(1 for m, p in rows if m < th and not p)
+        g = got[th]
+        assert (g["tp"], g["fp"], g["fn"], g["tn"]) == (tp, fp, fn, tn)
+        prec = round(tp / (tp + fp), 6) if tp + fp else 0.0
+        rec = round(tp / (tp + fn), 6) if tp + fn else 0.0
+        f1 = round(2 * tp / (2 * tp + fp + fn), 6) \
+            if 2 * tp + fp + fn else 0.0
+        assert g["precision"] == pytest.approx(prec, abs=1e-9)
+        assert g["recall"] == pytest.approx(rec, abs=1e-9)
+        assert g["f1"] == pytest.approx(f1, abs=1e-9)
+    # monotonicity: recall never increases as the threshold rises
+    recs = [got[t]["recall"] for t in sorted(ths)]
+    assert recs == sorted(recs, reverse=True)
