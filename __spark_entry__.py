@@ -1878,6 +1878,50 @@ def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "pos"))
 
 
+_TABLE_SNIPPETS = [
+    "<table><tr><th>Name</th><th>Qty</th></tr>"
+    "<tr><td>alpha</td><td> 3 </td></tr>"
+    "<tr><td>beta</td><td></td><td>9</td></tr></table>",
+    "<TABLE id=x><TR><TD> spaced \t out </TD><TH>H</TH></TR></TABLE>"
+    "<table><tr><td>second table</td></tr></table>",
+    "<table><tr><td><b>rich</b></td><td>kept</td></tr>"
+    "<tr><td>pre<table><tr><td>inner</td></tr></table></td></tr>"
+    "</table>",
+]
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table mining (scrub.table_records): every tag-free
+    <td>/<th> cell of every <table> as (url, table_pos, row_pos,
+    col_pos, is_header, cell) — the WebTables motif. Corpus: the pages
+    fixture with deterministic per-url table injections (md5 bucket:
+    plain header+data table with an empty-cell hole / case variants +
+    two tables / trap set with rich-cell skip and nested-table
+    truncation; PDFs never injected nor decoded). The oracle replays
+    injection and the three-level lazy grammar with chained
+    regexp_extract_all + unnest over DuckDB's blob-escape
+    projection."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import table_records
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_TABLE_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_TABLE_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_TABLE_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return (table_records(corpus, scan_bytes=None)
+            .orderBy("url", "table_pos", "row_pos", "col_pos"))
+
+
 def q_gopher_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The n-gram half of the Gopher repetition battery
     (functions/gopher.py:gopher_ngram_signals): per-doc top-n-gram
@@ -2016,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "seed_quality": q_seed_quality,
         "heading_outline": q_heading_outline,
+        "html_tables": q_html_tables,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -3351,6 +3396,81 @@ def _heading_outline_oracle() -> str:
         ORDER BY url, pos
     """
 
+
+def _html_tables_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _TABLE_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    block_re = "(?is)<table[^>]*>(.*?)</table>"
+    row_re = "(?is)<tr[^>]*>(.*?)</tr>"
+    cell_re = "(?is)<t([dh])[^>]*>([^<]*)</t[dh]"
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        blk AS (
+          SELECT url, regexp_extract_all({unesc}, '{block_re}', 1)
+                   AS barr
+          FROM inj WHERE is_html),
+        t AS (
+          SELECT url,
+                 unnest(generate_series(1, len(barr))) - 1 AS table_pos,
+                 unnest(barr) AS block
+          FROM blk),
+        rws AS (
+          SELECT url, table_pos,
+                 regexp_extract_all(block, '{row_re}', 1) AS rarr
+          FROM t),
+        r AS (
+          SELECT url, table_pos,
+                 unnest(generate_series(1, len(rarr))) - 1 AS row_pos,
+                 unnest(rarr) AS rowc
+          FROM rws),
+        cls AS (
+          SELECT url, table_pos, row_pos,
+                 regexp_extract_all(rowc, '{cell_re}', 0) AS carr
+          FROM r),
+        c AS (
+          SELECT url, table_pos, row_pos,
+                 unnest(generate_series(1, len(carr))) - 1 AS col_pos,
+                 unnest(carr) AS m
+          FROM cls),
+        v AS (
+          SELECT url, table_pos::BIGINT AS table_pos,
+                 row_pos::BIGINT AS row_pos, col_pos::BIGINT AS col_pos,
+                 lower(regexp_extract(m, '{cell_re}', 1)) = 'h'
+                   AS is_header,
+                 nullif(trim(regexp_replace(
+                   regexp_extract(m, '{cell_re}', 2),
+                   '[ \\t\\n\\r]+', ' ', 'g')), '') AS t0
+          FROM c),
+        g AS (
+          SELECT url, table_pos, row_pos, col_pos, is_header,
+                 CASE WHEN t0 NOT LIKE '%' || chr(92) || '%'
+                       AND regexp_matches(t0, '^[ -~]*$')
+                      THEN t0 END AS cell
+          FROM v)
+        SELECT url, table_pos, row_pos, col_pos, is_header, cell
+        FROM g WHERE cell IS NOT NULL
+        ORDER BY url, table_pos, row_pos, col_pos
+    """
 
 
 def _synth_edges_cte(pages: str) -> str:
@@ -4933,6 +5053,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "page_metadata": _page_metadata_oracle(),
         "heading_outline": _heading_outline_oracle(),
+        "html_tables": _html_tables_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

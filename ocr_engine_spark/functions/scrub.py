@@ -464,3 +464,103 @@ def outline_profile(pages: DataFrame, **kwargs) -> DataFrame:
                      F.struct("pos", "heading"))).alias("__h1"))
         .select("url", "n_headings", "min_level", "max_level",
                 F.col("__h1")["heading"].alias("first_h1")))
+
+
+# ---------------------------------------------------------------------------
+# HTML table extraction
+# ---------------------------------------------------------------------------
+
+_TABLE_BLOCK_RE = r"(?is)<table[^>]*>(.*?)</table>"
+_TABLE_ROW_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
+_TABLE_CELL_RE = r"(?is)<t([dh])[^>]*>([^<]*)</t[dh]"
+
+
+def table_records(pages: DataFrame, *, url_col: str = "url",
+                  html_col: str = "html",
+                  scan_bytes: int | None = 8192,
+                  ascii_only: bool = True) -> DataFrame:
+    """(url, table_pos, row_pos, col_pos, is_header, cell) — every
+    tag-free ``<td>``/``<th>`` cell of every ``<table>`` in document
+    order: structured tabular data mined straight off the crawl (the
+    WebTables / TabLib motif — relational facts and eval-style QA
+    pairs live in crawl tables, and a training-data pipeline wants
+    them as rows, not markup).
+
+    Three chained codegen'd ``regexp_extract_all`` + map-side
+    ``posexplode`` stages over the bounded ISO-8859-1 prefix decode —
+    zero shuffle, zero UDF. At 100 TB this is a pure map operator:
+    output partitioning follows the page scan, and the fan-out is
+    bounded by scan_bytes.
+
+    Pinned semantics (replayed verbatim by the DuckDB oracle):
+
+      * a table block is lazy ``<table...>`` .. first ``</table>`` —
+        a NESTED table's close truncates its parent, so the parent
+        captures rows up to the inner close and the grammar never
+        backtracks (single forward pass, RE2-compatible);
+      * rows are lazy ``<tr...>`` .. first ``</tr>`` within a block;
+      * a cell is captured only when its text is TAG-FREE
+        (``[^<]*`` to the closing ``</td|th``) — cells with child
+        elements are skipped entirely (they occupy no col slot); the
+        closing tag's letter is not validated against the opening;
+      * cell text is whitespace-collapsed and trimmed; empty or
+        portability-gated cells keep their ``col_pos`` slot but are
+        dropped (holes), mirroring ``heading_records``;
+      * ``is_header`` is the OPENING tag letter (th vs td),
+        case-insensitive.
+
+    Follows the engine-wide charset discipline: leading-``<`` HTML
+    gate (PDFs and other payloads are never decoded), bounded prefix
+    scan, and — under ``ascii_only`` — the clean-printable
+    portability gate shared with linkgraph/heading_records."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    blocks = F.when(is_html,
+                    F.regexp_extract_all(head, F.lit(_TABLE_BLOCK_RE),
+                                         F.lit(1)))
+    t = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(blocks).alias("table_pos", "__block"))
+    rows = F.regexp_extract_all(F.col("__block"), F.lit(_TABLE_ROW_RE),
+                                F.lit(1))
+    r = t.select("url", "table_pos",
+                 F.posexplode(rows).alias("row_pos", "__row"))
+    cells = F.regexp_extract_all(F.col("__row"), F.lit(_TABLE_CELL_RE),
+                                 F.lit(0))
+    c = r.select("url", "table_pos", "row_pos",
+                 F.posexplode(cells).alias("col_pos", "__m"))
+    is_header = (F.lower(F.regexp_extract("__m", _TABLE_CELL_RE, 1))
+                 == F.lit("h"))
+    txt = F.nullif(F.trim(F.regexp_replace(
+        F.regexp_extract("__m", _TABLE_CELL_RE, 2),
+        r"[ \t\n\r]+", " ")), F.lit(""))
+    if ascii_only:
+        txt = F.when(txt.rlike(r"^[ -~]*$") & ~txt.contains("\\"), txt)
+    return (c.select("url",
+                     F.col("table_pos").cast("long").alias("table_pos"),
+                     F.col("row_pos").cast("long").alias("row_pos"),
+                     F.col("col_pos").cast("long").alias("col_pos"),
+                     is_header.alias("is_header"),
+                     txt.alias("cell"))
+            .filter(F.col("cell").isNotNull()))
+
+
+def table_profile(pages: DataFrame, **kwargs) -> DataFrame:
+    """Per-url tabular-content summary over ``table_records``: table /
+    row / cell counts, header-cell count and the widest row — the
+    page-level feature a table-mining selector filters on (e.g. keep
+    pages with >= 1 table of >= 2 data rows). One map-side extract +
+    one aggregate."""
+    c = table_records(pages, **kwargs)
+    per_row = (c.groupBy("url", "table_pos", "row_pos")
+               .agg(F.count("*").alias("__w"),
+                    F.sum(F.col("is_header").cast("long"))
+                    .alias("__h")))
+    return (per_row.groupBy("url").agg(
+        F.countDistinct("table_pos").alias("n_tables"),
+        F.count("*").alias("n_rows"),
+        F.sum("__w").alias("n_cells"),
+        F.sum("__h").alias("n_header_cells"),
+        F.max("__w").alias("max_row_width")))

@@ -339,3 +339,72 @@ def test_outline_profile(spark):
     assert got["u1"]["max_level"] == 3
     assert got["u1"]["first_h1"] == "the title"   # lowest pos among h1s
     assert got["u2"]["first_h1"] is None
+
+
+def test_table_records_extraction(spark):
+    """HTML table mining: table/row/cell positions, header flag,
+    rich-cell skip, empty-slot holes, nested-table truncation,
+    PDF + high-byte gates, prefix bound."""
+    from ocr_engine_spark.functions.scrub import table_records
+    rows = [
+        ("u1", b"<html><table><tr><th>Name</th><th>Age</th></tr>"
+               b"<tr><td> Ann \t X </td><td>34</td></tr>"
+               b"<tr><td><b>rich</b></td><td>77</td></tr></table>"),
+        ("u2", b"<html><table id=a><TR><TD>A</TD></TR></table>"
+               b"<table><tr><td>B1</td><td></td><td>B3</td></tr>"
+               b"</table>"),
+        ("u3", b"<html><table><thead><tr><th>H</th></tr></thead>"
+               b"<tbody><tr><td>caf\xe9</td><td>ok</td></tr>"
+               b"</tbody></table>"),
+        ("u4", b"%PDF-1.4 <table><tr><td>x</td></tr></table>"),
+        ("u5", b"<html><table><tr><td>outer</td><td>"
+               b"<table><tr><td>inner</td></tr></table></td></tr>"
+               b"</table>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [tuple(r) for r in table_records(df)
+           .orderBy("url", "table_pos", "row_pos", "col_pos").collect()]
+    assert got == [
+        ("u1", 0, 0, 0, True, "Name"),
+        ("u1", 0, 0, 1, True, "Age"),
+        ("u1", 0, 1, 0, False, "Ann X"),   # whitespace collapsed
+        ("u1", 0, 1, 1, False, "34"),
+        # <td><b>rich</b></td> never matches the tag-free grammar, so
+        # it occupies NO col slot: 77 is col 0 of its row.
+        ("u1", 0, 2, 0, False, "77"),
+        ("u2", 0, 0, 0, False, "A"),       # case-insensitive tags
+        ("u2", 1, 0, 0, False, "B1"),
+        # empty <td></td> MATCHES and keeps its slot, then drops: hole
+        ("u2", 1, 0, 2, False, "B3"),
+        ("u3", 0, 0, 0, True, "H"),
+        # high-byte cell gated out, slot hole at col 0
+        ("u3", 0, 1, 1, False, "ok"),
+        # nested table: inner </table> truncates the outer block; the
+        # rich outer cell is skipped, the inner td parses as col 1.
+        ("u5", 0, 0, 0, False, "outer"),
+        ("u5", 0, 0, 1, False, "inner"),
+    ]
+    far = spark.createDataFrame(
+        [("u8", b"<html>" + b"x" * 9000
+          + b"<table><tr><td>late</td></tr></table>")],
+        "url string, html binary")
+    assert table_records(far).count() == 0
+    assert table_records(far, scan_bytes=None).count() == 1
+
+
+def test_table_profile(spark):
+    from ocr_engine_spark.functions.scrub import table_profile
+    rows = [
+        ("u1", b"<html><table><tr><th>A</th><th>B</th></tr>"
+               b"<tr><td>1</td><td>2</td><td>3</td></tr></table>"
+               b"<table><tr><td>solo</td></tr></table>"),
+        ("u2", b"<html><p>no tables</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r.asDict() for r in table_profile(df).collect()}
+    assert got["u1"]["n_tables"] == 2
+    assert got["u1"]["n_rows"] == 3
+    assert got["u1"]["n_cells"] == 6
+    assert got["u1"]["n_header_cells"] == 2
+    assert got["u1"]["max_row_width"] == 3
+    assert "u2" not in got
