@@ -1922,6 +1922,55 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "table_pos", "row_pos", "col_pos"))
 
 
+_JSONLD_SNIPPETS = [
+    '<script type="application/ld+json">{"@context":"https://schema.org",'
+    '"@type":"Article","name":"Injected Article",'
+    '"datePublished":"2024-01-01"}</script>'
+    '<script type="application/ld+json">{"@type":"Product",'
+    '"name":"Widget","offers":{"price": "9.99"}}</script>',
+    "<SCRIPT TYPE='application/ld+json'>" '{"@type":"Person",'
+    '"name":"Ada Lovelace"}</SCRIPT>'
+    '<script data-x=1 type=application/ld+json>'
+    '{"@type":["Organization","Brand"],"name":"Acme"}</script>',
+    '<script type="application/ld+json">{"@type":"Broken",</script>'
+    '<script type="text/javascript">{"name":"skip me"}</script>'
+    '<script type="application/ld+json"></script>'
+    '<script type="application/ld+json">{"name":123}</script>',
+]
+
+
+def q_jsonld_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD mining (scrub.jsonld_records/entities): raw
+    ld+json block payloads + strict-parse-gated headline fields. The
+    corpus is the pages fixture with deterministic per-url injections
+    (md5 bucket: two plain entities / quote-case-order variants with
+    array-typed @type and object re-render / trap set with invalid
+    JSON, non-ld script, empty block and a number-valued name; PDFs
+    never injected nor decoded). The oracle replays the block grammar
+    with regexp_extract_all + unnest and the field extraction with
+    json_valid + json_extract_string on the common strict-RFC
+    surface."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import jsonld_entities
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_JSONLD_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_JSONLD_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_JSONLD_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return (jsonld_entities(corpus, scan_bytes=None)
+            .orderBy("url", "pos"))
+
+
 def q_gopher_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The n-gram half of the Gopher repetition battery
     (functions/gopher.py:gopher_ngram_signals): per-doc top-n-gram
@@ -2061,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_quality": q_seed_quality,
         "heading_outline": q_heading_outline,
         "html_tables": q_html_tables,
+        "jsonld_entities": q_jsonld_entities,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -3470,6 +3520,68 @@ def _html_tables_oracle() -> str:
         SELECT url, table_pos, row_pos, col_pos, is_header, cell
         FROM g WHERE cell IS NOT NULL
         ORDER BY url, table_pos, row_pos, col_pos
+    """
+
+
+def _jsonld_entities_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import _JSONLD_RE
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _JSONLD_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    # _JSONLD_RE spells the quote alternatives as \\x27 hex escapes, so
+    # the pattern itself is single-quote-free and SQL-safe verbatim
+    pat = _JSONLD_RE
+    assert "'" not in pat
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        blk AS (
+          SELECT url, regexp_extract_all({unesc}, '{pat}', 1) AS arr
+          FROM inj WHERE is_html),
+        e AS (
+          SELECT url,
+                 unnest(generate_series(1, len(arr))) - 1 AS pos,
+                 unnest(arr) AS p
+          FROM blk),
+        v AS (
+          SELECT url, pos::BIGINT AS pos, nullif(trim(p), '') AS t0
+          FROM e),
+        g AS (
+          SELECT url, pos,
+                 CASE WHEN t0 NOT LIKE '%' || chr(92) || '%'
+                       AND regexp_matches(t0, '^[ -~]*$')
+                      THEN t0 END AS payload
+          FROM v)
+        SELECT url, pos, json_valid(payload) AS is_valid,
+               CASE WHEN json_valid(payload) THEN
+                 json_extract_string(payload, '$."@context"')
+               END AS ld_context,
+               CASE WHEN json_valid(payload) THEN
+                 json_extract_string(payload, '$."@type"')
+               END AS ld_type,
+               CASE WHEN json_valid(payload) THEN
+                 json_extract_string(payload, '$.name')
+               END AS ld_name
+        FROM g WHERE payload IS NOT NULL
+        ORDER BY url, pos
     """
 
 
@@ -5054,6 +5166,7 @@ def _oracle_sql() -> dict[str, str]:
         "page_metadata": _page_metadata_oracle(),
         "heading_outline": _heading_outline_oracle(),
         "html_tables": _html_tables_oracle(),
+        "jsonld_entities": _jsonld_entities_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

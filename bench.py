@@ -46,7 +46,7 @@ HEADLINE = [
     "tfidf_topk", "bpe_train", "bpe_encode",
     "dsir_select", "spam_classifier", "bm25_topk", "phrase_hits",
     "collocations",
-    "page_metadata", "heading_outline", "html_tables",
+    "page_metadata", "heading_outline", "html_tables", "jsonld_entities",
     "host_skew", "domain_blocklist", "robots_noindex", "robots_audit",
     "outlink_hosts", "host_pagerank", "host_harmonic", "anchor_terms",
     "crawl_frontier", "mirror_hosts",

@@ -564,3 +564,89 @@ def table_profile(pages: DataFrame, **kwargs) -> DataFrame:
         F.sum("__w").alias("n_cells"),
         F.sum("__h").alias("n_header_cells"),
         F.max("__w").alias("max_row_width")))
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured data (schema.org)
+# ---------------------------------------------------------------------------
+
+_JSONLD_RE = (r'(?is)<script[^>]*type[ \t\n\r]*=[ \t\n\r]*["\x27]?'
+              r'application/ld\+json["\x27]?[^>]*>(.*?)</script>')
+
+
+def jsonld_records(pages: DataFrame, *, url_col: str = "url",
+                   html_col: str = "html",
+                   scan_bytes: int | None = 8192,
+                   ascii_only: bool = True) -> DataFrame:
+    """(url, pos, payload) — the raw body of every
+    ``<script type="application/ld+json">`` block in document order:
+    the page's self-declared schema.org entities (Article, Product,
+    Organization, ...), the highest-precision structured-data signal a
+    crawl carries and the raw material for entity/eval-pair mining.
+
+    One codegen'd ``regexp_extract_all`` over the bounded ISO-8859-1
+    prefix decode + a map-side posexplode — zero shuffle, zero UDF.
+    Pinned semantics (replayed verbatim by the DuckDB oracle):
+
+      * a block is lazy ``<script ... type=["']?application/ld+json
+        ["']?...>`` .. first ``</script>`` — type may be quoted either
+        way or bare, case-insensitive, any attribute order around it;
+      * the payload is TRIMMED ONLY (never whitespace-collapsed — it
+        is JSON, not prose); empty payloads drop with ``pos`` holes;
+      * under ``ascii_only`` the clean-printable portability gate
+        applies to the WHOLE payload — note this drops any payload
+        whose JSON strings use backslash escapes, a documented
+        conservatism shared with linkgraph/heading/table extraction.
+
+    Follows the engine-wide charset discipline: leading-``<`` HTML
+    gate, bounded prefix scan."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    blocks = F.when(is_html,
+                    F.regexp_extract_all(head, F.lit(_JSONLD_RE),
+                                         F.lit(1)))
+    e = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(blocks).alias("pos", "__p"))
+    payload = F.nullif(F.trim("__p"), F.lit(""))
+    if ascii_only:
+        payload = F.when(payload.rlike(r"^[ -~]*$")
+                         & ~payload.contains("\\"), payload)
+    return (e.select("url", F.col("pos").cast("long").alias("pos"),
+                     payload.alias("payload"))
+            .filter(F.col("payload").isNotNull()))
+
+
+def jsonld_entities(pages: DataFrame, **kwargs) -> DataFrame:
+    """(url, pos, is_valid, ld_context, ld_type, ld_name) — the
+    schema.org headline fields of each ``jsonld_records`` payload.
+
+    Field extraction is pinned to the STRICT-RFC-8259 surface: a
+    payload is parsed only when ``try_parse_json`` accepts it
+    (is_valid), and the DuckDB oracle gates with ``json_valid`` — on
+    that common strict surface both engines extract and render
+    identically, including compact re-rendering of array/object
+    values (probed: ``{"a": 1}`` → ``{"a":1}`` on BOTH). Off-surface
+    divergences, documented rather than reachable on ascii-gated
+    payloads guarded by both strict parsers:
+
+      * duplicate keys — Spark's variant parser REJECTS (is_valid
+        false), DuckDB keeps the first occurrence;
+      * single-quoted strings / raw control chars — both strict
+        parsers reject, though Spark's lenient ``get_json_object``
+        alone would accept them (hence the explicit gate).
+
+    Still map-only: parse + three path extractions fuse into the same
+    whole-stage-codegen'd Project as the record scan."""
+    r = jsonld_records(pages, **kwargs)
+    valid = F.try_parse_json("payload").isNotNull()
+    return r.select(
+        "url", "pos", valid.alias("is_valid"),
+        F.when(valid, F.get_json_object(
+            "payload", "$['@context']")).alias("ld_context"),
+        F.when(valid, F.get_json_object(
+            "payload", "$['@type']")).alias("ld_type"),
+        F.when(valid, F.get_json_object(
+            "payload", "$.name")).alias("ld_name"))

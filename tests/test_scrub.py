@@ -408,3 +408,72 @@ def test_table_profile(spark):
     assert got["u1"]["n_header_cells"] == 2
     assert got["u1"]["max_row_width"] == 3
     assert "u2" not in got
+
+
+def test_jsonld_records_extraction(spark):
+    """JSON-LD block mining: quote/case/order variants, trim-only
+    payloads, empty drop, escape gate, PDF gate, prefix bound."""
+    from ocr_engine_spark.functions.scrub import jsonld_records
+    rows = [
+        ("u1", b'<html><script type="application/ld+json">'
+               b'  {"@type":"Article","name":"A"}  </script>'
+               b"<script type='application/ld+json'>"
+               b'{"@type":"Product"}</script>'),
+        ("u2", b"<html><SCRIPT data-x=1 TYPE=application/ld+json>"
+               b'{"k":"bare attr"}</SCRIPT>'
+               b'<script type="text/javascript">{"k":"not ld"}</script>'
+               b'<script type="application/ld+json"></script>'    # empty
+               b'<script type="application/ld+json">{"z":9}</script>'),
+        ("u3", b'<html><script type="application/ld+json">'
+               b'{"name":"q\\"esc"}</script>'),        # backslash: gated
+        ("u4", b'%PDF-1.4 <script type="application/ld+json">'
+               b'{"x":1}</script>'),                   # PDF: never decode
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [tuple(r) for r in jsonld_records(df)
+           .orderBy("url", "pos").collect()]
+    assert got == [
+        ("u1", 0, '{"@type":"Article","name":"A"}'),   # trimmed only
+        ("u1", 1, '{"@type":"Product"}'),
+        ("u2", 0, '{"k":"bare attr"}'),
+        # the empty block held pos 1; the non-ld script never matched
+        ("u2", 2, '{"z":9}'),
+    ]
+    far = spark.createDataFrame(
+        [("u8", b"<html>" + b"x" * 9000
+          + b'<script type="application/ld+json">{"a":1}</script>')],
+        "url string, html binary")
+    assert jsonld_records(far).count() == 0
+    assert jsonld_records(far, scan_bytes=None).count() == 1
+
+
+def test_jsonld_entities(spark):
+    """Strict-parse gate + headline field extraction, incl. the
+    documented divergence classes (dup keys, single quotes)."""
+    from ocr_engine_spark.functions.scrub import jsonld_entities
+    rows = [
+        ("u1", b'<html><script type="application/ld+json">'
+               b'{"@context":"https://schema.org","@type":"Article",'
+               b'"name":"Title"}</script>'),
+        ("u2", b'<html><script type="application/ld+json">'
+               b'{"@type":["Organization","Brand"],"name":{"a": 1}}'
+               b'</script>'),
+        ("u3", b'<html><script type="application/ld+json">'
+               b'{"@type":"Broken",</script>'),        # invalid JSON
+        ("u4", b'<html><script type="application/ld+json">'
+               b"{'name':'single'}</script>"),         # lenient-only
+        ("u5", b'<html><script type="application/ld+json">'
+               b'{"name":"d","name":"d2"}</script>'),  # dup keys
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r.asDict()
+           for r in jsonld_entities(df).collect()}
+    assert got["u1"]["is_valid"] and got["u1"]["ld_name"] == "Title"
+    assert got["u1"]["ld_context"] == "https://schema.org"
+    assert got["u1"]["ld_type"] == "Article"
+    # array/object values re-render compactly (oracle-parity form)
+    assert got["u2"]["ld_type"] == '["Organization","Brand"]'
+    assert got["u2"]["ld_name"] == '{"a":1}'
+    # strict gate: lenient-only and dup-key payloads are NOT parsed
+    for u in ("u3", "u4", "u5"):
+        assert not got[u]["is_valid"] and got[u]["ld_name"] is None
