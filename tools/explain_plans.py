@@ -204,6 +204,18 @@ NOTES = {
                    "arrays — no join beyond the regroup, no window, "
                    "no UDF; both phrases share one persisted postings "
                    "build",
+    "heading_outline": "one codegen'd regexp_extract_all + map-side "
+                       "posexplode pipelined into the scan — the only "
+                       "Exchange is the presentation sort; zero UDF, "
+                       "zero array lambdas",
+    "html_tables": "three chained regexp_extract_all + posexplode "
+                   "stages fuse into ONE map-side codegen span over "
+                   "the scan — fan-out bounded by scan_bytes, the "
+                   "only Exchange is the presentation sort",
+    "jsonld_entities": "block harvest + strict JSON parse + three "
+                       "path extractions fuse into one codegen'd "
+                       "Project — map-only, zero shuffle before the "
+                       "presentation sort, zero Python",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -255,6 +267,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "mirror_hosts",
             "spam_classifier", "bm25_topk", "video_overlap",
             "phrase_hits", "collocations", "page_metadata",
+            "heading_outline", "html_tables", "jsonld_entities",
             "extraction_pipeline"]
 
 
