@@ -1496,6 +1496,86 @@ def q_classifier_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("threshold_micro"))
 
 
+_LANG_VOCAB = {
+    "en": ["the", "and", "with", "would", "there", "which", "people",
+           "about", "through", "because", "should", "world", "thing",
+           "right", "where", "after", "never", "great", "house",
+           "water", "night", "think", "every", "small"],
+    "de": ["der", "und", "nicht", "über", "schön", "straße", "zeit",
+           "können", "müssen", "zwischen", "wäre", "schon", "große",
+           "immer", "nacht", "wasser", "durch", "jahre", "mensch",
+           "welt", "leben", "frage", "stadt", "fünf"],
+    "fr": ["le", "être", "très", "déjà", "français", "même", "où",
+           "après", "toujours", "chose", "années", "père", "c'est",
+           "était", "première", "monde", "grande", "nuit", "eau",
+           "petit", "jamais", "maison", "entre", "tête"],
+    "es": ["el", "niño", "señor", "también", "años", "después",
+           "está", "más", "aquí", "través", "mañana", "corazón",
+           "así", "pequeño", "mundo", "grande", "noche", "agua",
+           "casa", "siempre", "nunca", "cabeza", "tiempo", "cómo"],
+    "zh": ["数据", "表格", "查询", "排序", "分组", "窗口", "过滤",
+           "合并", "客户", "订单", "批量", "流式", "分区", "哈希",
+           "连接", "聚合", "时间", "世界", "晚上", "水面", "房子",
+           "永远", "伟大", "小的"],
+}
+_LANG_KEYS = sorted(_LANG_VOCAB)  # de en es fr zh
+
+
+def _langid_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multilingual corpus over the documents spine: the
+    lang label is doc_id % 5 into the sorted key list and the text is
+    20 words drawn from that language's 24-word vocabulary by the
+    portable md5 hash of 'lang:doc_id:slot' — fully replayable in SQL
+    (the fixture documents' own lang column is uncorrelated with its
+    text, so the signal is planted, spam_classifier-style)."""
+    from ocr_engine_spark.functions.text import md5_int60_col
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    label = F.element_at(F.array(*[F.lit(k) for k in _LANG_KEYS]),
+                         (F.col("doc_id") % 5 + 1).cast("int"))
+
+    def gen(lang: str):
+        words = F.array(*[F.lit(w) for w in _LANG_VOCAB[lang]])
+        return F.array_join(F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda k: F.element_at(words, (md5_int60_col(F.concat(
+                F.lit(lang), F.lit(":"),
+                F.col("doc_id").cast("string"), F.lit(":"),
+                k.cast("string"))) % 24 + 1).cast("int"))), " ")
+
+    text = F.lit(None).cast("string")
+    for lang in _LANG_KEYS:
+        text = F.when(label == lang, gen(lang)).otherwise(text)
+    return docs.select("doc_id", label.alias("label"),
+                       text.alias("text"))
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable character-n-gram language ID (classify.nb_fit with
+    features='char' — the fastText-langid / CCNet stage, vs the fixed
+    stopword heuristic of text.lang_guess): char 2/3-grams of the
+    first 256 chars through the same integer micro-nat NB engine as
+    spam_classifier, fit on even doc_ids of the planted 5-language
+    corpus and evaluated as the held-out confusion matrix. The gram
+    builder is shuffle-free codegen (explode(sequence) + column-pos
+    substr — no HOF lambda, no window). The oracle replays corpus
+    synthesis, codepoint-exact char grams (parity probed for accents
+    and CJK), hashing, every quantization and the argmax tie-break."""
+    from ocr_engine_spark.functions.classify import (
+        nb_confusion, nb_fit, nb_predict,
+    )
+    corpus = _langid_corpus(spark, sf_dir)
+    train = corpus.filter(F.col("doc_id") % 2 == 0)
+    test = corpus.filter(F.col("doc_id") % 2 == 1)
+    labels, cond = nb_fit(train, buckets=4096, alpha=1.0, ns=(2, 3),
+                          features="char", cap=256)
+    labels, cond = labels.persist(), cond.persist()
+    pred = nb_predict(test, labels, cond, buckets=4096, ns=(2, 3),
+                      features="char", cap=256)
+    return (nb_confusion(pred, test)
+            .orderBy("true_label", "pred_label"))
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text search (functions/search.py): Lucene-flavored
     Okapi BM25 top-15 for a five-term query over the documents table,
@@ -2100,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "anchor_terms": q_anchor_terms,
         "spam_classifier": q_spam_classifier,
+        "langid_confusion": q_langid_confusion,
         "classifier_pr": q_classifier_pr,
         "bm25_topk": q_bm25_topk,
         "video_overlap": q_video_overlap,
@@ -3330,6 +3411,96 @@ def _classifier_pr_oracle() -> str:
                {ppm('tp', 'tp + fn')} AS recall_ppm,
                {ppm('2 * tp', '2 * tp + fp + fn')} AS f1_ppm
         FROM cnt ORDER BY threshold_micro
+    """
+
+
+def _langid_oracle() -> str:
+    """Dense replay of q_langid_confusion: corpus synthesis (vocab
+    VALUES + md5 slot draws), codepoint-exact char 2/3-grams, bucket
+    hashing, the same single quantizations as _spam_nb_cte's algebraic
+    identity, integer score sums and the argmax tie-break window."""
+    q = chr(39)
+    vocab = ", ".join(
+        f"('{lang}', {i}, '{w.replace(q, q * 2)}')"
+        for lang in _LANG_KEYS for i, w in enumerate(_LANG_VOCAB[lang]))
+    langs = ", ".join(f"'{k}'" for k in _LANG_KEYS)
+    return rf"""
+        WITH vocab(lang, idx, w) AS (VALUES {vocab}),
+        spine AS (
+          SELECT doc_id, ([{langs}])[(doc_id % 5 + 1)::INT] AS label
+          FROM documents),
+        corpus AS (
+          SELECT s.doc_id, s.label,
+                 string_agg(v.w, ' ' ORDER BY u.k) AS text
+          FROM spine s
+          CROSS JOIN unnest(generate_series(0, 19)) AS u(k)
+          JOIN vocab v ON v.lang = s.label
+           AND v.idx = ('0x' || substr(md5(s.label || ':' || s.doc_id
+                        || ':' || u.k), 1, 15))::BIGINT % 24
+          GROUP BY s.doc_id, s.label),
+        tok AS (
+          SELECT doc_id, label, lower(substr(text, 1, 256)) AS t
+          FROM corpus),
+        grams AS (
+          SELECT doc_id, label, substr(t, i, 2) AS g
+          FROM tok, unnest(generate_series(1, length(t) - 1)) AS u(i)
+          UNION ALL
+          SELECT doc_id, label, substr(t, i, 3) AS g
+          FROM tok, unnest(generate_series(1, length(t) - 2)) AS u(i)),
+        b AS (
+          SELECT doc_id, label,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096
+                   AS bucket
+          FROM grams),
+        cb AS (
+          SELECT label, bucket, count(*)::BIGINT AS c
+          FROM b WHERE doc_id % 2 = 0 GROUP BY label, bucket),
+        tot AS (
+          SELECT label, sum(c)::BIGINT AS t_l FROM cb GROUP BY label),
+        model AS (
+          SELECT cb.label, cb.bucket,
+                 CAST(round(ln((cb.c + 1.0) / (tot.t_l + 4096.0))
+                            * 1000000.0) AS BIGINT) AS llh
+          FROM cb JOIN tot USING (label)),
+        floors AS (
+          SELECT label,
+                 CAST(round(ln(1.0 / (t_l + 4096.0)) * 1000000.0)
+                      AS BIGINT) AS floor_micro
+          FROM tot),
+        priors AS (
+          SELECT label,
+                 CAST(round(ln(count(*)::DOUBLE /
+                        (SELECT count(*) FROM corpus
+                         WHERE doc_id % 2 = 0)) * 1000000.0)
+                      AS BIGINT) AS prior_micro
+          FROM corpus WHERE doc_id % 2 = 0 GROUP BY label),
+        gsum AS (
+          SELECT tb.doc_id, f.label,
+                 sum(coalesce(m.llh, f.floor_micro))::BIGINT AS s
+          FROM (SELECT doc_id, bucket FROM b WHERE doc_id % 2 = 1) tb
+          CROSS JOIN floors f
+          LEFT JOIN model m
+            ON m.label = f.label AND m.bucket = tb.bucket
+          GROUP BY tb.doc_id, f.label),
+        tspine AS (
+          SELECT doc_id, label AS true_label FROM corpus
+          WHERE doc_id % 2 = 1),
+        scored AS (
+          SELECT sp.doc_id, sp.true_label, p.label,
+                 p.prior_micro + coalesce(g.s, 0) AS score
+          FROM tspine sp
+          CROSS JOIN priors p
+          LEFT JOIN gsum g
+            ON g.doc_id = sp.doc_id AND g.label = p.label),
+        pred AS (
+          SELECT doc_id, true_label, label AS pred_label,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, label) AS rn
+          FROM scored)
+        SELECT true_label, pred_label, count(*)::BIGINT AS n_docs
+        FROM pred WHERE rn = 1
+        GROUP BY true_label, pred_label
+        ORDER BY true_label, pred_label
     """
 
 
@@ -5124,6 +5295,7 @@ def _oracle_sql() -> dict[str, str]:
         "anchor_terms": _anchor_terms_oracle(),
         "robots_audit": _robots_audit_oracle(),
         "spam_classifier": _spam_classifier_oracle(),
+        "langid_confusion": _langid_oracle(),
         "classifier_pr": _classifier_pr_oracle(),
         "collocations": r"""
             WITH tok AS (

@@ -44,7 +44,8 @@ HEADLINE = [
     "corpus_drift", "corpus_drift_summary",
     "url_latest",
     "tfidf_topk", "bpe_train", "bpe_encode",
-    "dsir_select", "spam_classifier", "bm25_topk", "phrase_hits",
+    "dsir_select", "spam_classifier", "langid_confusion", "bm25_topk",
+    "phrase_hits",
     "collocations",
     "page_metadata", "heading_outline", "html_tables", "jsonld_entities",
     "host_skew", "domain_blocklist", "robots_noindex", "robots_audit",

@@ -63,30 +63,77 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ocr_engine_spark.functions.decontam import ngrams_col, word_tokens_col
 from ocr_engine_spark.functions.dsir import MICRO, bucket_col, gram_buckets
 
-__all__ = ["nb_fit", "nb_predict", "nb_confusion",
+__all__ = ["nb_fit", "nb_predict", "nb_confusion", "char_gram_buckets",
            "save_nb_model", "load_nb_model"]
+
+
+def char_gram_buckets(df: DataFrame, *, buckets: int,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      ns: tuple[int, ...] = (2, 3),
+                      cap: int = 256) -> DataFrame:
+    """One (id, bucket) row per CHARACTER n-gram of the lowercased
+    first ``cap`` chars — the fastText-langid feature space (char
+    2–4-grams carry the orthographic signal word tokens destroy:
+    'sch', 'ção', CJK codepoints). Language ID needs only a prefix,
+    so ``cap`` bounds the fan-out per document regardless of length.
+
+    Fully codegen'd and SHUFFLE-FREE: positions come from one
+    ``explode(sequence(1, len))`` and each gram is a column-position
+    ``substr`` read straight out of the prefix — no interpreted HOF
+    lambda (the ~20 us/element cliff gram_buckets documents), and —
+    unlike word n-grams — no window ``lead`` either, because char
+    grams need no cross-row assembly. All ``ns`` ride one explode via
+    the same staged struct-array discipline as gram_buckets, gated so
+    prefix tails never form shortened grams."""
+    t = F.lower(F.substring(F.col(text_col), 1, cap))
+    src = df.select(F.col(id_col), t.alias("__t"))
+    # guard: sequence(1, 0) is DESCENDING in Spark — empty text must
+    # yield null (explode drops it), never a [1, 0] position list
+    idx = F.when(F.length("__t") >= 1,
+                 F.sequence(F.lit(1), F.length("__t")))
+    pos = src.select(id_col, "__t", F.explode(idx).alias("__p"))
+    variants = [F.struct(
+        F.col("__t").substr(F.col("__p"), F.lit(n)).alias("g"),
+        (F.col("__p") + (n - 1) <= F.length("__t")).alias("ok"))
+        for n in ns]
+    staged = pos.select(id_col, F.array(*variants).alias("__vs"))
+    ex = (staged.select(id_col, F.explode("__vs").alias("__s"))
+          .filter(F.col("__s.ok")))
+    return ex.select(id_col, bucket_col(F.col("__s")["g"], buckets)
+                     .alias("bucket"))
 
 
 def nb_fit(labeled: DataFrame, *, buckets: int = 4096, alpha: float = 1.0,
            text_col: str = "text", label_col: str = "label",
-           ns: tuple[int, ...] = (1, 2)) -> tuple[DataFrame, DataFrame]:
+           ns: tuple[int, ...] = (1, 2), features: str = "word",
+           cap: int = 256) -> tuple[DataFrame, DataFrame]:
     """Fit multinomial NB on ``labeled`` (one text + one label per row).
 
     Returns ``(labels, cond)`` — see module docstring for the schema
-    contract. Deterministic in (data, buckets, alpha, ns); both outputs
-    are pure lazy plans (persist them if scoring repeatedly).
+    contract. Deterministic in (data, buckets, alpha, ns, features,
+    cap); both outputs are pure lazy plans (persist them if scoring
+    repeatedly). ``features``: "word" = lowercased word-token n-grams
+    (quality/domain filters); "char" = character n-grams of the first
+    ``cap`` chars (language ID) — ``ns`` are gram sizes in whichever
+    feature space.
     """
     lab = F.col(label_col).alias("label")
     # the label RIDES the gram explosion — no grams-back-to-labels
     # join ever exists (doc identity is irrelevant to the fit).
-    # Tokens materialized before the HOF n-gram transforms, same
-    # discipline as dsir.gram_buckets.
-    toks = labeled.select(lab, word_tokens_col(F.col(text_col))
-                          .alias("__t"))
-    gr = F.concat(*[ngrams_col(F.col("__t"), n) for n in ns])
-    grams = (toks.select("label", F.explode(gr).alias("__g"))
-             .select("label", bucket_col(F.col("__g"), buckets)
-                     .alias("bucket")))
+    if features == "char":
+        grams = char_gram_buckets(
+            labeled.select(lab, F.col(text_col).alias("__txt")),
+            buckets=buckets, id_col="label", text_col="__txt",
+            ns=ns, cap=cap)
+    else:
+        # Tokens materialized before the HOF n-gram transforms, same
+        # discipline as dsir.gram_buckets.
+        toks = labeled.select(lab, word_tokens_col(F.col(text_col))
+                              .alias("__t"))
+        gr = F.concat(*[ngrams_col(F.col("__t"), n) for n in ns])
+        grams = (toks.select("label", F.explode(gr).alias("__g"))
+                 .select("label", bucket_col(F.col("__g"), buckets)
+                         .alias("bucket")))
     # seen (label, bucket) counts: <= k*B keys, map-side combine makes
     # this exchange tiny at any corpus size
     cb = grams.groupBy("label", "bucket").agg(F.count("*").alias("c"))
@@ -116,12 +163,18 @@ def nb_fit(labeled: DataFrame, *, buckets: int = 4096, alpha: float = 1.0,
 
 def _nb_scored(docs: DataFrame, labels: DataFrame, cond: DataFrame, *,
                buckets: int, id_col: str, text_col: str,
-               ns: tuple[int, ...]) -> DataFrame:
+               ns: tuple[int, ...], features: str = "word",
+               cap: int = 256) -> DataFrame:
     """The shared scoring core: one row per (document, label) with the
     exact integer micro-nat log-joint — consumed by the argmax
-    (nb_predict) and by the binary margin (nb_margin)."""
-    grams = gram_buckets(docs, buckets=buckets, id_col=id_col,
-                         text_col=text_col, ns=ns)
+    (nb_predict) and by the binary margin (nb_margin). ``features``
+    must match the fit (word vs char grams)."""
+    if features == "char":
+        grams = char_gram_buckets(docs, buckets=buckets, id_col=id_col,
+                                  text_col=text_col, ns=ns, cap=cap)
+    else:
+        grams = gram_buckets(docs, buckets=buckets, id_col=id_col,
+                             text_col=text_col, ns=ns)
     n_g = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     # only SEEN (label, bucket) pairs carry a delta; the fan-out is the
     # number of labels that saw the bucket, the shuffle key is
@@ -146,13 +199,15 @@ def _nb_scored(docs: DataFrame, labels: DataFrame, cond: DataFrame, *,
 def nb_predict(docs: DataFrame, labels: DataFrame, cond: DataFrame, *,
                buckets: int = 4096, id_col: str = "doc_id",
                text_col: str = "text",
-               ns: tuple[int, ...] = (1, 2)) -> DataFrame:
+               ns: tuple[int, ...] = (1, 2), features: str = "word",
+               cap: int = 256) -> DataFrame:
     """Score ``docs`` against a fitted model; returns one row per input
     document: ``(id, pred_label, score_micro, n_grams)`` — the argmax
     class, its integer micro-nat log-joint, and the document's gram
     count (0 for empty text → prior-only decision)."""
     scored = _nb_scored(docs, labels, cond, buckets=buckets,
-                        id_col=id_col, text_col=text_col, ns=ns)
+                        id_col=id_col, text_col=text_col, ns=ns,
+                        features=features, cap=cap)
     w = Window.partitionBy(id_col).orderBy(F.col("score_micro").desc(),
                                            F.col("label"))
     return (scored.withColumn("__rn", F.row_number().over(w))
@@ -164,7 +219,8 @@ def nb_predict(docs: DataFrame, labels: DataFrame, cond: DataFrame, *,
 def nb_margin(docs: DataFrame, labels: DataFrame, cond: DataFrame, *,
               pos_label, buckets: int = 4096, id_col: str = "doc_id",
               text_col: str = "text",
-              ns: tuple[int, ...] = (1, 2)) -> DataFrame:
+              ns: tuple[int, ...] = (1, 2), features: str = "word",
+              cap: int = 256) -> DataFrame:
     """(id, margin_micro): integer log-odds of ``pos_label`` against
     the best OTHER class — the thresholdable score a filter recipe
     sweeps (argmax alone cannot trade precision for recall). Exact
@@ -172,7 +228,8 @@ def nb_margin(docs: DataFrame, labels: DataFrame, cond: DataFrame, *,
     so margin >= 0 coincides with the argmax choosing ``pos_label``
     up to the deterministic label tie-break."""
     scored = _nb_scored(docs, labels, cond, buckets=buckets,
-                        id_col=id_col, text_col=text_col, ns=ns)
+                        id_col=id_col, text_col=text_col, ns=ns,
+                        features=features, cap=cap)
     pos = F.col("label") == F.lit(pos_label)
     return (scored.groupBy(id_col)
             .agg((F.max(F.when(pos, F.col("score_micro")))

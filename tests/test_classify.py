@@ -187,3 +187,69 @@ def test_pr_sweep_matches_python(spark, nb_corpus):
     # monotonicity: recall never increases as the threshold rises
     recs = [got[t]["recall"] for t in sorted(ths)]
     assert recs == sorted(recs, reverse=True)
+
+
+def _py_char_buckets(text, ns=(2, 3), cap=256, buckets=512):
+    """Python reference for char_gram_buckets."""
+    import hashlib
+    t = text[:cap].lower()
+    out = []
+    for n in ns:
+        for i in range(len(t) - n + 1):
+            g = t[i:i + n]
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            out.append(h % buckets)
+    return sorted(out)
+
+
+def test_char_gram_buckets_matches_python(spark):
+    from ocr_engine_spark.functions.classify import char_gram_buckets
+    rows = [(0, "abcdef"), (1, "ÜBER Straße"), (2, "数据表格查询"),
+            (3, "a"), (4, ""), (5, None), (6, "x" * 400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in char_gram_buckets(df, buckets=512).collect():
+        got.setdefault(r["doc_id"], []).append(r["bucket"])
+    for doc_id, text in rows:
+        want = _py_char_buckets(text) if text else []
+        assert sorted(got.get(doc_id, [])) == want, doc_id
+    # the 1-char doc forms no 2-gram; empty/null docs form nothing
+    assert 3 not in got and 4 not in got and 5 not in got
+
+
+def test_char_gram_buckets_is_shuffle_free(spark):
+    """The langid feature builder must be map-only: no Exchange, no
+    Window, no Python eval anywhere in its plan."""
+    from ocr_engine_spark.functions.classify import char_gram_buckets
+    df = spark.createDataFrame([(0, "hello world")],
+                               "doc_id long, text string")
+    plan = char_gram_buckets(df, buckets=512)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_char_features_learn_language(spark):
+    """features='char' through the full NB stack: a planted two-
+    orthography corpus is separable by char grams even though every
+    WORD is unique per document (word features would see only
+    singletons)."""
+    rows = []
+    for i in range(60):
+        # 'language A': CV syllables; 'language B': umlaut-heavy
+        a = " ".join(f"tokato{i}{j}mi" for j in range(8))
+        b = " ".join(f"schrö{i}{j}üß" for j in range(8))
+        rows.append((2 * i, a, "a"))
+        rows.append((2 * i + 1, b, "b"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    train = df.filter(F.col("doc_id") < 80)
+    test = df.filter(F.col("doc_id") >= 80)
+    labels, cond = nb_fit(train, buckets=BUCKETS, ns=(2, 3),
+                          features="char")
+    pred = nb_predict(test, labels, cond, buckets=BUCKETS, ns=(2, 3),
+                      features="char")
+    conf = {(r["true_label"], r["pred_label"]): r["n_docs"]
+            for r in nb_confusion(pred, test).collect()}
+    n_ok = conf.get(("a", "a"), 0) + conf.get(("b", "b"), 0)
+    assert n_ok == sum(conf.values()) == 40   # perfect held-out split
