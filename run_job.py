@@ -124,6 +124,10 @@ def main(argv: list[str] | None = None) -> int:
     cf.add_argument("--output", required=True,
                     help="predictions parquet dir")
     cf.add_argument("--buckets", type=int, default=4096)
+    cf.add_argument("--features", choices=["word", "char"],
+                    default="word",
+                    help="word n-grams (quality/domain) or char "
+                         "n-grams (language ID)")
 
     pf = sub.add_parser("profile", help="corpus text profile")
     pf.add_argument("--input", required=True, help="documents parquet")
@@ -465,12 +469,15 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "classify":
         from pyspark.sql import functions as F
         from ocr_engine_spark.functions.classify import nb_fit, nb_predict
+        ns = (2, 3) if args.features == "char" else (1, 2)
         train = spark.read.parquet(args.train)
         labels, cond = nb_fit(train, buckets=args.buckets,
-                              label_col=args.label_col)
+                              label_col=args.label_col,
+                              ns=ns, features=args.features)
         labels, cond = labels.persist(), cond.persist()
         pred = nb_predict(spark.read.parquet(args.input), labels, cond,
-                          buckets=args.buckets)
+                          buckets=args.buckets,
+                          ns=ns, features=args.features)
         pred.write.mode("overwrite").parquet(args.output)
         dist = (spark.read.parquet(args.output)
                 .groupBy("pred_label").agg(F.count("*").alias("n"))

@@ -160,6 +160,35 @@ def test_classify_cli(tmp_path):
     assert rep["by_label"] == {"ham": 20, "spam": 20}
 
 
+def test_classify_cli_char_features(tmp_path):
+    """classify --features char: language ID by orthography — every
+    word is unique per doc, so only char grams carry the signal."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    rows = [(i, " ".join(f"tokato{i}{j}mi" for j in range(6)), "a")
+            if i % 2 else
+            (i, " ".join(f"schrö{i}{j}üß" for j in range(6)), "b")
+            for i in range(40)]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "label": pa.array([r[2] for r in rows]),
+    })
+    train = tmp_path / "train.parquet"
+    pq.write_table(tbl, str(train))
+    out = tmp_path / "preds"
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    r = subprocess.run(
+        [sys.executable, "run_job.py", "classify",
+         "--train", str(train),
+         "--input", str(train), "--output", str(out),
+         "--buckets", "512", "--features", "char"],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["by_label"] == {"a": 20, "b": 20}
+
+
 @pytest.mark.slow
 def test_gopher_and_drift_cli(tmp_path):
     """gopher: report JSON + kept corpus with the n-gram family;

@@ -197,7 +197,14 @@ NOTES = {
     "page_metadata": "title/description/canonical are ONE map-side "
                      "Project of codegen'd regexp_extracts over the "
                      "bounded ISO-8859-1 prefix decode — zero shuffle, "
-                     "zero UDF, pipelined into the scan",
+                     "zero UDF, pipelined into the scan. Honest caveat: "
+                     "THIS oracle-harness variant (injection CASE x six "
+                     "field grammars in one Project) overflows the JVM "
+                     "64 KB method limit at runtime and falls back to "
+                     "interpreted expressions for the stage (logged "
+                     "ERROR CodeGenerator, execution correct); the "
+                     "PRODUCTION operator without the test injection "
+                     "compiles clean (verified standalone)",
     "phrase_hits": "the term filter prunes the postings before the "
                    "per-doc regroup; the whole matcher is an "
                    "array_intersect chain over slot-shifted position "
