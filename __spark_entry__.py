@@ -2051,6 +2051,132 @@ def q_jsonld_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "pos"))
 
 
+_HREFLANG_SNIPPETS = [
+    "<link rel='alternate' hreflang='FR-fr' "
+    "href='https://alt.example.org/fr'>"
+    "<link rel=canonical href='https://alt.example.org/self'>"
+    "<link hreflang=de href=https://alt.example.org/de rel=alternate>",
+    '<LINK HREFLANG="ja" REL="alternate stylesheet" HREF="/ja/x">'
+    "<link rel='stylesheet alternate' hreflang='ko' href='/ko'>"
+    "<link rel='alternate' hreflang='es'>",
+    "<link rel=alternate hreflang='pt' href='/pt/ok'>"
+    '<link rel="alternate" type="application/rss+xml" href="/feed">',
+]
+
+
+def q_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate declarations (scrub.hreflang_records): every
+    <link rel=alternate hreflang=.. href=..> per url — the
+    translation-cluster seed of bitext mining. Corpus: the pages
+    fixture with deterministic per-url link injections (md5 bucket:
+    quoted/bare attr variants + a canonical hole / upper-case +
+    rel-token-list rules + missing-href drop / quoted lang + an
+    RSS-alternate hole; PDFs never injected nor decoded). The oracle
+    replays link-tag enumeration with pos holes, the any-order
+    attribute grammar, the rel first-token rule, hreflang lowercasing
+    and the printable-ASCII gate over DuckDB's blob-escape
+    projection."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import hreflang_records
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_HREFLANG_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_HREFLANG_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_HREFLANG_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return (hreflang_records(corpus, scan_bytes=None)
+            .orderBy("url", "pos"))
+
+
+def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-corpus cross-language candidate pairs
+    (scrub.bitext_candidates): hreflang alternates joined back against
+    the fetched corpus — the ParaCrawl bitext-mining motif. Corpus:
+    every bucket-0 non-Arabic HTML page declares an hreflang=ar
+    alternate pointing at the corpus's FIRST Arabic url (min-url, a
+    1-row broadcast on the Spark side, a scalar subquery in the
+    oracle), so the url-key equi-join finds real fetched targets with
+    a differing stored language. The oracle replays injection, the
+    full link grammar and both join/filter steps."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import bitext_candidates
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html", "lang"))
+    tgt = pages.filter(F.col("lang") == "ar").agg(
+        F.min("url").alias("__tgt"))
+    p = pages.crossJoin(F.broadcast(tgt))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    inj = F.when(is_html & (bucket == 0) & (F.col("lang") != "ar"),
+                 F.concat(F.lit("<link rel='alternate' hreflang='ar' "
+                                "href='"),
+                          F.col("__tgt"), F.lit("'>")))
+    html2 = F.when(inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = p.select("url", html2.alias("html"), "lang")
+    return (bitext_candidates(corpus, scan_bytes=None)
+            .orderBy("url", "alt_url"))
+
+
+_OG_SNIPPETS = [
+    "<meta property='og:title' content=' Injected  OG  Title '>"
+    '<meta content="article" property="og:type">',
+    "<meta property=og:image content=https://img.example.org/i.png>"
+    "<meta property='og:description' content='social  summary'>",
+    "<meta property='og:title' content='first og'>"
+    "<meta property='og:title' content='second og'>"
+    "<meta name='description' content='plain meta ignored'>",
+]
+
+
+def q_og_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open Graph metadata (scrub.og_metadata): og:title /
+    og:description / og:type / og:image per url — the page-type prior
+    (article vs website vs product) webtext pipelines route on.
+    Corpus: the pages fixture with deterministic per-url meta
+    injections (md5 bucket: prop-first title + content-first type /
+    bare-value image + description / first-match-wins double title
+    with a plain-meta decoy; PDFs never injected nor decoded). The
+    oracle replays injection, both attribute orders of all four
+    grammars, the whitespace collapse and the printable-ASCII gate
+    over DuckDB's blob-escape projection."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import og_metadata
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_OG_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_OG_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_OG_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    out = og_metadata(corpus, scan_bytes=None)
+    return (out.filter(F.col("og_title").isNotNull()
+                       | F.col("og_description").isNotNull()
+                       | F.col("og_type").isNotNull()
+                       | F.col("og_image").isNotNull())
+            .orderBy("url"))
+
+
 def q_gopher_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The n-gram half of the Gopher repetition battery
     (functions/gopher.py:gopher_ngram_signals): per-doc top-n-gram
@@ -2192,6 +2318,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_outline": q_heading_outline,
         "html_tables": q_html_tables,
         "jsonld_entities": q_jsonld_entities,
+        "hreflang_alternates": q_hreflang_alternates,
+        "bitext_pairs": q_bitext_pairs,
+        "og_metadata": q_og_metadata,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -3753,6 +3882,163 @@ def _jsonld_entities_oracle() -> str:
                END AS ld_name
         FROM g WHERE payload IS NOT NULL
         ORDER BY url, pos
+    """
+
+
+def _sql_re(pat: str) -> str:
+    """Regex -> DuckDB string literal body (single quotes doubled)."""
+    return pat.replace("'", "''")
+
+
+def _hreflang_cte(pages: str, inj_case: str) -> str:
+    """Shared CTE chain pg -> inj -> g replaying hreflang_records'
+    pinned grammar over DuckDB's blob-escape projection; ``inj_case``
+    supplies the html2 CASE expression (injection differs per
+    query)."""
+    from ocr_engine_spark.functions.scrub import (
+        _HREF_VAL_RE, _HREFLANG_VAL_RE, _LINK_TAG_RE, _REL_ALTERNATE_RE,
+    )
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    gate = ("NOT LIKE '%' || chr(92) || '%' AND regexp_matches({c}, "
+            "'^[ -~]*$')")
+    return f"""
+        pg AS (
+          SELECT url, html, lang,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, lang, is_html, {inj_case} AS html2
+          FROM pg),
+        ms AS (
+          SELECT url, regexp_extract_all({unesc},
+                 '{_sql_re(_LINK_TAG_RE)}') AS arr
+          FROM inj WHERE is_html),
+        ex AS (
+          SELECT url, unnest(generate_series(1, len(arr))) - 1 AS pos,
+                 unnest(arr) AS t
+          FROM ms),
+        v AS (
+          SELECT url, pos::BIGINT AS pos,
+                 regexp_matches(t, '{_sql_re(_REL_ALTERNATE_RE)}')
+                   AS keep,
+                 nullif(lower(regexp_extract(t,
+                   '{_sql_re(_HREFLANG_VAL_RE)}', 1)), '') AS lang,
+                 nullif(regexp_extract(t,
+                   '{_sql_re(_HREF_VAL_RE)}', 1), '') AS href
+          FROM ex),
+        g AS (
+          SELECT url, pos,
+                 CASE WHEN keep AND lang {gate.format(c='lang')}
+                      THEN lang END AS hreflang,
+                 CASE WHEN keep AND href {gate.format(c='href')}
+                      THEN href END AS href
+          FROM v)"""
+
+
+def _hreflang_alternates_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _HREFLANG_SNIPPETS]
+    inj_case = f"""CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END"""
+    return f"""
+        WITH {_hreflang_cte(pages, inj_case)}
+        SELECT url, pos, hreflang, href FROM g
+        WHERE hreflang IS NOT NULL AND href IS NOT NULL
+        ORDER BY url, pos
+    """
+
+
+def _bitext_pairs_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    # injected link: <link rel='alternate' hreflang='ar' href='TGT'>
+    inj_case = ("CASE WHEN is_html AND bucket = 0 AND lang <> 'ar' "
+                "THEN encode('<link rel=''alternate'' "
+                "hreflang=''ar'' href=''' || "
+                "(SELECT min(url) FROM read_parquet('" + pages +
+                "') WHERE lang = 'ar') || '''>') || html "
+                "ELSE html END")
+    return f"""
+        WITH {_hreflang_cte(pages, inj_case)}
+        SELECT DISTINCT r.url, s.lang, p2.url AS alt_url,
+               r.hreflang AS alt_hreflang, p2.lang AS alt_lang
+        FROM g r
+        JOIN pg s ON r.url = s.url
+        JOIN pg p2 ON r.href = p2.url
+        WHERE r.hreflang IS NOT NULL AND r.href IS NOT NULL
+          AND r.url <> p2.url AND s.lang <> p2.lang
+        ORDER BY 1, 3
+    """
+
+
+def _og_metadata_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import (
+        _og_content_first, _og_prop_first,
+    )
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _OG_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+
+    def fld(pat: str) -> str:
+        p = _sql_re(pat)
+        return f"""
+            SELECT CASE WHEN v IS NOT NULL
+                  AND v NOT LIKE '%' || chr(92) || '%'
+                  AND regexp_matches(v, '^[ -~]*$')
+                 THEN v END FROM (SELECT nullif(trim(regexp_replace(
+                   regexp_extract({unesc}, '{p}', 1),
+                   '[ \\t\\n\\r]+', ' ', 'g')), '') AS v)"""
+
+    def field(prop: str) -> str:
+        return (f"CASE WHEN is_html THEN coalesce(("
+                f"{fld(_og_prop_first(prop))}), ("
+                f"{fld(_og_content_first(prop))})) END")
+
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        ext AS (
+          SELECT url,
+                 {field('title')} AS og_title,
+                 {field('description')} AS og_description,
+                 {field('type')} AS og_type,
+                 {field('image')} AS og_image
+          FROM inj)
+        SELECT url, og_title, og_description, og_type, og_image
+        FROM ext
+        WHERE og_title IS NOT NULL OR og_description IS NOT NULL
+           OR og_type IS NOT NULL OR og_image IS NOT NULL
+        ORDER BY url
     """
 
 
@@ -5339,6 +5625,9 @@ def _oracle_sql() -> dict[str, str]:
         "heading_outline": _heading_outline_oracle(),
         "html_tables": _html_tables_oracle(),
         "jsonld_entities": _jsonld_entities_oracle(),
+        "hreflang_alternates": _hreflang_alternates_oracle(),
+        "bitext_pairs": _bitext_pairs_oracle(),
+        "og_metadata": _og_metadata_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

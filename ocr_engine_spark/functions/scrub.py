@@ -357,6 +357,20 @@ _CANON_HREF_FIRST = (r'(?i)<link[^>]*href[ \t\n\r]*=[ \t\n\r]*'
                      r'["\']?canonical(?:["\' \t\n\r/>]|$)')
 
 
+def _head_field(head: Column, pattern: str, *,
+                ascii_only: bool = True) -> Column:
+    """First-match head-section field: extract group 1, collapse
+    whitespace, trim, empty -> NULL; under ``ascii_only`` apply the
+    engine-wide clean-printable portability gate (printable ASCII, no
+    backslash — matches DuckDB's blob-escape projection)."""
+    v = F.nullif(F.trim(F.regexp_replace(
+        F.regexp_extract(head, pattern, 1),
+        r"[ \t\n\r]+", " ")), F.lit(""))
+    if ascii_only:
+        v = F.when(v.rlike(r"^[ -~]*$") & ~v.contains("\\"), v)
+    return v
+
+
 def page_metadata(pages: DataFrame, *, url_col: str = "url",
                   html_col: str = "html",
                   scan_bytes: int | None = 8192,
@@ -382,12 +396,7 @@ def page_metadata(pages: DataFrame, *, url_col: str = "url",
     head = F.decode(prefix, "ISO-8859-1")
 
     def _field(pattern: str) -> Column:
-        v = F.nullif(F.trim(F.regexp_replace(
-            F.regexp_extract(head, pattern, 1),
-            r"[ \t\n\r]+", " ")), F.lit(""))
-        if ascii_only:
-            v = F.when(v.rlike(r"^[ -~]*$") & ~v.contains("\\"), v)
-        return v
+        return _head_field(head, pattern, ascii_only=ascii_only)
 
     is_html = F.substring(html, 1, 1) == F.lit(b"<")
     title = F.when(is_html, _field(_TITLE_RE))
@@ -650,3 +659,162 @@ def jsonld_entities(pages: DataFrame, **kwargs) -> DataFrame:
             "payload", "$['@type']")).alias("ld_type"),
         F.when(valid, F.get_json_object(
             "payload", "$.name")).alias("ld_name"))
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternates (multilingual mirrors / bitext candidate mining)
+# ---------------------------------------------------------------------------
+
+_LINK_TAG_RE = r"(?i)<link[^>]*>"
+_REL_ALTERNATE_RE = (r'(?i)rel[ \t\n\r]*=[ \t\n\r]*'
+                     r'["\']?alternate(?:["\' \t\n\r/>]|$)')
+_HREFLANG_VAL_RE = (r'(?i)hreflang[ \t\n\r]*=[ \t\n\r]*'
+                    r'["\']?([^"\' \t\n\r>]+)')
+_HREF_VAL_RE = (r'(?i)href[ \t\n\r]*=[ \t\n\r]*'
+                r'["\']?([^"\' \t\n\r>]+)')
+
+
+def hreflang_records(pages: DataFrame, *, url_col: str = "url",
+                     html_col: str = "html",
+                     scan_bytes: int | None = 8192,
+                     ascii_only: bool = True) -> DataFrame:
+    """(url, pos, hreflang, href) — every
+    ``<link rel="alternate" hreflang=... href=...>`` declaration in
+    document order: the page's own statement of its translations, the
+    seed signal of the ParaCrawl/CCMatrix bitext-mining recipes and
+    the multilingual twin of ``rel=canonical`` (a hreflang cluster is
+    one document in N languages — dedup must NOT merge it, alignment
+    wants it paired).
+
+    One codegen'd ``regexp_extract_all`` over the bounded ISO-8859-1
+    prefix decode + a map-side posexplode — zero shuffle, zero UDF.
+    Pinned semantics (replayed verbatim by the DuckDB oracle):
+
+      * ``pos`` numbers ALL ``<link ...>`` tags per url in document
+        order; tags without ``rel=alternate`` + ``hreflang`` + ``href``
+        (or whose values fail the gate) drop, leaving holes;
+      * attributes match in ANY order, case-insensitive, values quoted
+        either way or bare (bare values end at whitespace/``>``);
+      * the rel test accepts a token LIST whose first token is
+        ``alternate`` (``rel="alternate stylesheet"`` matches,
+        ``rel="stylesheet alternate"`` does not — documented
+        conservatism, first-token hreflang use is universal);
+      * ``hreflang`` is lowercased (BCP 47 tags compare
+        case-insensitively); ``href`` is kept verbatim — no URL
+        resolution here (``linkgraph.resolve_url_col`` composes);
+      * under ``ascii_only`` both values carry the clean-printable
+        portability gate.
+
+    Follows the engine-wide charset discipline: leading-``<`` HTML
+    gate, bounded prefix scan, non-HTML payloads never decoded."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    tags = F.when(is_html,
+                  F.regexp_extract_all(head, F.lit(_LINK_TAG_RE),
+                                       F.lit(0)))
+    e = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(tags).alias("pos", "__t"))
+    lang = F.nullif(F.lower(
+        F.regexp_extract("__t", _HREFLANG_VAL_RE, 1)), F.lit(""))
+    href = F.nullif(F.regexp_extract("__t", _HREF_VAL_RE, 1), F.lit(""))
+    if ascii_only:
+        lang = F.when(lang.rlike(r"^[ -~]*$") & ~lang.contains("\\"),
+                      lang)
+        href = F.when(href.rlike(r"^[ -~]*$") & ~href.contains("\\"),
+                      href)
+    keep = F.col("__t").rlike(_REL_ALTERNATE_RE)
+    return (e.select("url", F.col("pos").cast("long").alias("pos"),
+                     F.when(keep, lang).alias("hreflang"),
+                     F.when(keep, href).alias("href"))
+            .filter(F.col("hreflang").isNotNull()
+                    & F.col("href").isNotNull()))
+
+
+def bitext_candidates(pages: DataFrame, *, url_col: str = "url",
+                      html_col: str = "html", lang_col: str = "lang",
+                      scan_bytes: int | None = 8192,
+                      ascii_only: bool = True) -> DataFrame:
+    """(url, lang, alt_url, alt_hreflang, alt_lang) — in-corpus
+    cross-language document pairs: each page's hreflang alternates
+    joined back against the corpus itself, keeping targets that were
+    actually fetched and whose stored language differs from the
+    source page's. This is the candidate-pair table a bitext miner
+    (ParaCrawl-style) verifies with sentence/embedding alignment.
+
+    Scale shape: ``hreflang_records`` is map-side; the candidate step
+    is ONE url-key equi-join (alternates.href ⋈ pages.url) — both
+    sides hash-partition on the url key, sort-merge under AQE, no
+    broadcast assumption (both sides are corpus-sized at 100 TB). A
+    page declaring the same target in several link tags contributes
+    ONE candidate (distinct over the output columns)."""
+    recs = hreflang_records(pages, url_col=url_col, html_col=html_col,
+                            scan_bytes=scan_bytes,
+                            ascii_only=ascii_only)
+    src = pages.select(F.col(url_col).alias("url"),
+                       F.col(lang_col).alias("lang"))
+    tgt = pages.select(F.col(url_col).alias("alt_url"),
+                       F.col(lang_col).alias("alt_lang"))
+    return (recs.join(src, "url")
+            .join(tgt, recs["href"] == tgt["alt_url"])
+            .filter(F.col("url") != F.col("alt_url"))
+            .filter(F.col("lang") != F.col("alt_lang"))
+            .select("url", "lang", "alt_url",
+                    F.col("hreflang").alias("alt_hreflang"),
+                    "alt_lang")
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# Open Graph metadata (og:title / og:description / og:type / og:image)
+# ---------------------------------------------------------------------------
+
+def _og_prop_first(prop: str) -> str:
+    return (r'(?i)<meta[^>]*property[ \t\n\r]*=[ \t\n\r]*'
+            r'["\']?og:' + prop + r'(?:["\' \t\n\r/])[^>]*'
+            r'content[ \t\n\r]*=[ \t\n\r]*["\']?([^"\'>]*)')
+
+
+def _og_content_first(prop: str) -> str:
+    return (r'(?i)<meta[^>]*content[ \t\n\r]*=[ \t\n\r]*'
+            r'["\']?([^"\'>]*)'
+            r'["\']?[^>]*property[ \t\n\r]*=[ \t\n\r]*'
+            r'["\']?og:' + prop + r'(?:["\' \t\n\r/>]|$)')
+
+
+def og_metadata(pages: DataFrame, *, url_col: str = "url",
+                html_col: str = "html",
+                scan_bytes: int | None = 8192,
+                ascii_only: bool = True) -> DataFrame:
+    """(url, og_title, og_description, og_type, og_image) — the Open
+    Graph protocol fields social embeds key on, and a webtext
+    pipeline's strongest page-TYPE prior (``og:type=article`` vs
+    ``website``/``product`` routes pages between the article-extract
+    and listing-discard arms; og:title/description back up
+    ``page_metadata`` when a CMS omits plain meta tags).
+
+    Same pinned grammar family as ``page_metadata`` (first match wins
+    per field, ``property``/``content`` in either attribute order,
+    whitespace-collapsed, empty -> NULL, clean-printable gate under
+    ``ascii_only``) and the same engine-wide charset discipline.
+    Pure map-side Project: zero shuffle, zero UDF."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+
+    def _field(prop: str) -> Column:
+        return F.when(is_html, F.coalesce(
+            _head_field(head, _og_prop_first(prop),
+                        ascii_only=ascii_only),
+            _head_field(head, _og_content_first(prop),
+                        ascii_only=ascii_only)))
+
+    return pages.select(F.col(url_col).alias("url"),
+                        _field("title").alias("og_title"),
+                        _field("description").alias("og_description"),
+                        _field("type").alias("og_type"),
+                        _field("image").alias("og_image"))

@@ -477,3 +477,99 @@ def test_jsonld_entities(spark):
     # strict gate: lenient-only and dup-key payloads are NOT parsed
     for u in ("u3", "u4", "u5"):
         assert not got[u]["is_valid"] and got[u]["ld_name"] is None
+
+
+def test_hreflang_records(spark):
+    """hreflang alternates: attr orders, bare/quoted values, lang
+    lowercasing, rel first-token rule, pos holes, PDF + gates."""
+    from ocr_engine_spark.functions.scrub import hreflang_records
+    rows = [
+        ("u1", b"<html>"
+               b"<link rel='alternate' hreflang='FR-fr' "
+               b"href='https://ex.org/fr'>"
+               b"<link rel=canonical href='https://ex.org/a'>"  # hole
+               b"<link hreflang=de href=https://ex.org/de "
+               b"rel=alternate>"),
+        ("u2", b"<html>"
+               b"<LINK HREFLANG=\"ja\" REL=\"alternate stylesheet\" "
+               b"HREF=\"/ja/x\">"                    # token list: first ok
+               b"<link rel='stylesheet alternate' hreflang='ko' "
+               b"href='/ko'>"                        # not first: drop
+               b"<link rel='alternate' hreflang='es'>"),  # no href: drop
+        ("u3", b"<html><link rel=alternate hreflang='pt' "
+               b"href='a\\\\b'>"),                   # backslash gated
+        ("u4", b"%PDF-1.4 <link rel=alternate hreflang=x href=y>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [(r["url"], r["pos"], r["hreflang"], r["href"])
+           for r in hreflang_records(df).orderBy("url", "pos").collect()]
+    assert got == [
+        ("u1", 0, "fr-fr", "https://ex.org/fr"),
+        ("u1", 2, "de", "https://ex.org/de"),
+        ("u2", 0, "ja", "/ja/x"),
+    ]
+    far = spark.createDataFrame(
+        [("u8", b"<html>" + b"x" * 9000 +
+          b"<link rel=alternate hreflang=fr href=/fr>")],
+        "url string, html binary")
+    assert hreflang_records(far).count() == 0
+    assert hreflang_records(far, scan_bytes=None).count() == 1
+
+
+def test_bitext_candidates(spark):
+    """In-corpus cross-language pair mining: fetched targets only,
+    same-language and self pairs dropped, multi-declared target
+    collapses to one candidate."""
+    from ocr_engine_spark.functions.scrub import bitext_candidates
+    a_en = (b"<html>"
+            b"<link rel=alternate hreflang=fr href='https://s/fr/a'>"
+            b"<link rel=alternate hreflang=fr href='https://s/fr/a'>"
+            b"<link rel=alternate hreflang=de href='https://s/de/a'>"
+            b"<link rel=alternate hreflang=en "
+            b"href='https://s/en/a'>")  # self: drop
+    b_fr = (b"<html>"
+            b"<link rel=alternate hreflang=en href='https://s/en/a'>")
+    c_en = (b"<html>"
+            b"<link rel=alternate hreflang=en-gb "
+            b"href='https://s/en/a'>")  # same stored lang: drop
+    rows = [("https://s/en/a", a_en, "en"),
+            ("https://s/fr/a", b_fr, "fr"),
+            ("https://s/en/c", c_en, "en")]
+    # https://s/de/a is NOT in the corpus -> not a candidate
+    df = spark.createDataFrame(rows, "url string, html binary, lang string")
+    got = sorted((r["url"], r["lang"], r["alt_url"], r["alt_hreflang"],
+                  r["alt_lang"]) for r in bitext_candidates(df).collect())
+    assert got == [
+        ("https://s/en/a", "en", "https://s/fr/a", "fr", "fr"),
+        ("https://s/fr/a", "fr", "https://s/en/a", "en", "en"),
+    ]
+
+
+def test_og_metadata(spark):
+    """Open Graph fields: both attribute orders, first match wins,
+    whitespace collapse, plain-meta tags ignored, PDF + gates."""
+    from ocr_engine_spark.functions.scrub import og_metadata
+    rows = [
+        ("u1", b"<html>"
+               b"<meta property='og:title' content=' A  B '>"
+               b"<meta content=\"article\" property=\"og:type\">"
+               b"<meta property=og:image content=https://ex.org/i.png>"
+               b"<meta name='description' content='plain'>"),
+        ("u2", b"<html><meta property='og:title' content='first'>"
+               b"<meta property='og:title' content='second'>"),
+        ("u3", b"<html><meta property='og:title' content='caf\xe9'>"),
+        ("u4", b"%PDF-1.4 <meta property='og:title' content='x'>"),
+        ("u5", b"<html><meta property='og:description' content=''>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r.asDict() for r in og_metadata(df).collect()}
+    assert got["u1"]["og_title"] == "A B"
+    assert got["u1"]["og_type"] == "article"
+    assert got["u1"]["og_image"] == "https://ex.org/i.png"
+    assert got["u1"]["og_description"] is None  # plain meta ignored
+    assert got["u2"]["og_title"] == "first"
+    assert got["u3"]["og_title"] is None        # high byte gated
+    assert got["u4"] == {"url": "u4", "og_title": None,
+                         "og_description": None, "og_type": None,
+                         "og_image": None}
+    assert got["u5"]["og_description"] is None  # empty -> NULL

@@ -223,6 +223,20 @@ NOTES = {
                        "path extractions fuse into one codegen'd "
                        "Project — map-only, zero shuffle before the "
                        "presentation sort, zero Python",
+    "hreflang_alternates": "link-tag harvest + per-tag attribute "
+                           "extracts fuse into one map-side "
+                           "regexp_extract_all + posexplode span — "
+                           "zero shuffle before the presentation "
+                           "sort, zero UDF",
+    "bitext_pairs": "map-side hreflang harvest, then ONE url-key "
+                    "equi-join back against the corpus (alternates.href "
+                    "⋈ pages.url) — both sides corpus-sized at scale, "
+                    "so no broadcast assumption; the 1-row min-ar "
+                    "target is a broadcast",
+    "og_metadata": "all four og: fields are ONE map-side Project of "
+                   "codegen'd regexp_extracts — zero shuffle, zero "
+                   "UDF; same 64 KB-codegen caveat as page_metadata "
+                   "on the oracle-harness injection variant only",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -275,6 +289,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "spam_classifier", "bm25_topk", "video_overlap",
             "phrase_hits", "collocations", "page_metadata",
             "heading_outline", "html_tables", "jsonld_entities",
+            "hreflang_alternates", "bitext_pairs", "og_metadata",
             "extraction_pipeline"]
 
 
