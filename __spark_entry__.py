@@ -1284,6 +1284,85 @@ def q_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_decisions(pages, robots).orderBy("url")
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing (robots.sitemap_records): every <url> and
+    <sitemap> index entry with loc + lastmod — the crawl-discovery
+    inventory feeding crawl_frontier. Corpus: deterministic per-url
+    sitemap bodies synthesized from the pages fixture (md5 bucket:
+    urlset with lastmod/attr/no-loc variants / UPPER-case
+    sitemapindex / trap set with empty loc + stray index entry in a
+    urlset). The oracle replays synthesis, both RE2-safe lazy block
+    grammars, per-kind position numbering with holes and the
+    first-tag-free loc/lastmod extracts."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.robots import sitemap_records
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url"))
+    u = F.col("url")
+    bucket = F.pmod(md5_int60_col(u), F.lit(4))
+    urlset = F.concat(
+        F.lit("<?xml version='1.0'?><urlset><url><loc> "), u,
+        F.lit("?p=1 </loc><lastmod>2024-01-15</lastmod></url>"
+              "<url changefreq='daily'><loc>"), u,
+        F.lit("?p=2</loc></url>"
+              "<url><lastmod>2024-02-02</lastmod></url></urlset>"))
+    index = F.concat(
+        F.lit("<sitemapindex><SITEMAP><LOC>"), u,
+        F.lit("/s1.xml</LOC><lastmod>2024-03-01T10:00:00Z</lastmod>"
+              "</SITEMAP><sitemap><loc>"), u,
+        F.lit("/s2.xml</loc></sitemap></sitemapindex>"))
+    trap = F.concat(
+        F.lit("<urlset><url><loc></loc></url><url><loc>"), u,
+        F.lit("#frag</loc></url>"
+              "<sitemap><loc>stray-index-entry</loc></sitemap>"
+              "</urlset>"))
+    body = F.when(bucket == 0, urlset) \
+            .when(bucket == 1, index) \
+            .when(bucket == 2, trap)
+    sitemaps = (pages.where(bucket < 3)
+                .select("url", body.alias("body")))
+    return sitemap_records(sitemaps).orderBy("url", "kind", "pos")
+
+
+_SITEMAP_ROBOTS_BODY = ("User-agent: *\nDisallow: /private\n"
+                        "Sitemap: https://HOSTSLOT/s.xml\n"
+                        "sitemap: https://HOSTSLOT/news.xml # daily\n"
+                        "SITEMAP:\n"
+                        "Sitemap https://no-colon.invalid/\n")
+
+
+def q_sitemap_decls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt Sitemap: declarations (robots.sitemap_declarations):
+    the line-level discovery seed, outside user-agent groups per RFC
+    9309 §2.3. Corpus: synthesized robots bodies per fixture host
+    (case-variant field names, a trailing comment, an empty value and
+    a colon-less decoy — the last two drop, leaving pos holes). The
+    oracle replays the line split, comment strip, case-insensitive
+    field match and the trim/empty-drop verbatim."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.robots import sitemap_declarations
+    from ocr_engine_spark.functions.scrub import host_col
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url"))
+    hosts = pages.select(host_col(F.col("url")).alias("host")).distinct()
+    bucket = F.pmod(md5_int60_col(F.col("host")), F.lit(2))
+    head, tail = _SITEMAP_ROBOTS_BODY.split("HOSTSLOT/s.xml", 1)
+    mid, tail = tail.split("HOSTSLOT/news.xml", 1)
+    robots = (hosts.where(bucket == 0)
+              .select("host",
+                      F.concat(F.lit(head), F.col("host"),
+                               F.lit("/s.xml"), F.lit(mid),
+                               F.col("host"), F.lit("/news.xml"),
+                               F.lit(tail)).alias("robots_txt")))
+    return sitemap_declarations(robots).orderBy("host", "pos")
+
+
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style domain blocklist filter (functions/scrub.py) over the
     pages fixture corpus: flag every page whose host is a blocked
@@ -2321,6 +2400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_alternates": q_hreflang_alternates,
         "bitext_pairs": q_bitext_pairs,
         "og_metadata": q_og_metadata,
+        "sitemap_urls": q_sitemap_urls,
+        "sitemap_decls": q_sitemap_decls,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -3162,6 +3243,99 @@ def _robots_audit_oracle() -> str:
                coalesce(b.pattern, '(default)') AS matched_pattern
         FROM pg p LEFT JOIN best b USING (url)
         ORDER BY p.url
+    """
+
+
+def _sitemap_urls_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.robots import (
+        _SM_IDX_BLOCK_RE, _SM_LASTMOD_RE, _SM_LOC_RE, _SM_URL_BLOCK_RE,
+    )
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    urlset = ("'<?xml version=''1.0''?><urlset><url><loc> ' || url || "
+              "'?p=1 </loc><lastmod>2024-01-15</lastmod></url>"
+              "<url changefreq=''daily''><loc>' || url || "
+              "'?p=2</loc></url>"
+              "<url><lastmod>2024-02-02</lastmod></url></urlset>'")
+    index = ("'<sitemapindex><SITEMAP><LOC>' || url || "
+              "'/s1.xml</LOC><lastmod>2024-03-01T10:00:00Z</lastmod>"
+              "</SITEMAP><sitemap><loc>' || url || "
+              "'/s2.xml</loc></sitemap></sitemapindex>'")
+    trap = ("'<urlset><url><loc></loc></url><url><loc>' || url || "
+            "'#frag</loc></url>"
+            "<sitemap><loc>stray-index-entry</loc></sitemap></urlset>'")
+
+    def kind(block_re: str, k: str) -> str:
+        return f"""
+          SELECT url, '{k}' AS kind,
+                 unnest(generate_series(1, len(arr))) - 1 AS pos,
+                 unnest(arr) AS blk
+          FROM (SELECT url, regexp_extract_all(body,
+                  '{block_re}', 1) AS arr FROM sm)"""
+
+    return f"""
+        WITH pg AS (
+          SELECT url,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4 AS b
+          FROM read_parquet('{pages}')),
+        sm AS (
+          SELECT url, CASE WHEN b = 0 THEN {urlset}
+                           WHEN b = 1 THEN {index}
+                           ELSE {trap} END AS body
+          FROM pg WHERE b < 3),
+        allb AS (({kind(_SM_URL_BLOCK_RE, 'url')})
+          UNION ALL ({kind(_SM_IDX_BLOCK_RE, 'sitemap')})),
+        v AS (
+          SELECT url, kind, pos::BIGINT AS pos,
+                 nullif(trim(regexp_extract(blk, '{_SM_LOC_RE}', 1)),
+                        '') AS loc,
+                 nullif(trim(regexp_extract(blk, '{_SM_LASTMOD_RE}',
+                        1)), '') AS lastmod
+          FROM allb)
+        SELECT url, kind, pos, loc, lastmod FROM v
+        WHERE loc IS NOT NULL
+        ORDER BY url, kind, pos
+    """
+
+
+def _sitemap_decls_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    head, rest = _SITEMAP_ROBOTS_BODY.split("HOSTSLOT/s.xml", 1)
+    mid, tail = rest.split("HOSTSLOT/news.xml", 1)
+    body = (f"'{head}' || host || '/s.xml' || '{mid}' || host || "
+            f"'/news.xml' || '{tail}'")
+    return f"""
+        WITH pg AS (
+          SELECT DISTINCT lower(regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+          FROM read_parquet('{pages}')),
+        hb AS (
+          SELECT host,
+                 ('0x' || substr(md5(host), 1, 15))::BIGINT % 2 AS b
+          FROM pg),
+        robots AS (
+          SELECT host, {body} AS body FROM hb WHERE b = 0),
+        lines0 AS (
+          SELECT host, unnest(generate_series(1, len(ls))) - 1 AS pos,
+                 unnest(ls) AS raw
+          FROM (SELECT host,
+                       regexp_split_to_array(body, '\\r?\\n') AS ls
+                FROM robots)),
+        f AS (
+          SELECT host, pos::BIGINT AS pos,
+                 lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+                   AS field,
+                 nullif(trim(regexp_extract(line, '^[^:]+:(.*)$', 1)),
+                        '') AS sitemap_url
+          FROM (SELECT host, pos,
+                       trim(regexp_replace(raw, '#.*$', '')) AS line
+                FROM lines0))
+        SELECT host, pos, sitemap_url FROM f
+        WHERE field = 'sitemap' AND sitemap_url IS NOT NULL
+        ORDER BY host, pos
     """
 
 
@@ -5628,6 +5802,8 @@ def _oracle_sql() -> dict[str, str]:
         "hreflang_alternates": _hreflang_alternates_oracle(),
         "bitext_pairs": _bitext_pairs_oracle(),
         "og_metadata": _og_metadata_oracle(),
+        "sitemap_urls": _sitemap_urls_oracle(),
+        "sitemap_decls": _sitemap_decls_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

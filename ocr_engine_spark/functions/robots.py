@@ -167,3 +167,86 @@ def filter_robots_disallowed(pages: DataFrame, robots: DataFrame,
     return pages.join(dec.where("allowed")
                       .select(F.col("url").alias(url_col)),
                       url_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# sitemaps (crawl discovery: robots.txt declarations + sitemap XML)
+# ---------------------------------------------------------------------------
+
+def sitemap_declarations(robots: DataFrame, *, host_col: str = "host",
+                         body_col: str = "robots_txt") -> DataFrame:
+    """(host, pos, sitemap_url) — every ``Sitemap:`` declaration in
+    each robots.txt, in line order. Per RFC 9309 §2.3 the field lives
+    OUTSIDE user-agent groups and applies to all agents, so no group
+    resolution is involved: one narrow line explode, comment strip,
+    case-insensitive field match, trimmed absolute-url value (empty ->
+    dropped, leaving ``pos`` holes over the declaration lines only).
+    Zero joins, zero UDF — the discovery seed for ``sitemap_records``.
+    """
+    return (robots
+            .select(F.col(host_col).alias("host"),
+                    F.posexplode(F.split(body_col, r"\r?\n"))
+                    .alias("__lp", "line"))
+            .withColumn("line",
+                        F.trim(F.regexp_replace("line", "#.*$", "")))
+            .where(F.lower(F.trim(F.regexp_extract(
+                "line", r"^([^:]+):", 1))) == "sitemap")
+            .select("host",
+                    F.col("__lp").cast("long").alias("pos"),
+                    F.nullif(F.trim(F.regexp_extract(
+                        "line", r"^[^:]+:(.*)$", 1)), F.lit(""))
+                    .alias("sitemap_url"))
+            .where(F.col("sitemap_url").isNotNull()))
+
+
+_SM_URL_BLOCK_RE = r"(?is)<url(?:>|[ \t\n\r][^>]*>)(.*?)</url[ \t\n\r]*>"
+_SM_IDX_BLOCK_RE = (r"(?is)<sitemap(?:>|[ \t\n\r][^>]*>)(.*?)"
+                    r"</sitemap[ \t\n\r]*>")
+_SM_LOC_RE = r"(?is)<loc[ \t\n\r]*>([^<]*)</loc"
+_SM_LASTMOD_RE = r"(?is)<lastmod[ \t\n\r]*>([^<]*)</lastmod"
+
+
+def sitemap_records(sitemaps: DataFrame, *, url_col: str = "url",
+                    body_col: str = "body") -> DataFrame:
+    """(url, kind, pos, loc, lastmod) — every ``<url>`` entry and every
+    ``<sitemap>`` index entry of each sitemap document:
+    the site's OWN url inventory plus recency hints, the highest-yield
+    crawl-discovery source after the link graph (locs seed
+    ``linkgraph.crawl_frontier``; lastmod is the staleness signal).
+
+    Input is a STRING body column (sitemaps are fetched small and
+    decoded upstream). Pinned grammar, RE2-safe (no backreferences)
+    and replayed verbatim by the DuckDB oracle:
+
+      * a block is lazy ``<url>``/``<url ...>`` .. first ``</url>``
+        (same for ``<sitemap>``); the container element is NOT
+        validated — a ``<url>`` block inside a ``<sitemapindex>``
+        still parses with kind='url' (documented leniency);
+      * ``loc``/``lastmod`` are the FIRST tag-free occurrences inside
+        the block, trimmed; an empty or missing ``<loc>`` drops the
+        row, leaving a ``pos`` hole; ``lastmod`` stays a string (W3C
+        datetime parsing composes downstream — ``to_timestamp``);
+      * ``pos`` numbers blocks PER KIND per document in document
+        order.
+
+    Two codegen'd ``regexp_extract_all`` passes + map-side posexplodes
+    unioned — zero shuffle, zero UDF."""
+    body = F.col(body_col)
+
+    def _kind(block_re: str, kind: str) -> DataFrame:
+        e = sitemaps.select(
+            F.col(url_col).alias("url"),
+            F.posexplode(F.regexp_extract_all(body, F.lit(block_re),
+                                              F.lit(1)))
+            .alias("pos", "__b"))
+        loc = F.nullif(F.trim(F.regexp_extract("__b", _SM_LOC_RE, 1)),
+                       F.lit(""))
+        lastmod = F.nullif(F.trim(F.regexp_extract("__b", _SM_LASTMOD_RE,
+                                                   1)), F.lit(""))
+        return e.select("url", F.lit(kind).alias("kind"),
+                        F.col("pos").cast("long").alias("pos"),
+                        loc.alias("loc"), lastmod.alias("lastmod"))
+
+    return (_kind(_SM_URL_BLOCK_RE, "url")
+            .unionByName(_kind(_SM_IDX_BLOCK_RE, "sitemap"))
+            .where(F.col("loc").isNotNull()))

@@ -159,3 +159,54 @@ def test_filter_does_not_multiply_duplicate_urls(spark):
     kept = filter_robots_disallowed(pages, robots).collect()
     # both revisions of the allowed url survive, EXACTLY once each
     assert sorted(r["rev"] for r in kept) == [1, 2]
+
+
+def test_sitemap_declarations(spark):
+    from ocr_engine_spark.functions.robots import sitemap_declarations
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\n"
+                   "Sitemap: https://a.com/s.xml\n"
+                   "sitemap: https://a.com/s2.xml # trailing comment\n"
+                   "SITEMAP:\n"            # empty value: drop
+                   "Sitemap https://no-colon.example/\n"),  # no field
+         ("b.com", "Disallow: /\n")],
+        ["host", "robots_txt"])
+    got = [(r["host"], r["pos"], r["sitemap_url"])
+           for r in sitemap_declarations(robots)
+           .orderBy("host", "pos").collect()]
+    assert got == [
+        ("a.com", 2, "https://a.com/s.xml"),
+        ("a.com", 3, "https://a.com/s2.xml"),
+    ]
+
+
+def test_sitemap_records(spark):
+    from ocr_engine_spark.functions.robots import sitemap_records
+    urlset = ("<?xml version='1.0'?><urlset>"
+              "<url><loc> https://s/a </loc>"
+              "<lastmod>2024-01-15</lastmod></url>"
+              "<url changefreq='daily'><loc>https://s/b</loc></url>"
+              "<url><lastmod>2024-02-02</lastmod></url>"   # no loc: drop
+              "<url><loc></loc></url>"                     # empty: drop
+              "</urlset>")
+    index = ("<sitemapindex>"
+             "<SITEMAP><LOC>https://s/child1.xml</LOC>"
+             "<lastmod>2024-03-01T10:00:00Z</lastmod></SITEMAP>"
+             "<sitemap><loc>https://s/child2.xml</loc></sitemap>"
+             "</sitemapindex>")
+    df = spark.createDataFrame(
+        [("https://s/sitemap.xml", urlset),
+         ("https://s/index.xml", index),
+         ("https://s/empty.xml", "not xml at all")],
+        ["url", "body"])
+    got = [(r["url"], r["kind"], r["pos"], r["loc"], r["lastmod"])
+           for r in sitemap_records(df)
+           .orderBy("url", "kind", "pos").collect()]
+    assert got == [
+        ("https://s/index.xml", "sitemap", 0,
+         "https://s/child1.xml", "2024-03-01T10:00:00Z"),
+        ("https://s/index.xml", "sitemap", 1,
+         "https://s/child2.xml", None),
+        ("https://s/sitemap.xml", "url", 0, "https://s/a", "2024-01-15"),
+        ("https://s/sitemap.xml", "url", 1, "https://s/b", None),
+    ]

@@ -237,6 +237,12 @@ NOTES = {
                    "codegen'd regexp_extracts — zero shuffle, zero "
                    "UDF; same 64 KB-codegen caveat as page_metadata "
                    "on the oracle-harness injection variant only",
+    "sitemap_urls": "two map-side regexp_extract_all + posexplode "
+                    "arms unioned — zero shuffle before the "
+                    "presentation sort, zero UDF",
+    "sitemap_decls": "one narrow line posexplode + codegen'd field "
+                     "filter over the per-host robots body — the only "
+                     "Exchange is the host distinct of the synthesis",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -290,6 +296,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "phrase_hits", "collocations", "page_metadata",
             "heading_outline", "html_tables", "jsonld_entities",
             "hreflang_alternates", "bitext_pairs", "og_metadata",
+            "sitemap_urls", "sitemap_decls",
             "extraction_pipeline"]
 
 
