@@ -2210,6 +2210,55 @@ def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "alt_url"))
 
 
+_MICRODATA_SNIPPETS = [
+    "<div itemscope itemtype='https://schema.org/Product'>"
+    "<meta itemprop='name' content=' Injected  Widget '>"
+    "<span itemprop=price>9.99</span>"
+    "<span itemprop='rating' content='4.5'>ignored text</span></div>",
+    "<section itemscope itemtype=https://schema.org/Article>"
+    '<h1 itemprop="headline"> Injected\tHeadline </h1>'
+    "<time itemprop='datePublished' content='2024-05-01'></time>"
+    "</section>",
+    "<span itemprop='empty'></span>"
+    "<span itemprop='nested'><b>child only</b></span>"
+    "<span data-itemprop='decoy'>nope</span>"
+    "<span itemprop='kept'> after  traps </span>",
+]
+
+
+def q_microdata_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org microdata mining (scrub.microdata_records): every
+    itemprop declaration with its content-attr-or-immediate-text
+    value — the attribute-embedded half of structured data next to
+    jsonld_entities. Corpus: the pages fixture with deterministic
+    per-url injections (md5 bucket: Product with meta-content
+    precedence / Article with header text + empty time / trap set
+    with empty value, child-only element and a data-itemprop decoy;
+    PDFs never injected nor decoded). The oracle replays injection,
+    the flat whitespace-boundary grammar, content-vs-text precedence,
+    collapse and the printable-ASCII gate over DuckDB's blob-escape
+    projection."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import microdata_records
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_MICRODATA_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_MICRODATA_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_MICRODATA_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return (microdata_records(corpus, scan_bytes=None)
+            .orderBy("url", "pos"))
+
+
 _OG_SNIPPETS = [
     "<meta property='og:title' content=' Injected  OG  Title '>"
     '<meta content="article" property="og:type">',
@@ -2400,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_alternates": q_hreflang_alternates,
         "bitext_pairs": q_bitext_pairs,
         "og_metadata": q_og_metadata,
+        "microdata_props": q_microdata_props,
         "sitemap_urls": q_sitemap_urls,
         "sitemap_decls": q_sitemap_decls,
         "gopher_ngrams": q_gopher_ngrams,
@@ -4157,6 +4207,68 @@ def _bitext_pairs_oracle() -> str:
     """
 
 
+def _microdata_props_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import (
+        _MD_CONTENT_VAL_RE, _MD_PROP_TAG_RE, _MD_PROP_VAL_RE,
+        _MD_TEXT_RE,
+    )
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _MICRODATA_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    gate = ("NOT LIKE '%' || chr(92) || '%' AND regexp_matches({c}, "
+            "'^[ -~]*$')")
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        ms AS (
+          SELECT url, regexp_extract_all({unesc},
+                 '{_sql_re(_MD_PROP_TAG_RE)}') AS arr
+          FROM inj WHERE is_html),
+        ex AS (
+          SELECT url, unnest(generate_series(1, len(arr))) - 1 AS pos,
+                 unnest(arr) AS m
+          FROM ms),
+        v AS (
+          SELECT url, pos::BIGINT AS pos,
+                 nullif(regexp_extract(m,
+                   '{_sql_re(_MD_PROP_VAL_RE)}', 1), '') AS prop,
+                 nullif(trim(regexp_replace(coalesce(
+                   nullif(regexp_extract(m,
+                     '{_sql_re(_MD_CONTENT_VAL_RE)}', 1), ''),
+                   regexp_extract(m, '{_sql_re(_MD_TEXT_RE)}', 1)),
+                   '[ \\t\\n\\r]+', ' ', 'g')), '') AS val
+          FROM ex),
+        g AS (
+          SELECT url, pos,
+                 CASE WHEN prop {gate.format(c='prop')}
+                      THEN prop END AS itemprop,
+                 CASE WHEN val {gate.format(c='val')}
+                      THEN val END AS value
+          FROM v)
+        SELECT url, pos, itemprop, value FROM g
+        WHERE itemprop IS NOT NULL AND value IS NOT NULL
+        ORDER BY url, pos
+    """
+
+
 def _og_metadata_oracle() -> str:
     from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
     from ocr_engine_spark.functions.scrub import (
@@ -5802,6 +5914,7 @@ def _oracle_sql() -> dict[str, str]:
         "hreflang_alternates": _hreflang_alternates_oracle(),
         "bitext_pairs": _bitext_pairs_oracle(),
         "og_metadata": _og_metadata_oracle(),
+        "microdata_props": _microdata_props_oracle(),
         "sitemap_urls": _sitemap_urls_oracle(),
         "sitemap_decls": _sitemap_decls_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,

@@ -49,7 +49,7 @@ HEADLINE = [
     "collocations",
     "page_metadata", "heading_outline", "html_tables", "jsonld_entities",
     "hreflang_alternates", "bitext_pairs", "og_metadata",
-    "sitemap_urls", "sitemap_decls",
+    "sitemap_urls", "sitemap_decls", "microdata_props",
     "host_skew", "domain_blocklist", "robots_noindex", "robots_audit",
     "outlink_hosts", "host_pagerank", "host_harmonic", "anchor_terms",
     "crawl_frontier", "mirror_hosts",

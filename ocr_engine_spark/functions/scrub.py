@@ -662,6 +662,105 @@ def jsonld_entities(pages: DataFrame, **kwargs) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# schema.org microdata (itemprop / itemtype)
+# ---------------------------------------------------------------------------
+
+_MD_PROP_TAG_RE = (r"(?is)<[^>]*[ \t\n\r]itemprop[ \t\n\r]*=[^>]*>"
+                   r"[^<]*")
+_MD_PROP_VAL_RE = (r'(?i)[ \t\n\r]itemprop[ \t\n\r]*=[ \t\n\r]*'
+                   r'["\']?([^"\' \t\n\r>]+)')
+_MD_CONTENT_VAL_RE = (r'(?i)[ \t\n\r]content[ \t\n\r]*=[ \t\n\r]*'
+                      r'["\']?([^"\'>]*)')
+_MD_TEXT_RE = r">([^<]*)$"
+_MD_TYPE_VAL_RE = (r'(?i)<[^>]*[ \t\n\r]itemtype[ \t\n\r]*=[ \t\n\r]*'
+                   r'["\']?([^"\' \t\n\r>]+)')
+
+
+def microdata_records(pages: DataFrame, *, url_col: str = "url",
+                      html_col: str = "html",
+                      scan_bytes: int | None = 8192,
+                      ascii_only: bool = True) -> DataFrame:
+    """(url, pos, itemprop, value) — every ``itemprop`` declaration in
+    document order: schema.org MICRODATA, the attribute-embedded twin
+    of ``jsonld_records`` (the two cover ~all of schema.org's
+    deployment; a structured-data miner reads both).
+
+    One codegen'd ``regexp_extract_all`` over the bounded ISO-8859-1
+    prefix decode + a map-side posexplode + per-match extracts — zero
+    shuffle, zero UDF. Pinned FLAT grammar (replayed verbatim by the
+    DuckDB oracle):
+
+      * a record is any tag carrying a whitespace-preceded
+        ``itemprop`` attribute, captured together with its immediate
+        tag-free trailing text;
+      * value = the tag's ``content`` attribute when present (the
+        ``<meta itemprop=.. content=..>`` idiom), else the immediate
+        text up to the next tag — child-element values are NOT
+        assembled (flat, not DOM-scoped: itemscope NESTING is
+        deliberately out of grammar, documented leniency);
+      * values are whitespace-collapsed and trimmed; empty drops the
+        row leaving ``pos`` holes; under ``ascii_only`` both name and
+        value carry the clean-printable portability gate.
+
+    Engine-wide charset discipline: leading-``<`` HTML gate, bounded
+    prefix scan, non-HTML payloads never decoded."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    ms = F.when(is_html,
+                F.regexp_extract_all(head, F.lit(_MD_PROP_TAG_RE),
+                                     F.lit(0)))
+    e = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(ms).alias("pos", "__m"))
+    prop = F.nullif(F.regexp_extract("__m", _MD_PROP_VAL_RE, 1),
+                    F.lit(""))
+    content = F.nullif(F.regexp_extract("__m", _MD_CONTENT_VAL_RE, 1),
+                       F.lit(""))
+    text = F.regexp_extract("__m", _MD_TEXT_RE, 1)
+    value = F.nullif(F.trim(F.regexp_replace(
+        F.coalesce(content, text), r"[ \t\n\r]+", " ")), F.lit(""))
+    if ascii_only:
+        prop = F.when(prop.rlike(r"^[ -~]*$") & ~prop.contains("\\"),
+                      prop)
+        value = F.when(value.rlike(r"^[ -~]*$") & ~value.contains("\\"),
+                       value)
+    return (e.select("url", F.col("pos").cast("long").alias("pos"),
+                     prop.alias("itemprop"), value.alias("value"))
+            .filter(F.col("itemprop").isNotNull()
+                    & F.col("value").isNotNull()))
+
+
+def microdata_types(pages: DataFrame, *, url_col: str = "url",
+                    html_col: str = "html",
+                    scan_bytes: int | None = 8192,
+                    ascii_only: bool = True) -> DataFrame:
+    """(url, pos, itemtype) — every ``itemtype`` declaration in
+    document order: the page's self-declared schema.org entity types
+    (https://schema.org/Product, .../Article ...), the microdata twin
+    of ``jsonld_entities``' @type and the same page-type routing
+    signal. Same pinned one-pass grammar/gate discipline as
+    ``microdata_records``."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    ms = F.when(is_html,
+                F.regexp_extract_all(head, F.lit(_MD_TYPE_VAL_RE),
+                                     F.lit(1)))
+    e = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(ms).alias("pos", "__t"))
+    t = F.nullif(F.trim("__t"), F.lit(""))
+    if ascii_only:
+        t = F.when(t.rlike(r"^[ -~]*$") & ~t.contains("\\"), t)
+    return (e.select("url", F.col("pos").cast("long").alias("pos"),
+                     t.alias("itemtype"))
+            .filter(F.col("itemtype").isNotNull()))
+
+
+# ---------------------------------------------------------------------------
 # hreflang alternates (multilingual mirrors / bitext candidate mining)
 # ---------------------------------------------------------------------------
 

@@ -573,3 +573,55 @@ def test_og_metadata(spark):
                          "og_description": None, "og_type": None,
                          "og_image": None}
     assert got["u5"]["og_description"] is None  # empty -> NULL
+
+
+def test_microdata_records(spark):
+    """itemprop mining: content-attr precedence, immediate-text
+    fallback, flat non-DOM semantics, collapse, gates, pos holes."""
+    from ocr_engine_spark.functions.scrub import microdata_records
+    rows = [
+        ("u1", b"<html><div itemscope itemtype='https://schema.org/P'>"
+               b"<meta itemprop='name' content=' Acme  Widget '>"
+               b"<span itemprop=price>9.99</span>"
+               b"<span itemprop='rating' content='4.5'>ignored</span>"
+               b"</div>"),
+        ("u2", b"<html><span itemprop='empty'></span>"     # no value
+               b"<span itemprop='nested'><b>child</b></span>"  # no text
+               b"<span itemprop='ok'> kept \t here </span>"),
+        ("u3", b"<html><span itemprop='x'>caf\xe9</span>"  # gated
+               b"<span itemprop='y'>clean</span>"),
+        ("u4", b"<html><span data-itemprop='no'>decoy</span>"),
+        ("u5", b"%PDF-1.4 <span itemprop='x'>y</span>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [(r["url"], r["pos"], r["itemprop"], r["value"])
+           for r in microdata_records(df).orderBy("url", "pos").collect()]
+    assert got == [
+        ("u1", 0, "name", "Acme Widget"),
+        ("u1", 1, "price", "9.99"),
+        ("u1", 2, "rating", "4.5"),     # content beats inner text
+        ("u2", 2, "ok", "kept here"),   # pos holes at 0,1
+        ("u3", 1, "y", "clean"),        # high-byte value gated at 0
+    ]
+    # data-itemprop matches the whitespace-boundary rule? it must NOT:
+    # the attr name is 'data-itemprop', preceded by whitespace but the
+    # grammar requires whitespace IMMEDIATELY before 'itemprop'
+    assert not [g for g in got if g[0] == "u4"]
+
+
+def test_microdata_types(spark):
+    from ocr_engine_spark.functions.scrub import microdata_types
+    rows = [
+        ("u1", b"<html><div itemscope "
+               b"itemtype='https://schema.org/Product'>"
+               b"<div itemscope itemtype=https://schema.org/Offer></div>"),
+        ("u2", b"<html><div data-itemtype='https://no'>x</div>"),
+        ("u3", b"%PDF-1.4 itemtype='https://schema.org/X'"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [(r["url"], r["pos"], r["itemtype"])
+           for r in microdata_types(df).orderBy("url", "pos").collect()]
+    assert got == [
+        ("u1", 0, "https://schema.org/Product"),
+        ("u1", 1, "https://schema.org/Offer"),
+    ]

@@ -237,6 +237,11 @@ NOTES = {
                    "codegen'd regexp_extracts — zero shuffle, zero "
                    "UDF; same 64 KB-codegen caveat as page_metadata "
                    "on the oracle-harness injection variant only",
+    "microdata_props": "tag harvest + per-match prop/content/text "
+                       "extracts fuse into one map-side "
+                       "regexp_extract_all + posexplode span — zero "
+                       "shuffle before the presentation sort, zero "
+                       "UDF",
     "sitemap_urls": "two map-side regexp_extract_all + posexplode "
                     "arms unioned — zero shuffle before the "
                     "presentation sort, zero UDF",
@@ -296,7 +301,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "phrase_hits", "collocations", "page_metadata",
             "heading_outline", "html_tables", "jsonld_entities",
             "hreflang_alternates", "bitext_pairs", "og_metadata",
-            "sitemap_urls", "sitemap_decls",
+            "sitemap_urls", "sitemap_decls", "microdata_props",
             "extraction_pipeline"]
 
 
