@@ -1327,6 +1327,95 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_records(sitemaps).orderBy("url", "kind", "pos")
 
 
+def q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (robots.feed_records): every <item> and
+    <entry> with title/link/published — the freshest crawl-discovery
+    source. Corpus: deterministic per-url feed bodies synthesized from
+    the pages fixture (md5 bucket: RSS channel with pubDate + CDATA
+    trap + linkless drop / UPPER-case Atom entries with href attr
+    form / mixed trap set). The oracle replays synthesis, both
+    RE2-safe lazy block grammars, the rss-text-then-atom-href link
+    coalesce, the pubDate-then-updated coalesce, title collapse and
+    per-kind position numbering with holes."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.robots import feed_records
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url"))
+    u = F.col("url")
+    bucket = F.pmod(md5_int60_col(u), F.lit(4))
+    rss = F.concat(
+        F.lit("<rss><channel><title>chan</title>"
+              "<item><title> Post  One </title><link>"), u,
+        F.lit("?post=1</link>"
+              "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+              "<item><title><![CDATA[wrapped]]></title><link>"), u,
+        F.lit("?post=2</link></item>"
+              "<item><title>linkless</title></item>"
+              "</channel></rss>"))
+    atom = F.concat(
+        F.lit("<feed><title>feed head</title>"
+              "<ENTRY><title>A1</title>"
+              "<link rel='alternate' href='"), u,
+        F.lit("?e=1'/><updated>2024-02-02T00:00:00Z</updated></ENTRY>"
+              "<entry><link href="), u,
+        F.lit("?e=2 /></entry></feed>"))
+    trap = F.concat(
+        F.lit("<rss><item x='1'><link> "), u,
+        F.lit("?t=1 </link><updated>2024-03-03</updated></item>"
+              "<entry><link>"), u,
+        F.lit("?t=2</link><pubDate>Tue, 02 Apr 2024 00:00:00 GMT"
+              "</pubDate></entry></rss>"))
+    body = F.when(bucket == 0, rss) \
+            .when(bucket == 1, atom) \
+            .when(bucket == 2, trap)
+    feeds = (pages.where(bucket < 3)
+             .select("url", body.alias("body")))
+    return feed_records(feeds).orderBy("url", "kind", "pos")
+
+
+_FEEDLINK_SNIPPETS = [
+    "<link rel='alternate' type='application/rss+xml' "
+    "href='/feed.xml'>"
+    "<link rel=stylesheet href=/style.css>",
+    '<LINK TYPE="application/atom+xml" HREF="https://feeds.example/a">'
+    "<link type='text/css' href='/x.css'>",
+    "<link href=/discovered.rss type=application/rss+xml>"
+    "<link type='application/rss+xml'>",
+]
+
+
+def q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed autodiscovery (robots.feed_links): every link tag
+    declaring an RSS/Atom type per page — how the crawler finds the
+    feeds q_feed_items parses. Corpus: the pages fixture with
+    deterministic per-url link injections (md5 bucket: rss+stylesheet
+    hole / UPPER-case atom + css hole / href-first bare values +
+    hrefless drop; PDFs never injected nor decoded). The oracle
+    replays link-tag enumeration with pos holes, the type test and
+    the printable-ASCII gate over DuckDB's blob-escape projection."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.robots import feed_links
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_FEEDLINK_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_FEEDLINK_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_FEEDLINK_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    return (feed_links(corpus, scan_bytes=None)
+            .orderBy("url", "pos"))
+
+
 _SITEMAP_ROBOTS_BODY = ("User-agent: *\nDisallow: /private\n"
                         "Sitemap: https://HOSTSLOT/s.xml\n"
                         "sitemap: https://HOSTSLOT/news.xml # daily\n"
@@ -2452,6 +2541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microdata_props": q_microdata_props,
         "sitemap_urls": q_sitemap_urls,
         "sitemap_decls": q_sitemap_decls,
+        "feed_items": q_feed_items,
+        "feed_discovery": q_feed_discovery,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -3346,6 +3437,133 @@ def _sitemap_urls_oracle() -> str:
         SELECT url, kind, pos, loc, lastmod FROM v
         WHERE loc IS NOT NULL
         ORDER BY url, kind, pos
+    """
+
+
+def _feed_items_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.robots import (
+        _FEED_ENTRY_BLOCK_RE, _FEED_ITEM_BLOCK_RE, _FEED_LINK_HREF_RE,
+        _FEED_LINK_TEXT_RE, _FEED_PUBDATE_RE, _FEED_TITLE_RE,
+        _FEED_UPDATED_RE,
+    )
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    rss = ("'<rss><channel><title>chan</title>"
+           "<item><title> Post  One </title><link>' || url || "
+           "'?post=1</link>"
+           "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+           "<item><title><![CDATA[wrapped]]></title><link>' || url || "
+           "'?post=2</link></item>"
+           "<item><title>linkless</title></item>"
+           "</channel></rss>'")
+    atom = ("'<feed><title>feed head</title>"
+            "<ENTRY><title>A1</title>"
+            "<link rel=''alternate'' href=''' || url || "
+            "'?e=1''/><updated>2024-02-02T00:00:00Z</updated></ENTRY>"
+            "<entry><link href=' || url || '?e=2 /></entry></feed>'")
+    trap = ("'<rss><item x=''1''><link> ' || url || "
+            "'?t=1 </link><updated>2024-03-03</updated></item>"
+            "<entry><link>' || url || "
+            "'?t=2</link><pubDate>Tue, 02 Apr 2024 00:00:00 GMT"
+            "</pubDate></entry></rss>'")
+
+    def kind(block_re: str, k: str) -> str:
+        return f"""
+          SELECT url, '{k}' AS kind,
+                 unnest(generate_series(1, len(arr))) - 1 AS pos,
+                 unnest(arr) AS blk
+          FROM (SELECT url, regexp_extract_all(body,
+                  '{_sql_re(block_re)}', 1) AS arr FROM fd)"""
+
+    return f"""
+        WITH pg AS (
+          SELECT url,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4 AS b
+          FROM read_parquet('{pages}')),
+        fd AS (
+          SELECT url, CASE WHEN b = 0 THEN {rss}
+                           WHEN b = 1 THEN {atom}
+                           ELSE {trap} END AS body
+          FROM pg WHERE b < 3),
+        allb AS (({kind(_FEED_ITEM_BLOCK_RE, 'rss')})
+          UNION ALL ({kind(_FEED_ENTRY_BLOCK_RE, 'atom')})),
+        v AS (
+          SELECT url, kind, pos::BIGINT AS pos,
+                 nullif(trim(regexp_replace(regexp_extract(blk,
+                   '{_sql_re(_FEED_TITLE_RE)}', 1),
+                   '[ \\t\\n\\r]+', ' ', 'g')), '') AS title,
+                 coalesce(
+                   nullif(trim(regexp_extract(blk,
+                     '{_sql_re(_FEED_LINK_TEXT_RE)}', 1)), ''),
+                   nullif(trim(regexp_extract(blk,
+                     '{_sql_re(_FEED_LINK_HREF_RE)}', 1)), ''))
+                   AS link,
+                 coalesce(
+                   nullif(trim(regexp_extract(blk,
+                     '{_sql_re(_FEED_PUBDATE_RE)}', 1)), ''),
+                   nullif(trim(regexp_extract(blk,
+                     '{_sql_re(_FEED_UPDATED_RE)}', 1)), ''))
+                   AS published
+          FROM allb)
+        SELECT url, kind, pos, title, link, published FROM v
+        WHERE link IS NOT NULL
+        ORDER BY url, kind, pos
+    """
+
+
+def _feed_discovery_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.robots import _FEED_TYPE_RE
+    from ocr_engine_spark.functions.scrub import (
+        _HREF_VAL_RE, _LINK_TAG_RE,
+    )
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _FEEDLINK_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        ms AS (
+          SELECT url, regexp_extract_all({unesc},
+                 '{_sql_re(_LINK_TAG_RE)}') AS arr
+          FROM inj WHERE is_html),
+        ex AS (
+          SELECT url, unnest(generate_series(1, len(arr))) - 1 AS pos,
+                 unnest(arr) AS t
+          FROM ms),
+        v AS (
+          SELECT url, pos::BIGINT AS pos,
+                 regexp_matches(t, '{_sql_re(_FEED_TYPE_RE)}') AS keep,
+                 nullif(regexp_extract(t,
+                   '{_sql_re(_HREF_VAL_RE)}', 1), '') AS href
+          FROM ex)
+        SELECT url, pos,
+               CASE WHEN href NOT LIKE '%' || chr(92) || '%'
+                     AND regexp_matches(href, '^[ -~]*$')
+                    THEN href END AS feed_url
+        FROM v
+        WHERE keep AND href IS NOT NULL
+          AND href NOT LIKE '%' || chr(92) || '%'
+          AND regexp_matches(href, '^[ -~]*$')
+        ORDER BY url, pos
     """
 
 
@@ -5917,6 +6135,8 @@ def _oracle_sql() -> dict[str, str]:
         "microdata_props": _microdata_props_oracle(),
         "sitemap_urls": _sitemap_urls_oracle(),
         "sitemap_decls": _sitemap_decls_oracle(),
+        "feed_items": _feed_items_oracle(),
+        "feed_discovery": _feed_discovery_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

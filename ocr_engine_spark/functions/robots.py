@@ -250,3 +250,122 @@ def sitemap_records(sitemaps: DataFrame, *, url_col: str = "url",
     return (_kind(_SM_URL_BLOCK_RE, "url")
             .unionByName(_kind(_SM_IDX_BLOCK_RE, "sitemap"))
             .where(F.col("loc").isNotNull()))
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feeds (the third crawl-discovery source after links and
+# sitemaps: feeds surface NEW urls with publish timestamps first)
+# ---------------------------------------------------------------------------
+
+_FEED_ITEM_BLOCK_RE = (r"(?is)<item(?:>|[ \t\n\r][^>]*>)(.*?)"
+                       r"</item[ \t\n\r]*>")
+_FEED_ENTRY_BLOCK_RE = (r"(?is)<entry(?:>|[ \t\n\r][^>]*>)(.*?)"
+                        r"</entry[ \t\n\r]*>")
+_FEED_TITLE_RE = r"(?is)<title(?:>|[ \t\n\r][^>]*>)([^<]*)</title"
+_FEED_LINK_TEXT_RE = r"(?is)<link[ \t\n\r]*>([^<]*)</link"
+_FEED_LINK_HREF_RE = (r'(?is)<link[^>]*[ \t\n\r]href[ \t\n\r]*='
+                      r'[ \t\n\r]*["\']?([^"\' \t\n\r>]+)')
+_FEED_PUBDATE_RE = r"(?is)<pubDate[ \t\n\r]*>([^<]*)</pubDate"
+_FEED_UPDATED_RE = r"(?is)<updated[ \t\n\r]*>([^<]*)</updated"
+
+
+def feed_records(feeds: DataFrame, *, url_col: str = "url",
+                 body_col: str = "body") -> DataFrame:
+    """(url, kind, pos, title, link, published) — every RSS ``<item>``
+    and Atom ``<entry>`` of each feed document: the freshest
+    crawl-discovery source (feeds announce new urls with timestamps
+    before the link graph or sitemaps see them; ``published`` feeds
+    ``crawl_frontier``'s staleness signal).
+
+    String body column, same discipline as ``sitemap_records``.
+    Pinned grammar, RE2-safe and replayed verbatim by the DuckDB
+    oracle:
+
+      * a block is lazy ``<item>``/``<item ...>`` .. first ``</item>``
+        (kind='rss') or ``<entry>`` .. ``</entry>`` (kind='atom');
+        the surrounding channel/feed element is not validated;
+      * ``title`` = first tag-free ``<title>`` text in the block,
+        whitespace-collapsed (CDATA is NOT unwrapped — documented
+        leniency: a CDATA title contains ``<`` and simply fails the
+        tag-free capture);
+      * ``link`` = first tag-free ``<link>text</link>`` (the RSS
+        form), else the first ``<link ... href=..>`` attribute (the
+        Atom form) — both probed in BOTH kinds, coalesced in that
+        order;
+      * ``published`` = first ``<pubDate>`` text, else first
+        ``<updated>`` text, kept as an RFC822/W3C string for
+        downstream casting;
+      * all values trimmed; a row with NO link drops, leaving a
+        per-kind ``pos`` hole; title/published may be NULL.
+
+    Two codegen'd ``regexp_extract_all`` passes + map-side posexplodes
+    unioned — zero shuffle, zero UDF."""
+    body = F.col(body_col)
+
+    def _kind(block_re: str, kind: str) -> DataFrame:
+        e = feeds.select(
+            F.col(url_col).alias("url"),
+            F.posexplode(F.regexp_extract_all(body, F.lit(block_re),
+                                              F.lit(1)))
+            .alias("pos", "__b"))
+        title = F.nullif(F.trim(F.regexp_replace(
+            F.regexp_extract("__b", _FEED_TITLE_RE, 1),
+            r"[ \t\n\r]+", " ")), F.lit(""))
+        link = F.coalesce(
+            F.nullif(F.trim(F.regexp_extract("__b", _FEED_LINK_TEXT_RE,
+                                             1)), F.lit("")),
+            F.nullif(F.trim(F.regexp_extract("__b", _FEED_LINK_HREF_RE,
+                                             1)), F.lit("")))
+        published = F.coalesce(
+            F.nullif(F.trim(F.regexp_extract("__b", _FEED_PUBDATE_RE,
+                                             1)), F.lit("")),
+            F.nullif(F.trim(F.regexp_extract("__b", _FEED_UPDATED_RE,
+                                             1)), F.lit("")))
+        return e.select("url", F.lit(kind).alias("kind"),
+                        F.col("pos").cast("long").alias("pos"),
+                        title.alias("title"), link.alias("link"),
+                        published.alias("published"))
+
+    return (_kind(_FEED_ITEM_BLOCK_RE, "rss")
+            .unionByName(_kind(_FEED_ENTRY_BLOCK_RE, "atom"))
+            .where(F.col("link").isNotNull()))
+
+
+_FEED_TYPE_RE = (r'(?i)type[ \t\n\r]*=[ \t\n\r]*'
+                 r'["\']?application/(?:rss|atom)\+xml')
+
+
+def feed_links(pages: DataFrame, *, url_col: str = "url",
+               html_col: str = "html",
+               scan_bytes: int | None = 8192,
+               ascii_only: bool = True) -> DataFrame:
+    """(url, pos, feed_url) — every
+    ``<link ... type="application/rss+xml|atom+xml" href=..>``
+    feed-autodiscovery declaration in each HTML page head: how a
+    crawler finds the feeds ``feed_records`` then parses. Reuses
+    scrub's link-tag enumeration discipline (pos numbers ALL link
+    tags with holes, any attribute order, bounded ISO-8859-1 prefix
+    decode, leading-``<`` PDF gate, clean-printable gate under
+    ``ascii_only``) — one map-side regexp_extract_all + posexplode,
+    zero shuffle, zero UDF."""
+    from ocr_engine_spark.functions.scrub import (
+        _HREF_VAL_RE, _LINK_TAG_RE,
+    )
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    tags = F.when(is_html,
+                  F.regexp_extract_all(head, F.lit(_LINK_TAG_RE),
+                                       F.lit(0)))
+    e = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(tags).alias("pos", "__t"))
+    href = F.nullif(F.regexp_extract("__t", _HREF_VAL_RE, 1), F.lit(""))
+    if ascii_only:
+        href = F.when(href.rlike(r"^[ -~]*$") & ~href.contains("\\"),
+                      href)
+    keep = F.col("__t").rlike(_FEED_TYPE_RE)
+    return (e.select("url", F.col("pos").cast("long").alias("pos"),
+                     F.when(keep, href).alias("feed_url"))
+            .filter(F.col("feed_url").isNotNull()))

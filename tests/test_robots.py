@@ -210,3 +210,57 @@ def test_sitemap_records(spark):
         ("https://s/sitemap.xml", "url", 0, "https://s/a", "2024-01-15"),
         ("https://s/sitemap.xml", "url", 1, "https://s/b", None),
     ]
+
+
+def test_feed_records(spark):
+    from ocr_engine_spark.functions.robots import feed_records
+    rss = ("<rss><channel><title>chan</title>"
+           "<item><title> Post  One </title>"
+           "<link>https://s/p1</link>"
+           "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+           "<item><title><![CDATA[wrapped]]></title>"      # CDATA: null
+           "<link>https://s/p2</link></item>"
+           "<item><title>no link</title></item>"           # drop
+           "</channel></rss>")
+    atom = ("<feed><title>feed</title>"
+            "<ENTRY><title>A1</title>"
+            "<link rel='alternate' href='https://s/a1'/>"
+            "<updated>2024-02-02T00:00:00Z</updated></ENTRY>"
+            "<entry><link href=https://s/a2 /></entry>"
+            "</feed>")
+    df = spark.createDataFrame(
+        [("https://s/f.rss", rss), ("https://s/f.atom", atom),
+         ("https://s/none", "plain text")],
+        ["url", "body"])
+    got = [(r["url"], r["kind"], r["pos"], r["title"], r["link"],
+            r["published"])
+           for r in feed_records(df).orderBy("url", "kind", "pos")
+           .collect()]
+    assert got == [
+        ("https://s/f.atom", "atom", 0, "A1", "https://s/a1",
+         "2024-02-02T00:00:00Z"),
+        ("https://s/f.atom", "atom", 1, None, "https://s/a2", None),
+        ("https://s/f.rss", "rss", 0, "Post One", "https://s/p1",
+         "Mon, 01 Jan 2024 00:00:00 GMT"),
+        ("https://s/f.rss", "rss", 1, None, "https://s/p2", None),
+    ]
+
+
+def test_feed_links(spark):
+    from ocr_engine_spark.functions.robots import feed_links
+    rows = [
+        ("u1", b"<html><link rel='alternate' "
+               b"type='application/rss+xml' href='/feed.xml'>"
+               b"<link rel=stylesheet href=/style.css>"     # hole
+               b"<link type=\"application/atom+xml\" "
+               b"href=\"https://s/atom\">"),
+        ("u2", b"<html><link type='text/css' href='/x'>"),
+        ("u3", b"%PDF-1.4 <link type='application/rss+xml' href=/f>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [(r["url"], r["pos"], r["feed_url"])
+           for r in feed_links(df).orderBy("url", "pos").collect()]
+    assert got == [
+        ("u1", 0, "/feed.xml"),
+        ("u1", 2, "https://s/atom"),
+    ]

@@ -248,6 +248,12 @@ NOTES = {
     "sitemap_decls": "one narrow line posexplode + codegen'd field "
                      "filter over the per-host robots body — the only "
                      "Exchange is the host distinct of the synthesis",
+    "feed_items": "two map-side regexp_extract_all + posexplode arms "
+                  "unioned (rss items, atom entries) — zero shuffle "
+                  "before the presentation sort, zero UDF",
+    "feed_discovery": "link-tag harvest + type filter + href extract "
+                      "in one map-side span — zero shuffle before "
+                      "the presentation sort, zero UDF",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -302,6 +308,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "heading_outline", "html_tables", "jsonld_entities",
             "hreflang_alternates", "bitext_pairs", "og_metadata",
             "sitemap_urls", "sitemap_decls", "microdata_props",
+            "feed_items", "feed_discovery",
             "extraction_pipeline"]
 
 
