@@ -1327,6 +1327,34 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_records(sitemaps).orderBy("url", "kind", "pos")
 
 
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level filter features (scrub.url_features): depth, length,
+    param count, digit fraction, extension, homepage and tracker
+    flags — the C4/FineWeb pre-fetch drop signals, computed without
+    touching a payload byte. Corpus: fixture urls with deterministic
+    per-url suffix variants (md5 bucket: tracker query / uppercase
+    .PDF path / multi-param query with empty value + fragment /
+    untouched). The oracle replays every pinned definition — path
+    extraction with the '/' default, non-empty segment count,
+    separator-count params, integer micro digit fraction, bounded
+    lowercased extension and the tracker regex."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import url_features
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    suffix = F.when(bucket == 0, F.lit("?utm_source=nl&id=123")) \
+              .when(bucket == 1, F.lit("/file.PDF")) \
+              .when(bucket == 2, F.lit("?a=1&b=&c=2#frag")) \
+              .otherwise(F.lit(""))
+    variants = pages.select(
+        F.concat(F.col("url"), suffix).alias("url"))
+    return url_features(variants).orderBy("url")
+
+
 def q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing (robots.feed_records): every <item> and
     <entry> with title/link/published — the freshest crawl-discovery
@@ -2543,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_decls": q_sitemap_decls,
         "feed_items": q_feed_items,
         "feed_discovery": q_feed_discovery,
+        "url_features": q_url_features,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -3437,6 +3466,51 @@ def _sitemap_urls_oracle() -> str:
         SELECT url, kind, pos, loc, lastmod FROM v
         WHERE loc IS NOT NULL
         ORDER BY url, kind, pos
+    """
+
+
+def _url_features_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    path_re = "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)'"
+    return f"""
+        WITH pg AS (
+          SELECT url,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4 AS b
+          FROM read_parquet('{pages}')),
+        u AS (
+          SELECT url || CASE WHEN b = 0 THEN '?utm_source=nl&id=123'
+                             WHEN b = 1 THEN '/file.PDF'
+                             WHEN b = 2 THEN '?a=1&b=&c=2#frag'
+                             ELSE '' END AS url
+          FROM pg),
+        parts AS (
+          SELECT url,
+                 coalesce(nullif(regexp_extract(url, {path_re}, 1),
+                          ''), '/') AS path,
+                 regexp_extract(url, '\\?([^#]*)', 1) AS q
+          FROM u)
+        SELECT url,
+               lower(regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+               len(list_filter(string_split(path, '/'),
+                               x -> x <> ''))::BIGINT AS path_depth,
+               length(path)::BIGINT AS path_len,
+               (CASE WHEN q = '' THEN 0
+                     ELSE len(string_split(q, '&')) END)::BIGINT
+                 AS n_params,
+               ((length(regexp_replace(path, '[^0-9]', '', 'g'))
+                 * 1000000) // length(path))::BIGINT
+                 AS digit_frac_micro,
+               nullif(lower(regexp_extract(path,
+                 '\\.([A-Za-z0-9]{{1,5}})$', 1)), '') AS ext,
+               path = '/' AS is_homepage,
+               regexp_matches(q,
+                 '(?i)(?:^|&)(utm_[a-z]+|gclid|fbclid)=')
+                 AS has_tracker
+        FROM parts
+        ORDER BY url
     """
 
 
@@ -6137,6 +6211,7 @@ def _oracle_sql() -> dict[str, str]:
         "sitemap_decls": _sitemap_decls_oracle(),
         "feed_items": _feed_items_oracle(),
         "feed_discovery": _feed_discovery_oracle(),
+        "url_features": _url_features_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

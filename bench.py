@@ -50,7 +50,7 @@ HEADLINE = [
     "page_metadata", "heading_outline", "html_tables", "jsonld_entities",
     "hreflang_alternates", "bitext_pairs", "og_metadata",
     "sitemap_urls", "sitemap_decls", "microdata_props",
-    "feed_items", "feed_discovery",
+    "feed_items", "feed_discovery", "url_features",
     "host_skew", "domain_blocklist", "robots_noindex", "robots_audit",
     "outlink_hosts", "host_pagerank", "host_harmonic", "anchor_terms",
     "crawl_frontier", "mirror_hosts",

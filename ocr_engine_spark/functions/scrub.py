@@ -178,6 +178,57 @@ def registrable_host_col(url: Column) -> Column:
                             ":[0-9]+$", "")
 
 
+def url_features(pages: DataFrame, *, url_col: str = "url") -> DataFrame:
+    """(url, host, path_depth, path_len, n_params, digit_frac_micro,
+    ext, is_homepage, has_tracker) — the URL-level features a
+    webtext pipeline filters and routes on BEFORE fetching or parsing
+    a byte of content (the C4/FineWeb URL-filter motif: deep
+    calendar/archive paths, digit-heavy ids, tracker-laden
+    campaign urls and binary extensions are all cheap drop signals).
+
+    Pinned, SQL-replayable definitions (DuckDB oracle twin):
+
+      * path = everything after the authority up to ``?``/``#``,
+        ``'/'`` when empty; ``path_depth`` counts non-empty ``/``
+        segments; ``path_len`` its octet length;
+      * ``n_params`` = 0 without a query, else 1 + the number of
+        ``&`` separators (empty values still count — they are
+        separators, not semantics);
+      * ``digit_frac_micro`` = floor(digits_in_path * 1e6 /
+        path_len) — integer micro-units, exact on both engines;
+      * ``ext`` = lowercased trailing ``.xxx`` (1-5 alphanumerics) of
+        the path, NULL when absent; ``is_homepage`` = path is ``/``;
+      * ``has_tracker`` = query carries a ``utm_*``/``gclid``/
+        ``fbclid`` parameter.
+
+    One map-side Project over codegen'd JVM expressions — zero
+    shuffle, zero UDF, prunes to the url column."""
+    u = F.col(url_col)
+    raw_path = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    base = pages.select(u.alias("url"),
+                        path.alias("__path"), query.alias("__q"))
+    p, q = F.col("__path"), F.col("__q")
+    segs = F.filter(F.split(p, "/"), lambda x: x != "")
+    return base.select(
+        "url",
+        host_col(F.col("url")).alias("host"),
+        F.size(segs).cast("long").alias("path_depth"),
+        F.length(p).cast("long").alias("path_len"),
+        F.when(q == "", F.lit(0)).otherwise(
+            F.size(F.split(q, "&"))).cast("long").alias("n_params"),
+        F.expr("(length(regexp_replace(__path, '[^0-9]', '')) "
+               "* 1000000L) div length(__path)")
+        .alias("digit_frac_micro"),
+        F.nullif(F.lower(F.regexp_extract(
+            p, r"\.([A-Za-z0-9]{1,5})$", 1)), F.lit("")).alias("ext"),
+        (p == "/").alias("is_homepage"),
+        q.rlike(r"(?i)(?:^|&)(utm_[a-z]+|gclid|fbclid)=")
+        .alias("has_tracker"))
+
+
 def host_suffixes_col(host: Column) -> Column:
     """All dot-suffixes of a host: ``news.example.org`` ->
     ``[news.example.org, example.org, org]``. Matching a blocklist

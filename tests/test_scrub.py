@@ -625,3 +625,31 @@ def test_microdata_types(spark):
         ("u1", 0, "https://schema.org/Product"),
         ("u1", 1, "https://schema.org/Offer"),
     ]
+
+
+def test_url_features(spark):
+    from ocr_engine_spark.functions.scrub import url_features
+    rows = [
+        ("https://Ex.com/",),
+        ("https://ex.com/a/b/page123.HTML?x=1&y=&utm_source=nl",),
+        ("https://ex.com/2024/01/02/post.php#frag",),
+        ("https://ex.com",),                       # empty path -> '/'
+        ("https://ex.com/dl/file.tar.gz",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["url"]: r.asDict() for r in url_features(df).collect()}
+    r0 = got["https://Ex.com/"]
+    assert (r0["host"], r0["path_depth"], r0["path_len"],
+            r0["is_homepage"], r0["ext"]) == ("ex.com", 0, 1, True,
+                                              None)
+    r1 = got["https://ex.com/a/b/page123.HTML?x=1&y=&utm_source=nl"]
+    assert r1["path_depth"] == 3 and r1["n_params"] == 3
+    assert r1["ext"] == "html" and r1["has_tracker"]
+    assert r1["path_len"] == len("/a/b/page123.HTML")
+    assert r1["digit_frac_micro"] == 3 * 1_000_000 // 17
+    r2 = got["https://ex.com/2024/01/02/post.php#frag"]
+    assert r2["path_depth"] == 4 and r2["ext"] == "php"
+    assert not r2["has_tracker"] and r2["n_params"] == 0
+    r3 = got["https://ex.com"]
+    assert r3["is_homepage"] and r3["path_len"] == 1
+    assert got["https://ex.com/dl/file.tar.gz"]["ext"] == "gz"

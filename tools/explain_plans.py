@@ -254,6 +254,11 @@ NOTES = {
     "feed_discovery": "link-tag harvest + type filter + href extract "
                       "in one map-side span — zero shuffle before "
                       "the presentation sort, zero UDF",
+    "url_features": "every feature is a codegen'd JVM expression in "
+                    "ONE map-side Project over the url column alone "
+                    "(ReadSchema prunes to url) — zero shuffle, zero "
+                    "UDF; the tiny segment-filter HOF runs on ~5-"
+                    "element arrays, far below the interpreter cliff",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -308,7 +313,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "heading_outline", "html_tables", "jsonld_entities",
             "hreflang_alternates", "bitext_pairs", "og_metadata",
             "sitemap_urls", "sitemap_decls", "microdata_props",
-            "feed_items", "feed_discovery",
+            "feed_items", "feed_discovery", "url_features",
             "extraction_pipeline"]
 
 
