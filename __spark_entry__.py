@@ -1327,6 +1327,36 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_records(sitemaps).orderBy("url", "kind", "pos")
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile (text.readability_profile): integer-exact
+    words-per-sentence / chars-per-word / Automated Readability Index
+    in micro units over the documents table — the cheap heuristic
+    cousin of FineWeb-Edu's educational-quality classifier, one
+    map-side Project. The oracle replays the terminator-run sentence
+    count, the full-class whitespace trim, the word/char counts and
+    every floored micro division verbatim."""
+    from ocr_engine_spark.functions.text import readability_profile
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability_profile(docs).orderBy("id")
+
+
+def q_host_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-concentration governance scalar (scrub.host_concentration):
+    exact population Gini + top-1/top-10 shares over the pages
+    fixture's host distribution — the number a crawl-drift dashboard
+    tracks next to host_skew's hot-host list. One count shuffle over
+    pages; the rank window runs on the host-count table. The oracle
+    replays counts, (count, host) ranking and the integer micro
+    Gini/share arithmetic."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import host_concentration
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url"))
+    return host_concentration(pages, top_k=10)
+
+
 def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level filter features (scrub.url_features): depth, length,
     param count, digit fraction, extension, homepage and tracker
@@ -2572,6 +2602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_items": q_feed_items,
         "feed_discovery": q_feed_discovery,
         "url_features": q_url_features,
+        "readability": q_readability,
+        "host_gini": q_host_gini,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -3466,6 +3498,65 @@ def _sitemap_urls_oracle() -> str:
         SELECT url, kind, pos, loc, lastmod FROM v
         WHERE loc IS NOT NULL
         ORDER BY url, kind, pos
+    """
+
+
+_READABILITY_ORACLE = """
+    WITH d AS (
+      SELECT doc_id AS id,
+             (len(string_split_regex(text, '[.!?]+')) - 1)::BIGINT
+               AS n_sentences,
+             (CASE WHEN regexp_replace(text,
+                     '^[ \\t\\n\\r]+|[ \\t\\n\\r]+$', '', 'g') = ''
+                   THEN 0
+                   ELSE len(string_split_regex(regexp_replace(text,
+                     '^[ \\t\\n\\r]+|[ \\t\\n\\r]+$', '', 'g'),
+                     '[ \\t\\n\\r]+')) END)::BIGINT AS n_words,
+             length(regexp_replace(text, '[ \\t\\n\\r]+', '', 'g'))
+               ::BIGINT AS n_chars
+      FROM documents)
+    SELECT id, n_sentences, n_words, n_chars,
+           CASE WHEN n_sentences > 0 AND n_words > 0
+                THEN n_words * 1000000 // n_sentences END
+             AS wps_micro,
+           CASE WHEN n_sentences > 0 AND n_words > 0
+                THEN n_chars * 1000000 // n_words END AS cpw_micro,
+           CASE WHEN n_sentences > 0 AND n_words > 0
+                THEN 4710000 * n_chars // n_words
+                     + 500000 * n_words // n_sentences
+                     - 21430000 END AS ari_micro
+    FROM d
+    ORDER BY id
+"""
+
+
+def _host_gini_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    return f"""
+        WITH c AS (
+          SELECT lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                 count(*)::BIGINT AS cnt
+          FROM read_parquet('{pages}')
+          GROUP BY 1),
+        r AS (
+          SELECT cnt,
+                 row_number() OVER (ORDER BY cnt ASC, host ASC)
+                   ::BIGINT AS rank,
+                 count(*) OVER ()::BIGINT AS n
+          FROM c)
+        SELECT max(n)::BIGINT AS n_hosts,
+               sum(cnt)::BIGINT AS n_pages,
+               (max(cnt) * 1000000 // sum(cnt))::BIGINT
+                 AS top1_share_micro,
+               (sum(CASE WHEN rank > n - 10 THEN cnt ELSE 0 END)
+                 * 1000000 // sum(cnt))::BIGINT AS topk_share_micro,
+               ((2 * sum(rank * cnt) - (max(n) + 1) * sum(cnt))
+                 * 1000000 // (max(n) * sum(cnt)))::BIGINT
+                 AS gini_micro
+        FROM r
     """
 
 
@@ -6212,6 +6303,8 @@ def _oracle_sql() -> dict[str, str]:
         "feed_items": _feed_items_oracle(),
         "feed_discovery": _feed_discovery_oracle(),
         "url_features": _url_features_oracle(),
+        "readability": _READABILITY_ORACLE,
+        "host_gini": _host_gini_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

@@ -15,7 +15,7 @@ redaction-by-pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
 # PII scrubbing
@@ -325,6 +325,47 @@ _ROBOTS_CONTENT_FIRST = (r'<meta[^>]*content[ \t\n\r]*=[ \t\n\r]*'
                          r'["\']?([^"\'>]*)'
                          r'["\']?[^>]*name[ \t\n\r]*=[ \t\n\r]*'
                          r'["\']?robots(?:["\' \t\n\r/>]|$)')
+
+
+def host_concentration(pages: DataFrame, *, url_col: str = "url",
+                       top_k: int = 10) -> DataFrame:
+    """One-row corpus-governance report: (n_hosts, n_pages,
+    top1_share_micro, topk_share_micro, gini_micro) — HOW concentrated
+    the corpus is across hosts. ``host_skew_report`` names the hot
+    hosts; this is the scalar the governance dashboard tracks (a
+    crawl drifting toward gini 1 is re-crawling a handful of
+    platforms; DoReMi/quota mixing wants this number per snapshot).
+
+    Integer-exact pinned definitions (DuckDB oracle twin): counts per
+    host (hostless urls -> the '' host, counted like any other), hosts
+    ranked by (count asc, host asc); ``gini_micro = (2*S1 - (n+1)*S)
+    * 1e6 div (n*S)`` with ``S1 = sum(rank*count)`` — the exact
+    population Gini floored once; shares are ``count * 1e6 div
+    total``.
+
+    Scale shape: ONE count shuffle over pages (map-side combined);
+    the rank window runs over the HOST-COUNT table (corpus-sized in
+    hosts, not pages). At 10^8+ hosts, swap the single-partition
+    window for sample.py's range-partition prefix rank — same
+    algebra."""
+    counts = (pages.select(host_col(F.col(url_col)).alias("host"))
+              .groupBy("host").agg(F.count("*").alias("cnt")))
+    w = Window.orderBy(F.col("cnt").asc(), F.col("host").asc())
+    ranked = counts.select(
+        "cnt", F.row_number().over(w).alias("rank"),
+        F.count("*").over(
+            Window.partitionBy(F.lit(1))).alias("n"))
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_hosts"),
+        F.sum("cnt").cast("long").alias("n_pages"),
+        F.expr("max(cnt) * 1000000L div sum(cnt)")
+        .alias("top1_share_micro"),
+        F.expr(f"sum(CASE WHEN rank > n - {int(top_k)} "
+               f"THEN cnt ELSE 0 END) * 1000000L div sum(cnt)")
+        .alias("topk_share_micro"),
+        F.expr("(2 * sum(rank * cnt) - (max(n) + 1) * sum(cnt))"
+               " * 1000000L div (max(n) * sum(cnt))")
+        .alias("gini_micro"))
 
 
 def meta_robots_col(html: Column, *, scan_bytes: int | None = 4096

@@ -351,3 +351,54 @@ def collocations_topk(df, k: int = 20, *, min_count: int = 5,
     return (topk.withColumn("rank", F.row_number().over(w))
             .select("rank", "bigram", "c_ab", "c_a", "c_b",
                     "pmi_micro"))
+
+
+def readability_profile(df, *, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """(id, n_sentences, n_words, n_chars, wps_micro, cpw_micro,
+    ari_micro) — classic readability signals as integer-exact
+    micro-unit DataFrame expressions: words-per-sentence,
+    chars-per-word and the Automated Readability Index (the cheap
+    heuristic cousin of the FineWeb-Edu educational-quality
+    classifier; ARI uses only exact counts, unlike syllable-based
+    formulas).
+
+    Pinned, SQL-replayable definitions (no HOF lambdas — the
+    interpreter-cliff rule):
+
+      * ``n_sentences`` = number of ``[.!?]+`` terminator RUNS — an
+        unterminated trailing fragment is not counted; 0 terminators
+        -> all ratio columns NULL;
+      * ``n_words`` = 1 + number of ``[ \\t\\n\\r]+`` runs inside the
+        trimmed text; empty/whitespace-only text -> 0 words, ratio
+        columns NULL;
+      * ``n_chars`` = octet length with ALL whitespace removed;
+      * ``wps_micro = n_words * 1e6 div n_sentences``; ``cpw_micro =
+        n_chars * 1e6 div n_words``; ``ari_micro = 4710000 * n_chars
+        div n_words + 500000 * n_words div n_sentences - 21430000``
+        (ARI = 4.71 chars/word + 0.5 words/sentence - 21.43, each
+        term floored once — deterministic on both engines).
+
+    One map-side Project: zero shuffle, zero UDF."""
+    t = F.col(text_col)
+    # full-whitespace-class trim (Spark's trim() strips spaces only)
+    trimmed = F.regexp_replace(t, r"^[ \t\n\r]+|[ \t\n\r]+$", "")
+    n_sent = (F.size(F.split(t, r"[.!?]+")) - 1).cast("long")
+    n_words = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"[ \t\n\r]+"))).cast("long")
+    n_chars = F.length(F.regexp_replace(t, r"[ \t\n\r]+", "")) \
+        .cast("long")
+    base = df.select(F.col(id_col).alias("id"),
+                     n_sent.alias("n_sentences"),
+                     n_words.alias("n_words"),
+                     n_chars.alias("n_chars"))
+    ok = (F.col("n_sentences") > 0) & (F.col("n_words") > 0)
+    return base.select(
+        "id", "n_sentences", "n_words", "n_chars",
+        F.when(ok, F.expr("n_words * 1000000L div n_sentences"))
+        .alias("wps_micro"),
+        F.when(ok, F.expr("n_chars * 1000000L div n_words"))
+        .alias("cpw_micro"),
+        F.when(ok, F.expr("4710000L * n_chars div n_words"
+                          " + 500000L * n_words div n_sentences"
+                          " - 21430000L")).alias("ari_micro"))

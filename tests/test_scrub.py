@@ -653,3 +653,24 @@ def test_url_features(spark):
     r3 = got["https://ex.com"]
     assert r3["is_homepage"] and r3["path_len"] == 1
     assert got["https://ex.com/dl/file.tar.gz"]["ext"] == "gz"
+
+
+def test_host_concentration(spark):
+    """Exact integer Gini + shares on a hand-computable corpus."""
+    from ocr_engine_spark.functions.scrub import host_concentration
+    # host a: 6 pages, b: 3, c: 1  (n=3, S=10)
+    rows = ([(f"https://a.com/{i}",) for i in range(6)]
+            + [(f"https://b.com/{i}",) for i in range(3)]
+            + [("https://c.com/x",)])
+    df = spark.createDataFrame(rows, "url string")
+    r = host_concentration(df, top_k=2).collect()[0]
+    assert (r["n_hosts"], r["n_pages"]) == (3, 10)
+    assert r["top1_share_micro"] == 6 * 1_000_000 // 10
+    assert r["topk_share_micro"] == 9 * 1_000_000 // 10
+    # ranks asc by count: c=1, b=2, a=3 -> S1 = 1*1 + 2*3 + 3*6 = 25
+    # gini = (2*25 - 4*10) / (3*10) = 10/30
+    assert r["gini_micro"] == (2 * 25 - 4 * 10) * 1_000_000 // 30
+    # uniform corpus -> gini 0
+    uni = spark.createDataFrame(
+        [(f"https://h{i}.com/x",) for i in range(4)], "url string")
+    assert host_concentration(uni).collect()[0]["gini_micro"] == 0

@@ -212,3 +212,29 @@ def test_collocations_match_python(spark):
     # min_count exists to bound)
     assert "new york" in {r[1] for r in got}
     assert max(got, key=lambda r: r[2])[1] == "new york"
+
+
+def test_readability_profile(spark):
+    from ocr_engine_spark.functions.text import readability_profile
+    rows = [
+        (1, "The cat sat. The dog ran! Did it?"),
+        (2, "One unterminated fragment"),
+        (3, ""),
+        (4, "  \t  "),
+        (5, "Word."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r.asDict()
+           for r in readability_profile(df).collect()}
+    r1 = got[1]
+    assert (r1["n_sentences"], r1["n_words"]) == (3, 8)
+    assert r1["n_chars"] == len("Thecatsat.Thedogran!Didit?")
+    assert r1["wps_micro"] == 8 * 1_000_000 // 3
+    assert r1["cpw_micro"] == r1["n_chars"] * 1_000_000 // 8
+    assert r1["ari_micro"] == (4710000 * r1["n_chars"] // 8
+                               + 500000 * 8 // 3 - 21430000)
+    assert got[2]["n_sentences"] == 0 and got[2]["ari_micro"] is None
+    assert got[3]["n_words"] == 0 and got[3]["wps_micro"] is None
+    assert got[4]["n_words"] == 0
+    r5 = got[5]
+    assert (r5["n_sentences"], r5["n_words"]) == (1, 1)

@@ -259,6 +259,13 @@ NOTES = {
                     "(ReadSchema prunes to url) — zero shuffle, zero "
                     "UDF; the tiny segment-filter HOF runs on ~5-"
                     "element arrays, far below the interpreter cliff",
+    "readability": "counts + floored micro divisions in one map-side "
+                   "Project over (doc_id, text) — zero shuffle, zero "
+                   "UDF, no HOF lambdas (split-size counting only)",
+    "host_gini": "one map-side-combined count shuffle over pages; "
+                 "the rank window runs on the HOST-COUNT table (one "
+                 "narrow single-partition sort of n_hosts rows), then "
+                 "a scalar aggregate",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -314,6 +321,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "hreflang_alternates", "bitext_pairs", "og_metadata",
             "sitemap_urls", "sitemap_decls", "microdata_props",
             "feed_items", "feed_discovery", "url_features",
+            "readability", "host_gini",
             "extraction_pipeline"]
 
 
