@@ -231,6 +231,13 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--id-col", default="doc_id")
     ck.add_argument("--text-col", default="text")
 
+    dv = sub.add_parser("discover", help="crawl-discovery harvest: "
+                        "feed autodiscovery + hreflang alternates + "
+                        "page/OG metadata from raw pages")
+    dv.add_argument("--input", required=True,
+                    help="pages parquet (url, html)")
+    dv.add_argument("--output", required=True, help="output dir")
+
     rb = sub.add_parser("robots", help="robots.txt fetch-permission "
                                        "audit over a pages table")
     rb.add_argument("--pages", required=True, help="pages parquet (url)")
@@ -789,6 +796,25 @@ def main(argv: list[str] | None = None) -> int:
             out["frontier_urls"] = spark.read.parquet(
                 os.path.join(args.output, "frontier")).count()
         print(json.dumps(out))
+    elif args.cmd == "discover":
+        from pyspark.sql import functions as F
+        from ocr_engine_spark.functions.robots import feed_links
+        from ocr_engine_spark.functions.scrub import (
+            hreflang_records, og_metadata, page_metadata,
+        )
+        pages = spark.read.parquet(args.input).select("url", "html")
+        feeds = feed_links(pages)
+        alts = hreflang_records(pages)
+        meta = (page_metadata(pages)
+                .join(og_metadata(pages), "url"))
+        out = {}
+        for name, df in (("feeds", feeds), ("alternates", alts),
+                         ("metadata", meta)):
+            path = os.path.join(args.output, name)
+            df.write.mode("overwrite").parquet(path)
+            out[name] = spark.read.parquet(path).count()
+        out["pages"] = pages.count()
+        print(json.dumps({"output": args.output, "counts": out}))
     elif args.cmd == "robots":
         from pyspark.sql import functions as F
         from ocr_engine_spark.functions.robots import robots_decisions

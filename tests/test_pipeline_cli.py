@@ -223,3 +223,33 @@ def test_gopher_and_drift_cli(tmp_path):
     assert s["kl_micro"] >= 0 and s["tv_micro"] >= 0
     import glob
     assert glob.glob(os.path.join(table, "*.parquet"))
+
+
+def test_discover_cli(tmp_path):
+    """discover: feed autodiscovery + hreflang alternates + page/OG
+    metadata harvested from raw pages in one job."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    html1 = (b"<html><head><title>Page One</title>"
+             b"<meta property='og:type' content='article'>"
+             b"<link rel='alternate' type='application/rss+xml' "
+             b"href='/feed.xml'>"
+             b"<link rel='alternate' hreflang='fr' "
+             b"href='https://s/fr/1'></head><body>x</body></html>")
+    html2 = b"<html><head><title>Two</title></head></html>"
+    tbl = pa.table({
+        "url": pa.array(["https://s/en/1", "https://s/en/2"]),
+        "html": pa.array([html1, html2], pa.binary()),
+    })
+    src = tmp_path / "pages.parquet"
+    pq.write_table(tbl, str(src))
+    out = tmp_path / "disc"
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    r = subprocess.run(
+        [sys.executable, "run_job.py", "discover",
+         "--input", str(src), "--output", str(out)],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["counts"] == {"feeds": 1, "alternates": 1,
+                             "metadata": 2, "pages": 2}
