@@ -1327,6 +1327,25 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_records(sitemaps).orderBy("url", "kind", "pos")
 
 
+def q_template_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host template concentration (scrub.template_report): tag
+    skeletons hashed to md5-int60, ONE (host, skeleton) count shuffle
+    + host rollup — the listing/doorway-page spam signal, run straight
+    over the pages fixture (the generator's shared page templates make
+    the host-level skeleton distribution deterministic and
+    non-trivial). The oracle replays the text-strip + collapse
+    regexes, the clean-printable gate, the portable hash and the
+    integer micro share."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import template_report
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return template_report(pages, scan_bytes=None).orderBy("host")
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Readability profile (text.readability_profile): integer-exact
     words-per-sentence / chars-per-word / Automated Readability Index
@@ -2604,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": q_url_features,
         "readability": q_readability,
         "host_gini": q_host_gini,
+        "template_spam": q_template_spam,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -3528,6 +3548,41 @@ _READABILITY_ORACLE = """
     FROM d
     ORDER BY id
 """
+
+
+def _template_spam_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    unesc = _blob_ascii_unescape("html::VARCHAR")
+    return f"""
+        WITH pg AS (
+          SELECT lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                 CASE WHEN substr(hex(html), 1, 2) = '3C'
+                      THEN regexp_replace(regexp_replace({unesc},
+                             '>[^<]*', '>', 'g'),
+                             '[ \\t\\n\\r]+', ' ', 'g') END AS skel
+          FROM read_parquet('{pages}')),
+        g AS (
+          SELECT host,
+                 CASE WHEN skel NOT LIKE '%' || chr(92) || '%'
+                       AND regexp_matches(skel, '^[ -~]*$')
+                      THEN ('0x' || substr(md5(skel), 1, 15))::BIGINT
+                 END AS sk
+          FROM pg WHERE skel IS NOT NULL),
+        per AS (
+          SELECT host, sk, count(*)::BIGINT AS cnt
+          FROM g WHERE sk IS NOT NULL
+          GROUP BY host, sk)
+        SELECT host, sum(cnt)::BIGINT AS n_pages,
+               count(*)::BIGINT AS n_skeletons,
+               (max(cnt) * 1000000 // sum(cnt))::BIGINT
+                 AS top_share_micro
+        FROM per
+        GROUP BY host
+        ORDER BY host
+    """
 
 
 def _host_gini_oracle() -> str:
@@ -6305,6 +6360,7 @@ def _oracle_sql() -> dict[str, str]:
         "url_features": _url_features_oracle(),
         "readability": _READABILITY_ORACLE,
         "host_gini": _host_gini_oracle(),
+        "template_spam": _template_spam_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

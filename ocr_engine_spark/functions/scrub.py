@@ -368,6 +368,63 @@ def host_concentration(pages: DataFrame, *, url_col: str = "url",
         .alias("gini_micro"))
 
 
+def skeleton_col(html: Column, *, scan_bytes: int | None = 4096) -> Column:
+    """Tag skeleton of an HTML payload: the bounded ISO-8859-1 prefix
+    with every text run between tags dropped (``>text<`` -> ``><``)
+    and runs of whitespace inside what remains collapsed. Two pages
+    rendered from the same template produce the SAME skeleton even
+    though their text differs — attribute values are kept (ids and
+    hrefs differing per page mean 'different template instance', a
+    pinned conservatism that under-merges, never over-merges).
+    NULL for non-HTML payloads (leading-``<`` gate)."""
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    skel = F.regexp_replace(head, r">[^<]*", ">")
+    skel = F.regexp_replace(skel, r"[ \t\n\r]+", " ")
+    return F.when(F.substring(html, 1, 1) == F.lit(b"<"), skel)
+
+
+def template_report(pages: DataFrame, *, url_col: str = "url",
+                    html_col: str = "html",
+                    scan_bytes: int | None = 4096) -> DataFrame:
+    """(host, n_pages, n_skeletons, top_share_micro) — per-host
+    template concentration: how many of a host's HTML pages share one
+    tag skeleton. A host serving thousands of pages from one skeleton
+    is a listing/doorway/tag-page generator (the Common-Crawl template
+    -spam motif); hosts with top_share_micro near 1e6 and high page
+    counts are prune candidates BEFORE content-level quality scoring
+    spends tokens on them.
+
+    Scale shape: skeleton is a map-side projection (``skeleton_col``,
+    hashed to md5-int60 so the shuffle key is 8 bytes, not the 4 KB
+    skeleton); ONE (host, skeleton) count shuffle (map-side combined)
+    + one host rollup. Integer micro share, floored once — DuckDB
+    oracle replays both regexes, the hash and the arithmetic.
+
+    Engine-parity note: pages whose skeleton carries a high byte,
+    control char or backslash INSIDE a tag are dropped by the
+    clean-printable gate before hashing (Spark re-encodes the decoded
+    string as UTF-8, DuckDB sees escape sequences — ungated they
+    would hash differently). Tag-internal bytes are ~always ASCII, so
+    this drops ~nothing; a production variant can swap md5 for
+    xxhash64 over raw bytes and skip the gate (the simhash rule)."""
+    from ocr_engine_spark.functions.text import md5_int60_col
+    skel = skeleton_col(F.col(html_col), scan_bytes=scan_bytes)
+    skel = F.when(skel.rlike(r"^[ -~]*$") & ~skel.contains("\\"), skel)
+    sk = md5_int60_col(skel)
+    per = (pages.select(host_col(F.col(url_col)).alias("host"),
+                        sk.alias("__skel"))
+           .where(F.col("__skel").isNotNull())
+           .groupBy("host", "__skel")
+           .agg(F.count("*").alias("cnt")))
+    return (per.groupBy("host")
+            .agg(F.sum("cnt").cast("long").alias("n_pages"),
+                 F.count("*").cast("long").alias("n_skeletons"),
+                 F.expr("max(cnt) * 1000000L div sum(cnt)")
+                 .alias("top_share_micro")))
+
+
 def meta_robots_col(html: Column, *, scan_bytes: int | None = 4096
                     ) -> Column:
     """Lowercased content of the page's ``<meta name=robots>`` tag, or

@@ -674,3 +674,26 @@ def test_host_concentration(spark):
     uni = spark.createDataFrame(
         [(f"https://h{i}.com/x",) for i in range(4)], "url string")
     assert host_concentration(uni).collect()[0]["gini_micro"] == 0
+
+
+def test_template_report(spark):
+    """Tag-skeleton template detection: same template different text
+    -> one skeleton; attr change -> new skeleton; PDF/high-byte
+    skeletons out."""
+    from ocr_engine_spark.functions.scrub import template_report
+    t = b"<html><body><div class=x><p>%s</p></div></body></html>"
+    rows = [
+        ("https://a.com/1", t % b"alpha text"),
+        ("https://a.com/2", t % b"totally other words"),
+        ("https://a.com/3", t % b"third  page"),
+        ("https://a.com/4", b"<html><body><div class=y><p>z</p>"
+                            b"</div></body></html>"),   # attr differs
+        ("https://b.com/1", b"%PDF-1.4 not html"),       # gated out
+        ("https://b.com/2", t % b"solo"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["host"]: (r["n_pages"], r["n_skeletons"],
+                       r["top_share_micro"])
+           for r in template_report(df).collect()}
+    assert got["a.com"] == (4, 2, 3 * 1_000_000 // 4)
+    assert got["b.com"] == (1, 1, 1_000_000)

@@ -266,6 +266,10 @@ NOTES = {
                  "the rank window runs on the HOST-COUNT table (one "
                  "narrow single-partition sort of n_hosts rows), then "
                  "a scalar aggregate",
+    "template_spam": "skeleton strip + hash are map-side (the shuffle "
+                     "key is the 8-byte md5-int60, never the 4 KB "
+                     "skeleton); ONE (host, skeleton) count shuffle "
+                     "map-side combined, then the host rollup",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -321,7 +325,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "hreflang_alternates", "bitext_pairs", "og_metadata",
             "sitemap_urls", "sitemap_decls", "microdata_props",
             "feed_items", "feed_discovery", "url_features",
-            "readability", "host_gini",
+            "readability", "host_gini", "template_spam",
             "extraction_pipeline"]
 
 
