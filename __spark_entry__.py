@@ -2425,6 +2425,49 @@ def q_microdata_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "pos"))
 
 
+_IMGCAP_SNIPPETS = [
+    "<img src='/hero.jpg' alt=' A red  fox jumping a fence '>"
+    "<img alt=\"Sunset over calm water\" src=https://cdn.example/b.png>"
+    "<img src='/decorative.png'>",
+    "<IMG SRC='/up.gif' ALT='Upper case attributes work'>"
+    "<img src='/tiny.png' alt='tiny'>"
+    "<img src='/bare.png' alt=bare caption rejected>",
+    "<img src='/empty.png' alt=''>"
+    "<img alt='Valid pair after traps' src='/ok.webp'>",
+]
+
+
+def q_image_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image alt-text pair mining (scrub.image_captions): the
+    (image-url, caption) candidates of the LAION/CLIP recipe, crawl
+    side. Corpus: the pages fixture with deterministic per-url img
+    injections (md5 bucket: quoted/content variants + alt-less hole /
+    UPPER-case + short-alt + bare-alt rejections / empty-alt trap
+    then a valid pair; PDFs never injected nor decoded). The oracle
+    replays tag enumeration with pos holes, both attribute grammars,
+    the quoted-alt rule, min-length after collapse and the
+    printable-ASCII gate over DuckDB's blob-escape projection."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import image_captions
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_IMGCAP_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_IMGCAP_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_IMGCAP_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return (image_captions(corpus, scan_bytes=None)
+            .orderBy("url", "pos"))
+
+
 _OG_SNIPPETS = [
     "<meta property='og:title' content=' Injected  OG  Title '>"
     '<meta content="article" property="og:type">',
@@ -2624,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "host_gini": q_host_gini,
         "template_spam": q_template_spam,
+        "image_captions": q_image_captions,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -4645,6 +4689,66 @@ def _bitext_pairs_oracle() -> str:
     """
 
 
+def _image_captions_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import (
+        _IMG_ALT_RE, _IMG_SRC_RE, _IMG_TAG_RE,
+    )
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _IMGCAP_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    gate = ("NOT LIKE '%' || chr(92) || '%' AND regexp_matches({c}, "
+            "'^[ -~]*$')")
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        ms AS (
+          SELECT url, regexp_extract_all({unesc},
+                 '{_sql_re(_IMG_TAG_RE)}') AS arr
+          FROM inj WHERE is_html),
+        ex AS (
+          SELECT url, unnest(generate_series(1, len(arr))) - 1 AS pos,
+                 unnest(arr) AS t
+          FROM ms),
+        v AS (
+          SELECT url, pos::BIGINT AS pos,
+                 nullif(regexp_extract(t,
+                   '{_sql_re(_IMG_SRC_RE)}', 1), '') AS src,
+                 nullif(trim(regexp_replace(regexp_extract(t,
+                   '{_sql_re(_IMG_ALT_RE)}', 1),
+                   '[ \\t\\n\\r]+', ' ', 'g')), '') AS alt0
+          FROM ex),
+        g AS (
+          SELECT url, pos,
+                 CASE WHEN src {gate.format(c='src')}
+                      THEN src END AS src,
+                 CASE WHEN length(alt0) >= 5
+                       AND alt0 {gate.format(c='alt0')}
+                      THEN alt0 END AS alt
+          FROM v)
+        SELECT url, pos, src, alt FROM g
+        WHERE src IS NOT NULL AND alt IS NOT NULL
+        ORDER BY url, pos
+    """
+
+
 def _microdata_props_oracle() -> str:
     from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
     from ocr_engine_spark.functions.scrub import (
@@ -6361,6 +6465,7 @@ def _oracle_sql() -> dict[str, str]:
         "readability": _READABILITY_ORACLE,
         "host_gini": _host_gini_oracle(),
         "template_spam": _template_spam_oracle(),
+        "image_captions": _image_captions_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

@@ -51,7 +51,7 @@ HEADLINE = [
     "hreflang_alternates", "bitext_pairs", "og_metadata",
     "sitemap_urls", "sitemap_decls", "microdata_props",
     "feed_items", "feed_discovery", "url_features",
-    "readability", "host_gini", "template_spam",
+    "readability", "host_gini", "template_spam", "image_captions",
     "host_skew", "domain_blocklist", "robots_noindex", "robots_audit",
     "outlink_hosts", "host_pagerank", "host_harmonic", "anchor_terms",
     "crawl_frontier", "mirror_hosts",

@@ -811,6 +811,68 @@ def jsonld_entities(pages: DataFrame, **kwargs) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# image alt-text pairs (the LAION image-caption mining seed)
+# ---------------------------------------------------------------------------
+
+_IMG_TAG_RE = r"(?i)<img[ \t\n\r][^>]*>"
+_IMG_SRC_RE = (r'(?i)[ \t\n\r]src[ \t\n\r]*=[ \t\n\r]*'
+               r'["\']?([^"\' \t\n\r>]+)')
+_IMG_ALT_RE = (r'(?i)[ \t\n\r]alt[ \t\n\r]*=[ \t\n\r]*'
+               r'["\']([^"\']*)["\']')
+
+
+def image_captions(pages: DataFrame, *, url_col: str = "url",
+                   html_col: str = "html",
+                   scan_bytes: int | None = 8192,
+                   ascii_only: bool = True,
+                   min_alt_len: int = 5) -> DataFrame:
+    """(url, pos, src, alt) — every ``<img>`` with BOTH a source and a
+    non-trivial alt text: the raw (image-url, caption) candidate pairs
+    of the LAION/CLIP-style recipe (fetch src, embed, filter by
+    image-text similarity — the fetch/embed stages compose via
+    ``multimodal``; this operator is the crawl-side miner).
+
+    One codegen'd ``regexp_extract_all`` + map-side posexplode +
+    per-tag extracts — zero shuffle, zero UDF. Pinned semantics
+    (replayed verbatim by the DuckDB oracle):
+
+      * ``pos`` numbers ALL ``<img ...>`` tags per url in document
+        order; tags without a src, with a QUOTELESS alt (bare alt
+        values end at whitespace — mid-caption truncation would
+        corrupt pairs, so bare alts are rejected, documented
+        conservatism), with an alt shorter than ``min_alt_len`` after
+        whitespace collapse, or failing the gate, drop as holes;
+      * ``src`` = whitespace-free attribute value, quoted or bare,
+        kept verbatim (``linkgraph.resolve_url_col`` composes);
+      * ``alt`` is whitespace-collapsed and trimmed; under
+        ``ascii_only`` both values carry the clean-printable gate.
+
+    Engine-wide charset discipline: leading-``<`` HTML gate, bounded
+    prefix scan."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    tags = F.when(is_html,
+                  F.regexp_extract_all(head, F.lit(_IMG_TAG_RE),
+                                       F.lit(0)))
+    e = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(tags).alias("pos", "__t"))
+    src = F.nullif(F.regexp_extract("__t", _IMG_SRC_RE, 1), F.lit(""))
+    alt = F.nullif(F.trim(F.regexp_replace(
+        F.regexp_extract("__t", _IMG_ALT_RE, 1),
+        r"[ \t\n\r]+", " ")), F.lit(""))
+    alt = F.when(F.length(alt) >= int(min_alt_len), alt)
+    if ascii_only:
+        src = F.when(src.rlike(r"^[ -~]*$") & ~src.contains("\\"), src)
+        alt = F.when(alt.rlike(r"^[ -~]*$") & ~alt.contains("\\"), alt)
+    return (e.select("url", F.col("pos").cast("long").alias("pos"),
+                     src.alias("src"), alt.alias("alt"))
+            .filter(F.col("src").isNotNull() & F.col("alt").isNotNull()))
+
+
+# ---------------------------------------------------------------------------
 # schema.org microdata (itemprop / itemtype)
 # ---------------------------------------------------------------------------
 

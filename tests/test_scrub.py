@@ -697,3 +697,27 @@ def test_template_report(spark):
            for r in template_report(df).collect()}
     assert got["a.com"] == (4, 2, 3 * 1_000_000 // 4)
     assert got["b.com"] == (1, 1, 1_000_000)
+
+
+def test_image_captions(spark):
+    """img alt-text pair mining: quoted-alt requirement, min length,
+    attr orders, pos holes, PDF + gates."""
+    from ocr_engine_spark.functions.scrub import image_captions
+    rows = [
+        ("u1", b"<html>"
+               b"<img src='/a.jpg' alt=' A red  fox jumping '>"
+               b"<img alt=\"Sunset over water\" src=https://c.dn/b.png>"
+               b"<img src='/noalt.jpg'>"                  # hole
+               b"<IMG SRC='/c.gif' ALT='tiny'>"),         # len 4 < 5
+        ("u2", b"<html><img src='/d.jpg' alt=bare caption here>"
+               b"<img src='/e.jpg' alt=''>"),             # bare + empty
+        ("u3", b"<html><img src='/f.jpg' alt='caf\xe9 scene pic'>"),
+        ("u4", b"%PDF-1.4 <img src='/g' alt='not html here'>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [(r["url"], r["pos"], r["src"], r["alt"])
+           for r in image_captions(df).orderBy("url", "pos").collect()]
+    assert got == [
+        ("u1", 0, "/a.jpg", "A red fox jumping"),
+        ("u1", 1, "https://c.dn/b.png", "Sunset over water"),
+    ]

@@ -270,6 +270,10 @@ NOTES = {
                      "key is the 8-byte md5-int60, never the 4 KB "
                      "skeleton); ONE (host, skeleton) count shuffle "
                      "map-side combined, then the host rollup",
+    "image_captions": "img-tag harvest + per-tag src/alt extracts in "
+                      "one map-side regexp_extract_all + posexplode "
+                      "span — zero shuffle before the presentation "
+                      "sort, zero UDF",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -326,6 +330,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "sitemap_urls", "sitemap_decls", "microdata_props",
             "feed_items", "feed_discovery", "url_features",
             "readability", "host_gini", "template_spam",
+            "image_captions",
             "extraction_pipeline"]
 
 
