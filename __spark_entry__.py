@@ -2468,6 +2468,82 @@ def q_image_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "pos"))
 
 
+_MEDIA_SNIPPETS = [
+    "<video controls src='/injected/v.mp4'></video>"
+    "<audio src=https://cdn.example/a.ogg></audio>",
+    "<VIDEO POSTER='/p.jpg'><SOURCE SRC='/v.webm' TYPE='video/webm'>"
+    "<track src='/cc.vtt' kind='captions'></VIDEO>",
+    "<video controls></video>"
+    "<source src='/after-srcless.mp4' type='video/mp4'>",
+]
+
+_PAGINATION_SNIPPETS = [
+    "<link rel='next' href='/page/3'><link rel='prev' href='/page/1'>"
+    "<link rel='next' href='/decoy-second-next'>",
+    "<LINK REL=NEXT HREF=/p2>",
+    "<link rel='nexttrap' href='/x'><link rel='prev' href='/only-prev'>",
+]
+
+
+def q_media_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media source harvest (scrub.media_links): every video/audio/
+    source/track tag with a src — the multimodal crawl seed next to
+    image_captions. Corpus: the pages fixture with deterministic
+    per-url injections (md5 bucket: video+audio / UPPER-case nested
+    source+track / srcless hole then a source; PDFs never injected
+    nor decoded). The oracle replays tag enumeration with pos holes,
+    the element-name extract, the src grammar and the gate over
+    DuckDB's blob-escape projection."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import media_links
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_MEDIA_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_MEDIA_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_MEDIA_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return (media_links(corpus, scan_bytes=None)
+            .orderBy("url", "pos"))
+
+
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination declarations (scrub.pagination_links): first
+    rel=next / rel=prev href per page — listing-series traversal and
+    the sibling-not-duplicate dedup hint. Corpus: the pages fixture
+    with deterministic per-url injections (md5 bucket: next+prev with
+    a first-wins decoy / bare UPPER-case next / rel-token trap +
+    prev-only; PDFs never injected nor decoded). The oracle replays
+    tag enumeration, the rel grammar, first-declaration-wins via
+    argmin over tag position and the gate."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import pagination_links
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_PAGINATION_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_PAGINATION_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_PAGINATION_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    return (pagination_links(corpus, scan_bytes=None)
+            .orderBy("url"))
+
+
 _OG_SNIPPETS = [
     "<meta property='og:title' content=' Injected  OG  Title '>"
     '<meta content="article" property="og:type">',
@@ -2668,6 +2744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_gini": q_host_gini,
         "template_spam": q_template_spam,
         "image_captions": q_image_captions,
+        "media_links": q_media_links,
+        "pagination": q_pagination,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -4749,6 +4827,124 @@ def _image_captions_oracle() -> str:
     """
 
 
+def _media_links_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import (
+        _IMG_SRC_RE, _MEDIA_KIND_RE, _MEDIA_TAG_RE,
+    )
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _MEDIA_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        ms AS (
+          SELECT url, regexp_extract_all({unesc},
+                 '{_sql_re(_MEDIA_TAG_RE)}') AS arr
+          FROM inj WHERE is_html),
+        ex AS (
+          SELECT url, unnest(generate_series(1, len(arr))) - 1 AS pos,
+                 unnest(arr) AS t
+          FROM ms),
+        v AS (
+          SELECT url, pos::BIGINT AS pos,
+                 lower(regexp_extract(t, '{_sql_re(_MEDIA_KIND_RE)}',
+                                      1)) AS tag,
+                 nullif(regexp_extract(t,
+                   '{_sql_re(_IMG_SRC_RE)}', 1), '') AS src
+          FROM ex)
+        SELECT url, pos, tag,
+               CASE WHEN src NOT LIKE '%' || chr(92) || '%'
+                     AND regexp_matches(src, '^[ -~]*$')
+                    THEN src END AS src
+        FROM v
+        WHERE src IS NOT NULL
+          AND src NOT LIKE '%' || chr(92) || '%'
+          AND regexp_matches(src, '^[ -~]*$')
+        ORDER BY url, pos
+    """
+
+
+def _pagination_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import (
+        _HREF_VAL_RE, _LINK_TAG_RE, _PAGINATION_REL_RE,
+    )
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _PAGINATION_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        ms AS (
+          SELECT url, regexp_extract_all({unesc},
+                 '{_sql_re(_LINK_TAG_RE)}') AS arr
+          FROM inj WHERE is_html),
+        ex AS (
+          SELECT url, unnest(generate_series(1, len(arr))) - 1 AS p,
+                 unnest(arr) AS t
+          FROM ms),
+        v AS (
+          SELECT url, p,
+                 lower(regexp_extract(t,
+                   '{_sql_re(_PAGINATION_REL_RE)}', 1)) AS rel,
+                 nullif(regexp_extract(t,
+                   '{_sql_re(_HREF_VAL_RE)}', 1), '') AS href
+          FROM ex),
+        g AS (
+          SELECT url, p, rel,
+                 CASE WHEN href NOT LIKE '%' || chr(92) || '%'
+                       AND regexp_matches(href, '^[ -~]*$')
+                      THEN href END AS href
+          FROM v WHERE rel <> ''),
+        agg AS (
+          SELECT url,
+                 min_by(href, p) FILTER (rel = 'next' AND href IS NOT
+                   NULL) AS rel_next,
+                 min_by(href, p) FILTER (rel = 'prev' AND href IS NOT
+                   NULL) AS rel_prev
+          FROM g WHERE href IS NOT NULL
+          GROUP BY url)
+        SELECT url, rel_next, rel_prev FROM agg
+        WHERE rel_next IS NOT NULL OR rel_prev IS NOT NULL
+        ORDER BY url
+    """
+
+
 def _microdata_props_oracle() -> str:
     from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
     from ocr_engine_spark.functions.scrub import (
@@ -6466,6 +6662,8 @@ def _oracle_sql() -> dict[str, str]:
         "host_gini": _host_gini_oracle(),
         "template_spam": _template_spam_oracle(),
         "image_captions": _image_captions_oracle(),
+        "media_links": _media_links_oracle(),
+        "pagination": _pagination_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

@@ -873,6 +873,91 @@ def image_captions(pages: DataFrame, *, url_col: str = "url",
 
 
 # ---------------------------------------------------------------------------
+# media source harvest (video/audio/source/track tags) + pagination
+# ---------------------------------------------------------------------------
+
+_MEDIA_TAG_RE = r"(?i)<(?:video|audio|source|track)[ \t\n\r][^>]*>"
+_MEDIA_KIND_RE = r"(?i)^<([a-z]+)"
+_PAGINATION_REL_RE = (r'(?i)rel[ \t\n\r]*=[ \t\n\r]*'
+                      r'["\']?(next|prev)(?:["\' \t\n\r/>]|$)')
+
+
+def media_links(pages: DataFrame, *, url_col: str = "url",
+                html_col: str = "html",
+                scan_bytes: int | None = 8192,
+                ascii_only: bool = True) -> DataFrame:
+    """(url, pos, tag, src) — every ``<video>``/``<audio>``/
+    ``<source>``/``<track>`` tag carrying a ``src``: the crawl-side
+    seed of the multimodal corpus (fetch src -> ``multimodal`` decode/
+    feature/phash stages compose; ``image_captions`` is the image
+    twin). Pinned semantics: ``pos`` numbers ALL matched media tags
+    per url in document order (srcless tags drop as holes); ``tag``
+    is the lowercased element name; ``src`` kept verbatim for
+    ``linkgraph.resolve_url_col``; clean-printable gate under
+    ``ascii_only``. One map-side regexp_extract_all + posexplode —
+    zero shuffle, zero UDF; engine-wide charset discipline."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    tags = F.when(is_html,
+                  F.regexp_extract_all(head, F.lit(_MEDIA_TAG_RE),
+                                       F.lit(0)))
+    e = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(tags).alias("pos", "__t"))
+    src = F.nullif(F.regexp_extract("__t", _IMG_SRC_RE, 1), F.lit(""))
+    if ascii_only:
+        src = F.when(src.rlike(r"^[ -~]*$") & ~src.contains("\\"), src)
+    return (e.select("url", F.col("pos").cast("long").alias("pos"),
+                     F.lower(F.regexp_extract("__t", _MEDIA_KIND_RE,
+                                              1)).alias("tag"),
+                     src.alias("src"))
+            .filter(F.col("src").isNotNull()))
+
+
+def pagination_links(pages: DataFrame, *, url_col: str = "url",
+                     html_col: str = "html",
+                     scan_bytes: int | None = 8192,
+                     ascii_only: bool = True) -> DataFrame:
+    """(url, rel_next, rel_prev) — the ``<link rel=next/prev>``
+    pagination declarations: how a crawler walks a listing series
+    completely (and how a dedup layer knows page 2..N of a series are
+    SIBLINGS, not near-duplicates to collapse). First declaration of
+    each rel wins; pages with neither are dropped. Same link-tag
+    enumeration + gate discipline as ``hreflang_records``; one
+    map-side pass, zero shuffle, zero UDF."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    tags = F.when(is_html,
+                  F.regexp_extract_all(head, F.lit(_LINK_TAG_RE),
+                                       F.lit(0)))
+    e = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(tags).alias("__p", "__t"))
+    rel = F.lower(F.regexp_extract("__t", _PAGINATION_REL_RE, 1))
+    href = F.nullif(F.regexp_extract("__t", _HREF_VAL_RE, 1), F.lit(""))
+    if ascii_only:
+        href = F.when(href.rlike(r"^[ -~]*$") & ~href.contains("\\"),
+                      href)
+    per = e.select("url", rel.alias("__rel"), href.alias("__href"),
+                   F.col("__p"))
+    agg = (per.where((F.col("__rel") != "") & F.col("__href").isNotNull())
+           .groupBy("url")
+           .agg(F.min(F.when(F.col("__rel") == "next",
+                             F.struct("__p", "__href"))).alias("__n"),
+                F.min(F.when(F.col("__rel") == "prev",
+                             F.struct("__p", "__href"))).alias("__v")))
+    return (agg.select("url",
+                       F.col("__n")["__href"].alias("rel_next"),
+                       F.col("__v")["__href"].alias("rel_prev"))
+            .filter(F.col("rel_next").isNotNull()
+                    | F.col("rel_prev").isNotNull()))
+
+
+# ---------------------------------------------------------------------------
 # schema.org microdata (itemprop / itemtype)
 # ---------------------------------------------------------------------------
 

@@ -721,3 +721,44 @@ def test_image_captions(spark):
         ("u1", 0, "/a.jpg", "A red fox jumping"),
         ("u1", 1, "https://c.dn/b.png", "Sunset over water"),
     ]
+
+
+def test_media_links(spark):
+    from ocr_engine_spark.functions.scrub import media_links
+    rows = [
+        ("u1", b"<html><video controls src='/v.mp4'></video>"
+               b"<audio src=https://c.dn/a.ogg></audio>"
+               b"<video poster='/p.jpg'><source src='/v.webm' "
+               b"type='video/webm'><track src='/cc.vtt'></video>"),
+        ("u2", b"<html><video controls></video>"),   # srcless: empty
+        ("u3", b"%PDF-1.4 <video src='/x'>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [(r["url"], r["pos"], r["tag"], r["src"])
+           for r in media_links(df).orderBy("url", "pos").collect()]
+    assert got == [
+        ("u1", 0, "video", "/v.mp4"),
+        ("u1", 1, "audio", "https://c.dn/a.ogg"),
+        ("u1", 3, "source", "/v.webm"),   # pos 2 = srcless video
+        ("u1", 4, "track", "/cc.vtt"),
+    ]
+
+
+def test_pagination_links(spark):
+    from ocr_engine_spark.functions.scrub import pagination_links
+    rows = [
+        ("u1", b"<html><link rel='next' href='/page/3'>"
+               b"<link rel='prev' href='/page/1'>"
+               b"<link rel='next' href='/decoy'>"),   # first wins
+        ("u2", b"<html><link rel=next href=/p2>"),
+        ("u3", b"<html><link rel='nexttrap' href='/x'>"  # bad rel
+               b"<link rel='canonical' href='/c'>"),
+        ("u4", b"%PDF-1.4"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: (r["rel_next"], r["rel_prev"])
+           for r in pagination_links(df).collect()}
+    assert got == {
+        "u1": ("/page/3", "/page/1"),
+        "u2": ("/p2", None),
+    }

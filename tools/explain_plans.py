@@ -274,6 +274,12 @@ NOTES = {
                       "one map-side regexp_extract_all + posexplode "
                       "span — zero shuffle before the presentation "
                       "sort, zero UDF",
+    "media_links": "media-tag harvest + element/src extracts in one "
+                   "map-side span — zero shuffle before the "
+                   "presentation sort, zero UDF",
+    "pagination": "link-tag harvest map-side; first-wins is an argmin "
+                  "struct-min groupBy on url (map-side combined) — "
+                  "the one shuffle",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -330,7 +336,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "sitemap_urls", "sitemap_decls", "microdata_props",
             "feed_items", "feed_discovery", "url_features",
             "readability", "host_gini", "template_spam",
-            "image_captions",
+            "image_captions", "media_links", "pagination",
             "extraction_pipeline"]
 
 
