@@ -2468,6 +2468,48 @@ def q_image_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "pos"))
 
 
+_LIST_SNIPPETS = [
+    "<ul><li> Alpha  one </li><li>beta</li></ul>"
+    "<OL start=3><LI>step a<LI>step b</OL>",
+    "<ul id=x><li><b>rich</b> child first</li><li>plain kept</li>"
+    "<li></li></ul>",
+    "<ul><li>outer<ol><li>inner</li></ol></li></ul>"
+    "<ol><li>after truncation</li></ol>",
+]
+
+
+def q_list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML list mining (scrub.list_records): every tag-free <li> of
+    every <ul>/<ol> with the ordered flag — the third DOM-structure
+    leg after headings and tables (ol blocks are the how-to /
+    step-sequence signal). Corpus: the pages fixture with
+    deterministic per-url injections (md5 bucket: ul+OL with omitted
+    </li> / rich-child hole + empty drop / nested truncation then a
+    following ol; PDFs never injected nor decoded). The oracle
+    replays both grammar levels, the opening-letter ordered flag,
+    per-level position numbering with holes, collapse and the gate
+    over DuckDB's blob-escape projection."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import list_records
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_LIST_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_LIST_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_LIST_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return (list_records(corpus, scan_bytes=None)
+            .orderBy("url", "list_pos", "item_pos"))
+
+
 _MEDIA_SNIPPETS = [
     "<video controls src='/injected/v.mp4'></video>"
     "<audio src=https://cdn.example/a.ogg></audio>",
@@ -2746,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_captions": q_image_captions,
         "media_links": q_media_links,
         "pagination": q_pagination,
+        "list_items": q_list_items,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -4827,6 +4870,74 @@ def _image_captions_oracle() -> str:
     """
 
 
+def _list_items_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import (
+        _LIST_BLOCK_RE, _LIST_ITEM_RE,
+    )
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _LIST_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        bs AS (
+          SELECT url, regexp_extract_all({unesc},
+                 '{_sql_re(_LIST_BLOCK_RE)}') AS arr
+          FROM inj WHERE is_html),
+        b AS (
+          SELECT url,
+                 unnest(generate_series(1, len(arr))) - 1 AS list_pos,
+                 unnest(arr) AS blk
+          FROM bs),
+        it AS (
+          SELECT url, list_pos,
+                 lower(regexp_extract(blk,
+                   '{_sql_re(_LIST_BLOCK_RE)}', 1)) = 'o' AS ordered,
+                 regexp_extract_all(regexp_extract(blk,
+                   '{_sql_re(_LIST_BLOCK_RE)}', 2),
+                   '{_sql_re(_LIST_ITEM_RE)}', 1) AS items
+          FROM b),
+        i AS (
+          SELECT url, list_pos::BIGINT AS list_pos, ordered,
+                 unnest(generate_series(1, len(items))) - 1
+                   AS item_pos,
+                 unnest(items) AS raw
+          FROM it),
+        v AS (
+          SELECT url, list_pos, ordered, item_pos::BIGINT AS item_pos,
+                 nullif(trim(regexp_replace(raw,
+                   '[ \\t\\n\\r]+', ' ', 'g')), '') AS it0
+          FROM i)
+        SELECT url, list_pos, ordered, item_pos,
+               CASE WHEN it0 NOT LIKE '%' || chr(92) || '%'
+                     AND regexp_matches(it0, '^[ -~]*$')
+                    THEN it0 END AS item
+        FROM v
+        WHERE it0 IS NOT NULL
+          AND it0 NOT LIKE '%' || chr(92) || '%'
+          AND regexp_matches(it0, '^[ -~]*$')
+        ORDER BY url, list_pos, item_pos
+    """
+
+
 def _media_links_oracle() -> str:
     from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
     from ocr_engine_spark.functions.scrub import (
@@ -6664,6 +6775,7 @@ def _oracle_sql() -> dict[str, str]:
         "image_captions": _image_captions_oracle(),
         "media_links": _media_links_oracle(),
         "pagination": _pagination_oracle(),
+        "list_items": _list_items_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

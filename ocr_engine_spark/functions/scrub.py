@@ -873,6 +873,74 @@ def image_captions(pages: DataFrame, *, url_col: str = "url",
 
 
 # ---------------------------------------------------------------------------
+# HTML list extraction (ul/ol/li)
+# ---------------------------------------------------------------------------
+
+_LIST_BLOCK_RE = (r"(?is)<([uo])l(?:>|[ \t\n\r][^>]*>)(.*?)"
+                  r"</[uo]l[ \t\n\r]*>")
+_LIST_ITEM_RE = r"(?is)<li(?:>|[ \t\n\r][^>]*>)([^<]*)"
+
+
+def list_records(pages: DataFrame, *, url_col: str = "url",
+                 html_col: str = "html",
+                 scan_bytes: int | None = 8192,
+                 ascii_only: bool = True) -> DataFrame:
+    """(url, list_pos, ordered, item_pos, item) — every ``<li>`` of
+    every ``<ul>``/``<ol>`` block: the third leg of DOM-structure
+    mining next to ``heading_records`` and ``table_records`` (list
+    density separates navigation/boilerplate from article bodies, and
+    ol blocks are the how-to / step-sequence signal instruction-data
+    miners target).
+
+    Two chained codegen'd ``regexp_extract_all`` stages + map-side
+    posexplodes — zero shuffle, zero UDF. Pinned grammar (replayed
+    verbatim by the DuckDB oracle):
+
+      * a block is lazy ``<ul>``/``<ol>`` (attrs allowed) .. the
+        FIRST ``</ul>``/``</ol>`` closer — the closing kind letter is
+        NOT validated, and a NESTED list truncates its parent at the
+        inner closer, attributing the inner items to the outer block
+        (one-level grammar, documented leniency — the table twin
+        truncates the same way);
+      * ``ordered`` is the OPENING tag letter (ol vs ul);
+      * an item is ``<li>``'s immediate tag-free text (HTML omits
+        ``</li>`` freely, so the capture ends at the next tag); items
+        whose text starts with a child element drop with ``item_pos``
+        holes; whitespace-collapsed, trimmed, empty dropped;
+      * under ``ascii_only`` items carry the clean-printable gate.
+
+    Engine-wide charset discipline: leading-``<`` HTML gate, bounded
+    prefix scan."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    blocks = F.when(is_html,
+                    F.regexp_extract_all(head, F.lit(_LIST_BLOCK_RE),
+                                         F.lit(0)))
+    b = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(blocks).alias("list_pos", "__b"))
+    ordered = (F.lower(F.regexp_extract("__b", _LIST_BLOCK_RE, 1))
+               == F.lit("o"))
+    body = F.regexp_extract("__b", _LIST_BLOCK_RE, 2)
+    items = F.regexp_extract_all(body, F.lit(_LIST_ITEM_RE), F.lit(1))
+    i = b.select("url", "list_pos", ordered.alias("ordered"),
+                 F.posexplode(items).alias("item_pos", "__i"))
+    item = F.nullif(F.trim(F.regexp_replace(
+        F.col("__i"), r"[ \t\n\r]+", " ")), F.lit(""))
+    if ascii_only:
+        item = F.when(item.rlike(r"^[ -~]*$") & ~item.contains("\\"),
+                      item)
+    return (i.select("url",
+                     F.col("list_pos").cast("long").alias("list_pos"),
+                     "ordered",
+                     F.col("item_pos").cast("long").alias("item_pos"),
+                     item.alias("item"))
+            .filter(F.col("item").isNotNull()))
+
+
+# ---------------------------------------------------------------------------
 # media source harvest (video/audio/source/track tags) + pagination
 # ---------------------------------------------------------------------------
 

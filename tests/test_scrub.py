@@ -762,3 +762,33 @@ def test_pagination_links(spark):
         "u1": ("/page/3", "/page/1"),
         "u2": ("/p2", None),
     }
+
+
+def test_list_records(spark):
+    """ul/ol/li mining: ordered flag, omitted </li>, child-element
+    holes, nested truncation, gates."""
+    from ocr_engine_spark.functions.scrub import list_records
+    rows = [
+        ("u1", b"<html><ul><li> Alpha  one </li><li>beta</li></ul>"
+               b"<OL start=3><LI>step a<LI>step b</OL>"),  # no </li>
+        ("u2", b"<html><ul><li><b>rich</b> child first</li>"
+               b"<li>plain kept</li></ul>"),
+        ("u3", b"<html><ul><li>outer<ol><li>inner</li></ol></li></ul>"),
+        ("u4", b"%PDF-1.4 <ul><li>x</li></ul>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [(r["url"], r["list_pos"], r["ordered"], r["item_pos"],
+            r["item"])
+           for r in list_records(df)
+           .orderBy("url", "list_pos", "item_pos").collect()]
+    assert got == [
+        ("u1", 0, False, 0, "Alpha one"),
+        ("u1", 0, False, 1, "beta"),
+        ("u1", 1, True, 0, "step a"),
+        ("u1", 1, True, 1, "step b"),
+        ("u2", 0, False, 1, "plain kept"),   # hole at 0 (rich child)
+        # u3: outer block truncates at the INNER closer; items 'outer'
+        # and 'inner' both attribute to the one truncated outer block
+        ("u3", 0, False, 0, "outer"),
+        ("u3", 0, False, 1, "inner"),
+    ]

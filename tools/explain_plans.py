@@ -277,6 +277,10 @@ NOTES = {
     "media_links": "media-tag harvest + element/src extracts in one "
                    "map-side span — zero shuffle before the "
                    "presentation sort, zero UDF",
+    "list_items": "two chained regexp_extract_all + posexplode stages "
+                  "fuse into ONE map-side codegen span (the "
+                  "heading/table pattern) — zero shuffle before the "
+                  "presentation sort, zero UDF",
     "pagination": "link-tag harvest map-side; first-wins is an argmin "
                   "struct-min groupBy on url (map-side combined) — "
                   "the one shuffle",
@@ -337,6 +341,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "feed_items", "feed_discovery", "url_features",
             "readability", "host_gini", "template_spam",
             "image_captions", "media_links", "pagination",
+            "list_items",
             "extraction_pipeline"]
 
 
