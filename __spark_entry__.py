@@ -2376,6 +2376,50 @@ def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "alt_url"))
 
 
+_RDFA_SNIPPETS = [
+    "<div vocab='https://schema.org/' typeof='Product'>"
+    "<meta property='name' content=' RDFa  Widget '>"
+    "<span property=price>19.99</span></div>",
+    "<article typeof=Article>"
+    '<h2 property="headline"> RDFa\tHeadline </h2>'
+    "<meta property='og:type' content='article'></article>",
+    "<span property='empty'></span>"
+    "<span property='nested'><b>child only</b></span>"
+    "<span property='kept'> after  traps </span>",
+]
+
+
+def q_rdfa_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFa property mining (scrub.rdfa_records): the third
+    structured-data format, completing the JSON-LD / microdata / RDFa
+    trio. Corpus: the pages fixture with deterministic per-url
+    injections (md5 bucket: Product with meta-content precedence /
+    Article with header text + an og-vocab property / trap set with
+    empty value and child-only element; PDFs never injected nor
+    decoded). The oracle replays the flat whitespace-boundary
+    grammar, content-vs-text precedence, collapse and the gate over
+    DuckDB's blob-escape projection."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import rdfa_records
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_RDFA_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_RDFA_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_RDFA_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return (rdfa_records(corpus, scan_bytes=None)
+            .orderBy("url", "pos"))
+
+
 _MICRODATA_SNIPPETS = [
     "<div itemscope itemtype='https://schema.org/Product'>"
     "<meta itemprop='name' content=' Injected  Widget '>"
@@ -2789,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_links": q_media_links,
         "pagination": q_pagination,
         "list_items": q_list_items,
+        "rdfa_props": q_rdfa_props,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -5056,6 +5101,68 @@ def _pagination_oracle() -> str:
     """
 
 
+def _rdfa_props_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import (
+        _MD_CONTENT_VAL_RE, _MD_TEXT_RE, _RDFA_PROP_TAG_RE,
+        _RDFA_PROP_VAL_RE,
+    )
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _RDFA_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    gate = ("NOT LIKE '%' || chr(92) || '%' AND regexp_matches({c}, "
+            "'^[ -~]*$')")
+    return f"""
+        WITH pg AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT url, is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg),
+        ms AS (
+          SELECT url, regexp_extract_all({unesc},
+                 '{_sql_re(_RDFA_PROP_TAG_RE)}') AS arr
+          FROM inj WHERE is_html),
+        ex AS (
+          SELECT url, unnest(generate_series(1, len(arr))) - 1 AS pos,
+                 unnest(arr) AS m
+          FROM ms),
+        v AS (
+          SELECT url, pos::BIGINT AS pos,
+                 nullif(regexp_extract(m,
+                   '{_sql_re(_RDFA_PROP_VAL_RE)}', 1), '') AS prop,
+                 nullif(trim(regexp_replace(coalesce(
+                   nullif(regexp_extract(m,
+                     '{_sql_re(_MD_CONTENT_VAL_RE)}', 1), ''),
+                   regexp_extract(m, '{_sql_re(_MD_TEXT_RE)}', 1)),
+                   '[ \\t\\n\\r]+', ' ', 'g')), '') AS val
+          FROM ex),
+        g AS (
+          SELECT url, pos,
+                 CASE WHEN prop {gate.format(c='prop')}
+                      THEN prop END AS property,
+                 CASE WHEN val {gate.format(c='val')}
+                      THEN val END AS value
+          FROM v)
+        SELECT url, pos, property, value FROM g
+        WHERE property IS NOT NULL AND value IS NOT NULL
+        ORDER BY url, pos
+    """
+
+
 def _microdata_props_oracle() -> str:
     from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
     from ocr_engine_spark.functions.scrub import (
@@ -6776,6 +6883,7 @@ def _oracle_sql() -> dict[str, str]:
         "media_links": _media_links_oracle(),
         "pagination": _pagination_oracle(),
         "list_items": _list_items_oracle(),
+        "rdfa_props": _rdfa_props_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

@@ -1125,6 +1125,90 @@ def microdata_types(pages: DataFrame, *, url_col: str = "url",
 
 
 # ---------------------------------------------------------------------------
+# RDFa (property= / typeof=) — the third structured-data format
+# ---------------------------------------------------------------------------
+
+_RDFA_PROP_TAG_RE = (r"(?is)<[^>]*[ \t\n\r]property[ \t\n\r]*=[^>]*>"
+                     r"[^<]*")
+_RDFA_PROP_VAL_RE = (r'(?i)[ \t\n\r]property[ \t\n\r]*=[ \t\n\r]*'
+                     r'["\']?([^"\' \t\n\r>]+)')
+_RDFA_TYPEOF_VAL_RE = (r'(?i)<[^>]*[ \t\n\r]typeof[ \t\n\r]*=[ \t\n\r]*'
+                       r'["\']?([^"\' \t\n\r>]+)')
+
+
+def rdfa_records(pages: DataFrame, *, url_col: str = "url",
+                 html_col: str = "html",
+                 scan_bytes: int | None = 8192,
+                 ascii_only: bool = True) -> DataFrame:
+    """(url, pos, property, value) — every RDFa ``property``
+    declaration in document order: the THIRD structured-data format
+    next to ``jsonld_records`` and ``microdata_records`` (the three
+    cover schema.org's whole deployment; Open Graph is itself an RDFa
+    vocabulary, so ``og_metadata``'s fields reappear here — by
+    design, this is the generic miner, that is the typed fast path).
+
+    Same pinned FLAT grammar family as ``microdata_records`` with
+    ``property`` in place of ``itemprop``: value = the tag's
+    ``content`` attribute when present, else the immediate tag-free
+    trailing text; whitespace-collapsed, trimmed, empty -> ``pos``
+    holes; vocab prefixes (``og:``, ``schema:``) kept verbatim;
+    clean-printable gates under ``ascii_only``. One codegen'd
+    ``regexp_extract_all`` + map-side posexplode — zero shuffle,
+    zero UDF; engine-wide charset discipline."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    ms = F.when(is_html,
+                F.regexp_extract_all(head, F.lit(_RDFA_PROP_TAG_RE),
+                                     F.lit(0)))
+    e = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(ms).alias("pos", "__m"))
+    prop = F.nullif(F.regexp_extract("__m", _RDFA_PROP_VAL_RE, 1),
+                    F.lit(""))
+    content = F.nullif(F.regexp_extract("__m", _MD_CONTENT_VAL_RE, 1),
+                       F.lit(""))
+    text = F.regexp_extract("__m", _MD_TEXT_RE, 1)
+    value = F.nullif(F.trim(F.regexp_replace(
+        F.coalesce(content, text), r"[ \t\n\r]+", " ")), F.lit(""))
+    if ascii_only:
+        prop = F.when(prop.rlike(r"^[ -~]*$") & ~prop.contains("\\"),
+                      prop)
+        value = F.when(value.rlike(r"^[ -~]*$") & ~value.contains("\\"),
+                       value)
+    return (e.select("url", F.col("pos").cast("long").alias("pos"),
+                     prop.alias("property"), value.alias("value"))
+            .filter(F.col("property").isNotNull()
+                    & F.col("value").isNotNull()))
+
+
+def rdfa_types(pages: DataFrame, *, url_col: str = "url",
+               html_col: str = "html",
+               scan_bytes: int | None = 8192,
+               ascii_only: bool = True) -> DataFrame:
+    """(url, pos, type_of) — every RDFa ``typeof`` declaration: the
+    RDFa twin of ``microdata_types``/``jsonld_entities``' @type. Same
+    one-pass grammar/gate discipline."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    ms = F.when(is_html,
+                F.regexp_extract_all(head, F.lit(_RDFA_TYPEOF_VAL_RE),
+                                     F.lit(1)))
+    e = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(ms).alias("pos", "__t"))
+    t = F.nullif(F.trim("__t"), F.lit(""))
+    if ascii_only:
+        t = F.when(t.rlike(r"^[ -~]*$") & ~t.contains("\\"), t)
+    return (e.select("url", F.col("pos").cast("long").alias("pos"),
+                     t.alias("type_of"))
+            .filter(F.col("type_of").isNotNull()))
+
+
+# ---------------------------------------------------------------------------
 # hreflang alternates (multilingual mirrors / bitext candidate mining)
 # ---------------------------------------------------------------------------
 

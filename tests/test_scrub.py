@@ -792,3 +792,28 @@ def test_list_records(spark):
         ("u3", 0, False, 0, "outer"),
         ("u3", 0, False, 1, "inner"),
     ]
+
+
+def test_rdfa_records(spark):
+    from ocr_engine_spark.functions.scrub import rdfa_records, rdfa_types
+    rows = [
+        ("u1", b"<html><div vocab='https://schema.org/' typeof='Product'>"
+               b"<meta property='name' content=' RDFa  Widget '>"
+               b"<span property=price>19.99</span>"
+               b"<meta property='og:title' content='og is rdfa'></div>"),
+        ("u2", b"<html><span property='empty'></span>"
+               b"<span property='ok'>kept</span>"),
+        ("u3", b"%PDF-1.4 <span property='x'>y</span>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [(r["url"], r["pos"], r["property"], r["value"])
+           for r in rdfa_records(df).orderBy("url", "pos").collect()]
+    assert got == [
+        ("u1", 0, "name", "RDFa Widget"),
+        ("u1", 1, "price", "19.99"),
+        ("u1", 2, "og:title", "og is rdfa"),
+        ("u2", 1, "ok", "kept"),     # hole at 0
+    ]
+    ts = [(r["url"], r["pos"], r["type_of"])
+          for r in rdfa_types(df).orderBy("url", "pos").collect()]
+    assert ts == [("u1", 0, "Product")]

@@ -237,6 +237,9 @@ NOTES = {
                    "codegen'd regexp_extracts — zero shuffle, zero "
                    "UDF; same 64 KB-codegen caveat as page_metadata "
                    "on the oracle-harness injection variant only",
+    "rdfa_props": "tag harvest + per-match property/content/text "
+                   "extracts fuse into one map-side span — zero "
+                   "shuffle before the presentation sort, zero UDF",
     "microdata_props": "tag harvest + per-match prop/content/text "
                        "extracts fuse into one map-side "
                        "regexp_extract_all + posexplode span — zero "
@@ -341,7 +344,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "feed_items", "feed_discovery", "url_features",
             "readability", "host_gini", "template_spam",
             "image_captions", "media_links", "pagination",
-            "list_items",
+            "list_items", "rdfa_props",
             "extraction_pipeline"]
 
 
