@@ -1283,7 +1283,8 @@ def hreflang_records(pages: DataFrame, *, url_col: str = "url",
 def bitext_candidates(pages: DataFrame, *, url_col: str = "url",
                       html_col: str = "html", lang_col: str = "lang",
                       scan_bytes: int | None = 8192,
-                      ascii_only: bool = True) -> DataFrame:
+                      ascii_only: bool = True,
+                      resolve: bool = False) -> DataFrame:
     """(url, lang, alt_url, alt_hreflang, alt_lang) — in-corpus
     cross-language document pairs: each page's hreflang alternates
     joined back against the corpus itself, keeping targets that were
@@ -1296,10 +1297,22 @@ def bitext_candidates(pages: DataFrame, *, url_col: str = "url",
     sides hash-partition on the url key, sort-merge under AQE, no
     broadcast assumption (both sides are corpus-sized at 100 TB). A
     page declaring the same target in several link tags contributes
-    ONE candidate (distinct over the output columns)."""
+    ONE candidate (distinct over the output columns).
+
+    ``resolve=True`` resolves RELATIVE alternate hrefs against the
+    declaring page's url first (``linkgraph.resolve_url_col``, RFC
+    3986 §5 minus dot-segment normalization) — sites routinely write
+    ``href="/fr/page"`` — at the cost of the map-side resolution
+    expressions; the default keeps hrefs verbatim (only absolute
+    alternates can match, the oracle-pinned behavior)."""
     recs = hreflang_records(pages, url_col=url_col, html_col=html_col,
                             scan_bytes=scan_bytes,
                             ascii_only=ascii_only)
+    if resolve:
+        from ocr_engine_spark.functions.linkgraph import resolve_url_col
+        recs = (recs.withColumn(
+            "href", resolve_url_col(F.col("href"), F.col("url")))
+            .filter(F.col("href").isNotNull()))
     src = pages.select(F.col(url_col).alias("url"),
                        F.col(lang_col).alias("lang"))
     tgt = pages.select(F.col(url_col).alias("alt_url"),

@@ -817,3 +817,20 @@ def test_rdfa_records(spark):
     ts = [(r["url"], r["pos"], r["type_of"])
           for r in rdfa_types(df).orderBy("url", "pos").collect()]
     assert ts == [("u1", 0, "Product")]
+
+
+def test_bitext_candidates_resolve(spark):
+    """resolve=True: relative alternate hrefs resolve against the
+    declaring page before the corpus join."""
+    from ocr_engine_spark.functions.scrub import bitext_candidates
+    a_en = (b"<html>"
+            b"<link rel=alternate hreflang=fr href='/fr/a'>")  # relative
+    b_fr = b"<html><p>bonjour</p>"
+    rows = [("https://s/en/a", a_en, "en"),
+            ("https://s/fr/a", b_fr, "fr")]
+    df = spark.createDataFrame(rows, "url string, html binary, lang string")
+    # verbatim default: '/fr/a' matches no corpus url
+    assert bitext_candidates(df).count() == 0
+    got = [(r["url"], r["alt_url"], r["alt_lang"])
+           for r in bitext_candidates(df, resolve=True).collect()]
+    assert got == [("https://s/en/a", "https://s/fr/a", "fr")]
