@@ -2563,6 +2563,47 @@ _MEDIA_SNIPPETS = [
     "<source src='/after-srcless.mp4' type='video/mp4'>",
 ]
 
+_EMBED_SNIPPETS = [
+    "<iframe width=560 src='https://www.youtube.com/embed/xyz'>"
+    "</iframe><iframe sandbox></iframe>",
+    "<EMBED SRC='/flash.swf' TYPE='application/x'>"
+    "<iframe src=https://player.vimeo.com/video/123 allowfullscreen>",
+    "<iframe title='no source widget'></iframe>"
+    "<embed src='/after-hole.pdf'>",
+]
+
+
+def q_embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embed harvest (scrub.embed_links): every iframe/embed src —
+    platform-hosted media discovery (the YouTube-embed channel) and
+    an ad/widget density signal next to media_links' self-hosted
+    sources. Corpus: the pages fixture with deterministic per-url
+    injections (md5 bucket: youtube iframe + srcless hole /
+    UPPER-case embed + bare vimeo / titled hole then an embed; PDFs
+    never injected nor decoded). The oracle replays tag enumeration
+    with pos holes, the element extract, the src grammar and the
+    gate."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import embed_links
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_EMBED_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_EMBED_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_EMBED_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return (embed_links(corpus, scan_bytes=None)
+            .orderBy("url", "pos"))
+
+
 _PAGINATION_SNIPPETS = [
     "<link rel='next' href='/page/3'><link rel='prev' href='/page/1'>"
     "<link rel='next' href='/decoy-second-next'>",
@@ -2834,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination": q_pagination,
         "list_items": q_list_items,
         "rdfa_props": q_rdfa_props,
+        "embeds": q_embeds,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -4983,15 +5025,19 @@ def _list_items_oracle() -> str:
     """
 
 
-def _media_links_oracle() -> str:
+def _src_harvest_oracle(raw_snips: list[str], tag_re: str) -> str:
+    """Shared replay for the src-harvest family (media_links,
+    embed_links): tag enumeration with pos holes + element-name and
+    src extracts + clean-printable gate."""
     from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
     from ocr_engine_spark.functions.scrub import (
-        _IMG_SRC_RE, _MEDIA_KIND_RE, _MEDIA_TAG_RE,
+        _IMG_SRC_RE, _MEDIA_KIND_RE,
     )
     ensure_entry_fixture(_ENTRY_CORPUS)
     pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
-    snips = [s.replace("'", "''") for s in _MEDIA_SNIPPETS]
+    snips = [s.replace("'", "''") for s in raw_snips]
     unesc = _blob_ascii_unescape("html2::VARCHAR")
+    _MEDIA_TAG_RE = tag_re
     return f"""
         WITH pg AS (
           SELECT url, html,
@@ -5036,6 +5082,16 @@ def _media_links_oracle() -> str:
           AND regexp_matches(src, '^[ -~]*$')
         ORDER BY url, pos
     """
+
+
+def _media_links_oracle() -> str:
+    from ocr_engine_spark.functions.scrub import _MEDIA_TAG_RE
+    return _src_harvest_oracle(_MEDIA_SNIPPETS, _MEDIA_TAG_RE)
+
+
+def _embeds_oracle() -> str:
+    from ocr_engine_spark.functions.scrub import _EMBED_TAG_RE
+    return _src_harvest_oracle(_EMBED_SNIPPETS, _EMBED_TAG_RE)
 
 
 def _pagination_oracle() -> str:
@@ -6884,6 +6940,7 @@ def _oracle_sql() -> dict[str, str]:
         "pagination": _pagination_oracle(),
         "list_items": _list_items_oracle(),
         "rdfa_props": _rdfa_props_oracle(),
+        "embeds": _embeds_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

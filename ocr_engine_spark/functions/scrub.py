@@ -984,6 +984,41 @@ def media_links(pages: DataFrame, *, url_col: str = "url",
             .filter(F.col("src").isNotNull()))
 
 
+_EMBED_TAG_RE = r"(?i)<(?:iframe|embed)[ \t\n\r][^>]*>"
+
+
+def embed_links(pages: DataFrame, *, url_col: str = "url",
+                html_col: str = "html",
+                scan_bytes: int | None = 8192,
+                ascii_only: bool = True) -> DataFrame:
+    """(url, pos, tag, src) — every ``<iframe>``/``<embed>`` with a
+    ``src``: third-party embeds are how most video reaches the web
+    (the YouTube/Vimeo-embed discovery channel — ``media_links``
+    finds self-hosted media, this finds platform-hosted), and embed
+    density is itself an ad/widget page-quality signal. Same pinned
+    tag-enumeration grammar, pos holes, verbatim src and gate
+    discipline as ``media_links`` — one map-side pass, zero shuffle,
+    zero UDF."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    tags = F.when(is_html,
+                  F.regexp_extract_all(head, F.lit(_EMBED_TAG_RE),
+                                       F.lit(0)))
+    e = pages.select(F.col(url_col).alias("url"),
+                     F.posexplode(tags).alias("pos", "__t"))
+    src = F.nullif(F.regexp_extract("__t", _IMG_SRC_RE, 1), F.lit(""))
+    if ascii_only:
+        src = F.when(src.rlike(r"^[ -~]*$") & ~src.contains("\\"), src)
+    return (e.select("url", F.col("pos").cast("long").alias("pos"),
+                     F.lower(F.regexp_extract("__t", _MEDIA_KIND_RE,
+                                              1)).alias("tag"),
+                     src.alias("src"))
+            .filter(F.col("src").isNotNull()))
+
+
 def pagination_links(pages: DataFrame, *, url_col: str = "url",
                      html_col: str = "html",
                      scan_bytes: int | None = 8192,

@@ -834,3 +834,21 @@ def test_bitext_candidates_resolve(spark):
     got = [(r["url"], r["alt_url"], r["alt_lang"])
            for r in bitext_candidates(df, resolve=True).collect()]
     assert got == [("https://s/en/a", "https://s/fr/a", "fr")]
+
+
+def test_embed_links(spark):
+    from ocr_engine_spark.functions.scrub import embed_links
+    rows = [
+        ("u1", b"<html><iframe width=560 "
+               b"src='https://www.youtube.com/embed/xyz'></iframe>"
+               b"<iframe sandbox></iframe>"          # srcless hole
+               b"<EMBED SRC='/flash.swf' TYPE='application/x'>"),
+        ("u2", b"%PDF-1.4 <iframe src='/x'>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = [(r["url"], r["pos"], r["tag"], r["src"])
+           for r in embed_links(df).orderBy("url", "pos").collect()]
+    assert got == [
+        ("u1", 0, "iframe", "https://www.youtube.com/embed/xyz"),
+        ("u1", 2, "embed", "/flash.swf"),
+    ]

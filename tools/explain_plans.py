@@ -280,6 +280,9 @@ NOTES = {
     "media_links": "media-tag harvest + element/src extracts in one "
                    "map-side span — zero shuffle before the "
                    "presentation sort, zero UDF",
+    "embeds": "iframe/embed-tag harvest + element/src extracts in one "
+              "map-side span — zero shuffle before the presentation "
+              "sort, zero UDF",
     "list_items": "two chained regexp_extract_all + posexplode stages "
                   "fuse into ONE map-side codegen span (the "
                   "heading/table pattern) — zero shuffle before the "
@@ -344,7 +347,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "feed_items", "feed_discovery", "url_features",
             "readability", "host_gini", "template_spam",
             "image_captions", "media_links", "pagination",
-            "list_items", "rdfa_props",
+            "list_items", "rdfa_props", "embeds",
             "extraction_pipeline"]
 
 
