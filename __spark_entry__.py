@@ -1327,6 +1327,43 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_records(sitemaps).orderBy("url", "kind", "pos")
 
 
+_CHARSET_SNIPPETS = [
+    "<meta charset='ISO-8859-1'>",
+    "<meta http-equiv='Content-Type' "
+    "content='text/html; charset=Windows-1252'>",
+    "<meta charset = shift_jis >",
+]
+
+
+def q_charset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-encoding landscape (scrub.charset_report): first meta
+    charset token per page, lowercased, with (undeclared)/(binary)
+    buckets. Corpus: the pages fixture with per-url declaration
+    injections PREPENDED so first-match-wins overrides the
+    generator's uniform utf-8 (md5 bucket: quoted charset attr /
+    http-equiv content form / spaced bare value / untouched). The
+    oracle replays injection, the declaration grammar, lowercasing
+    and the bucketing."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import charset_report
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(_CHARSET_SNIPPETS[0])) \
+           .when(bucket == 1, F.lit(_CHARSET_SNIPPETS[1])) \
+           .when(bucket == 2, F.lit(_CHARSET_SNIPPETS[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
+             .otherwise(F.col("html"))
+    corpus = pages.select("url", html2.alias("html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return charset_report(corpus, scan_bytes=None)
+
+
 def q_template_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host template concentration (scrub.template_report): tag
     skeletons hashed to md5-int60, ONE (host, skeleton) count shuffle
@@ -2876,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_items": q_list_items,
         "rdfa_props": q_rdfa_props,
         "embeds": q_embeds,
+        "charset_report": q_charset_report,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -3800,6 +3838,47 @@ _READABILITY_ORACLE = """
     FROM d
     ORDER BY id
 """
+
+
+def _charset_report_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import _CHARSET_DECL_RE
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    snips = [s.replace("'", "''") for s in _CHARSET_SNIPPETS]
+    unesc = _blob_ascii_unescape("html2::VARCHAR")
+    return f"""
+        WITH pg0 AS (
+          SELECT url, html,
+                 ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
+                   AS bucket,
+                 substr(hex(html), 1, 2) = '3C' AS is_html
+          FROM read_parquet('{pages}')),
+        inj AS (
+          SELECT is_html,
+                 CASE
+                   WHEN is_html AND bucket = 0
+                     THEN encode('{snips[0]}') || html
+                   WHEN is_html AND bucket = 1
+                     THEN encode('{snips[1]}') || html
+                   WHEN is_html AND bucket = 2
+                     THEN encode('{snips[2]}') || html
+                   ELSE html
+                 END AS html2
+          FROM pg0),
+        pg AS (
+          SELECT is_html,
+                 nullif(lower(regexp_extract({unesc},
+                   '{_sql_re(_CHARSET_DECL_RE)}', 1)), '') AS decl
+          FROM inj),
+        b AS (
+          SELECT CASE WHEN NOT is_html THEN '(binary)'
+                      ELSE coalesce(decl, '(undeclared)') END
+                   AS charset
+          FROM pg)
+        SELECT charset, count(*)::BIGINT AS n_pages
+        FROM b GROUP BY charset ORDER BY charset
+    """
 
 
 def _template_spam_oracle() -> str:
@@ -6941,6 +7020,7 @@ def _oracle_sql() -> dict[str, str]:
         "list_items": _list_items_oracle(),
         "rdfa_props": _rdfa_props_oracle(),
         "embeds": _embeds_oracle(),
+        "charset_report": _charset_report_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

@@ -368,6 +368,34 @@ def host_concentration(pages: DataFrame, *, url_col: str = "url",
         .alias("gini_micro"))
 
 
+_CHARSET_DECL_RE = (r'(?i)<meta[^>]+charset[ \t\n\r]*=[ \t\n\r]*'
+                    r'["\']?[ \t\n\r]*([A-Za-z0-9_-]+)')
+
+
+def charset_report(pages: DataFrame, *, html_col: str = "html",
+                   scan_bytes: int | None = 4096) -> DataFrame:
+    """(charset, n_pages) — the corpus's declared-encoding landscape:
+    the first ``<meta charset=..>`` / ``http-equiv content-type``
+    charset token per page (the same declaration the extraction
+    kernel's sniff stage honors — kernels/html_extract.py — so this
+    report says which decode paths the corpus will exercise and how
+    much mojibake repair to expect). Lowercased, first match wins;
+    HTML without a declaration -> ``(undeclared)``; non-HTML payloads
+    -> ``(binary)``. One map-side extract + one count shuffle."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+    decl = F.nullif(F.lower(F.regexp_extract(
+        head, _CHARSET_DECL_RE, 1)), F.lit(""))
+    cs = F.when(~is_html, F.lit("(binary)")) \
+          .otherwise(F.coalesce(decl, F.lit("(undeclared)")))
+    return (pages.select(cs.alias("charset"))
+            .groupBy("charset").agg(F.count("*").alias("n_pages"))
+            .orderBy("charset"))
+
+
 def skeleton_col(html: Column, *, scan_bytes: int | None = 4096) -> Column:
     """Tag skeleton of an HTML payload: the bounded ISO-8859-1 prefix
     with every text run between tags dropped (``>text<`` -> ``><``)

@@ -852,3 +852,20 @@ def test_embed_links(spark):
         ("u1", 0, "iframe", "https://www.youtube.com/embed/xyz"),
         ("u1", 2, "embed", "/flash.swf"),
     ]
+
+
+def test_charset_report(spark):
+    from ocr_engine_spark.functions.scrub import charset_report
+    rows = [
+        ("u1", b"<html><meta charset='UTF-8'>"),
+        ("u2", b"<html><meta http-equiv='Content-Type' "
+               b"content='text/html; charset=ISO-8859-1'>"),
+        ("u3", b"<html><p>nothing declared</p>"),
+        ("u4", b"%PDF-1.4"),
+        ("u5", b"<html><meta charset=utf-8><meta charset=latin-1>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["charset"]: r["n_pages"]
+           for r in charset_report(df).collect()}
+    assert got == {"utf-8": 2, "iso-8859-1": 1,
+                   "(undeclared)": 1, "(binary)": 1}

@@ -283,6 +283,8 @@ NOTES = {
     "embeds": "iframe/embed-tag harvest + element/src extracts in one "
               "map-side span — zero shuffle before the presentation "
               "sort, zero UDF",
+    "charset_report": "one map-side declaration extract + bucketing, "
+                      "then a single map-side-combined count shuffle",
     "list_items": "two chained regexp_extract_all + posexplode stages "
                   "fuse into ONE map-side codegen span (the "
                   "heading/table pattern) — zero shuffle before the "
@@ -347,7 +349,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "feed_items", "feed_discovery", "url_features",
             "readability", "host_gini", "template_spam",
             "image_captions", "media_links", "pagination",
-            "list_items", "rdfa_props", "embeds",
+            "list_items", "rdfa_props", "embeds", "charset_report",
             "extraction_pipeline"]
 
 
