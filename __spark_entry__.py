@@ -1335,6 +1335,24 @@ _CHARSET_SNIPPETS = [
 ]
 
 
+def q_page_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-structure feature vector (scrub.page_features): the wide
+    per-url row a page-quality/page-type classifier consumes — every
+    feature a codegen'd regexp_count/rlike over ONE decoded prefix,
+    one map-side Project, zero explode/shuffle/UDF (the exploding
+    extractors are the drill-down surfaces). Run straight over the
+    pages fixture. The oracle replays every count grammar, flag and
+    the integer tags-per-KB density."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import page_features
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
+    return page_features(pages, scan_bytes=None).orderBy("url")
+
+
 def q_charset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-encoding landscape (scrub.charset_report): first meta
     charset token per page, lowercased, with (undeclared)/(binary)
@@ -2914,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_props": q_rdfa_props,
         "embeds": q_embeds,
         "charset_report": q_charset_report,
+        "page_features": q_page_features,
         "gopher_ngrams": q_gopher_ngrams,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_summary": q_corpus_drift_summary,
@@ -3838,6 +3857,70 @@ _READABILITY_ORACLE = """
     FROM d
     ORDER BY id
 """
+
+
+def _page_features_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    unesc = _blob_ascii_unescape("html::VARCHAR")
+
+    def cnt(pat: str) -> str:
+        p = pat.replace("'", "''")
+        return (f"CASE WHEN is_html THEN len(regexp_extract_all(h, "
+                f"'{p}')) ELSE 0 END::BIGINT")
+
+    def flag(pat: str) -> str:
+        p = pat.replace("'", "''")
+        return f"(is_html AND regexp_matches(h, '{p}'))"
+
+    c_head = cnt(r"(?i)<h[1-6][ \t\n\r>]")
+    c_tab = cnt(r"(?i)<table[ \t\n\r>]")
+    c_list = cnt(r"(?i)<[uo]l[ \t\n\r>]")
+    c_link = cnt(r"(?i)<a[ \t\n\r][^>]*href")
+    c_img = cnt(r"(?i)<img[ \t\n\r]")
+    c_media = cnt(r"(?i)<(?:video|audio|source|track)[ \t\n\r]")
+    c_embed = cnt(r"(?i)<(?:iframe|embed)[ \t\n\r]")
+    c_script = cnt(r"(?i)<script[ \t\n\r>]")
+    c_meta = cnt(r"(?i)<meta[ \t\n\r]")
+    c_tags = cnt(r"<[a-zA-Z]")
+    f_title = flag(r"(?i)<title[^>]*>")
+    f_canon = flag(r'(?i)<link[^>]*rel[ \t\n\r]*=[ \t\n\r]*'
+                   r'["\']?canonical')
+    f_jsonld = flag(r'(?i)type[ \t\n\r]*=[ \t\n\r]*'
+                    r'["\']?application/ld\+json')
+    return f"""
+        WITH pg AS (
+          SELECT url, {unesc} AS h,
+                 substr(hex(html), 1, 2) = '3C' AS is_html,
+                 octet_length(html)::BIGINT AS html_bytes
+          FROM read_parquet('{pages}')),
+        v AS (
+          SELECT url,
+                 {c_head} AS n_headings,
+                 {c_tab} AS n_tables,
+                 {c_list} AS n_lists,
+                 {c_link} AS n_links,
+                 {c_img} AS n_images,
+                 {c_media} AS n_media,
+                 {c_embed} AS n_embeds,
+                 {c_script} AS n_scripts,
+                 {c_meta} AS n_meta,
+                 {c_tags} AS n_tags,
+                 {f_title} AS has_title,
+                 {f_canon} AS has_canonical,
+                 {f_jsonld} AS has_jsonld,
+                 html_bytes
+          FROM pg)
+        SELECT url, n_headings, n_tables, n_lists, n_links, n_images,
+               n_media, n_embeds, n_scripts, n_meta, has_title,
+               has_canonical, has_jsonld, html_bytes,
+               CASE WHEN html_bytes > 0
+                    THEN n_tags * 1024000000 // html_bytes
+               END::BIGINT AS tags_per_kb_micro
+        FROM v
+        ORDER BY url
+    """
 
 
 def _charset_report_oracle() -> str:
@@ -7021,6 +7104,7 @@ def _oracle_sql() -> dict[str, str]:
         "rdfa_props": _rdfa_props_oracle(),
         "embeds": _embeds_oracle(),
         "charset_report": _charset_report_oracle(),
+        "page_features": _page_features_oracle(),
         "gopher_ngrams": _GOPHER_NGRAM_ORACLE,
         "corpus_drift": _DRIFT_ORACLE,
         "corpus_drift_summary": _DRIFT_SUMMARY_ORACLE,

@@ -53,7 +53,7 @@ HEADLINE = [
     "feed_items", "feed_discovery", "url_features",
     "readability", "host_gini", "template_spam", "image_captions",
     "media_links", "pagination", "list_items", "rdfa_props", "embeds",
-    "charset_report",
+    "charset_report", "page_features",
     "host_skew", "domain_blocklist", "robots_noindex", "robots_audit",
     "outlink_hosts", "host_pagerank", "host_harmonic", "anchor_terms",
     "crawl_frontier", "mirror_hosts",

@@ -839,6 +839,73 @@ def jsonld_entities(pages: DataFrame, **kwargs) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# page feature vector (the quality-classifier input row)
+# ---------------------------------------------------------------------------
+
+def page_features(pages: DataFrame, *, url_col: str = "url",
+                  html_col: str = "html",
+                  scan_bytes: int | None = 8192) -> DataFrame:
+    """One row per url of page-STRUCTURE features — the vector a
+    page-quality / page-type classifier consumes (``classify.nb_fit``
+    trains on exactly this kind of table; the per-family extractors
+    are the drill-down surfaces, this is the cheap wide scan).
+
+    Features (counts of the same pinned grammars the extractors use,
+    over the bounded ISO-8859-1 prefix decode): n_headings, n_tables,
+    n_lists, n_links (<a href), n_images, n_media, n_embeds,
+    n_scripts, n_meta, has_title, has_canonical, has_jsonld,
+    html_bytes, tags_per_kb_micro (opening tags per KB of payload,
+    integer micro: ``n_tags * 1024e6 div html_bytes``). Non-HTML
+    payloads -> all counts 0/false (html_bytes kept).
+
+    Scale shape: EVERY feature is a codegen'd ``regexp_count``/
+    ``rlike`` over the one decoded prefix — ONE map-side Project,
+    zero explode, zero shuffle, zero UDF. The exploding extractors
+    pay a Generate per family; this pays nothing, which is why the
+    classifier-facing wide table uses counts, not records."""
+    html = F.col(html_col)
+    prefix = html if scan_bytes is None else F.substring(html, 1,
+                                                         scan_bytes)
+    head = F.decode(prefix, "ISO-8859-1")
+    is_html = F.substring(html, 1, 1) == F.lit(b"<")
+
+    def cnt(pat: str) -> Column:
+        return F.when(is_html,
+                      F.regexp_count(head, F.lit(pat))) \
+                .otherwise(F.lit(0)).cast("long")
+
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        cnt(r"(?i)<h[1-6][ \t\n\r>]").alias("n_headings"),
+        cnt(r"(?i)<table[ \t\n\r>]").alias("n_tables"),
+        cnt(r"(?i)<[uo]l[ \t\n\r>]").alias("n_lists"),
+        cnt(r"(?i)<a[ \t\n\r][^>]*href").alias("n_links"),
+        cnt(r"(?i)<img[ \t\n\r]").alias("n_images"),
+        cnt(r"(?i)<(?:video|audio|source|track)[ \t\n\r]")
+        .alias("n_media"),
+        cnt(r"(?i)<(?:iframe|embed)[ \t\n\r]").alias("n_embeds"),
+        cnt(r"(?i)<script[ \t\n\r>]").alias("n_scripts"),
+        cnt(r"(?i)<meta[ \t\n\r]").alias("n_meta"),
+        cnt(r"<[a-zA-Z]").alias("__n_tags"),
+        (is_html & head.rlike(r"(?i)<title[^>]*>"))
+        .alias("has_title"),
+        (is_html & head.rlike(
+            r"(?i)<link[^>]*rel[ \t\n\r]*=[ \t\n\r]*"
+            r"[\"']?canonical")).alias("has_canonical"),
+        (is_html & head.rlike(r'(?i)type[ \t\n\r]*=[ \t\n\r]*["\']?'
+                              r'application/ld\+json'))
+        .alias("has_jsonld"),
+        F.length(html).cast("long").alias("html_bytes"))
+    return base.select(
+        "url", "n_headings", "n_tables", "n_lists", "n_links",
+        "n_images", "n_media", "n_embeds", "n_scripts", "n_meta",
+        "has_title", "has_canonical", "has_jsonld", "html_bytes",
+        F.when(F.col("html_bytes") > 0,
+               F.expr("__n_tags * 1024000000L div html_bytes"))
+        .alias("tags_per_kb_micro"))
+
+
+# ---------------------------------------------------------------------------
 # image alt-text pairs (the LAION image-caption mining seed)
 # ---------------------------------------------------------------------------
 

@@ -869,3 +869,32 @@ def test_charset_report(spark):
            for r in charset_report(df).collect()}
     assert got == {"utf-8": 2, "iso-8859-1": 1,
                    "(undeclared)": 1, "(binary)": 1}
+
+
+def test_page_features(spark):
+    from ocr_engine_spark.functions.scrub import page_features
+    h1 = (b"<html><head><title>T</title>"
+          b"<link rel='canonical' href='/c'>"
+          b"<script type='application/ld+json'>{}</script>"
+          b"<meta charset=utf-8></head><body>"
+          b"<h1>a</h1><h3>b</h3><table><tr><td>x</td></tr></table>"
+          b"<ul><li>i</li></ul><ol><li>j</li></ol>"
+          b"<a href='/1'>l</a><a name=anchor>no href</a>"
+          b"<img src='/i.png'><video src='/v'></video>"
+          b"<iframe src='/f'></iframe></body></html>")
+    rows = [("u1", h1), ("u2", b"%PDF-1.4 <h1>not html</h1>")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r.asDict() for r in page_features(df).collect()}
+    r = got["u1"]
+    assert (r["n_headings"], r["n_tables"], r["n_lists"]) == (2, 1, 2)
+    assert (r["n_links"], r["n_images"], r["n_media"],
+            r["n_embeds"]) == (1, 1, 1, 1)
+    assert r["n_scripts"] == 1 and r["n_meta"] == 1
+    assert r["has_title"] and r["has_canonical"] and r["has_jsonld"]
+    assert r["html_bytes"] == len(h1)
+    n_tags = sum(1 for i in range(len(h1) - 1)
+                 if h1[i:i+1] == b"<" and h1[i+1:i+2].isalpha())
+    assert r["tags_per_kb_micro"] == n_tags * 1024000000 // len(h1)
+    p = got["u2"]
+    assert p["n_headings"] == 0 and not p["has_title"]
+    assert p["html_bytes"] == len(rows[1][1])

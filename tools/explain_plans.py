@@ -285,6 +285,11 @@ NOTES = {
               "sort, zero UDF",
     "charset_report": "one map-side declaration extract + bucketing, "
                       "then a single map-side-combined count shuffle",
+    "page_features": "every feature a codegen'd regexp_count/rlike "
+                     "over ONE decoded prefix in ONE map-side Project "
+                     "— zero explode, zero shuffle, zero UDF; the "
+                     "classifier-facing wide table pays nothing where "
+                     "the record extractors pay a Generate",
     "list_items": "two chained regexp_extract_all + posexplode stages "
                   "fuse into ONE map-side codegen span (the "
                   "heading/table pattern) — zero shuffle before the "
@@ -350,6 +355,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "readability", "host_gini", "template_spam",
             "image_captions", "media_links", "pagination",
             "list_items", "rdfa_props", "embeds", "charset_report",
+            "page_features",
             "extraction_pipeline"]
 
 
