@@ -156,7 +156,7 @@ def main() -> None:
     docs_per_sec_heavy = round(n_hout / hdt, 2)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    detail = {
         "metric": "headline query suite wall time (extraction + relational"
                   " + dedup + similarity)",
         "value": total,
@@ -173,6 +173,33 @@ def main() -> None:
         "extraction_heavy_runs": hruns,
         "heavy_page_bytes": 32_000,
         "cpus": int(cpus),
+    }
+    # full per-query detail goes to a file: ~107 timings make one JSON
+    # line big enough that the driver's tail capture truncates it
+    # mid-object (BENCH_r03.json came back "parsed": null). The stdout
+    # line stays SHORT — suite total, flagship timings, throughput —
+    # and points at the detail file.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+    flagship = {k: timings[k] for k in
+                ("extraction_pipeline", "extraction_heavy",
+                 "pricing_summary", "minhash_near_dups", "kgram_dedup",
+                 "semantic_dedup", "ivf_topk", "host_pagerank",
+                 "bm25_topk", "pack_sequences") if k in timings}
+    print(json.dumps({
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": flagship,
+        "n_queries": len(timings),
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "docs_per_sec_heavy": docs_per_sec_heavy,
+        "cpus": int(cpus),
+        "detail_file": "BENCH_detail.json",
     }))
     spark.stop()
 

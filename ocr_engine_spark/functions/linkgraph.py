@@ -54,6 +54,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ocr_engine_spark.functions.portability import is_portable_ascii
 from ocr_engine_spark.functions.scrub import host_col
 
 #: shared Java/RE2 pattern: an ``<a>`` tag's (first) href value,
@@ -88,17 +89,13 @@ def strip_quotes_col(v: Column) -> Column:
 
 
 def clean_ascii_href(href: Column) -> Column:
-    """True for hrefs that are printable-ASCII with no backslash.
-
-    This is the PORTABILITY GATE that makes href extraction oracle-
-    checkable over DuckDB's blob escape projection: a raw high byte is
-    a Latin-1 char on the Spark side (fails printable-ASCII) and a
-    ``\\xNN`` escape on the DuckDB side (fails the no-backslash test);
-    a raw backslash fails on both; pure printable-ASCII hrefs — i.e.
-    every standards-valid URL reference — pass identically on both.
+    """True for non-empty hrefs that pass the shared portability gate
+    (printable-ASCII, no backslash) — see
+    :mod:`ocr_engine_spark.functions.portability` for why the gate is
+    the anchor-free negated-class form (Java ``$`` matches before a
+    trailing U+0085/U+2028/U+2029/newline; RE2 ``$`` does not).
     """
-    return (href.rlike(r"^[ -~]*$") & ~href.contains("\\")
-            & (href != F.lit("")))
+    return is_portable_ascii(href) & (href != F.lit(""))
 
 
 def outlink_hrefs_col(html: Column, *, scan_bytes: int | None = None
@@ -223,8 +220,7 @@ def anchor_term_profile(pages: DataFrame, *, url_col: str = "url",
     clean_ascii_href); the default keeps all text."""
     a = anchor_records(pages, url_col=url_col, html_col=html_col)
     if ascii_only:
-        a = a.where(F.col("anchor_text").rlike(r"^[ -~]*$")
-                    & ~F.col("anchor_text").contains("\\"))
+        a = a.where(is_portable_ascii(F.col("anchor_text")))
     toks = (a.select(host_col(F.col("target_url")).alias("dst_host"),
                      F.explode(F.split(F.lower(F.col("anchor_text")),
                                        r"[^a-z0-9]+")).alias("term"))

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ocr_engine_spark.functions.portability import portable_or_null
+
 _REGEX_SPECIALS = ".^$+?()[]{}|"  # escaped in patterns ('\\' first)
 
 
@@ -331,7 +333,9 @@ def feed_records(feeds: DataFrame, *, url_col: str = "url",
             .where(F.col("link").isNotNull()))
 
 
-_FEED_TYPE_RE = (r'(?i)type[ \t\n\r]*=[ \t\n\r]*'
+#: leading whitespace boundary (like scrub._IMG_SRC_RE) so data-type=
+#: never counts as a real type declaration
+_FEED_TYPE_RE = (r'(?i)[ \t\n\r]type[ \t\n\r]*=[ \t\n\r]*'
                  r'["\']?application/(?:rss|atom)\+xml')
 
 
@@ -363,8 +367,7 @@ def feed_links(pages: DataFrame, *, url_col: str = "url",
                      F.posexplode(tags).alias("pos", "__t"))
     href = F.nullif(F.regexp_extract("__t", _HREF_VAL_RE, 1), F.lit(""))
     if ascii_only:
-        href = F.when(href.rlike(r"^[ -~]*$") & ~href.contains("\\"),
-                      href)
+        href = portable_or_null(href)
     keep = F.col("__t").rlike(_FEED_TYPE_RE)
     return (e.select("url", F.col("pos").cast("long").alias("pos"),
                      F.when(keep, href).alias("feed_url"))

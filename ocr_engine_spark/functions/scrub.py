@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ocr_engine_spark.functions.portability import portable_or_null
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
@@ -207,7 +209,10 @@ def url_features(pages: DataFrame, *, url_col: str = "url") -> DataFrame:
     raw_path = F.regexp_extract(
         u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # anchored so a '?' INSIDE the fragment (…#a?x) is never read as a
+    # query — RFC 3986 defines no query there (the path regex already
+    # stops at '#'; this keeps the two in agreement)
+    query = F.regexp_extract(u, r"^[^?#]*\?([^#]*)", 1)
     base = pages.select(u.alias("url"),
                         path.alias("__path"), query.alias("__q"))
     p, q = F.col("__path"), F.col("__q")
@@ -363,8 +368,17 @@ def host_concentration(pages: DataFrame, *, url_col: str = "url",
         F.expr(f"sum(CASE WHEN rank > n - {int(top_k)} "
                f"THEN cnt ELSE 0 END) * 1000000L div sum(cnt)")
         .alias("topk_share_micro"),
-        F.expr("(2 * sum(rank * cnt) - (max(n) + 1) * sum(cnt))"
-               " * 1000000L div (max(n) * sum(cnt))")
+        # decimal(38,0) arithmetic: sum(rank*cnt) is bounded by
+        # n_hosts*n_pages, so the *1e6 numerator overflows int64 at
+        # the docstring's own target scale (1e5 hosts x 1e9 pages ->
+        # ~1e20) and non-ANSI long math would wrap SILENTLY. DuckDB's
+        # sum() is already HUGEINT, so decimal keeps both sides exact.
+        # Numerator is >= 0 (ascending-rank population Gini), so
+        # floor == the oracle's // truncation.
+        F.expr("cast(floor((2 * sum(cast(rank * cnt as decimal(38,0)))"
+               " - (max(n) + 1) * sum(cast(cnt as decimal(38,0))))"
+               " * 1000000 / (cast(max(n) as decimal(38,0))"
+               " * sum(cnt))) as long)")
         .alias("gini_micro"))
 
 
@@ -439,7 +453,7 @@ def template_report(pages: DataFrame, *, url_col: str = "url",
     xxhash64 over raw bytes and skip the gate (the simhash rule)."""
     from ocr_engine_spark.functions.text import md5_int60_col
     skel = skeleton_col(F.col(html_col), scan_bytes=scan_bytes)
-    skel = F.when(skel.rlike(r"^[ -~]*$") & ~skel.contains("\\"), skel)
+    skel = portable_or_null(skel)
     sk = md5_int60_col(skel)
     per = (pages.select(host_col(F.col(url_col)).alias("host"),
                         sk.alias("__skel"))
@@ -544,7 +558,7 @@ def _head_field(head: Column, pattern: str, *,
         F.regexp_extract(head, pattern, 1),
         r"[ \t\n\r]+", " ")), F.lit(""))
     if ascii_only:
-        v = F.when(v.rlike(r"^[ -~]*$") & ~v.contains("\\"), v)
+        v = portable_or_null(v)
     return v
 
 
@@ -631,7 +645,7 @@ def heading_records(pages: DataFrame, *, url_col: str = "url",
         F.regexp_extract("m", _HEADING_RE, 2),
         r"[ \t\n\r]+", " ")), F.lit(""))
     if ascii_only:
-        txt = F.when(txt.rlike(r"^[ -~]*$") & ~txt.contains("\\"), txt)
+        txt = portable_or_null(txt)
     return (e.select("url", F.col("pos").cast("long").alias("pos"),
                      level.alias("level"), txt.alias("heading"))
             .filter(F.col("heading").isNotNull()))
@@ -723,7 +737,7 @@ def table_records(pages: DataFrame, *, url_col: str = "url",
         F.regexp_extract("__m", _TABLE_CELL_RE, 2),
         r"[ \t\n\r]+", " ")), F.lit(""))
     if ascii_only:
-        txt = F.when(txt.rlike(r"^[ -~]*$") & ~txt.contains("\\"), txt)
+        txt = portable_or_null(txt)
     return (c.select("url",
                      F.col("table_pos").cast("long").alias("table_pos"),
                      F.col("row_pos").cast("long").alias("row_pos"),
@@ -798,8 +812,7 @@ def jsonld_records(pages: DataFrame, *, url_col: str = "url",
                      F.posexplode(blocks).alias("pos", "__p"))
     payload = F.nullif(F.trim("__p"), F.lit(""))
     if ascii_only:
-        payload = F.when(payload.rlike(r"^[ -~]*$")
-                         & ~payload.contains("\\"), payload)
+        payload = portable_or_null(payload)
     return (e.select("url", F.col("pos").cast("long").alias("pos"),
                      payload.alias("payload"))
             .filter(F.col("payload").isNotNull()))
@@ -960,8 +973,8 @@ def image_captions(pages: DataFrame, *, url_col: str = "url",
         r"[ \t\n\r]+", " ")), F.lit(""))
     alt = F.when(F.length(alt) >= int(min_alt_len), alt)
     if ascii_only:
-        src = F.when(src.rlike(r"^[ -~]*$") & ~src.contains("\\"), src)
-        alt = F.when(alt.rlike(r"^[ -~]*$") & ~alt.contains("\\"), alt)
+        src = portable_or_null(src)
+        alt = portable_or_null(alt)
     return (e.select("url", F.col("pos").cast("long").alias("pos"),
                      src.alias("src"), alt.alias("alt"))
             .filter(F.col("src").isNotNull() & F.col("alt").isNotNull()))
@@ -1025,8 +1038,7 @@ def list_records(pages: DataFrame, *, url_col: str = "url",
     item = F.nullif(F.trim(F.regexp_replace(
         F.col("__i"), r"[ \t\n\r]+", " ")), F.lit(""))
     if ascii_only:
-        item = F.when(item.rlike(r"^[ -~]*$") & ~item.contains("\\"),
-                      item)
+        item = portable_or_null(item)
     return (i.select("url",
                      F.col("list_pos").cast("long").alias("list_pos"),
                      "ordered",
@@ -1041,7 +1053,9 @@ def list_records(pages: DataFrame, *, url_col: str = "url",
 
 _MEDIA_TAG_RE = r"(?i)<(?:video|audio|source|track)[ \t\n\r][^>]*>"
 _MEDIA_KIND_RE = r"(?i)^<([a-z]+)"
-_PAGINATION_REL_RE = (r'(?i)rel[ \t\n\r]*=[ \t\n\r]*'
+#: leading whitespace boundary (like _IMG_SRC_RE) so data-rel= etc.
+#: never counts as a real rel declaration
+_PAGINATION_REL_RE = (r'(?i)[ \t\n\r]rel[ \t\n\r]*=[ \t\n\r]*'
                       r'["\']?(next|prev)(?:["\' \t\n\r/>]|$)')
 
 
@@ -1071,7 +1085,7 @@ def media_links(pages: DataFrame, *, url_col: str = "url",
                      F.posexplode(tags).alias("pos", "__t"))
     src = F.nullif(F.regexp_extract("__t", _IMG_SRC_RE, 1), F.lit(""))
     if ascii_only:
-        src = F.when(src.rlike(r"^[ -~]*$") & ~src.contains("\\"), src)
+        src = portable_or_null(src)
     return (e.select("url", F.col("pos").cast("long").alias("pos"),
                      F.lower(F.regexp_extract("__t", _MEDIA_KIND_RE,
                                               1)).alias("tag"),
@@ -1106,7 +1120,7 @@ def embed_links(pages: DataFrame, *, url_col: str = "url",
                      F.posexplode(tags).alias("pos", "__t"))
     src = F.nullif(F.regexp_extract("__t", _IMG_SRC_RE, 1), F.lit(""))
     if ascii_only:
-        src = F.when(src.rlike(r"^[ -~]*$") & ~src.contains("\\"), src)
+        src = portable_or_null(src)
     return (e.select("url", F.col("pos").cast("long").alias("pos"),
                      F.lower(F.regexp_extract("__t", _MEDIA_KIND_RE,
                                               1)).alias("tag"),
@@ -1138,8 +1152,7 @@ def pagination_links(pages: DataFrame, *, url_col: str = "url",
     rel = F.lower(F.regexp_extract("__t", _PAGINATION_REL_RE, 1))
     href = F.nullif(F.regexp_extract("__t", _HREF_VAL_RE, 1), F.lit(""))
     if ascii_only:
-        href = F.when(href.rlike(r"^[ -~]*$") & ~href.contains("\\"),
-                      href)
+        href = portable_or_null(href)
     per = e.select("url", rel.alias("__rel"), href.alias("__href"),
                    F.col("__p"))
     agg = (per.where((F.col("__rel") != "") & F.col("__href").isNotNull())
@@ -1216,10 +1229,8 @@ def microdata_records(pages: DataFrame, *, url_col: str = "url",
     value = F.nullif(F.trim(F.regexp_replace(
         F.coalesce(content, text), r"[ \t\n\r]+", " ")), F.lit(""))
     if ascii_only:
-        prop = F.when(prop.rlike(r"^[ -~]*$") & ~prop.contains("\\"),
-                      prop)
-        value = F.when(value.rlike(r"^[ -~]*$") & ~value.contains("\\"),
-                       value)
+        prop = portable_or_null(prop)
+        value = portable_or_null(value)
     return (e.select("url", F.col("pos").cast("long").alias("pos"),
                      prop.alias("itemprop"), value.alias("value"))
             .filter(F.col("itemprop").isNotNull()
@@ -1248,7 +1259,7 @@ def microdata_types(pages: DataFrame, *, url_col: str = "url",
                      F.posexplode(ms).alias("pos", "__t"))
     t = F.nullif(F.trim("__t"), F.lit(""))
     if ascii_only:
-        t = F.when(t.rlike(r"^[ -~]*$") & ~t.contains("\\"), t)
+        t = portable_or_null(t)
     return (e.select("url", F.col("pos").cast("long").alias("pos"),
                      t.alias("itemtype"))
             .filter(F.col("itemtype").isNotNull()))
@@ -1303,10 +1314,8 @@ def rdfa_records(pages: DataFrame, *, url_col: str = "url",
     value = F.nullif(F.trim(F.regexp_replace(
         F.coalesce(content, text), r"[ \t\n\r]+", " ")), F.lit(""))
     if ascii_only:
-        prop = F.when(prop.rlike(r"^[ -~]*$") & ~prop.contains("\\"),
-                      prop)
-        value = F.when(value.rlike(r"^[ -~]*$") & ~value.contains("\\"),
-                       value)
+        prop = portable_or_null(prop)
+        value = portable_or_null(value)
     return (e.select("url", F.col("pos").cast("long").alias("pos"),
                      prop.alias("property"), value.alias("value"))
             .filter(F.col("property").isNotNull()
@@ -1332,7 +1341,7 @@ def rdfa_types(pages: DataFrame, *, url_col: str = "url",
                      F.posexplode(ms).alias("pos", "__t"))
     t = F.nullif(F.trim("__t"), F.lit(""))
     if ascii_only:
-        t = F.when(t.rlike(r"^[ -~]*$") & ~t.contains("\\"), t)
+        t = portable_or_null(t)
     return (e.select("url", F.col("pos").cast("long").alias("pos"),
                      t.alias("type_of"))
             .filter(F.col("type_of").isNotNull()))
@@ -1343,11 +1352,14 @@ def rdfa_types(pages: DataFrame, *, url_col: str = "url",
 # ---------------------------------------------------------------------------
 
 _LINK_TAG_RE = r"(?i)<link[^>]*>"
-_REL_ALTERNATE_RE = (r'(?i)rel[ \t\n\r]*=[ \t\n\r]*'
+#: all three carry the leading whitespace boundary (like _IMG_SRC_RE)
+#: so data-rel= / data-hreflang= / data-href= never count as real
+#: declarations
+_REL_ALTERNATE_RE = (r'(?i)[ \t\n\r]rel[ \t\n\r]*=[ \t\n\r]*'
                      r'["\']?alternate(?:["\' \t\n\r/>]|$)')
-_HREFLANG_VAL_RE = (r'(?i)hreflang[ \t\n\r]*=[ \t\n\r]*'
+_HREFLANG_VAL_RE = (r'(?i)[ \t\n\r]hreflang[ \t\n\r]*=[ \t\n\r]*'
                     r'["\']?([^"\' \t\n\r>]+)')
-_HREF_VAL_RE = (r'(?i)href[ \t\n\r]*=[ \t\n\r]*'
+_HREF_VAL_RE = (r'(?i)[ \t\n\r]href[ \t\n\r]*=[ \t\n\r]*'
                 r'["\']?([^"\' \t\n\r>]+)')
 
 
@@ -1398,10 +1410,8 @@ def hreflang_records(pages: DataFrame, *, url_col: str = "url",
         F.regexp_extract("__t", _HREFLANG_VAL_RE, 1)), F.lit(""))
     href = F.nullif(F.regexp_extract("__t", _HREF_VAL_RE, 1), F.lit(""))
     if ascii_only:
-        lang = F.when(lang.rlike(r"^[ -~]*$") & ~lang.contains("\\"),
-                      lang)
-        href = F.when(href.rlike(r"^[ -~]*$") & ~href.contains("\\"),
-                      href)
+        lang = portable_or_null(lang)
+        href = portable_or_null(href)
     keep = F.col("__t").rlike(_REL_ALTERNATE_RE)
     return (e.select("url", F.col("pos").cast("long").alias("pos"),
                      F.when(keep, lang).alias("hreflang"),

@@ -24,8 +24,10 @@ resolution touches only the (tiny) above-threshold pair set. The
 quadratic within-cell cost is inherent to the published algorithm —
 size ``n_centroids`` so the expected cell holds a bounded row count
 (the paper uses 110k clusters for LAION-440M, ~4k rows/cell); a skewed
-hot cell is bounded the same way a skewed join key is: raise k or
-re-split oversized cells before pairing (``max_cell_rows`` guard).
+hot cell is bounded the same way a skewed join key is: raise k, or
+pass ``max_cell_rows`` so ``within_cell_pairs`` re-splits oversized
+cells by a secondary id-hash before pairing (implemented there;
+planted-hot-cell test in tests/test_semdedup.py).
 
 Reference motif: the keep-one guard A7 (``dropDuplicates``,
 SURVEY.md §2.5) lifted to semantic near-duplicates, same as
@@ -60,18 +62,42 @@ def _unit_centroid_lit(centroids: list[tuple[int, list[float]]]):
     return F.array(*arrs)
 
 
-def within_cell_pairs(scored: DataFrame, threshold: float) -> DataFrame:
+def within_cell_pairs(scored: DataFrame, threshold: float, *,
+                      max_cell_rows: int | None = None) -> DataFrame:
     """(id_a, id_b, cosine) for every within-cell pair at ``cosine >=
     threshold``. ``scored`` is (id, v: array<double>, cell, ...). ONE
-    equi-join shuffle on ``cell`` — never a cross join (plan-asserted
-    in tests); the Arrow-batched pair cosine runs only on same-cell
-    candidates."""
-    l = scored.select("cell", F.col("id").alias("id_a"),
-                      F.col("v").alias("va"))
-    r = scored.select("cell", F.col("id").alias("id_b"),
-                      F.col("v").alias("vb"))
+    equi-join shuffle on the cell key — never a cross join
+    (plan-asserted in tests); the Arrow-batched pair cosine runs only
+    on same-cell candidates.
+
+    ``max_cell_rows`` is the HOT-CELL guard: a cell whose row count
+    exceeds the bound is re-split by a secondary hash of the id into
+    ``ceil(n / max_cell_rows)`` sub-cells, and members pair only
+    WITHIN a sub-cell. This bounds the candidate-pair count of any one
+    key at ~``max_cell_rows``²/2 instead of n²/2 — the same move as
+    salting a skewed join key. The trade is recall: duplicates split
+    across sub-cells are missed, exactly as the paper's ``k`` governs
+    which duplicates share a cluster at all (raising k and re-splitting
+    a hot cell are the same approximation). The per-cell count table is
+    n_centroids rows — broadcast, no extra pages-sized shuffle."""
+    keyed = scored
+    key = ["cell"]
+    if max_cell_rows is not None:
+        counts = scored.groupBy("cell").agg(F.count("*").alias("__n"))
+        n_sub = F.ceil(F.col("__n") / F.lit(int(max_cell_rows))) \
+                 .cast("long")
+        sub = F.when(F.col("__n") <= F.lit(int(max_cell_rows)),
+                     F.lit(0).cast("long")) \
+               .otherwise(F.pmod(F.xxhash64(F.col("id")), n_sub))
+        keyed = (scored.join(F.broadcast(counts), "cell")
+                 .withColumn("__subcell", sub).drop("__n"))
+        key = ["cell", "__subcell"]
+    l = keyed.select(*key, F.col("id").alias("id_a"),
+                     F.col("v").alias("va"))
+    r = keyed.select(*key, F.col("id").alias("id_b"),
+                     F.col("v").alias("vb"))
     pair_cos = cosine_pairs_udf()(F.col("va"), F.col("vb"))
-    return (l.join(r, "cell")
+    return (l.join(r, key)
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.round(pair_cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
@@ -85,7 +111,9 @@ def semantic_dedup_decisions(embeddings: DataFrame, *,
                              refine_iters: int = 2,
                              centroids: list[tuple[int, list[float]]]
                              | None = None,
-                             max_iter: int = 20) -> DataFrame:
+                             max_iter: int = 20,
+                             max_cell_rows: int | None = None
+                             ) -> DataFrame:
     """(id, cell, cluster_id, centroid_cosine, keep) for every row that
     participates in at least one within-cell pair at ``cosine >=
     threshold``. Rows with no semantic duplicate are ABSENT (absent ==
@@ -120,7 +148,8 @@ def semantic_dedup_decisions(embeddings: DataFrame, *,
               .select(F.col(id_col).alias("id"), v.alias("v"), "cell",
                       cent_cos.alias("centroid_cosine"))
               .persist())
-    pairs = within_cell_pairs(scored, threshold)
+    pairs = within_cell_pairs(scored, threshold,
+                              max_cell_rows=max_cell_rows)
     comp = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
     w = (Window.partitionBy("cluster_id")
          .orderBy(F.col("centroid_cosine").asc(), F.col(id_col).asc()))
@@ -136,7 +165,8 @@ def semantic_dedup_decisions(embeddings: DataFrame, *,
 def semantic_dedup(embeddings: DataFrame, *,
                    n_centroids: int = 8, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   refine_iters: int = 2, max_iter: int = 20) -> DataFrame:
+                   refine_iters: int = 2, max_iter: int = 20,
+                   max_cell_rows: int | None = None) -> DataFrame:
     """End-to-end SemDeDup: drop every row whose duplicate set elected a
     different exemplar. Rows without a semantic duplicate pass through
     untouched — the corpus left-anti-joins only the LOSER set (which is
@@ -144,7 +174,7 @@ def semantic_dedup(embeddings: DataFrame, *,
     losers = (semantic_dedup_decisions(
         embeddings, n_centroids=n_centroids, threshold=threshold,
         id_col=id_col, vec_col=vec_col, refine_iters=refine_iters,
-        max_iter=max_iter)
+        max_iter=max_iter, max_cell_rows=max_cell_rows)
         .filter(~F.col("keep"))
         .select(F.col(id_col)))
     return embeddings.join(losers, id_col, "left_anti")

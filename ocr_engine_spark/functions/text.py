@@ -372,7 +372,9 @@ def readability_profile(df, *, id_col: str = "doc_id",
       * ``n_words`` = 1 + number of ``[ \\t\\n\\r]+`` runs inside the
         trimmed text; empty/whitespace-only text -> 0 words, ratio
         columns NULL;
-      * ``n_chars`` = octet length with ALL whitespace removed;
+      * ``n_chars`` = CHARACTER (code-point) count with ALL whitespace
+        removed — both F.length and DuckDB length() count code points,
+        not octets;
       * ``wps_micro = n_words * 1e6 div n_sentences``; ``cpw_micro =
         n_chars * 1e6 div n_words``; ``ari_micro = 4710000 * n_chars
         div n_words + 500000 * n_words div n_sentences - 21430000``

@@ -16,11 +16,16 @@ raw_text_ground_truth.json:28``), we parse the PDF text layer directly:
      gap > 1.8x leading splits a block)
   4. page texts joined with '\\n\\n--- PAGE BREAK ---\\n\\n' byte-exactly
 
-Scope: uncompressed or FlateDecode (zlib) streams, literal strings,
-Latin-1 text — the deterministic fixture corpus emits the former; real
-crawled PDFs near-universally use the latter. Anything else degrades to
-an error record, never an exception (errors-are-data,
-surya_service.py:150-158).
+Scope: uncompressed or FlateDecode (zlib) streams; literal ``(...)``
+AND hex ``<...>`` show-text strings (PDF 32000 §7.3.4.2/§7.3.4.3,
+hex bytes read as Latin-1 — CMap-mapped multi-byte text is out of
+scope); PDF-1.5 object streams (``/Type /ObjStm``, §7.5.7) expanded so
+page-tree dicts packed by post-2005 writers resolve — content streams
+themselves can never live inside an ObjStm, so the text path is
+unchanged. The deterministic fixture corpus emits the uncompressed
+subset; real crawled PDFs near-universally use Flate + ObjStm.
+Anything else degrades to an error record, never an exception
+(errors-are-data, surya_service.py:150-158).
 """
 
 from __future__ import annotations
@@ -45,8 +50,13 @@ _PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
 # content-stream tokens we understand
 _NUM = rb"[-+]?\d*\.?\d+"
 _STR = rb"\((?:[^()\\]|\\.)*\)"
+# hex string §7.3.4.3: whitespace allowed between digits; `<<` (dict
+# open) can never match because the char after the first `<` must be a
+# hex digit / whitespace and the string must close with a single `>`
+_HEX = rb"<[0-9A-Fa-f \t\r\n]*>"
 _TOK_RE = re.compile(
     _STR                          # literal string
+    + rb"|" + _HEX                # hex string
     + rb"|/[A-Za-z0-9_.]+"        # name
     + rb"|" + _NUM                # number
     + rb"|[A-Za-z'\"*]+"          # operator
@@ -65,6 +75,7 @@ _FAST_RE = re.compile(
     rb"|(?P<tdx>" + _NUM + rb")\s+(?P<tdy>" + _NUM
     + rb")\s+T[dD]\s*(?P<tds>" + _STR + rb")\s*Tj"
     rb"|" + _STR
+    + rb"|" + _HEX
     + rb"|/[A-Za-z0-9_.]+"
     + rb"|" + _NUM
     + rb"|[A-Za-z'\"*]+"
@@ -97,6 +108,16 @@ def _unescape_pdf_string(raw: bytes) -> str:
             out.append(n); i += 2; continue
         out.append(c); i += 1
     return out.decode("latin-1")
+
+
+def _decode_hex_string(raw: bytes) -> str:
+    """Decode a ``<...>`` hex string body (PDF 32000 §7.3.4.3):
+    whitespace ignored, an odd trailing digit reads as if followed by
+    0; bytes as Latin-1 (CMap-mapped text out of scope)."""
+    digits = b"".join(raw.split())
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
 
 
 def _parse_content_stream(data: bytes) -> list[tuple[float, float, float, str]]:
@@ -135,6 +156,8 @@ def _parse_content_stream(data: bytes) -> list[tuple[float, float, float, str]]:
         c = tok[0]
         if c == 0x28:  # '('
             append(_unescape_pdf_string(tok[1:-1]))
+        elif c == 0x3C:  # '<' hex string
+            append(_decode_hex_string(tok[1:-1]))
         elif c == 0x2F:  # '/'
             append(tok)
         elif 0x30 <= c <= 0x39 or c == 0x2D or c == 0x2B or c == 0x2E:
@@ -242,6 +265,41 @@ def _resolve_stream(obj_body: bytes) -> bytes:
     return data
 
 
+_OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """Unpack PDF-1.5 object streams (§7.5.7) into ``objs`` in place.
+
+    An ObjStm's decoded stream starts with ``/N`` pairs of
+    ``objnum offset`` integers; each embedded object's body runs from
+    ``/First + offset`` to the next offset (dicts only — the spec
+    forbids streams inside an ObjStm, so page CONTENT streams always
+    stay directly scannable and only page-tree/catalog dicts arrive
+    here). Direct ``N 0 obj`` definitions win over packed ones
+    (setdefault), matching incremental-update precedence for the
+    common writer layout."""
+    for body in list(objs.values()):
+        if not _OBJSTM_TYPE_RE.search(body):
+            continue
+        nm = _OBJSTM_N_RE.search(body)
+        fm = _OBJSTM_FIRST_RE.search(body)
+        if not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        data = _resolve_stream(body)
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                 for i in range(n)]
+        for i, (oid, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(data) - first
+            objs.setdefault(oid, data[first + off:first + end])
+
+
 def extract_pdf(payload: bytes) -> dict:
     """Extract text + spans from one PDF payload.
 
@@ -254,6 +312,8 @@ def extract_pdf(payload: bytes) -> dict:
         objs: dict[int, bytes] = {
             int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)
         }
+        if b"/ObjStm" in payload:  # cheap gate: §7.5.7 packed dicts
+            _expand_object_streams(objs)
         # page order from the /Pages /Kids array (NOT file byte order)
         page_ids: list[int] = []
         for body in objs.values():

@@ -9,7 +9,9 @@ from ocr_engine_spark.fixtures.gen_pages import (
 from ocr_engine_spark.kernels.clean import clean_text
 from ocr_engine_spark.kernels.fields import detect_provider, extract_fields
 from ocr_engine_spark.kernels.html_extract import extract_html, sniff_decode
-from ocr_engine_spark.kernels.pdf_extract import PAGE_BREAK, extract_pdf
+from ocr_engine_spark.kernels.pdf_extract import (
+    _OBJ_RE, PAGE_BREAK, extract_pdf,
+)
 
 
 def test_html_basic_boilerplate_removal():
@@ -231,3 +233,115 @@ def test_pdf_corrupt_flate_stream_is_error_record():
     r = extract_pdf(pdf)
     assert r["status"] == "error"
     assert r["text"] is None
+
+
+def test_pdf_hex_show_strings():
+    """`<hex> Tj` show-text (PDF 32000 §7.3.4.3): whitespace between
+    digits ignored, odd trailing digit reads as if followed by 0."""
+    # "Hi!" = 48 69 21 ; "p" = 70, odd-digit form "7" -> 0x70
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< >>\nstream\nBT /F1 12 Tf 72 700 Td <48 69\n21> Tj "
+           b"0 -20 Td <7> Tj ET\nendstream\nendobj\n")
+    r = extract_pdf(pdf)
+    assert r["status"] == "success"
+    assert r["text"] == "Hi!\np"
+
+
+def test_pdf_hex_string_equivalent_to_literal():
+    """A fixture PDF rewritten to hex show strings extracts
+    byte-identically to its literal-string twin."""
+    import re as _re
+    rng = random.Random(31)
+    for _ in range(3):
+        pages = make_pdf_blocks(rng)
+        payload = make_pdf(pages, rng)
+
+        def hexify(m):
+            body = m.group(0)[1:-1]
+            # only escape-free literals hexify trivially; fixture
+            # strings are escape-free by construction
+            assert b"\\" not in body
+            return b"<" + body.hex().encode() + b">"
+
+        hexed = _re.sub(rb"\((?:[^()\\]|\\.)*\)", hexify, payload)
+        assert hexed != payload
+        plain, hx = extract_pdf(payload), extract_pdf(hexed)
+        assert plain["status"] == hx["status"] == "success"
+        assert hx["text"] == plain["text"] == expected_pdf_text(pages)
+        assert hx["spans"] == plain["spans"]
+
+
+def _objstm_pack_pdf(payload: bytes) -> bytes:
+    """Repack every NON-stream object (catalog/pages/page dicts) of a
+    fixture PDF into one FlateDecode'd /Type /ObjStm object — the
+    PDF-1.5 writer layout (§7.5.7). Stream objects (page contents)
+    stay direct, as the spec requires."""
+    import re as _re
+    import zlib as _zlib
+    dicts, streams = [], []
+    max_oid = 0
+    for m in _OBJ_RE.finditer(payload):
+        oid, body = int(m.group(1)), m.group(2)
+        max_oid = max(max_oid, oid)
+        (streams if b"stream" in body else dicts).append((oid, body))
+    assert dicts and streams
+    bodies = [b.strip() for _, b in dicts]
+    offs, pos = [], 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    header = b" ".join(b"%d %d" % (oid, off)
+                       for (oid, _), off in zip(dicts, offs)) + b" "
+    data = header + b" ".join(bodies) + b" "
+    first = len(header)
+    comp = _zlib.compress(data)
+    out = [b"%PDF-1.5\n"]
+    stm_oid = max_oid + 1
+    out.append(b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d "
+               b"/Filter /FlateDecode >>\nstream\n" %
+               (stm_oid, len(dicts), first))
+    out.append(comp)
+    out.append(b"\nendstream\nendobj\n")
+    for oid, body in streams:
+        out.append(b"%d 0 obj" % oid)
+        out.append(body)
+        out.append(b"endobj\n")
+    return b"".join(out)
+
+
+def test_pdf_objstm_packed_page_tree_matches_direct():
+    """A PDF-1.5 variant with catalog/pages/page dicts packed into a
+    compressed object stream extracts byte-identically to the direct
+    layout (VERDICT r03 'What's missing' #3)."""
+    rng = random.Random(37)
+    for _ in range(3):
+        pages = make_pdf_blocks(rng)
+        payload = make_pdf(pages, rng)
+        packed = _objstm_pack_pdf(payload)
+        plain, ob = extract_pdf(payload), extract_pdf(packed)
+        assert plain["status"] == ob["status"] == "success"
+        assert ob["text"] == plain["text"] == expected_pdf_text(pages)
+        assert ob["spans"] == plain["spans"]
+
+
+def test_pdf_objstm_direct_definition_wins():
+    """An object defined BOTH directly and inside an ObjStm resolves
+    to the direct definition (incremental-update precedence)."""
+    import zlib as _zlib
+    data = b"3 0 "  # header: obj 3 at offset 0
+    first = len(data)
+    data += b"<< /Type /Page /Contents 9 0 R >> "
+    comp = _zlib.compress(data)
+    stm_head = (b"5 0 obj\n<< /Type /ObjStm /N 1 /First "
+                + str(first).encode() + b" /Filter /FlateDecode >>\nstream\n")
+    pdf = (b"%PDF-1.5\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< >>\nstream\nBT 72 700 Td (direct) Tj ET\n"
+           b"endstream\nendobj\n"
+           + stm_head + comp + b"\nendstream\nendobj\n")
+    r = extract_pdf(pdf)
+    assert r["status"] == "success"
+    assert r["text"] == "direct"

