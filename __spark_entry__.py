@@ -1987,7 +1987,8 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     html2 = F.when(is_html & inj.isNotNull(),
                    F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
              .otherwise(F.col("html"))
-    corpus = pages.select("url", html2.alias("html"))
+    # persist barrier: same 64 KB codegen rationale as q_og_metadata
+    corpus = pages.select("url", html2.alias("html")).persist()
     # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
     out = page_metadata(corpus, scan_bytes=None)
     return (out.filter(F.col("title").isNotNull()

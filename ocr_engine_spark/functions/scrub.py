@@ -548,18 +548,30 @@ _CANON_HREF_FIRST = (r'(?i)<link[^>]*href[ \t\n\r]*=[ \t\n\r]*'
                      r'["\']?canonical(?:["\' \t\n\r/>]|$)')
 
 
+def _head_field_finish(raw: Column, *, ascii_only: bool = True) -> Column:
+    """Finishing half of a head-section field over an ALREADY-extracted
+    raw group: collapse whitespace, trim, empty -> NULL; under
+    ``ascii_only`` the engine-wide clean-printable portability gate.
+    Split from the regexp_extract so extractors can materialize the
+    expensive extract ONCE in an inner Project — nullif + the gate
+    reference their operand ~6x, and with the extract inlined that
+    replication (x n_fields) blows the JVM's 64 KB whole-stage-codegen
+    limit (og_metadata was the proof)."""
+    v = F.nullif(F.trim(F.regexp_replace(raw, r"[ \t\n\r]+", " ")),
+                 F.lit(""))
+    if ascii_only:
+        v = portable_or_null(v)
+    return v
+
+
 def _head_field(head: Column, pattern: str, *,
                 ascii_only: bool = True) -> Column:
     """First-match head-section field: extract group 1, collapse
     whitespace, trim, empty -> NULL; under ``ascii_only`` apply the
     engine-wide clean-printable portability gate (printable ASCII, no
     backslash — matches DuckDB's blob-escape projection)."""
-    v = F.nullif(F.trim(F.regexp_replace(
-        F.regexp_extract(head, pattern, 1),
-        r"[ \t\n\r]+", " ")), F.lit(""))
-    if ascii_only:
-        v = portable_or_null(v)
-    return v
+    return _head_field_finish(F.regexp_extract(head, pattern, 1),
+                              ascii_only=ascii_only)
 
 
 def page_metadata(pages: DataFrame, *, url_col: str = "url",
@@ -585,20 +597,32 @@ def page_metadata(pages: DataFrame, *, url_col: str = "url",
     prefix = html if scan_bytes is None else F.substring(html, 1,
                                                          scan_bytes)
     head = F.decode(prefix, "ISO-8859-1")
-
-    def _field(pattern: str) -> Column:
-        return _head_field(head, pattern, ascii_only=ascii_only)
-
     is_html = F.substring(html, 1, 1) == F.lit(b"<")
-    title = F.when(is_html, _field(_TITLE_RE))
-    desc = F.when(is_html, F.coalesce(_field(_DESC_NAME_FIRST),
-                                      _field(_DESC_CONTENT_FIRST)))
-    canon = F.when(is_html, F.coalesce(_field(_CANON_REL_FIRST),
-                                       _field(_CANON_HREF_FIRST)))
-    return pages.select(F.col(url_col).alias("url"),
-                        title.alias("title"),
-                        desc.alias("meta_description"),
-                        canon.alias("canonical_url"))
+
+    # two stacked Projects (same structure and rationale as
+    # og_metadata): extract the 5 raw groups once, finish over cheap
+    # attribute refs — one collapsed Project overflows 64 KB codegen
+    raws = {"__title": _TITLE_RE,
+            "__desc_nf": _DESC_NAME_FIRST,
+            "__desc_cf": _DESC_CONTENT_FIRST,
+            "__canon_rf": _CANON_REL_FIRST,
+            "__canon_hf": _CANON_HREF_FIRST}
+    inner = pages.select(
+        F.col(url_col).alias("url"), is_html.alias("__is_html"),
+        *[F.regexp_extract(head, pat, 1).alias(name)
+          for name, pat in raws.items()])
+
+    def _fin(name: str) -> Column:
+        return _head_field_finish(F.col(name), ascii_only=ascii_only)
+
+    ih = F.col("__is_html")
+    return inner.select(
+        "url",
+        F.when(ih, _fin("__title")).alias("title"),
+        F.when(ih, F.coalesce(_fin("__desc_nf"), _fin("__desc_cf")))
+         .alias("meta_description"),
+        F.when(ih, F.coalesce(_fin("__canon_rf"), _fin("__canon_hf")))
+         .alias("canonical_url"))
 
 
 # ---------------------------------------------------------------------------
@@ -922,11 +946,42 @@ def page_features(pages: DataFrame, *, url_col: str = "url",
 # image alt-text pairs (the LAION image-caption mining seed)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# shared attribute-value grammar (every discovery extractor builds its
+# regex constants from these two factories — ONE definition of the
+# attr-name boundary and value classes, so a boundary bug can never
+# again replicate across 19 inline copies; round-3 verdict #7)
+# ---------------------------------------------------------------------------
+
+#: default unquoted-or-quoted value class: stops at quote/space/tag-end
+_ATTR_VAL_CLS = r'[^"\' \t\n\r>]+'
+
+
+def attr_val_re(attr: str, *, value_cls: str = _ATTR_VAL_CLS,
+                in_tag: bool = False, quoted: bool = False) -> str:
+    """RE2+Java-compatible ``attr=value`` capture grammar. The leading
+    ``[ \\t\\n\\r]`` boundary guarantees ``data-<attr>=`` never counts
+    as a real declaration. ``in_tag`` prefixes ``<[^>]*`` for grammars
+    that must match from the tag open; ``quoted`` requires quote
+    delimiters (value may then contain spaces)."""
+    prefix = r"(?i)<[^>]*" if in_tag else r"(?i)"
+    head = prefix + r"[ \t\n\r]" + attr + r"[ \t\n\r]*=[ \t\n\r]*"
+    if quoted:
+        return head + r'["\'](' + value_cls + r')["\']'
+    return head + r'["\']?(' + value_cls + r")"
+
+
+def attr_token_re(attr: str, token: str) -> str:
+    """``attr=<token>`` grammar for fixed-vocabulary attributes
+    (rel=next/prev/alternate): same boundary discipline, token closed
+    by quote/space/tag-end/end-of-text instead of a capture class."""
+    return (r"(?i)[ \t\n\r]" + attr + r"[ \t\n\r]*=[ \t\n\r]*"
+            + r'["\']?' + token + r'(?:["\' \t\n\r/>]|$)')
+
+
 _IMG_TAG_RE = r"(?i)<img[ \t\n\r][^>]*>"
-_IMG_SRC_RE = (r'(?i)[ \t\n\r]src[ \t\n\r]*=[ \t\n\r]*'
-               r'["\']?([^"\' \t\n\r>]+)')
-_IMG_ALT_RE = (r'(?i)[ \t\n\r]alt[ \t\n\r]*=[ \t\n\r]*'
-               r'["\']([^"\']*)["\']')
+_IMG_SRC_RE = attr_val_re("src")
+_IMG_ALT_RE = attr_val_re("alt", value_cls=r'[^"\']*', quoted=True)
 
 
 def image_captions(pages: DataFrame, *, url_col: str = "url",
@@ -1053,10 +1108,7 @@ def list_records(pages: DataFrame, *, url_col: str = "url",
 
 _MEDIA_TAG_RE = r"(?i)<(?:video|audio|source|track)[ \t\n\r][^>]*>"
 _MEDIA_KIND_RE = r"(?i)^<([a-z]+)"
-#: leading whitespace boundary (like _IMG_SRC_RE) so data-rel= etc.
-#: never counts as a real rel declaration
-_PAGINATION_REL_RE = (r'(?i)[ \t\n\r]rel[ \t\n\r]*=[ \t\n\r]*'
-                      r'["\']?(next|prev)(?:["\' \t\n\r/>]|$)')
+_PAGINATION_REL_RE = attr_token_re("rel", r"(next|prev)")
 
 
 def media_links(pages: DataFrame, *, url_col: str = "url",
@@ -1174,13 +1226,10 @@ def pagination_links(pages: DataFrame, *, url_col: str = "url",
 
 _MD_PROP_TAG_RE = (r"(?is)<[^>]*[ \t\n\r]itemprop[ \t\n\r]*=[^>]*>"
                    r"[^<]*")
-_MD_PROP_VAL_RE = (r'(?i)[ \t\n\r]itemprop[ \t\n\r]*=[ \t\n\r]*'
-                   r'["\']?([^"\' \t\n\r>]+)')
-_MD_CONTENT_VAL_RE = (r'(?i)[ \t\n\r]content[ \t\n\r]*=[ \t\n\r]*'
-                      r'["\']?([^"\'>]*)')
+_MD_PROP_VAL_RE = attr_val_re("itemprop")
+_MD_CONTENT_VAL_RE = attr_val_re("content", value_cls=r'[^"\'>]*')
 _MD_TEXT_RE = r">([^<]*)$"
-_MD_TYPE_VAL_RE = (r'(?i)<[^>]*[ \t\n\r]itemtype[ \t\n\r]*=[ \t\n\r]*'
-                   r'["\']?([^"\' \t\n\r>]+)')
+_MD_TYPE_VAL_RE = attr_val_re("itemtype", in_tag=True)
 
 
 def microdata_records(pages: DataFrame, *, url_col: str = "url",
@@ -1271,10 +1320,8 @@ def microdata_types(pages: DataFrame, *, url_col: str = "url",
 
 _RDFA_PROP_TAG_RE = (r"(?is)<[^>]*[ \t\n\r]property[ \t\n\r]*=[^>]*>"
                      r"[^<]*")
-_RDFA_PROP_VAL_RE = (r'(?i)[ \t\n\r]property[ \t\n\r]*=[ \t\n\r]*'
-                     r'["\']?([^"\' \t\n\r>]+)')
-_RDFA_TYPEOF_VAL_RE = (r'(?i)<[^>]*[ \t\n\r]typeof[ \t\n\r]*=[ \t\n\r]*'
-                       r'["\']?([^"\' \t\n\r>]+)')
+_RDFA_PROP_VAL_RE = attr_val_re("property")
+_RDFA_TYPEOF_VAL_RE = attr_val_re("typeof", in_tag=True)
 
 
 def rdfa_records(pages: DataFrame, *, url_col: str = "url",
@@ -1352,15 +1399,9 @@ def rdfa_types(pages: DataFrame, *, url_col: str = "url",
 # ---------------------------------------------------------------------------
 
 _LINK_TAG_RE = r"(?i)<link[^>]*>"
-#: all three carry the leading whitespace boundary (like _IMG_SRC_RE)
-#: so data-rel= / data-hreflang= / data-href= never count as real
-#: declarations
-_REL_ALTERNATE_RE = (r'(?i)[ \t\n\r]rel[ \t\n\r]*=[ \t\n\r]*'
-                     r'["\']?alternate(?:["\' \t\n\r/>]|$)')
-_HREFLANG_VAL_RE = (r'(?i)[ \t\n\r]hreflang[ \t\n\r]*=[ \t\n\r]*'
-                    r'["\']?([^"\' \t\n\r>]+)')
-_HREF_VAL_RE = (r'(?i)[ \t\n\r]href[ \t\n\r]*=[ \t\n\r]*'
-                r'["\']?([^"\' \t\n\r>]+)')
+_REL_ALTERNATE_RE = attr_token_re("rel", "alternate")
+_HREFLANG_VAL_RE = attr_val_re("hreflang")
+_HREF_VAL_RE = attr_val_re("href")
 
 
 def hreflang_records(pages: DataFrame, *, url_col: str = "url",
@@ -1499,21 +1540,38 @@ def og_metadata(pages: DataFrame, *, url_col: str = "url",
     per field, ``property``/``content`` in either attribute order,
     whitespace-collapsed, empty -> NULL, clean-printable gate under
     ``ascii_only``) and the same engine-wide charset discipline.
-    Pure map-side Project: zero shuffle, zero UDF."""
+    Pure map-side plan: TWO stacked Projects, zero shuffle, zero UDF —
+    the inner Project materializes all 8 regexp extracts once, the
+    outer applies trim/nullif/gate over the (cheap) attribute refs.
+    CollapseProject keeps them separate because the producer
+    expressions are non-cheap and multiply referenced; collapsed into
+    one Project the replicated decode+extract subtrees overflow the
+    64 KB codegen limit and the whole stage runs interpreted (~6x
+    slower — BENCH.md round-3/4 notes)."""
     html = F.col(html_col)
     prefix = html if scan_bytes is None else F.substring(html, 1,
                                                          scan_bytes)
     head = F.decode(prefix, "ISO-8859-1")
     is_html = F.substring(html, 1, 1) == F.lit(b"<")
 
-    def _field(prop: str) -> Column:
-        return F.when(is_html, F.coalesce(
-            _head_field(head, _og_prop_first(prop),
-                        ascii_only=ascii_only),
-            _head_field(head, _og_content_first(prop),
-                        ascii_only=ascii_only)))
+    props = ("title", "description", "type", "image")
+    raw_cols = []
+    for prop in props:
+        raw_cols.append(F.regexp_extract(head, _og_prop_first(prop), 1)
+                        .alias(f"__pf_{prop}"))
+        raw_cols.append(F.regexp_extract(head, _og_content_first(prop), 1)
+                        .alias(f"__cf_{prop}"))
+    inner = pages.select(F.col(url_col).alias("url"),
+                         is_html.alias("__is_html"), *raw_cols)
 
-    return pages.select(F.col(url_col).alias("url"),
+    def _field(prop: str) -> Column:
+        return F.when(F.col("__is_html"), F.coalesce(
+            _head_field_finish(F.col(f"__pf_{prop}"),
+                               ascii_only=ascii_only),
+            _head_field_finish(F.col(f"__cf_{prop}"),
+                               ascii_only=ascii_only)))
+
+    return inner.select("url",
                         _field("title").alias("og_title"),
                         _field("description").alias("og_description"),
                         _field("type").alias("og_type"),

@@ -145,3 +145,31 @@ def test_extractors_never_emit_nonportable(spark):
     ml = media_links(df).collect()
     assert_portable([r.src for r in ml])
     assert any(r.src == "/v.mp4" for r in ml)
+
+
+def test_attr_grammar_factory_boundary_property():
+    """All discovery attr grammars come from ONE factory; the leading
+    whitespace boundary must reject data-<attr>= lookalikes and accept
+    every real declaration form (bare / quoted / spaced)."""
+    import re
+
+    from ocr_engine_spark.functions.scrub import (
+        _HREF_VAL_RE, _HREFLANG_VAL_RE, _IMG_SRC_RE, _MD_PROP_VAL_RE,
+        _PAGINATION_REL_RE, _RDFA_PROP_VAL_RE, _REL_ALTERNATE_RE,
+        attr_token_re, attr_val_re,
+    )
+    assert _HREF_VAL_RE == attr_val_re("href")
+    assert _PAGINATION_REL_RE == attr_token_re("rel", r"(next|prev)")
+    for pat, attr in [(_HREF_VAL_RE, "href"), (_IMG_SRC_RE, "src"),
+                      (_MD_PROP_VAL_RE, "itemprop"),
+                      (_RDFA_PROP_VAL_RE, "property"),
+                      (_HREFLANG_VAL_RE, "hreflang")]:
+        rx = re.compile(pat)
+        assert rx.search(f'<link {attr}=/v>'), attr
+        assert rx.search(f"<link {attr} = '/v'>"), attr
+        assert not rx.search(f'<link data-{attr}=/v>'), attr
+    for pat, val in [(_REL_ALTERNATE_RE, "alternate"),
+                     (_PAGINATION_REL_RE, "next")]:
+        rx = re.compile(pat)
+        assert rx.search(f'<link rel="{val}" href=x>')
+        assert not rx.search(f'<link data-rel="{val}" href=x>')
