@@ -2837,12 +2837,46 @@ def q_corpus_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_summary(old, new, "source")
 
 
+
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDedup reweighting (cluster.soft_dedup_weights): near-dup
+    cluster members train at weight 1/cluster_size instead of being
+    dropped (He et al., ACL 2024) — the keep-one guard A7 lifted to a
+    sampling-weight side input. Same doubled-corpus MinHash pair set as
+    dedup_clusters; singletons carry weight 1. Oracle: brute-force
+    Jaccard pairs + recursive-CTE components + the same integer
+    1e6 div size, singletons unioned in."""
+    from ocr_engine_spark.functions.cluster import soft_dedup_weights
+    from ocr_engine_spark.functions.dedup import minhash_dedup_pairs
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    pairs = minhash_dedup_pairs(doubled, threshold=0.9)
+    return soft_dedup_weights(pairs, doubled).orderBy("doc_id")
+
+
+def q_source_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level quality prior (text.source_quality_prior): per-doc
+    quality in integer micro units shrunk toward the source mean with
+    20 pseudo-observations of the global mean — the FineWeb/CCNet
+    domain-reputation motif. Everything after the single
+    round(quality*1e6) quantization is 64-bit integer arithmetic, so
+    the oracle replays the WHOLE operator (global mean included)
+    hash-exactly."""
+    from ocr_engine_spark.functions.text import source_quality_prior
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return (source_quality_prior(docs, pseudo_count=20)
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never-driver-checked first: the driver's correctness
         # --- window caps at the FIRST 50 dict entries (observed in
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
+        "soft_dedup": q_soft_dedup,
+        "source_prior": q_source_prior,
         "corpus_split": q_corpus_split,
         "split_leakage": q_split_leakage,
         "url_latest": q_url_latest,
@@ -2964,8 +2998,13 @@ _EN = oracle_stopword_list("en")
 _TOKENS = r"string_split_regex(trim(text), '\s+')"
 _NTOK = (r"(case when length(trim(text)) = 0 then 0 "
          r"else len(string_split_regex(trim(text), '\s+')) end)")
-_QUALITY = f"""
-  round(
+# unrounded quality expression: consumers that need integer micro units
+# quantize THIS directly with floor(x*1e6 + 0.5) — pure IEEE double ops,
+# engine-identical — instead of stacking a second round on top of the
+# 4-decimal presentation round (the two engines' round() ALGORITHMS
+# disagree on decimal ties, observed on the documents fixture)
+_QUALITY_RAW = f"""
+  (
     least({_NTOK} / 50.0, 1.0) * 0.4
     + least((len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                              w -> w in ({_EN}))) * 1.0)
@@ -2974,9 +3013,10 @@ _QUALITY = f"""
          '[,.;:!?()\\[\\]"'']', '', 'g'))) * 1.0)
          / greatest(length(text), 1) * 8.0, 1.0)) * 0.2
     + (case when ((length(text) - ({_NTOK} - 1)) * 1.0 / greatest({_NTOK}, 1))
-            between 3.0 and 10.0 then 1.0 else 0.0 end) * 0.1,
-  4)
+            between 3.0 and 10.0 then 1.0 else 0.0 end) * 0.1
+  )
 """
+_QUALITY = f"round({_QUALITY_RAW}, 4)"
 
 
 def _minhash_signatures_oracle() -> str:
@@ -6097,6 +6137,83 @@ _DRIFT_SUMMARY_ORACLE = _DRIFT_VALUES_CTE + """
 """
 
 
+
+_SOFT_DEDUP_ORACLE = r"""
+    WITH RECURSIVE doubled AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 1000000, text
+      FROM documents WHERE doc_id < 100),
+    toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM doubled),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> array_to_string(t[i:i+2], ' '))) AS sh
+        FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) >= 0.9),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
+    comp AS (SELECT n, min(r) AS cluster_id FROM reach GROUP BY n),
+    csize AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY 1),
+    members AS (
+      SELECT comp.n AS doc_id, comp.cluster_id, csize.cluster_size
+      FROM comp JOIN csize USING (cluster_id)),
+    singles AS (
+      SELECT d.doc_id, d.doc_id AS cluster_id, 1 AS cluster_size
+      FROM doubled d LEFT JOIN comp ON comp.n = d.doc_id
+      WHERE comp.n IS NULL),
+    allrows AS (SELECT * FROM members UNION ALL SELECT * FROM singles)
+    SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+           cluster_size::BIGINT AS cluster_size,
+           (1000000 // cluster_size)::BIGINT AS weight_micro
+    FROM allrows ORDER BY doc_id
+"""
+
+_SOURCE_PRIOR_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id < 500),
+    q AS (
+      SELECT doc_id, source,
+             floor({_QUALITY_RAW} * 1000000 + 0.5)::BIGINT
+                 AS quality_micro
+      FROM d),
+    g AS (
+      SELECT source, sum(quality_micro) AS sum_q,
+             count(*) AS n_group
+      FROM q GROUP BY source),
+    gl AS (SELECT sum(quality_micro) // count(*) AS gmean FROM q),
+    p AS (
+      SELECT source, n_group,
+             ((sum_q + 20 * gmean) // (n_group + 20)) AS prior_micro
+      FROM g, gl)
+    SELECT q.doc_id, q.source, q.quality_micro,
+           p.n_group::BIGINT AS n_group,
+           p.prior_micro::BIGINT AS prior_micro,
+           (q.quality_micro - p.prior_micro)::BIGINT AS lift_micro
+    FROM q JOIN p USING (source) ORDER BY q.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     # the Bloom prefilter + exact-confirm pipeline is semantically
@@ -6104,6 +6221,8 @@ def oracle_sql() -> dict[str, str]:
     # positives die in the confirm join) — gating it against the SAME
     # SQL is precisely the claim under test
     d["decontaminate_bloom"] = d["decontaminate"]
+    d["soft_dedup"] = _SOFT_DEDUP_ORACLE
+    d["source_prior"] = _SOURCE_PRIOR_ORACLE
     return d
 
 

@@ -31,8 +31,8 @@ HEADLINE = [
     "doc_profile", "lang_guess", "bpe_token_count",
     "rolling_fingerprints", "fingerprint_distinct",
     "exact_dups", "ngram_jaccard", "minhash_near_dups", "dedup_clusters",
-    "dedup_best",
-    "corpus_stats",
+    "dedup_best", "soft_dedup",
+    "corpus_stats", "source_prior",
     "vocab_topk", "pii_scrub", "line_prune", "para_dedup",
     "unicode_clean",
     "repetition_ratio",

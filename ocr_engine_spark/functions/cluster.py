@@ -184,3 +184,43 @@ def drop_near_duplicates(df: DataFrame, *, id_col: str = "doc_id",
               .filter(~F.col("keep"))
               .select(F.col("doc_id").alias(id_col)))
     return df.join(losers, id_col, "left_anti")
+
+
+def soft_dedup_weights(pairs: DataFrame, corpus: DataFrame, *,
+                       id_col: str = "doc_id",
+                       max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, weight_micro) — SoftDedup
+    reweighting: instead of DROPPING near-duplicates, every member of
+    a near-dup cluster of size n trains at sampling weight 1/n, so the
+    cluster contributes ONE document's worth of gradient in expectation
+    while keeping its intra-cluster variation (He et al., "SoftDedup:
+    an Efficient Data Reweighting Method for Speeding Up Language
+    Model Pre-training", ACL 2024 — the 'commonness' downweighting
+    motif with commonness = near-dup multiplicity). Singletons carry
+    weight 1.
+
+    ``weight_micro = 1_000_000 div cluster_size`` — integer micro
+    units, exact on both engines (the oracle replays the recursive-CTE
+    components + the same div).
+
+    Scale shape: components over the PAIR set only (tiny vs corpus);
+    one count shuffle over cluster members; singletons join the member
+    table left-anti — the corpus never joins against itself. The
+    output is the sampling-weight side input pack_sequences /
+    temperature_sample consume."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    members = (comp.join(sizes, "component")
+               .select(F.col("node").alias(id_col),
+                       F.col("component").alias("cluster_id"),
+                       F.col("cluster_size").cast("long")
+                       .alias("cluster_size")))
+    singles = (corpus.select(F.col(id_col))
+               .join(members.select(id_col), id_col, "left_anti")
+               .select(F.col(id_col),
+                       F.col(id_col).alias("cluster_id"),
+                       F.lit(1).cast("long").alias("cluster_size")))
+    return (members.unionByName(singles)
+            .withColumn("weight_micro",
+                        F.expr("1000000L div cluster_size")))

@@ -43,11 +43,15 @@ def punct_count_col(c: Column) -> Column:
         .cast("long")
 
 
-def quality_score_col(c: Column) -> Column:
-    """Deterministic [0,1] quality score: length signal (40%), stopword
+def quality_score_raw_col(c: Column) -> Column:
+    """Unrounded [0,1] quality score: length signal (40%), stopword
     naturalness (30%), punctuation sanity (20%), mean-word-length sanity
     (10%) — the classic Gopher/C4-style cheap filters, as one codegen'd
-    expression."""
+    expression. Consumers that need integer micro units quantize THIS
+    with ``floor(x*1e6 + 0.5)`` (pure IEEE ops, engine-identical)
+    rather than re-rounding the 4-decimal presentation value — Spark's
+    BigDecimal HALF_UP and DuckDB's scaled-multiply round() disagree on
+    decimal ties (observed on the documents fixture)."""
     n_tokens = token_count_col(c)
     n_chars = F.length(c).cast("long")
     n_stop = stopword_count_col(c, "en")
@@ -57,13 +61,17 @@ def quality_score_col(c: Column) -> Column:
     stop_ratio = n_stop.cast("double") / safe_tokens
     punct_ratio = n_punct.cast("double") / safe_chars
     mean_wlen = (n_chars - (n_tokens - 1)).cast("double") / safe_tokens
-    return F.round(
+    return (
         F.least(n_tokens.cast("double") / 50.0, F.lit(1.0)) * 0.4
         + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
         + (F.lit(1.0) - F.least(punct_ratio * 8.0, F.lit(1.0))) * 0.2
         + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(1.0))
-           .otherwise(F.lit(0.0)) * 0.1,
-        4)
+           .otherwise(F.lit(0.0)) * 0.1)
+
+
+def quality_score_col(c: Column) -> Column:
+    """4-decimal presentation round of ``quality_score_raw_col``."""
+    return F.round(quality_score_raw_col(c), 4)
 
 
 def lang_guess_col(c: Column) -> Column:
@@ -404,3 +412,55 @@ def readability_profile(df, *, id_col: str = "doc_id",
         F.when(ok, F.expr("4710000L * n_chars div n_words"
                           " + 500000L * n_words div n_sentences"
                           " - 21430000L")).alias("ari_micro"))
+
+
+def source_quality_prior(docs: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         group_col: str = "source",
+                         pseudo_count: int = 20) -> DataFrame:
+    """(doc_id, source, quality_micro, n_group, prior_micro,
+    lift_micro) — the FineWeb/CCNet 'domain prior' motif: a document's
+    quality signal shrunk toward its SOURCE's (domain's) mean, so
+    routing decisions can use the group-level reputation where the
+    per-doc signal is noisy (short docs) and the per-doc signal where
+    the group is unproven.
+
+    ``prior_micro`` is Bayesian shrinkage with ``pseudo_count`` m
+    pseudo-observations of the corpus-wide mean::
+
+        prior = (sum(q_group) + m * global_mean) div (n_group + m)
+
+    Everything after the single ``floor(quality*1e6 + 0.5)``
+    quantization (of the UNROUNDED score — see quality_score_raw_col
+    on why round() is not engine-portable on ties) is 64-bit integer
+    arithmetic, so the whole operator — global mean included — replays
+    hash-exactly in the DuckDB oracle.
+    ``lift_micro = quality_micro - prior_micro`` is the per-doc
+    residual (how much better/worse this doc is than its source
+    predicts — the two-stage filter threshold input).
+
+    Scale shape: one map-side-combined groupBy on ``group_col``
+    (sources/domains are ~1e5-1e6 rows at web scale, never
+    corpus-sized), a 1-row global aggregate cross-joined in (broadcast
+    by construction), and one broadcast join of the group table back
+    onto the corpus — the corpus itself shuffles ZERO times."""
+    q_micro = F.floor(quality_score_raw_col(F.col(text_col))
+                      * 1_000_000 + 0.5).cast("long")
+    scored = docs.select(F.col(id_col), F.col(group_col),
+                         q_micro.alias("quality_micro"))
+    grp = scored.groupBy(group_col).agg(
+        F.sum("quality_micro").alias("__sum_q"),
+        F.count(F.lit(1)).alias("n_group"))
+    glob = scored.agg(
+        F.expr("sum(quality_micro) div count(1)").alias("__gmean"))
+    m = int(pseudo_count)
+    prior = grp.crossJoin(F.broadcast(glob)).select(
+        group_col,
+        F.col("n_group").cast("long").alias("n_group"),
+        F.expr(f"(__sum_q + {m} * __gmean) div (n_group + {m})")
+        .alias("prior_micro"))
+    return (scored.join(F.broadcast(prior), group_col)
+            .select(id_col, group_col, "quality_micro", "n_group",
+                    "prior_micro",
+                    (F.col("quality_micro") - F.col("prior_micro"))
+                    .alias("lift_micro")))

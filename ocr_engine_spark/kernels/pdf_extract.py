@@ -113,11 +113,16 @@ def _unescape_pdf_string(raw: bytes) -> str:
 def _decode_hex_string(raw: bytes) -> str:
     """Decode a ``<...>`` hex string body (PDF 32000 §7.3.4.3):
     whitespace ignored, an odd trailing digit reads as if followed by
-    0; bytes as Latin-1 (CMap-mapped text out of scope)."""
+    0. A UTF-16BE BOM (FE FF) selects UTF-16BE per §7.9.2.2 (how
+    post-2005 writers emit non-Latin text strings); otherwise bytes
+    read as Latin-1 (font-CMap-mapped glyph text out of scope)."""
     digits = b"".join(raw.split())
     if len(digits) % 2:
         digits += b"0"
-    return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+    data = bytes.fromhex(digits.decode("ascii"))
+    if data[:2] == b"\xfe\xff":
+        return data[2:].decode("utf-16-be", errors="replace")
+    return data.decode("latin-1")
 
 
 def _parse_content_stream(data: bytes) -> list[tuple[float, float, float, str]]:

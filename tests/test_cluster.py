@@ -135,3 +135,38 @@ def test_drop_near_duplicates_keep_best_score(spark):
         df, threshold=0.9, score_col="quality").collect())
     # the HIGHER-quality copy (id 2) survives, not the min id
     assert kept == [2, 3]
+
+
+def test_soft_dedup_weights(spark):
+    """SoftDedup reweighting: cluster of 3 -> weight 333333 micro each,
+    pair -> 500000, singleton -> 1000000; expected cluster mass ~1 doc."""
+    from ocr_engine_spark.functions.cluster import soft_dedup_weights
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    corpus = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    out = {r.doc_id: r for r in
+           soft_dedup_weights(pairs, corpus).collect()}
+    assert len(out) == 6
+    for d in (1, 2, 3):
+        assert out[d].cluster_id == 1 and out[d].cluster_size == 3
+        assert out[d].weight_micro == 333_333
+    for d in (10, 11):
+        assert out[d].cluster_id == 10 and out[d].weight_micro == 500_000
+    assert out[99].cluster_id == 99 and out[99].cluster_size == 1
+    assert out[99].weight_micro == 1_000_000
+    # cluster mass in expectation: 3 * 333333 ~= one document (floor)
+    assert sum(out[d].weight_micro for d in (1, 2, 3)) == 999_999
+
+
+def test_soft_dedup_weights_string_ids(spark):
+    from ocr_engine_spark.functions.cluster import soft_dedup_weights
+    pairs = spark.createDataFrame(
+        [("http://a/1", "http://a/2")], "id_a string, id_b string")
+    corpus = spark.createDataFrame(
+        [("http://a/1",), ("http://a/2",), ("http://b/x",)],
+        "doc_id string")
+    out = {r.doc_id: r.weight_micro for r in
+           soft_dedup_weights(pairs, corpus).collect()}
+    assert out == {"http://a/1": 500_000, "http://a/2": 500_000,
+                   "http://b/x": 1_000_000}

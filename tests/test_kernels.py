@@ -345,3 +345,16 @@ def test_pdf_objstm_direct_definition_wins():
     r = extract_pdf(pdf)
     assert r["status"] == "success"
     assert r["text"] == "direct"
+
+
+def test_pdf_hex_utf16be_bom_string():
+    """BOM-prefixed hex strings decode as UTF-16BE (PDF 32000
+    §7.9.2.2): <FEFF0048006900E9> = 'Hié'."""
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< >>\nstream\nBT 72 700 Td <FEFF0048006900E9> Tj ET"
+           b"\nendstream\nendobj\n")
+    r = extract_pdf(pdf)
+    assert r["status"] == "success"
+    assert r["text"] == "Hié"

@@ -175,3 +175,26 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_source_prior_broadcasts_and_never_shuffles_corpus(spark):
+    """source_quality_prior's scale contract: the corpus-sized side
+    reaches the final join through ZERO exchanges (the only shuffles
+    feed the small group/global aggregates) and both the prior table
+    and the 1-row global mean come back via broadcast."""
+    from ocr_engine_spark.functions.text import source_quality_prior
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(source_quality_prior(docs).limit(7))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row global mean
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # corpus scan -> join path has no shuffle Exchange: every
+    # (non-broadcast) Exchange in the plan belongs to an agg subtree
+    # (hashpartitioning for the group agg or SinglePartition for the
+    # global mean), never to the join keys
+    import re as _re
+    shuffles = _re.findall(r"(?<!Broadcast)Exchange (\w+)", plan)
+    assert shuffles, plan  # the agg shuffles must exist
+    for kind in shuffles:
+        assert kind in ("hashpartitioning", "SinglePartition"), plan

@@ -238,3 +238,51 @@ def test_readability_profile(spark):
     assert got[4]["n_words"] == 0
     r5 = got[5]
     assert (r5["n_sentences"], r5["n_words"]) == (1, 1)
+
+
+def test_source_quality_prior_shrinkage(spark):
+    """Bayesian shrinkage algebra: a group's prior sits between its own
+    mean and the global mean; big groups dominate their prior, and
+    lift sums to ~0 within a group around its unshrunk mean."""
+    from ocr_engine_spark.functions.text import source_quality_prior
+    good = ("the quick brown fox jumps over the lazy dog and then the "
+            "dog is with a fox for a walk in the park on a sunny day, "
+            "with many of the usual friends of the dog in tow there.")
+    bad = "zxqj!!!! ????"
+    rows = ([(i, good, "good_src") for i in range(30)]
+            + [(100 + i, bad, "bad_src") for i in range(3)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    out = {r.doc_id: r for r in
+           source_quality_prior(docs, pseudo_count=20).collect()}
+    assert len(out) == 33
+    g, b = out[0], out[100]
+    assert g.n_group == 30 and b.n_group == 3
+    # global mean sits between the two group means
+    assert b.quality_micro < g.quality_micro
+    # priors are shrunk TOWARD the global mean: the small bad group's
+    # prior is pulled far above its own (low) member quality, the big
+    # good group's stays near its members
+    assert b.prior_micro > b.quality_micro
+    assert abs(g.prior_micro - g.quality_micro) < \
+        abs(b.prior_micro - b.quality_micro)
+    # identical docs in one group share quality, prior, lift
+    assert all(out[i].prior_micro == g.prior_micro for i in range(30))
+    assert all(out[i].lift_micro == g.lift_micro for i in range(30))
+    # integer contract
+    assert isinstance(g.quality_micro, int) and isinstance(
+        g.prior_micro, int)
+
+
+def test_source_quality_prior_pseudocount_limit(spark):
+    """pseudo_count=0 degenerates to the plain group mean."""
+    from ocr_engine_spark.functions.text import source_quality_prior
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven", "s"),
+         (2, "completely different words here now then", "s")],
+        "doc_id long, text string, source string")
+    out = source_quality_prior(docs, pseudo_count=0).collect()
+    qs = sorted(r.quality_micro for r in out)
+    prior = out[0].prior_micro
+    assert all(r.prior_micro == prior for r in out)
+    assert prior == sum(qs) // 2

@@ -31,6 +31,14 @@ NOTES = {
     "minhash_near_dups": "no CartesianProduct / BroadcastNestedLoopJoin "
                          "anywhere: candidates come from the banded "
                          "equi-join",
+    "soft_dedup": "components run over the PAIR set only; one count "
+                  "shuffle sizes clusters; singletons arrive via LEFT "
+                  "ANTI against the member ids — the corpus never joins "
+                  "itself",
+    "source_prior": "the corpus side reaches the final join through ZERO "
+                    "shuffles: group sums + the 1-row global mean are the "
+                    "only exchanges, and both come back as broadcasts "
+                    "(BroadcastHashJoin + 1-row BroadcastNestedLoopJoin)",
     "extraction_pipeline": "exactly one PythonMapInArrow stage (all "
                            "kernels fused); the pages scan reads only "
                            "url/warc_ts/html/lang — the naive text dump "
@@ -356,6 +364,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "image_captions", "media_links", "pagination",
             "list_items", "rdfa_props", "embeds", "charset_report",
             "page_features",
+            "soft_dedup", "source_prior",
             "extraction_pipeline"]
 
 
