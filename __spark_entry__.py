@@ -282,6 +282,31 @@ def q_wer_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_extraction_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-multiset precision/recall/F1 of a simulated extraction vs
+    its gold text (evaluate.token_prf) — the boilerplate-removal eval
+    score. The hypothesis models the two real extraction failure
+    modes: dropped content (every literal 'data' substring removed ->
+    recall loss) and leaked chrome (' nav nav menu' appended ->
+    precision loss). One (doc_id, token) shuffle; no per-row HOFs."""
+    from ocr_engine_spark.engine.evaluate import token_prf
+    docs = _read(spark, sf_dir, "documents")
+    hyp = F.concat(F.regexp_replace(F.col("text"), "data", ""),
+                   F.lit(" nav nav menu"))
+    d = token_prf(docs.select("doc_id", "source",
+                              F.col("text").alias("__ref"),
+                              hyp.alias("__hyp")),
+                  "__ref", "__hyp", prefix="tok_")
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("tok_precision"), 4).alias("avg_precision"),
+                 F.round(F.avg("tok_recall"), 4).alias("avg_recall"),
+                 F.round(F.avg("tok_f1"), 4).alias("avg_f1"),
+                 F.sum((F.col("tok_f1") >= 99.9999).cast("long"))
+                  .alias("n_perfect"))
+            .orderBy("source"))
+
+
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis profile: token counts + quality + stopword signal,
     grouped by source (the metrics-side-table shape)."""
@@ -2875,6 +2900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window caps at the FIRST 50 dict entries (observed in
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
+        "extraction_f1": q_extraction_f1,
         "soft_dedup": q_soft_dedup,
         "source_prior": q_source_prior,
         "corpus_split": q_corpus_split,
@@ -6428,6 +6454,57 @@ def _oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN wer = 0.0 THEN 1 ELSE 0 END)::BIGINT
                        AS n_exact
             FROM w GROUP BY source ORDER BY source
+        """,
+        # token-multiset P/R/F1 replay: same whitespace tokenization,
+        # same (doc_id, token) count-join tp, same SQuAD empty-edge
+        # convention, f1 computed from the ROUNDED p/r like Spark
+        "extraction_f1": r"""
+            WITH h AS (
+              SELECT doc_id, source, text AS ref,
+                     regexp_replace(text, 'data', '', 'g')
+                       || ' nav nav menu' AS hyp
+              FROM documents),
+            t AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(ref) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(ref), '\s+')
+                     END AS rt,
+                     CASE WHEN trim(hyp) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(hyp), '\s+')
+                     END AS ht
+              FROM h),
+            rc AS (SELECT doc_id, tok, count(*) AS rc
+                   FROM (SELECT doc_id, unnest(rt) AS tok FROM t)
+                   GROUP BY doc_id, tok),
+            hc AS (SELECT doc_id, tok, count(*) AS hc
+                   FROM (SELECT doc_id, unnest(ht) AS tok FROM t)
+                   GROUP BY doc_id, tok),
+            tp AS (SELECT doc_id, sum(least(rc, hc)) AS tp
+                   FROM rc JOIN hc USING (doc_id, tok)
+                   GROUP BY doc_id),
+            pr AS (
+              SELECT t.source,
+                     round(CASE WHEN len(rt) = 0 AND len(ht) = 0 THEN 100.0
+                           WHEN len(ht) = 0 THEN 0.0
+                           ELSE coalesce(tp, 0) * 100.0 / len(ht)
+                           END, 4) AS p,
+                     round(CASE WHEN len(rt) = 0 AND len(ht) = 0 THEN 100.0
+                           WHEN len(rt) = 0 THEN 0.0
+                           ELSE coalesce(tp, 0) * 100.0 / len(rt)
+                           END, 4) AS r
+              FROM t LEFT JOIN tp USING (doc_id)),
+            m AS (
+              SELECT source, p, r,
+                     round(CASE WHEN p + r = 0.0 THEN 0.0
+                           ELSE 2.0 * p * r / (p + r) END, 4) AS f1
+              FROM pr)
+            SELECT source, count(*) AS n_docs,
+                   round(avg(p), 4) AS avg_precision,
+                   round(avg(r), 4) AS avg_recall,
+                   round(avg(f1), 4) AS avg_f1,
+                   sum(CASE WHEN f1 >= 99.9999 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_perfect
+            FROM m GROUP BY source ORDER BY source
         """,
         "doc_profile": f"""
             SELECT source, count(*) AS n_docs,

@@ -260,3 +260,62 @@ def top_k_by_cer(evaluated: DataFrame, k: int = 10,
              F.col("url").asc()]
     return evaluated.orderBy(*order).limit(k).select(
         "url", "type", "cer", "meets_target", "status")
+
+
+def token_prf(df: DataFrame, ref_col: str, hyp_col: str,
+              id_col: str = "doc_id", prefix: str = "") -> DataFrame:
+    """Token-multiset precision/recall/F1 of an extraction against its
+    gold text — the standard main-content-extraction score used by the
+    boilerplate-removal eval literature (complements CER/WER, which
+    charge position: P/R/F1 charge only over- and under-extraction,
+    which is how extraction errors actually present — leaked nav chrome
+    lowers precision, a dropped paragraph lowers recall).
+
+    Distributed shape (the 10^12-doc form): explode both sides to
+    ``(id, token) -> count`` rows and inner-join on ``(id, token)``;
+    ``tp = sum(least(ref_cnt, hyp_cnt))`` is the multiset-intersection
+    size. ONE shuffle keyed by (id, token) — per-document work is
+    linear and the key carries the doc id, so no document is a hot key.
+    The alternative (a per-row HOF over ``array_distinct`` counting
+    occurrences) is O(|vocab|*n) per document and never codegens
+    (see wer_col's PERF TRAP note) — rejected.
+
+    Empty edges follow the SQuAD-style convention: both sides empty ->
+    P=R=F1=100.0; exactly one side empty -> all 0.0.
+
+    Returns ``df`` + three double columns ``{prefix}precision`` /
+    ``{prefix}recall`` / ``{prefix}f1`` in [0, 100], rounded to 4.
+    """
+    from ocr_engine_spark.functions.text import tokens_col
+    p_n, r_n, f_n = (f"{prefix}precision", f"{prefix}recall", f"{prefix}f1")
+    rt_n, ht_n = f"__prf_rt_{prefix}", f"__prf_ht_{prefix}"
+    base = (df.withColumn(rt_n, tokens_col(F.col(ref_col)))
+              .withColumn(ht_n, tokens_col(F.col(hyp_col))))
+
+    def counts(tok_arr: str, out: str) -> DataFrame:
+        return (base.select(id_col, F.explode(tok_arr).alias("__tok"))
+                    .groupBy(id_col, "__tok")
+                    .agg(F.count("*").alias(out)))
+
+    tp = (counts(rt_n, "__rc")
+          .join(counts(ht_n, "__hc"), [id_col, "__tok"])
+          .groupBy(id_col)
+          .agg(F.sum(F.least("__rc", "__hc")).alias("__tp")))
+
+    j = (base.join(tp, id_col, "left")
+             .withColumn("__tp", F.coalesce("__tp", F.lit(0)))
+             .withColumn("__rn", F.size(rt_n).cast("long"))
+             .withColumn("__hn", F.size(ht_n).cast("long")))
+    both_empty = (F.col("__rn") == 0) & (F.col("__hn") == 0)
+    prec = (F.when(both_empty, F.lit(100.0))
+             .when(F.col("__hn") == 0, F.lit(0.0))
+             .otherwise(F.col("__tp") * 100.0 / F.col("__hn")))
+    rec = (F.when(both_empty, F.lit(100.0))
+            .when(F.col("__rn") == 0, F.lit(0.0))
+            .otherwise(F.col("__tp") * 100.0 / F.col("__rn")))
+    j = j.withColumn(p_n, F.round(prec, 4)).withColumn(r_n, F.round(rec, 4))
+    f1 = (F.when(F.col(p_n) + F.col(r_n) == 0.0, F.lit(0.0))
+           .otherwise(2.0 * F.col(p_n) * F.col(r_n)
+                      / (F.col(p_n) + F.col(r_n))))
+    return (j.withColumn(f_n, F.round(f1, 4))
+             .drop(rt_n, ht_n, "__tp", "__rn", "__hn"))

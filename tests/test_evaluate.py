@@ -208,3 +208,27 @@ def test_cer_whitespace_only_reference_rows(spark):
     assert [(r.cer, r.m) for r in got] == [
         (0.0, True), (100.0, False), (0.0, True), (100.0, False)]
     assert all(r.b <= r.cer for r in got)  # it IS a lower bound
+
+
+def test_token_prf_multiset_and_edges(spark):
+    """token_prf counts tokens as a MULTISET (min of the two counts,
+    not set intersection) and follows the SQuAD empty-edge convention:
+    both-empty -> 100/100/100, one-empty -> 0/0/0."""
+    from ocr_engine_spark.engine.evaluate import token_prf
+    rows = [
+        (0, "a a b", "a a a b"),   # tp = min(2,3)+min(1,1)=3: p=75 r=100
+        (1, "x y z", "x y z"),     # identical -> 100/100/100
+        (2, "", ""),               # both empty -> 100/100/100
+        (3, "words here", "  "),   # hyp blank -> 0/0/0
+        (4, " \t", "leak"),        # ref blank -> 0/0/0
+        (5, "p q", "r s"),         # disjoint -> 0/0/0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ref string, hyp string")
+    got = {r.doc_id: (r.precision, r.recall, r.f1)
+           for r in token_prf(df, "ref", "hyp").collect()}
+    assert got[0] == (75.0, 100.0, round(2 * 75 * 100 / 175, 4))
+    assert got[1] == (100.0, 100.0, 100.0)
+    assert got[2] == (100.0, 100.0, 100.0)
+    assert got[3] == (0.0, 0.0, 0.0)
+    assert got[4] == (0.0, 0.0, 0.0)
+    assert got[5] == (0.0, 0.0, 0.0)
