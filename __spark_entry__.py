@@ -653,6 +653,36 @@ def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary_metrics(ev).orderBy("scope")
 
 
+def q_markdown_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown-skeleton rendering from extraction spans
+    (functions/markdown.markdown_col): heading/list blocks prefixed,
+    blocks joined by blank lines — all in Catalyst over the spans the
+    kernels already emit, zero re-parse. Oracle: the kernel-direct
+    frozen fixture carries an INDEPENDENT pure-Python rendering
+    (kernels/markdown.render_markdown via fixtures/frozen.py); the
+    md5-int mod-sum pins every rendered byte cross-engine."""
+    from ocr_engine_spark.engine.extract_job import extract_pages, read_pages
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.markdown import markdown_col
+    from ocr_engine_spark.functions.text import md5_int60_col
+
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = read_pages(spark, os.path.join(_ENTRY_CORPUS, "pages.parquet"))
+    ext = extract_pages(pages, with_fields=False)
+    d = (ext.filter(F.col("status") == "success")
+            .select("payload_kind",
+                    markdown_col(F.col("extracted_text"),
+                                 F.col("spans")).alias("md")))
+    return (d.groupBy("payload_kind")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("md").cast("long"))
+                  .alias("total_md_chars"),
+                 F.sum(F.pmod(md5_int60_col(F.col("md")),
+                              F.lit(1_000_000_007)))
+                  .alias("md_hash_sum"))
+            .orderBy("payload_kind"))
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (training-data cleaning op): deterministic PII is
     injected per doc_id residue class, then redacted with the ordered
@@ -2901,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
         "extraction_f1": q_extraction_f1,
+        "markdown_render": q_markdown_render,
         "soft_dedup": q_soft_dedup,
         "source_prior": q_source_prior,
         "corpus_split": q_corpus_split,
@@ -3309,6 +3340,27 @@ def _simhash_near_dups_oracle() -> str:
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
         ORDER BY id_a, id_b
+    """
+
+
+def _markdown_render_oracle() -> str:
+    """Grouped md5-int mod-sum over the kernel-direct frozen fixture's
+    ``markdown`` column (rendered by the PURE-PYTHON twin
+    kernels/markdown.render_markdown, not by Catalyst) — value-gates
+    the distributed span plumbing AND the Catalyst renderer against an
+    independent implementation."""
+    from ocr_engine_spark.fixtures.frozen import FROZEN_NAME, \
+        ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    frozen = os.path.join(_ENTRY_CORPUS, FROZEN_NAME).replace("'", "''")
+    return f"""
+        SELECT payload_kind, count(*)::BIGINT AS n_docs,
+               sum(length(markdown))::BIGINT AS total_md_chars,
+               sum(('0x' || substr(md5(markdown), 1, 15))::BIGINT
+                   % 1000000007)::BIGINT AS md_hash_sum
+        FROM '{frozen}'
+        WHERE status = 'success'
+        GROUP BY payload_kind ORDER BY payload_kind
     """
 
 
@@ -6787,6 +6839,7 @@ def _oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "extraction_pipeline": _extraction_pipeline_oracle(),
+        "markdown_render": _markdown_render_oracle(),
         # expected metadata from the generator's arithmetic (kind by
         # i%4; image 21-byte / audio 20-byte / video 23-byte headers;
         # width 32+(i%7)*16 for images, 64 for videos; n_frames

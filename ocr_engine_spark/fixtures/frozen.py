@@ -32,6 +32,13 @@ def ensure_entry_fixture(corpus_dir: str, n_pages: int = 200,
     if not os.path.exists(os.path.join(corpus_dir, "pages.parquet")):
         write(corpus_dir, n_pages=n_pages, seed=seed)
     frozen = os.path.join(corpus_dir, FROZEN_NAME)
+    if os.path.exists(frozen):
+        # stale-cache guard: the fixture is gitignored and regenerates
+        # deterministically — a cached file from before a schema widening
+        # (e.g. the markdown column) must be rebuilt, not trusted
+        import pyarrow.parquet as pq
+        if "markdown" not in pq.read_schema(frozen).names:
+            os.remove(frozen)
     if not os.path.exists(frozen):
         freeze_extractions(corpus_dir)
     if not os.path.exists(os.path.join(corpus_dir, FROZEN_CER_NAME)):
@@ -46,11 +53,13 @@ def freeze_extractions(corpus_dir: str) -> str:
     from ocr_engine_spark.engine.extract_job import MAX_PAYLOAD_BYTES
     from ocr_engine_spark.kernels.clean import clean_text
     from ocr_engine_spark.kernels.html_extract import extract_html
+    from ocr_engine_spark.kernels.markdown import render_markdown
     from ocr_engine_spark.kernels.pdf_extract import extract_pdf
 
     pages = pq.read_table(os.path.join(corpus_dir, "pages.parquet"),
                           columns=["url", "html"])
     urls, kinds, texts, cleans, confs, statuses = [], [], [], [], [], []
+    markdowns = []
     for url, payload in zip(pages.column("url").to_pylist(),
                             pages.column("html").to_pylist()):
         raw = payload or b""
@@ -64,6 +73,7 @@ def freeze_extractions(corpus_dir: str) -> str:
             cleans.append(None)
             confs.append(None)
             statuses.append("error")
+            markdowns.append(None)
             continue
         if raw.startswith(b"%PDF"):
             kind, res = "pdf", extract_pdf(raw)
@@ -76,6 +86,7 @@ def freeze_extractions(corpus_dir: str) -> str:
         cleans.append(clean_text(txt) if txt is not None else None)
         confs.append(res["confidence"])
         statuses.append(res["status"])
+        markdowns.append(render_markdown(txt, res["spans"]))
     out = pa.table({
         "url": pa.array(urls, pa.string()),
         "payload_kind": pa.array(kinds, pa.string()),
@@ -83,6 +94,7 @@ def freeze_extractions(corpus_dir: str) -> str:
         "clean_text": pa.array(cleans, pa.string()),
         "confidence": pa.array(confs, pa.float64()),
         "status": pa.array(statuses, pa.string()),
+        "markdown": pa.array(markdowns, pa.string()),
     })
     path = os.path.join(corpus_dir, FROZEN_NAME)
     pq.write_table(out, path, row_group_size=512)
