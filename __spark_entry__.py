@@ -1253,6 +1253,47 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility + compression per language — the standard
+    tokenizer-quality audit for a multilingual training corpus
+    (fertility = subword tokens per word; chars/token = compression).
+    Reuses encode_bpe's distinct-word fold + broadcast-eligible join;
+    ratios are INTEGER basis points (x10000) so both engines compute
+    them exactly — the x10000 keeps int64 headroom to ~9.2e14 tokens
+    per language group (a full 100 TB corpus is ~2.5e13 tokens), the
+    same overflow discipline as scrub.host_concentration's gini."""
+    from ocr_engine_spark.functions.bpe import encode_bpe
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = [{"rank": i + 1, "p1": p1, "p2": p2, "merged": p1 + p2}
+              for i, (p1, p2) in enumerate(_BPE_FIXED_MERGES)]
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^0-9a-z]+"),
+        lambda w: (w != "") & (F.length(w) <= 64))
+    d = docs.select("doc_id", "lang",
+                    F.size(words).cast("long").alias("n_words"))
+    toks = encode_bpe(docs, merges)
+    j = (d.join(toks, "doc_id", "left")
+          .select("lang", "n_words",
+                  F.coalesce(F.size("tokens").cast("long"), F.lit(0))
+                   .alias("n_tokens"),
+                  F.coalesce(F.length(F.concat_ws("", "tokens"))
+                              .cast("long"), F.lit(0))
+                   .alias("n_token_chars")))
+    g = (j.groupBy("lang")
+          .agg(F.count("*").alias("n_docs"),
+               F.sum("n_words").alias("total_words"),
+               F.sum("n_tokens").alias("total_tokens"),
+               F.sum("n_token_chars").alias("total_token_chars")))
+    return (g.select(
+                "lang", "n_docs", "total_words", "total_tokens",
+                F.expr("(total_tokens * 10000) div "
+                       "greatest(total_words, 1)").alias("fertility_bp"),
+                F.expr("(total_token_chars * 10000) div "
+                       "greatest(total_tokens, 1)")
+                 .alias("chars_per_token_bp"))
+            .orderBy("lang"))
+
+
 _ROBOTS_METAS = [
     # unquoted attribute values (valid HTML): DuckDB's BLOB->VARCHAR
     # oracle projection escapes quote bytes as \x22/\x27, so the
@@ -2932,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- lead; the 50 green-in-r03 entries follow.
         "extraction_f1": q_extraction_f1,
         "markdown_render": q_markdown_render,
+        "token_fertility": q_token_fertility,
         "soft_dedup": q_soft_dedup,
         "source_prior": q_source_prior,
         "corpus_split": q_corpus_split,
@@ -5841,10 +5883,11 @@ def _robots_noindex_oracle() -> str:
     """
 
 
-def _bpe_encode_oracle(max_word_len: int = 64) -> str:
-    """Application-only replay of encode_bpe with the pinned merges:
-    one greedy-rewrite CTE block per merge over the distinct-word
-    table, then doc words join + ordered flatten + digest."""
+def _bpe_encode_ctes(max_word_len: int = 64) -> str:
+    """Shared replay of encode_bpe with the pinned merges: one
+    greedy-rewrite CTE block per merge over the distinct-word table,
+    then doc words join + ordered flatten into ``tok(doc_id, flat)``.
+    Finishing SELECTs differ per oracle (digest vs fertility)."""
     parts = [f"""w0 AS MATERIALIZED (
   SELECT DISTINCT word,
          list_transform(generate_series(1, length(word)),
@@ -5907,11 +5950,43 @@ tok AS (
         WHERE word <> '' AND length(word) <= {max_word_len}) d
   JOIN w{k} w USING (word)
   GROUP BY d.doc_id
-)
+)""")
+
+
+def _bpe_encode_oracle(max_word_len: int = 64) -> str:
+    return _bpe_encode_ctes(max_word_len) + """
 SELECT doc_id, len(flat)::BIGINT AS n_tokens,
        flat[1] AS first_token, flat[-1] AS last_token,
        md5(array_to_string(flat, ' ')) AS digest
-FROM tok ORDER BY doc_id""")
+FROM tok ORDER BY doc_id"""
+
+
+def _token_fertility_oracle(max_word_len: int = 64) -> str:
+    """Tokenizer-fertility replay: same BPE application CTEs, then
+    per-language integer basis-point ratios (see q_token_fertility for
+    the overflow bound)."""
+    return _bpe_encode_ctes(max_word_len) + f""",
+d AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                         w -> w <> '' AND length(w) <= {max_word_len})
+             )::BIGINT AS n_words
+  FROM documents),
+j AS (
+  SELECT d.lang, d.n_words,
+         coalesce(len(t.flat), 0)::BIGINT AS n_tokens,
+         coalesce(length(array_to_string(t.flat, '')), 0)::BIGINT
+             AS n_token_chars
+  FROM d LEFT JOIN tok t USING (doc_id))
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_words)::BIGINT AS total_words,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       ((sum(n_tokens)::BIGINT * 10000)
+        // greatest(sum(n_words)::BIGINT, 1))::BIGINT AS fertility_bp,
+       ((sum(n_token_chars)::BIGINT * 10000)
+        // greatest(sum(n_tokens)::BIGINT, 1))::BIGINT
+           AS chars_per_token_bp
+FROM j GROUP BY lang ORDER BY lang"""
 
 
 def _domain_blocklist_oracle() -> str:
@@ -7299,6 +7374,7 @@ def _oracle_sql() -> dict[str, str]:
         "domain_blocklist": _domain_blocklist_oracle(),
         "bpe_train": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
+        "token_fertility": _token_fertility_oracle(),
         "robots_noindex": _robots_noindex_oracle(),
         "outlink_hosts": _outlink_hosts_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
