@@ -1167,6 +1167,19 @@ def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_skew_report(pages, top_k=8)
 
 
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetcher-fleet capacity plan (linkgraph.crawl_schedule): hosts
+    md5-sharded over 8 fetchers, per-shard drain = max(politeness
+    serial chain, service throughput) — the crawl-side skew bound. All
+    integer; the oracle replays the hash, both bounds and the
+    greatest() verbatim."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.linkgraph import crawl_schedule
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = spark.read.parquet(os.path.join(_ENTRY_CORPUS, "pages.parquet"))
+    return crawl_schedule(pages, n_shards=8, delay_ms=1000, service_ms=100)
+
+
 def q_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl revisit policy (functions/snapshot.keep_latest_revision):
     a url re-fetched across dumps must contribute ONE row, the
@@ -2974,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_f1": q_extraction_f1,
         "markdown_render": q_markdown_render,
         "token_fertility": q_token_fertility,
+        "crawl_schedule": q_crawl_schedule,
         "soft_dedup": q_soft_dedup,
         "source_prior": q_source_prior,
         "corpus_split": q_corpus_split,
@@ -3711,6 +3725,31 @@ _REPETITION_ORACLE = r"""
                AS n_flagged
     FROM r GROUP BY source ORDER BY source
 """
+
+
+def _crawl_schedule_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    return f"""
+        WITH h AS (
+          SELECT lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+          FROM read_parquet('{pages}')),
+        c AS (
+          SELECT host, count(*)::BIGINT AS n_urls,
+                 (('0x' || substr(md5(host), 1, 15))::BIGINT % 8)::INT
+                     AS shard
+          FROM h WHERE host <> '' GROUP BY host)
+        SELECT shard, count(*)::BIGINT AS n_hosts,
+               sum(n_urls)::BIGINT AS n_urls,
+               max(n_urls)::BIGINT AS hottest_host_urls,
+               (max(n_urls) * 1000)::BIGINT AS polite_bound_ms,
+               (sum(n_urls) * 100)::BIGINT AS throughput_bound_ms,
+               greatest(max(n_urls) * 1000,
+                        sum(n_urls) * 100)::BIGINT AS drain_ms
+        FROM c GROUP BY shard ORDER BY shard
+    """
 
 
 def _host_skew_oracle() -> str:
@@ -7370,6 +7409,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "repetition_ratio": _REPETITION_ORACLE,
         "host_skew": _host_skew_oracle(),
+        "crawl_schedule": _crawl_schedule_oracle(),
         "url_latest": _url_latest_oracle(),
         "domain_blocklist": _domain_blocklist_oracle(),
         "bpe_train": _bpe_oracle(),

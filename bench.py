@@ -63,6 +63,7 @@ HEADLINE = [
     "semantic_dedup", "decontaminate", "decontaminate_bloom",
     "video_overlap",
     "nested_fields",
+    "extraction_f1", "token_fertility", "markdown_render", "crawl_schedule",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000

@@ -512,3 +512,46 @@ def pagerank(edges: DataFrame, *, src: str = "src_host",
     e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def crawl_schedule(pages: DataFrame, *, n_shards: int = 8,
+                   delay_ms: int = 1000, service_ms: int = 100,
+                   url_col: str = "url") -> DataFrame:
+    """Fetcher-fleet schedule: assign every host to one of ``n_shards``
+    fetcher shards and bound each shard's drain time — the capacity-
+    planning step between crawl_frontier (WHAT to fetch) and the
+    fetcher fleet (HOW LONG it takes).
+
+    Two integer lower bounds per shard, drain = the binding one:
+
+    - ``polite_bound_ms`` = max over the shard's hosts of
+      ``n_urls * delay_ms`` — RFC 9309-style per-host politeness makes
+      a hot host a SERIAL chain no fleet size can parallelize (the
+      crawl-side twin of the salted-agg skew story: you can split a
+      hot KEY's aggregation, but you cannot split its crawl).
+    - ``throughput_bound_ms`` = shard total ``n_urls * service_ms`` —
+      the fetcher's own service capacity if it fetched back-to-back.
+
+    Host -> shard via the portable md5 60-bit hash (same primitive as
+    every bucketing in this repo), so the assignment is reproducible
+    across engines and cluster sizes. One groupBy(host) + one
+    groupBy(shard) — no windows, no joins; |shards| rows out.
+    """
+    from ocr_engine_spark.functions.text import md5_int60_col
+    hosts = (pages
+             .select(host_col(F.col(url_col)).alias("host"))
+             .where(F.col("host") != "")
+             .groupBy("host").agg(F.count("*").alias("n_urls"))
+             .withColumn("shard",
+                         F.pmod(md5_int60_col(F.col("host")),
+                                F.lit(int(n_shards))).cast("int")))
+    return (hosts.groupBy("shard")
+            .agg(F.count("*").alias("n_hosts"),
+                 F.sum("n_urls").alias("n_urls"),
+                 F.max("n_urls").alias("hottest_host_urls"),
+                 (F.max("n_urls") * delay_ms).alias("polite_bound_ms"),
+                 (F.sum("n_urls") * service_ms)
+                  .alias("throughput_bound_ms"))
+            .withColumn("drain_ms", F.greatest("polite_bound_ms",
+                                               "throughput_bound_ms"))
+            .orderBy("shard"))
