@@ -543,3 +543,24 @@ def test_pagerank_validations(edges_df, spark):
         pagerank(edges_df, damping_pct=101)
     empty = spark.createDataFrame([], "src_host string, dst_host string")
     assert pagerank(empty, iterations=1).count() == 0
+
+
+def test_crawl_schedule_bounds(spark):
+    """The politeness bound binds on a hot host; throughput binds on a
+    shard of many small hosts; drain is the max of the two."""
+    from ocr_engine_spark.functions.linkgraph import crawl_schedule
+    rows = ([(f"https://hot.example/p{i}",) for i in range(50)]
+            + [(f"https://tiny{j}.example/only",) for j in range(40)]
+            + [("not a url",)])  # hostless rows must be dropped
+    pages = spark.createDataFrame(rows, "url string")
+    out = crawl_schedule(pages, n_shards=2, delay_ms=1000,
+                         service_ms=100).collect()
+    assert sum(r.n_hosts for r in out) == 41
+    assert sum(r.n_urls for r in out) == 90
+    for r in out:
+        assert r.polite_bound_ms == r.hottest_host_urls * 1000
+        assert r.throughput_bound_ms == r.n_urls * 100
+        assert r.drain_ms == max(r.polite_bound_ms, r.throughput_bound_ms)
+    hot = next(r for r in out if r.hottest_host_urls == 50)
+    # 50 urls x 1 s politeness = 50 s serial chain >> service bound
+    assert hot.drain_ms == 50_000
