@@ -2978,6 +2978,30 @@ def q_source_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+_QUOTE = "syndicated wire dispatch alpha bravo charlie delta echo"
+
+
+def q_quote_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document quote detection (functions/quotes.py:quote_spans)
+    — maximal shared word spans between document pairs via k-gram
+    anchors + diagonal islands-and-gaps merging, with the hot-gram
+    boilerplate guard.  Docs with doc_id % 10 == 3 get an 8-word wire
+    quote appended (15 planted docs -> 105 pairs, each reporting the
+    full maximal span); any natural 5-gram collisions in the fixture
+    are deterministic and replayed identically.  Oracle: full replay —
+    tokenization, lead-chain grams, md5-int60 keys, distinct-doc
+    guard, postings self-join, diagonal runs, slice-back of the quote
+    text."""
+    from ocr_engine_spark.functions.quotes import quote_spans
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    t = F.when(F.col("doc_id") % 10 == 3,
+               F.concat(F.col("text"), F.lit(" " + _QUOTE))) \
+         .otherwise(F.col("text"))
+    d = docs.select("doc_id", t.alias("text"))
+    return (quote_spans(d, k=5, max_docs_per_gram=30)
+            .orderBy("doc_a", "doc_b", "a_start", "b_start"))
+
+
 def q_linewrap_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""Line-wrap + hyphenation repair (functions/linewrap.py) — the
     layout-level pass PDF/fixed-width extraction needs before the
@@ -3040,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window caps at the FIRST 50 dict entries (observed in
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
+        "quote_spans": q_quote_spans,
         "linewrap_repair": q_linewrap_repair,
         "dehyphen_report": q_dehyphen_report,
         "extraction_f1": q_extraction_f1,
@@ -6388,6 +6413,56 @@ _DRIFT_SUMMARY_ORACLE = _DRIFT_VALUES_CTE + """
 
 
 
+_QUOTE_SPANS_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 3 THEN text || ' {_QUOTE}'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id < 150),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+    pos AS (SELECT doc_id, i - 1 AS p, t[i] AS w
+            FROM toks,
+                 LATERAL unnest(generate_series(1, len(t))) u(i)),
+    g0 AS (SELECT doc_id, p,
+                  w || ' ' || lead(w, 1) OVER win || ' '
+                    || lead(w, 2) OVER win || ' '
+                    || lead(w, 3) OVER win || ' '
+                    || lead(w, 4) OVER win AS gs,
+                  lead(w, 4) OVER win AS lst
+           FROM pos
+           WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+    grams AS (SELECT doc_id, p,
+                     ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g
+              FROM g0 WHERE lst IS NOT NULL),
+    ok AS (SELECT g FROM (
+             SELECT g, count(DISTINCT doc_id) AS nd
+             FROM grams GROUP BY g)
+           WHERE nd > 1 AND nd <= 30),
+    posting AS (SELECT grams.* FROM grams JOIN ok USING (g)),
+    anchors AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.p AS pa, b.p AS pb
+                FROM posting a JOIN posting b USING (g)
+                WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS dg,
+                    pa - row_number() OVER (
+                      PARTITION BY doc_a, doc_b, pa - pb
+                      ORDER BY pa) AS isl
+             FROM anchors),
+    spans AS (SELECT doc_a, doc_b,
+                     min(pa) AS a_start, min(pb) AS b_start,
+                     (max(pa) - min(pa) + 5)::BIGINT AS n_tokens
+              FROM runs GROUP BY doc_a, doc_b, dg, isl)
+    SELECT s.doc_a, s.doc_b,
+           s.a_start::BIGINT AS a_start, s.b_start::BIGINT AS b_start,
+           s.n_tokens,
+           array_to_string(list_slice(t.t, s.a_start + 1,
+                                      s.a_start + s.n_tokens),
+                           ' ') AS quote
+    FROM spans s JOIN toks t ON t.doc_id = s.doc_a
+    ORDER BY doc_a, doc_b, a_start, b_start
+"""
+
+
 # repair-identity oracle: the injected damage (customer -> hyphenated
 # line break, 'window ' -> soft wrap) is exactly invertible by
 # linewrap.repair_wraps_col, so DuckDB hashes the PRE-injection texts
@@ -6517,6 +6592,7 @@ def oracle_sql() -> dict[str, str]:
     d["decontaminate_bloom"] = d["decontaminate"]
     d["soft_dedup"] = _SOFT_DEDUP_ORACLE
     d["source_prior"] = _SOURCE_PRIOR_ORACLE
+    d["quote_spans"] = _QUOTE_SPANS_ORACLE
     d["linewrap_repair"] = _LINEWRAP_REPAIR_ORACLE
     d["dehyphen_report"] = _DEHYPHEN_REPORT_ORACLE
     return d
