@@ -2980,6 +2980,42 @@ def q_source_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUOTE = "syndicated wire dispatch alpha bravo charlie delta echo"
 
+# quadratic weight ladder over the 20 fixture sources: high-weight
+# sources demand more than their uniform capacity at a 2/5 budget, so
+# the water-filling saturation set is non-trivial at every sf
+_MIX_WEIGHTS = {f"src{i}": (i + 1) ** 2 for i in range(20)}
+
+
+def q_mixture_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture water-filling
+    (sample.mixture_allocation): maximize the water level r with
+    a_s = min(c_s, r*w_s) and sum(a_s) = 2/5 of corpus tokens — the
+    Pile/DoReMi/FineWeb domain-mixing step where scarce high-weight
+    domains saturate and their unmet share re-flows.  Closed form via
+    one saturation-point sort + prefix windows, pure int64 (weights
+    are basis-point shares, bound asserted).  Oracle: full replay —
+    capacities, scaled-integer sort key, prefix saturation test,
+    longest-true-prefix, floor reflow shares."""
+    from ocr_engine_spark.functions.sample import mixture_allocation
+    docs = _read(spark, sf_dir, "documents")
+    return (mixture_allocation(docs, _MIX_WEIGHTS,
+                               budget_num=2, budget_den=5)
+            .orderBy("stratum"))
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture realization audit (sample.mixture_take): per stratum,
+    walk documents in portable md5 hash order and keep whole docs
+    while tokens-so-far < allocation (greedy knapsack; last doc may
+    overshoot by less than itself).  Output is the audit table a
+    mixture job publishes next to its shards.  Oracle: allocation
+    replay + the same hash-ordered cumulative-sum walk."""
+    from ocr_engine_spark.functions.sample import mixture_take
+    docs = _read(spark, sf_dir, "documents")
+    return (mixture_take(docs, _MIX_WEIGHTS,
+                         budget_num=2, budget_den=5)
+            .orderBy("stratum"))
+
 
 def q_quote_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document quote detection (functions/quotes.py:quote_spans)
@@ -3064,6 +3100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window caps at the FIRST 50 dict entries (observed in
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
+        "mixture_allocate": q_mixture_allocate,
+        "mixture_sample": q_mixture_sample,
         "quote_spans": q_quote_spans,
         "linewrap_repair": q_linewrap_repair,
         "dehyphen_report": q_dehyphen_report,
@@ -6413,6 +6451,84 @@ _DRIFT_SUMMARY_ORACLE = _DRIFT_VALUES_CTE + """
 
 
 
+_MIX_WTS_SQL = ", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())
+
+# full replay of the water-filling closed form: scaled-integer sort
+# key, prefix saturation test, longest-all-true prefix, floor reflow.
+# Every division is `//` (floor) to match Spark's `div`.
+_MIX_ALLOC_CORE = f"""
+    wts(stratum, weight) AS (VALUES {_MIX_WTS_SQL}),
+    caps AS (SELECT source AS stratum,
+                    sum(len(string_split(text, ' ')))::BIGINT
+                      AS available
+             FROM documents GROUP BY source),
+    t AS (SELECT c.stratum, c.available,
+                 coalesce(w.weight, 0)::BIGINT AS weight
+          FROM caps c LEFT JOIN wts w USING (stratum)),
+    t2 AS (SELECT *,
+                  CASE WHEN weight > 0
+                       THEN (available * 1000000000) // weight
+                  END AS k,
+                  sum(weight) OVER () AS W,
+                  sum(available) OVER () AS tot
+           FROM t),
+    t3 AS (SELECT *, (tot * 2) // 5 AS B,
+                  sum(available) OVER ord AS cum_c,
+                  sum(weight) OVER ord AS cum_w
+           FROM t2
+           WINDOW ord AS (ORDER BY k ASC NULLS LAST, stratum
+                          ROWS UNBOUNDED PRECEDING)),
+    t4 AS (SELECT *,
+                  CASE WHEN weight > 0
+                        AND available * (W - (cum_w - weight))
+                            <= (B - (cum_c - available)) * weight
+                       THEN 1 ELSE 0 END AS sat_raw
+           FROM t3),
+    t5 AS (SELECT *, (min(sat_raw) OVER ord = 1) AS saturated
+           FROM t4
+           WINDOW ord AS (ORDER BY k ASC NULLS LAST, stratum
+                          ROWS UNBOUNDED PRECEDING)),
+    t6 AS (SELECT *,
+                  sum(CASE WHEN saturated THEN available ELSE 0 END)
+                    OVER () AS S_sat,
+                  sum(CASE WHEN saturated THEN weight ELSE 0 END)
+                    OVER () AS W_sat
+           FROM t5),
+    alloc AS (SELECT stratum, available, weight, saturated,
+                     CASE WHEN saturated THEN available
+                          ELSE least(available, coalesce(
+                            ((B - S_sat) * weight)
+                              // nullif(W - W_sat, 0), 0))
+                     END::BIGINT AS allocated
+              FROM t6)
+"""
+
+_MIXTURE_ALLOCATE_ORACLE = f"""
+    WITH {_MIX_ALLOC_CORE}
+    SELECT stratum, available, weight, allocated, saturated
+    FROM alloc ORDER BY stratum
+"""
+
+_MIXTURE_SAMPLE_ORACLE = f"""
+    WITH {_MIX_ALLOC_CORE},
+    toks AS (SELECT source AS stratum, doc_id,
+                    len(string_split(text, ' '))::BIGINT AS n,
+                    md5(source || chr(31) || CAST(doc_id AS VARCHAR))
+                      AS r
+             FROM documents),
+    cum AS (SELECT *, sum(n) OVER (PARTITION BY stratum
+                                   ORDER BY r, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS c
+            FROM toks),
+    picked AS (SELECT cum.stratum, cum.n, alloc.allocated
+               FROM cum JOIN alloc USING (stratum)
+               WHERE cum.c - cum.n < alloc.allocated)
+    SELECT stratum, min(allocated)::BIGINT AS allocated,
+           count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
+    FROM picked GROUP BY stratum ORDER BY stratum
+"""
+
+
 _QUOTE_SPANS_ORACLE = f"""
     WITH d AS (
       SELECT doc_id,
@@ -6592,6 +6708,8 @@ def oracle_sql() -> dict[str, str]:
     d["decontaminate_bloom"] = d["decontaminate"]
     d["soft_dedup"] = _SOFT_DEDUP_ORACLE
     d["source_prior"] = _SOURCE_PRIOR_ORACLE
+    d["mixture_allocate"] = _MIXTURE_ALLOCATE_ORACLE
+    d["mixture_sample"] = _MIXTURE_SAMPLE_ORACLE
     d["quote_spans"] = _QUOTE_SPANS_ORACLE
     d["linewrap_repair"] = _LINEWRAP_REPAIR_ORACLE
     d["dehyphen_report"] = _DEHYPHEN_REPORT_ORACLE

@@ -349,3 +349,146 @@ def split_leakage_report(df: DataFrame, weights: dict[str, float], *,
                  F.min("__id").alias("min_id"))
             .filter(F.col("n_splits") > 1)
             .drop("n_splits"))
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture allocation (water-filling over domain weights)
+# ---------------------------------------------------------------------------
+
+
+def mixture_allocation(df: DataFrame, weights: dict[str, int],
+                       *, strata_col: str = "source",
+                       text_col: str = "text",
+                       budget_num: int = 1,
+                       budget_den: int = 1) -> DataFrame:
+    """Water-filling allocation of a token budget across strata.
+
+    The mixture step every pretraining pipeline runs after curation
+    (The Pile's per-set epochs, DoReMi/FineWeb domain weights): target
+    weights ``w_s`` say how the final corpus SHOULD mix, but a stratum
+    only has ``c_s`` tokens — scarce strata saturate (take everything)
+    and their unmet share re-flows to the rest, i.e. maximize the
+    water level ``r`` with ``a_s = min(c_s, r * w_s)`` and
+    ``sum(a_s) = budget``. Budget is ``total_tokens * budget_num /
+    budget_den`` so the same allocation query is scale-invariant
+    across fixture sizes.
+
+    Closed form instead of iteration: sort strata by saturation point
+    ``c_s / w_s`` ascending (scaled-integer key, 1e9); the saturated
+    set is a PREFIX of that order, found with one window pass —
+    stratum k saturates iff ``c_k * W_rest <= R_k * w_k`` where
+    ``R_k``/``W_rest`` are budget and weight mass left after the
+    strata before it. Unsaturated strata get
+    ``floor(R * w_s / W_rest)`` of the post-prefix remainder; a
+    ``least(c_s, ...)`` belt keeps degenerate scaled-key ties feasible
+    (they can undershoot the budget by the tie's deficit, never
+    overshoot).
+
+    Integer contract: pure int64 end-to-end. Bound (documented, not
+    silent — the gini lesson): products are ``budget * max_w`` and
+    ``c_s * W_total``, so with weights capped at 1e4 ("basis-point
+    shares") the math is exact to ~9.2e14 tokens (~4 PB of text);
+    rescale weights down for anything larger. Asserted below.
+
+    Scale: one groupBy over the corpus for capacities; everything
+    after runs on the |strata|-row table through two ordered windows —
+    no per-stratum data shuffles at all.
+
+    Returns (stratum, available, weight, allocated, saturated).
+    """
+    max_w = max(weights.values()) if weights else 0
+    assert 0 < max_w <= 10_000, \
+        "weights are basis-point shares; cap 1e4 keeps int64 exact"
+    assert min(weights.values()) >= 0
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items()
+                          for x in kv])
+    caps = (df.groupBy(F.col(strata_col).alias("stratum"))
+            .agg(F.sum(F.size(F.split(F.col(text_col), " "))
+                       .cast("long")).alias("available")))
+    w = F.coalesce(wmap[F.col("stratum")].cast("long"), F.lit(0))
+    t = caps.select("stratum", "available", w.alias("weight"))
+    # the strata table is |strata| rows — one-partition windows are the
+    # intended plan here, not a scale hazard
+    everything = (Window.partitionBy()
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing))
+    # integer `div` throughout: float '/' then casting rounds in DuckDB
+    # but truncates in Spark — div floors identically on both engines
+    key = F.expr("CASE WHEN weight > 0 THEN "
+                 "(available * 1000000000) div weight END")
+    ordw = (Window.orderBy(F.asc_nulls_last("__key"), F.col("stratum"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = (t.withColumn("__key", key)
+         .withColumn("__W", F.sum("weight").over(everything))
+         .withColumn("__tot", F.sum("available").over(everything))
+         .withColumn("__B", F.expr(f"(__tot * {int(budget_num)}) "
+                                   f"div {int(budget_den)}"))
+         .withColumn("__cum_c", F.sum("available").over(ordw))
+         .withColumn("__cum_w", F.sum("weight").over(ordw)))
+    sat_raw = (
+        (F.col("weight") > 0)
+        & (F.col("available") * (F.col("__W") - (F.col("__cum_w")
+                                                 - F.col("weight")))
+           <= (F.col("__B") - (F.col("__cum_c") - F.col("available")))
+           * F.col("weight")))
+    # the saturated set is the longest all-true prefix
+    t = (t.withColumn("__sat_raw", sat_raw.cast("int"))
+         .withColumn("saturated",
+                     (F.min("__sat_raw").over(ordw) == 1)))
+    t = (t.withColumn("__S_sat",
+                      F.sum(F.when(F.col("saturated"),
+                                   F.col("available"))
+                            .otherwise(F.lit(0))).over(everything))
+         .withColumn("__W_sat",
+                     F.sum(F.when(F.col("saturated"), F.col("weight"))
+                           .otherwise(F.lit(0))).over(everything)))
+    rest_share = F.expr(
+        "((__B - __S_sat) * weight) div nullif(__W - __W_sat, 0)")
+    allocated = F.when(F.col("saturated"), F.col("available")) \
+                 .otherwise(F.least(F.col("available"),
+                                    F.coalesce(rest_share, F.lit(0))))
+    return t.select("stratum", "available", "weight",
+                    allocated.alias("allocated"), "saturated")
+
+
+def mixture_take(df: DataFrame, weights: dict[str, int],
+                 *, strata_col: str = "source",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 budget_num: int = 1,
+                 budget_den: int = 1) -> DataFrame:
+    """Materialize a :func:`mixture_allocation`: within each stratum,
+    walk documents in portable-hash order and keep them while the
+    tokens taken so far are under the stratum's allocation (greedy
+    whole-document knapsack — the last kept doc may overshoot by less
+    than its own length, the standard corpus-assembly convention).
+
+    Returns per-stratum realization: (stratum, allocated, n_docs,
+    n_tokens) — the audit table a mixture job publishes next to its
+    shards.
+
+    Scale note: the per-stratum cumulative sum is a window over
+    (stratum, hash-rank); a hot stratum serializes in one task, so for
+    100-TB strata swap in the range-partition prefix-sum machinery of
+    :func:`global_stratum_ranks` (same contract) — at audit-table
+    scale the plain window is the right plan.
+    """
+    alloc = mixture_allocation(df, weights, strata_col=strata_col,
+                               text_col=text_col,
+                               budget_num=budget_num,
+                               budget_den=budget_den)
+    toks = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long")
+        .alias("__n"),
+        sample_rank_col(F.col(strata_col), F.col(id_col)).alias("__r"))
+    wnd = (Window.partitionBy("stratum").orderBy("__r", "__id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = toks.withColumn("__cum", F.sum("__n").over(wnd))
+    picked = (cum.join(F.broadcast(alloc), "stratum")
+              .filter(F.col("__cum") - F.col("__n")
+                      < F.col("allocated")))
+    return (picked.groupBy("stratum")
+            .agg(F.min("allocated").alias("allocated"),
+                 F.count("*").alias("n_docs"),
+                 F.sum("__n").alias("n_tokens")))
