@@ -2986,6 +2986,19 @@ _QUOTE = "syndicated wire dispatch alpha bravo charlie delta echo"
 _MIX_WEIGHTS = {f"src{i}": (i + 1) ** 2 for i in range(20)}
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (text.vocab_growth):
+    distinct types vs cumulative tokens in doc_id order, each type
+    charged to its first-occurrence document via the groupBy-argmin
+    (never a window over types), both axes bucketed BEFORE the
+    cumulative pass so the window sees #buckets rows at any corpus
+    size.  Oracle: replay — per-type min(doc), bucket sums, window
+    cumulative, integer ppm type-token ratio."""
+    from ocr_engine_spark.functions.text import vocab_growth
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_growth(docs, bucket_docs=25).orderBy("bucket")
+
+
 def q_mixture_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture water-filling
     (sample.mixture_allocation): maximize the water level r with
@@ -3100,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window caps at the FIRST 50 dict entries (observed in
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
+        "vocab_growth": q_vocab_growth,
         "mixture_allocate": q_mixture_allocate,
         "mixture_sample": q_mixture_sample,
         "quote_spans": q_quote_spans,
@@ -6451,6 +6465,34 @@ _DRIFT_SUMMARY_ORACLE = _DRIFT_VALUES_CTE + """
 
 
 
+_VOCAB_GROWTH_ORACLE = """
+    WITH pos AS (
+      SELECT doc_id, u.w
+      FROM documents,
+           LATERAL unnest(string_split(text, ' ')) u(w)),
+    firsts AS (SELECT w, min(doc_id) AS d FROM pos GROUP BY w),
+    nt AS (SELECT d // 25 AS bucket, count(*) AS new_types
+           FROM firsts GROUP BY 1),
+    toks AS (SELECT doc_id // 25 AS bucket, count(*) AS n_docs,
+                    sum(len(string_split(text, ' ')))::BIGINT
+                      AS n_tokens
+             FROM documents GROUP BY 1),
+    j AS (SELECT t.bucket, t.n_docs, t.n_tokens,
+                 coalesce(nt.new_types, 0)::BIGINT AS new_types
+          FROM toks t LEFT JOIN nt USING (bucket)),
+    c AS (SELECT *,
+                 sum(n_tokens) OVER w AS cum_tokens,
+                 sum(new_types) OVER w AS cum_types
+          FROM j
+          WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+    SELECT bucket, n_docs, n_tokens, new_types,
+           cum_tokens::BIGINT AS cum_tokens,
+           cum_types::BIGINT AS cum_types,
+           ((cum_types * 1000000) // cum_tokens)::BIGINT AS ttr_ppm
+    FROM c ORDER BY bucket
+"""
+
+
 _MIX_WTS_SQL = ", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())
 
 # full replay of the water-filling closed form: scaled-integer sort
@@ -6708,6 +6750,7 @@ def oracle_sql() -> dict[str, str]:
     d["decontaminate_bloom"] = d["decontaminate"]
     d["soft_dedup"] = _SOFT_DEDUP_ORACLE
     d["source_prior"] = _SOURCE_PRIOR_ORACLE
+    d["vocab_growth"] = _VOCAB_GROWTH_ORACLE
     d["mixture_allocate"] = _MIXTURE_ALLOCATE_ORACLE
     d["mixture_sample"] = _MIXTURE_SAMPLE_ORACLE
     d["quote_spans"] = _QUOTE_SPANS_ORACLE

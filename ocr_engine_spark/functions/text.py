@@ -464,3 +464,55 @@ def source_quality_prior(docs: DataFrame, *, id_col: str = "doc_id",
                     "prior_micro",
                     (F.col("quality_micro") - F.col("prior_micro"))
                     .alias("lift_micro")))
+
+
+def vocab_growth(df, *, bucket_docs: int = 50,
+                 id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Vocabulary growth curve (Heaps'-law points): distinct types
+    seen vs tokens consumed, walking documents in ``id_col`` order —
+    the corpus-QA diagnostic behind "is this crawl adding NEW language
+    or recycling the old" (dedup regressions, template floods and
+    synthetic-text loops all flatten the curve).
+
+    Each type is charged to the document of its FIRST occurrence
+    (min (doc_id, pos) — the Lee et al. argmin-over-gram motif at
+    token granularity), then both axes aggregate to ``bucket_docs``
+    buckets before the cumulative pass.
+
+    Scale design: the per-type argmin is one groupBy(word) with
+    map-side combine (bounded by vocabulary size, not corpus size);
+    token counts shuffle on the bucket key only; the cumulative window
+    runs over #buckets rows — there is NO window over docs or types,
+    so a 10^12-doc corpus needs only a wider bucket. Output:
+    (bucket, n_docs, n_tokens, new_types, cum_tokens, cum_types,
+    ttr_ppm) where ttr_ppm = cum_types * 1e6 div cum_tokens.
+    """
+    from pyspark.sql import Window
+    bucket = F.expr(f"{id_col} div {int(bucket_docs)}").alias("bucket")
+    pos = (df.select(F.col(id_col), F.posexplode(
+               F.split(F.col(text_col), " ")).alias("__p", "__w")))
+    firsts = (pos.groupBy("__w")
+              .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                  F.col("__p").alias("p")))
+                   .alias("__f"))
+              .select(F.col("__f.d").alias(id_col)))
+    new_types = (firsts
+                 .groupBy(bucket)
+                 .agg(F.count("*").alias("new_types")))
+    toks = (df.groupBy(bucket)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(F.split(F.col(text_col), " "))
+                       .cast("long")).alias("n_tokens")))
+    wnd = (Window.orderBy("bucket")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (toks.join(new_types, "bucket", "left")
+           .withColumn("new_types",
+                       F.coalesce(F.col("new_types"), F.lit(0)))
+           .withColumn("cum_tokens", F.sum("n_tokens").over(wnd))
+           .withColumn("cum_types", F.sum("new_types").over(wnd)))
+    return out.select(
+        "bucket", "n_docs", "n_tokens", "new_types",
+        "cum_tokens", "cum_types",
+        F.expr("(cum_types * 1000000) div cum_tokens")
+        .alias("ttr_ppm"))

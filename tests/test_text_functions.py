@@ -286,3 +286,35 @@ def test_source_quality_prior_pseudocount_limit(spark):
     prior = out[0].prior_micro
     assert all(r.prior_micro == prior for r in out)
     assert prior == sum(qs) // 2
+
+
+def test_vocab_growth_curve(spark):
+    from ocr_engine_spark.functions.text import vocab_growth
+    df = spark.createDataFrame([
+        (0, "a b c"),          # bucket 0: types a,b,c
+        (1, "a b d"),          # +d
+        (2, "a a a"),          # nothing new
+        (3, "e f"),            # bucket 1 (bucket_docs=3): +e,f
+        (4, "a e g"),          # +g
+    ], "doc_id long, text string")
+    rows = {r.bucket: r for r in
+            vocab_growth(df, bucket_docs=3).collect()}
+    b0, b1 = rows[0], rows[1]
+    assert (b0.n_docs, b0.n_tokens, b0.new_types) == (3, 9, 4)
+    assert (b0.cum_tokens, b0.cum_types) == (9, 4)
+    assert b0.ttr_ppm == 4 * 1_000_000 // 9
+    assert (b1.n_docs, b1.n_tokens, b1.new_types) == (2, 5, 3)
+    assert (b1.cum_tokens, b1.cum_types) == (14, 7)
+    assert b1.ttr_ppm == 7 * 1_000_000 // 14
+
+
+def test_vocab_growth_first_occurrence_is_positional(spark):
+    from ocr_engine_spark.functions.text import vocab_growth
+    # 'z' appears in doc 0 AND doc 5 -> charged to bucket 0 only
+    df = spark.createDataFrame([
+        (0, "z q"), (5, "z r")], "doc_id long, text string")
+    rows = {r.bucket: r for r in
+            vocab_growth(df, bucket_docs=5).collect()}
+    assert rows[0].new_types == 2      # z, q
+    assert rows[1].new_types == 1      # r only
+    assert rows[1].cum_types == 3
