@@ -2986,6 +2986,29 @@ _QUOTE = "syndicated wire dispatch alpha bravo charlie delta echo"
 _MIX_WEIGHTS = {f"src{i}": (i + 1) ** 2 for i in range(20)}
 
 
+def q_compression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (functions/compress.py):
+    per-document DEFLATE size over the kernel-direct frozen
+    extractions — the MassiveWeb/RefinedWeb entropy probe (template
+    floods compress to nothing, mojibake barely compresses).  The one
+    Python compression kernel in the repo, Arrow-batched pandas_udf
+    (zlib is not a JVM expression); ratio/flags are JVM integer ppm.
+    Oracle: frozen twin — fixtures/frozen.freeze_zlib computes every
+    compressed size with the same bundled CPython zlib, pure Python,
+    no Spark; the SQL joins it back per url."""
+    from ocr_engine_spark.fixtures.frozen import (
+        FROZEN_NAME, ensure_entry_fixture,
+    )
+    from ocr_engine_spark.functions.compress import compression_signal
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    frozen = spark.read.parquet(os.path.join(_ENTRY_CORPUS, FROZEN_NAME))
+    sig = compression_signal(
+        frozen.select("url", "payload_kind", "clean_text"))
+    return (sig.select("url", "payload_kind", "n_octets", "zlib_bytes",
+                       "ratio_ppm", "compress_flag")
+            .orderBy("url"))
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth curve (text.vocab_growth):
     distinct types vs cumulative tokens in doc_id order, each type
@@ -3113,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window caps at the FIRST 50 dict entries (observed in
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
+        "compression_profile": q_compression_profile,
         "vocab_growth": q_vocab_growth,
         "mixture_allocate": q_mixture_allocate,
         "mixture_sample": q_mixture_sample,
@@ -6465,6 +6489,38 @@ _DRIFT_SUMMARY_ORACLE = _DRIFT_VALUES_CTE + """
 
 
 
+def _compression_profile_oracle() -> str:
+    """Frozen-twin oracle: zlib sizes from freeze_zlib (pure CPython,
+    no Spark), ratio/flag arithmetic replayed in SQL with strlen
+    (octet length) and floor division."""
+    from ocr_engine_spark.fixtures.frozen import (
+        FROZEN_NAME, FROZEN_ZLIB_NAME, ensure_entry_fixture,
+    )
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    frozen = os.path.join(_ENTRY_CORPUS, FROZEN_NAME).replace("'", "''")
+    zl = os.path.join(_ENTRY_CORPUS, FROZEN_ZLIB_NAME).replace("'", "''")
+    return f"""
+        SELECT f.url, f.payload_kind,
+               strlen(f.clean_text)::BIGINT AS n_octets,
+               z.zlib_bytes,
+               CASE WHEN strlen(f.clean_text) > 0
+                    THEN (z.zlib_bytes * 1000000)
+                         // strlen(f.clean_text)
+               END::BIGINT AS ratio_ppm,
+               CASE WHEN f.clean_text IS NULL THEN NULL
+                    WHEN strlen(f.clean_text) = 0 THEN 'empty'
+                    WHEN (z.zlib_bytes * 1000000)
+                         // strlen(f.clean_text) < 200000
+                      THEN 'too_compressible'
+                    WHEN (z.zlib_bytes * 1000000)
+                         // strlen(f.clean_text) > 900000
+                      THEN 'incompressible'
+                    ELSE 'ok' END AS compress_flag
+        FROM '{frozen}' f JOIN '{zl}' z USING (url)
+        ORDER BY url
+    """
+
+
 _VOCAB_GROWTH_ORACLE = """
     WITH pos AS (
       SELECT doc_id, u.w
@@ -6750,6 +6806,7 @@ def oracle_sql() -> dict[str, str]:
     d["decontaminate_bloom"] = d["decontaminate"]
     d["soft_dedup"] = _SOFT_DEDUP_ORACLE
     d["source_prior"] = _SOURCE_PRIOR_ORACLE
+    d["compression_profile"] = _compression_profile_oracle()
     d["vocab_growth"] = _VOCAB_GROWTH_ORACLE
     d["mixture_allocate"] = _MIXTURE_ALLOCATE_ORACLE
     d["mixture_sample"] = _MIXTURE_SAMPLE_ORACLE

@@ -43,6 +43,8 @@ def ensure_entry_fixture(corpus_dir: str, n_pages: int = 200,
         freeze_extractions(corpus_dir)
     if not os.path.exists(os.path.join(corpus_dir, FROZEN_CER_NAME)):
         freeze_cer(corpus_dir)
+    if not os.path.exists(os.path.join(corpus_dir, FROZEN_ZLIB_NAME)):
+        freeze_zlib(corpus_dir)
     return frozen
 
 
@@ -180,5 +182,35 @@ def freeze_cer(corpus_dir: str) -> str:
     out = pa.table({"url": pa.array(urls, pa.string()),
                     "cer_raw": pa.array(cers, pa.float64())})
     path = os.path.join(corpus_dir, FROZEN_CER_NAME)
+    pq.write_table(out, path, row_group_size=512)
+    return path
+
+
+FROZEN_ZLIB_NAME = "frozen_zlib.parquet"
+
+
+def freeze_zlib(corpus_dir: str, *, level: int = 6) -> str:
+    """Pure-Python zlib twin for the compression-ratio signal: the
+    compressed octet size of every frozen clean_text, computed with
+    the same bundled CPython zlib the Arrow kernel calls — pins the
+    Spark-side batching/NULL plumbing (and, within this container,
+    every output byte of DEFLATE itself)."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    frozen = pq.read_table(os.path.join(corpus_dir, FROZEN_NAME),
+                           columns=["url", "clean_text"])
+    urls, sizes = [], []
+    for url, txt in zip(frozen.column("url").to_pylist(),
+                        frozen.column("clean_text").to_pylist()):
+        urls.append(url)
+        sizes.append(None if txt is None
+                     else len(zlib.compress(txt.encode("utf-8"),
+                                            level)))
+    out = pa.table({"url": pa.array(urls, pa.string()),
+                    "zlib_bytes": pa.array(sizes, pa.int64())})
+    path = os.path.join(corpus_dir, FROZEN_ZLIB_NAME)
     pq.write_table(out, path, row_group_size=512)
     return path
