@@ -2986,6 +2986,19 @@ _QUOTE = "syndicated wire dispatch alpha bravo charlie delta echo"
 _MIX_WEIGHTS = {f"src{i}": (i + 1) ** 2 for i in range(20)}
 
 
+def q_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash reshard audit (shards.reshard_plan): the
+    movement matrix for growing a shard store 8 -> 10 under
+    highest-random-weight assignment — only docs whose NEW shard wins
+    move (~2/10 expected), vs ~100% under mod.  Both assignments are
+    map-side md5-argmax columns of one scan; one pair groupBy.
+    Oracle: arg_max(s, h) over the same md5 candidates per doc."""
+    from ocr_engine_spark.functions.shards import reshard_plan
+    docs = _read(spark, sf_dir, "documents")
+    return (reshard_plan(docs, old_shards=8, new_shards=10)
+            .orderBy("old_shard", "new_shard"))
+
+
 def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation (functions/sentence.py): the
     protect-split-restore recipe (Moses nonbreaking-prefixes motif) as
@@ -3156,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window caps at the FIRST 50 dict entries (observed in
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
+        "reshard_plan": q_reshard_plan,
         "sentences": q_sentences,
         "compression_profile": q_compression_profile,
         "vocab_growth": q_vocab_growth,
@@ -6510,6 +6524,32 @@ _DRIFT_SUMMARY_ORACLE = _DRIFT_VALUES_CTE + """
 
 
 
+_RESHARD_PLAN_ORACLE = """
+    WITH d AS (SELECT doc_id,
+                      len(string_split(text, ' '))::BIGINT AS n
+               FROM documents),
+    o AS (SELECT doc_id, arg_max(s, h) AS old_shard
+          FROM (SELECT doc_id, u.s,
+                       md5(doc_id::VARCHAR || ':' || u.s::VARCHAR)
+                         AS h
+                FROM d, LATERAL unnest(generate_series(0, 7)) u(s))
+          GROUP BY doc_id),
+    nw AS (SELECT doc_id, arg_max(s, h) AS new_shard
+           FROM (SELECT doc_id, u.s,
+                        md5(doc_id::VARCHAR || ':' || u.s::VARCHAR)
+                          AS h
+                 FROM d, LATERAL unnest(generate_series(0, 9)) u(s))
+           GROUP BY doc_id)
+    SELECT o.old_shard::BIGINT AS old_shard,
+           nw.new_shard::BIGINT AS new_shard,
+           count(*)::BIGINT AS n_docs, sum(d.n)::BIGINT AS n_tokens,
+           (o.old_shard <> nw.new_shard) AS moved
+    FROM d JOIN o USING (doc_id) JOIN nw USING (doc_id)
+    GROUP BY o.old_shard, nw.new_shard
+    ORDER BY old_shard, new_shard
+"""
+
+
 def _sentences_oracle() -> str:
     """Protect/mark/restore replay with chr(2)/chr(30) markers; the
     abbreviation list is imported from the operator so the two sides
@@ -6862,6 +6902,7 @@ def oracle_sql() -> dict[str, str]:
     d["decontaminate_bloom"] = d["decontaminate"]
     d["soft_dedup"] = _SOFT_DEDUP_ORACLE
     d["source_prior"] = _SOURCE_PRIOR_ORACLE
+    d["reshard_plan"] = _RESHARD_PLAN_ORACLE
     d["sentences"] = _sentences_oracle()
     d["compression_profile"] = _compression_profile_oracle()
     d["vocab_growth"] = _VOCAB_GROWTH_ORACLE

@@ -116,3 +116,61 @@ def verify_shards(spark: SparkSession, out_dir: str) -> DataFrame:
             .orderBy("shard_id"))
 
 
+
+
+# ---------------------------------------------------------------------------
+# rendezvous (highest-random-weight) sharding + minimal-movement resharding
+# ---------------------------------------------------------------------------
+
+
+def rendezvous_shard_col(id_col, n_shards: int):
+    """Rendezvous / HRW shard assignment (Thaler & Ravishankar 1998):
+    ``shard(d) = argmax_s md5(id || ':' || s)`` over the shard ids.
+
+    Why not ``hash(id) mod n``: growing ``n -> n+1`` under mod
+    reassigns ~100% of documents (every residue shifts), so an
+    incremental corpus refresh rebuilds every shard. Under rendezvous
+    exactly the documents whose new shard wins move — 1/(n+1) in
+    expectation — so adding capacity to a 100 TB shard store re-writes
+    ~1 shard's worth of bytes, not the corpus.
+
+    Map-only: the candidate array is ``n_shards`` md5s per row built
+    in one codegen'd Project; argmax is ``array_max`` over (hash,
+    shard) structs (lexicographic struct ordering, hash first —
+    deterministic tie-break by shard id via the struct's second
+    field). Cost is O(n_shards) per row, the standard HRW trade;
+    for thousands of shards switch to the two-level variant (HRW over
+    shard GROUPS, mod within a group) — documented seam, same column
+    contract.
+    """
+    assert 1 <= int(n_shards) <= 4096, "per-row O(n_shards) cost"
+    cands = F.array(*[
+        F.struct(
+            F.md5(F.concat(id_col.cast("string"), F.lit(f":{s}")))
+            .alias("h"),
+            F.lit(s).cast("long").alias("s"))
+        for s in range(int(n_shards))])
+    return F.array_max(cands)["s"]
+
+
+def reshard_plan(df: DataFrame, *, old_shards: int, new_shards: int,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Movement matrix for growing/shrinking a rendezvous shard store:
+    one row per (old_shard, new_shard) cell with doc and token counts,
+    plus ``moved`` — the audit a reshard job publishes so operators
+    can see exactly 1/(n+1) of bytes relocating (vs ~100% under mod).
+
+    One groupBy on the (old, new) pair — both assignments are map-side
+    columns of the same scan."""
+    old_c = rendezvous_shard_col(F.col(id_col), old_shards)
+    new_c = rendezvous_shard_col(F.col(id_col), new_shards)
+    return (df.select(
+                old_c.alias("old_shard"), new_c.alias("new_shard"),
+                F.size(F.split(F.col(text_col), " ")).cast("long")
+                .alias("__n"))
+            .groupBy("old_shard", "new_shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("__n").alias("n_tokens"))
+            .withColumn("moved",
+                        F.col("old_shard") != F.col("new_shard")))

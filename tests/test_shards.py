@@ -103,3 +103,50 @@ def test_manifest_totals_match_pack(spark):
     n = packed.count()
     assert tot["s"] == n
     assert tot["t"] == n * 64
+
+
+def test_rendezvous_stability_on_growth(spark):
+    """Growing n -> n+1 moves ONLY docs won by the new shard."""
+    from ocr_engine_spark.functions.shards import rendezvous_shard_col
+    from pyspark.sql import functions as F
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = df.select(
+        "doc_id",
+        rendezvous_shard_col(F.col("doc_id"), 8).alias("s8"),
+        rendezvous_shard_col(F.col("doc_id"), 9).alias("s9")).collect()
+    moved = [r for r in out if r.s8 != r.s9]
+    # every mover lands on the NEW shard (rendezvous invariant)
+    assert all(r.s9 == 8 for r in moved)
+    # expected movement 1/9 of 500 ~= 56; generous deterministic band
+    assert 25 <= len(moved) <= 90
+    # balance: each of the 9 shards gets a sane share
+    from collections import Counter
+    c = Counter(r.s9 for r in out)
+    assert len(c) == 9 and min(c.values()) >= 20
+
+
+def test_rendezvous_matches_python_md5(spark):
+    from ocr_engine_spark.functions.shards import rendezvous_shard_col
+    from pyspark.sql import functions as F
+    import hashlib
+    df = spark.range(40).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.s for r in df.select(
+        "doc_id",
+        rendezvous_shard_col(F.col("doc_id"), 5).alias("s")).collect()}
+    for i in range(40):
+        exp = max(range(5), key=lambda s: (
+            hashlib.md5(f"{i}:{s}".encode()).hexdigest(), s))
+        assert got[i] == exp, i
+
+
+def test_reshard_plan_matrix(spark):
+    from ocr_engine_spark.functions.shards import reshard_plan
+    df = spark.createDataFrame(
+        [(i, ("w " * (i % 4 + 1)).strip()) for i in range(200)],
+        "doc_id long, text string")
+    plan = reshard_plan(df, old_shards=4, new_shards=5).collect()
+    assert sum(r.n_docs for r in plan) == 200
+    movers = [r for r in plan if r.moved]
+    assert all(r.new_shard == 4 for r in movers)
+    stay = [r for r in plan if not r.moved]
+    assert all(r.old_shard == r.new_shard for r in stay)
