@@ -3072,6 +3072,20 @@ def q_mixture_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("stratum"))
 
 
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-data mixture budget (Muennighoff et al. 2023: up to
+    ~4 epochs of repeats is nearly as good as fresh data): the same
+    water-filling with per-stratum ceiling available * 3 and a budget
+    of 4/5 UNIQUE-token mass — high-weight sources exceed one epoch
+    and report their repetition factor in integer ppm.  Oracle: the
+    parameterized closed-form replay (epochs=3)."""
+    from ocr_engine_spark.functions.sample import mixture_allocation
+    docs = _read(spark, sf_dir, "documents")
+    return (mixture_allocation(docs, _MIX_WEIGHTS, budget_num=4,
+                               budget_den=5, max_epochs=3)
+            .orderBy("stratum"))
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture realization audit (sample.mixture_take): per stratum,
     walk documents in portable md5 hash order and keep whole docs
@@ -3174,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_profile": q_compression_profile,
         "vocab_growth": q_vocab_growth,
         "mixture_allocate": q_mixture_allocate,
+        "mixture_epochs": q_mixture_epochs,
         "mixture_sample": q_mixture_sample,
         "quote_spans": q_quote_spans,
         "linewrap_repair": q_linewrap_repair,
@@ -6650,32 +6665,38 @@ _MIX_WTS_SQL = ", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())
 # full replay of the water-filling closed form: scaled-integer sort
 # key, prefix saturation test, longest-all-true prefix, floor reflow.
 # Every division is `//` (floor) to match Spark's `div`.
-_MIX_ALLOC_CORE = f"""
+def _mix_alloc_core_sql(num: int, den: int, epochs: int) -> str:
+    """The water-filling CTE chain, parameterized by budget fraction
+    and the Muennighoff repeated-data ceiling (cap = available *
+    epochs; epochs=1 degenerates to the plain allocation). Every
+    division is `//` (floor) to match Spark's `div`."""
+    return f"""
     wts(stratum, weight) AS (VALUES {_MIX_WTS_SQL}),
     caps AS (SELECT source AS stratum,
                     sum(len(string_split(text, ' ')))::BIGINT
                       AS available
              FROM documents GROUP BY source),
     t AS (SELECT c.stratum, c.available,
+                 (c.available * {epochs})::BIGINT AS cap,
                  coalesce(w.weight, 0)::BIGINT AS weight
           FROM caps c LEFT JOIN wts w USING (stratum)),
     t2 AS (SELECT *,
                   CASE WHEN weight > 0
-                       THEN (available * 1000000000) // weight
+                       THEN (cap * 1000000000) // weight
                   END AS k,
                   sum(weight) OVER () AS W,
                   sum(available) OVER () AS tot
            FROM t),
-    t3 AS (SELECT *, (tot * 2) // 5 AS B,
-                  sum(available) OVER ord AS cum_c,
+    t3 AS (SELECT *, (tot * {num}) // {den} AS B,
+                  sum(cap) OVER ord AS cum_c,
                   sum(weight) OVER ord AS cum_w
            FROM t2
            WINDOW ord AS (ORDER BY k ASC NULLS LAST, stratum
                           ROWS UNBOUNDED PRECEDING)),
     t4 AS (SELECT *,
                   CASE WHEN weight > 0
-                        AND available * (W - (cum_w - weight))
-                            <= (B - (cum_c - available)) * weight
+                        AND cap * (W - (cum_w - weight))
+                            <= (B - (cum_c - cap)) * weight
                        THEN 1 ELSE 0 END AS sat_raw
            FROM t3),
     t5 AS (SELECT *, (min(sat_raw) OVER ord = 1) AS saturated
@@ -6683,28 +6704,37 @@ _MIX_ALLOC_CORE = f"""
            WINDOW ord AS (ORDER BY k ASC NULLS LAST, stratum
                           ROWS UNBOUNDED PRECEDING)),
     t6 AS (SELECT *,
-                  sum(CASE WHEN saturated THEN available ELSE 0 END)
+                  sum(CASE WHEN saturated THEN cap ELSE 0 END)
                     OVER () AS S_sat,
                   sum(CASE WHEN saturated THEN weight ELSE 0 END)
                     OVER () AS W_sat
            FROM t5),
     alloc AS (SELECT stratum, available, weight, saturated,
-                     CASE WHEN saturated THEN available
-                          ELSE least(available, coalesce(
+                     CASE WHEN saturated THEN cap
+                          ELSE least(cap, coalesce(
                             ((B - S_sat) * weight)
                               // nullif(W - W_sat, 0), 0))
                      END::BIGINT AS allocated
               FROM t6)
 """
 
+
 _MIXTURE_ALLOCATE_ORACLE = f"""
-    WITH {_MIX_ALLOC_CORE}
+    WITH {_mix_alloc_core_sql(2, 5, 1)}
     SELECT stratum, available, weight, allocated, saturated
     FROM alloc ORDER BY stratum
 """
 
+_MIXTURE_EPOCHS_ORACLE = f"""
+    WITH {_mix_alloc_core_sql(4, 5, 3)}
+    SELECT stratum, available, weight, allocated, saturated,
+           ((allocated * 1000000) // nullif(available, 0))::BIGINT
+             AS epochs_ppm
+    FROM alloc ORDER BY stratum
+"""
+
 _MIXTURE_SAMPLE_ORACLE = f"""
-    WITH {_MIX_ALLOC_CORE},
+    WITH {_mix_alloc_core_sql(2, 5, 1)},
     toks AS (SELECT source AS stratum, doc_id,
                     len(string_split(text, ' '))::BIGINT AS n,
                     md5(source || chr(31) || CAST(doc_id AS VARCHAR))
@@ -6907,6 +6937,7 @@ def oracle_sql() -> dict[str, str]:
     d["compression_profile"] = _compression_profile_oracle()
     d["vocab_growth"] = _VOCAB_GROWTH_ORACLE
     d["mixture_allocate"] = _MIXTURE_ALLOCATE_ORACLE
+    d["mixture_epochs"] = _MIXTURE_EPOCHS_ORACLE
     d["mixture_sample"] = _MIXTURE_SAMPLE_ORACLE
     d["quote_spans"] = _QUOTE_SPANS_ORACLE
     d["linewrap_repair"] = _LINEWRAP_REPAIR_ORACLE

@@ -360,7 +360,8 @@ def mixture_allocation(df: DataFrame, weights: dict[str, int],
                        *, strata_col: str = "source",
                        text_col: str = "text",
                        budget_num: int = 1,
-                       budget_den: int = 1) -> DataFrame:
+                       budget_den: int = 1,
+                       max_epochs: int = 1) -> DataFrame:
     """Water-filling allocation of a token budget across strata.
 
     The mixture step every pretraining pipeline runs after curation
@@ -394,19 +395,32 @@ def mixture_allocation(df: DataFrame, weights: dict[str, int],
     after runs on the |strata|-row table through two ordered windows —
     no per-stratum data shuffles at all.
 
-    Returns (stratum, available, weight, allocated, saturated).
+    ``max_epochs > 1`` allows REPEATED data (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models": repeating up to ~4
+    epochs is nearly as good as fresh data): each stratum's ceiling
+    becomes ``c_s * max_epochs`` and the output gains ``epochs_ppm =
+    allocated * 1e6 div available`` — the per-stratum repetition factor
+    the training job must realize. Budget stays a fraction of UNIQUE
+    tokens, so budgets above 1x the corpus are expressible. The int64
+    bound above divides by ``max_epochs`` accordingly.
+
+    Returns (stratum, available, weight, allocated, saturated
+    [, epochs_ppm when max_epochs > 1]).
     """
     max_w = max(weights.values()) if weights else 0
     assert 0 < max_w <= 10_000, \
         "weights are basis-point shares; cap 1e4 keeps int64 exact"
     assert min(weights.values()) >= 0
+    assert 1 <= int(max_epochs) <= 100
     wmap = F.create_map(*[F.lit(x) for kv in weights.items()
                           for x in kv])
     caps = (df.groupBy(F.col(strata_col).alias("stratum"))
             .agg(F.sum(F.size(F.split(F.col(text_col), " "))
                        .cast("long")).alias("available")))
     w = F.coalesce(wmap[F.col("stratum")].cast("long"), F.lit(0))
-    t = caps.select("stratum", "available", w.alias("weight"))
+    t = (caps.select("stratum", "available", w.alias("weight"))
+         .withColumn("__cap",
+                     F.expr(f"available * {int(max_epochs)}")))
     # the strata table is |strata| rows — one-partition windows are the
     # intended plan here, not a scale hazard
     everything = (Window.partitionBy()
@@ -415,7 +429,7 @@ def mixture_allocation(df: DataFrame, weights: dict[str, int],
     # integer `div` throughout: float '/' then casting rounds in DuckDB
     # but truncates in Spark — div floors identically on both engines
     key = F.expr("CASE WHEN weight > 0 THEN "
-                 "(available * 1000000000) div weight END")
+                 "(__cap * 1000000000) div weight END")
     ordw = (Window.orderBy(F.asc_nulls_last("__key"), F.col("stratum"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     t = (t.withColumn("__key", key)
@@ -423,13 +437,13 @@ def mixture_allocation(df: DataFrame, weights: dict[str, int],
          .withColumn("__tot", F.sum("available").over(everything))
          .withColumn("__B", F.expr(f"(__tot * {int(budget_num)}) "
                                    f"div {int(budget_den)}"))
-         .withColumn("__cum_c", F.sum("available").over(ordw))
+         .withColumn("__cum_c", F.sum("__cap").over(ordw))
          .withColumn("__cum_w", F.sum("weight").over(ordw)))
     sat_raw = (
         (F.col("weight") > 0)
-        & (F.col("available") * (F.col("__W") - (F.col("__cum_w")
-                                                 - F.col("weight")))
-           <= (F.col("__B") - (F.col("__cum_c") - F.col("available")))
+        & (F.col("__cap") * (F.col("__W") - (F.col("__cum_w")
+                                             - F.col("weight")))
+           <= (F.col("__B") - (F.col("__cum_c") - F.col("__cap")))
            * F.col("weight")))
     # the saturated set is the longest all-true prefix
     t = (t.withColumn("__sat_raw", sat_raw.cast("int"))
@@ -437,18 +451,23 @@ def mixture_allocation(df: DataFrame, weights: dict[str, int],
                      (F.min("__sat_raw").over(ordw) == 1)))
     t = (t.withColumn("__S_sat",
                       F.sum(F.when(F.col("saturated"),
-                                   F.col("available"))
+                                   F.col("__cap"))
                             .otherwise(F.lit(0))).over(everything))
          .withColumn("__W_sat",
                      F.sum(F.when(F.col("saturated"), F.col("weight"))
                            .otherwise(F.lit(0))).over(everything)))
     rest_share = F.expr(
         "((__B - __S_sat) * weight) div nullif(__W - __W_sat, 0)")
-    allocated = F.when(F.col("saturated"), F.col("available")) \
-                 .otherwise(F.least(F.col("available"),
+    allocated = F.when(F.col("saturated"), F.col("__cap")) \
+                 .otherwise(F.least(F.col("__cap"),
                                     F.coalesce(rest_share, F.lit(0))))
-    return t.select("stratum", "available", "weight",
-                    allocated.alias("allocated"), "saturated")
+    out = t.select("stratum", "available", "weight",
+                   allocated.alias("allocated"), "saturated")
+    if int(max_epochs) == 1:
+        return out
+    return out.withColumn(
+        "epochs_ppm",
+        F.expr("(allocated * 1000000) div nullif(available, 0)"))
 
 
 def mixture_take(df: DataFrame, weights: dict[str, int],

@@ -100,3 +100,25 @@ def test_take_respects_allocation_greedily(spark):
     assert rows["a"].n_docs == 2 and rows["a"].n_tokens == 8
     assert rows["b"].allocated == 6
     assert rows["b"].n_docs == 1 and rows["b"].n_tokens == 10
+
+
+def test_epochs_allow_repeated_data(spark):
+    # capacity a=10, b=100, equal weights, budget = 1.0x of unique
+    # tokens (110).  Without repeats a caps at 10.  With max_epochs=3
+    # the water level equalizes at 55/55: a repeats 5.5 epochs > 3 ->
+    # a saturates at 30, b takes 80.
+    df = _docs(spark, {"a": [10], "b": [100]})
+    rows = {r.stratum: r for r in
+            mixture_allocation(df, {"a": 1, "b": 1}, budget_num=1,
+                               budget_den=1, max_epochs=3).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a.available, a.allocated, a.saturated) == (10, 30, True)
+    assert a.epochs_ppm == 3_000_000
+    assert (b.available, b.allocated, b.saturated) == (100, 80, False)
+    assert b.epochs_ppm == 800_000
+
+
+def test_epochs_default_schema_unchanged(spark):
+    df = _docs(spark, {"a": [10]})
+    cols = mixture_allocation(df, {"a": 1}).columns
+    assert "epochs_ppm" not in cols

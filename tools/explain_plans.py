@@ -305,6 +305,35 @@ NOTES = {
     "pagination": "link-tag harvest map-side; first-wins is an argmin "
                   "struct-min groupBy on url (map-side combined) — "
                   "the one shuffle",
+    "linewrap_repair": "injection + repair + hash all fuse into ONE "
+                       "zero-shuffle codegen Project before the final "
+                       "agg — the reflow pass costs a scan, nothing "
+                       "else",
+    "quote_spans": "no CartesianProduct: anchors come from the gram "
+                   "equi-join AFTER the hot-gram guard agg; the "
+                   "islands merge is one (pair, diagonal) window; "
+                   "gram keys are 8-byte md5-int60s, never gram "
+                   "strings, through both shuffles",
+    "mixture_sample": "corpus shuffles once for capacities and once "
+                      "for the per-stratum cum-sum walk; the "
+                      "water-filling itself runs over the 20-row "
+                      "strata table (single-partition windows are the "
+                      "intended plan there) and comes back as a "
+                      "broadcast",
+    "vocab_growth": "per-type argmin is a groupBy (map-side combined, "
+                    "bounded by vocabulary size) — no window over "
+                    "types or docs; the cumulative window sees "
+                    "#buckets rows",
+    "sentences": "protect/mark/restore chain is one codegen'd string "
+                 "Project; posexplode is the only row expansion — "
+                 "zero shuffle before the presentation sort",
+    "reshard_plan": "both HRW assignments are map-side md5-argmax "
+                    "columns of the SAME scan; one groupBy on the "
+                    "(old, new) pair",
+    "compression_profile": "one ArrowEvalPython (the zlib kernel) over "
+                           "the pruned 3-column scan; ratio/flag "
+                           "arithmetic stays JVM-side around it; no "
+                           "BatchEvalPython anywhere",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -365,6 +394,9 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "list_items", "rdfa_props", "embeds", "charset_report",
             "page_features",
             "soft_dedup", "source_prior",
+            "linewrap_repair", "quote_spans", "mixture_sample",
+            "vocab_growth", "sentences", "reshard_plan",
+            "compression_profile",
             "extraction_pipeline"]
 
 
