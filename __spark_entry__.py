@@ -2986,6 +2986,26 @@ _QUOTE = "syndicated wire dispatch alpha bravo charlie delta echo"
 _MIX_WEIGHTS = {f"src{i}": (i + 1) ** 2 for i in range(20)}
 
 
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved difficulty curriculum (sample.curriculum_order):
+    exact global quality rank (range-partition prefix-rank engine, no
+    single-task window) -> 8 exact rank-quantile bins -> round-robin
+    total order so every training window mixes difficulties.  Score is
+    the micro-quantized Gopher/C4 quality signal.  Oracle: replay —
+    quality quantization, row_number rank, integer bin/position
+    arithmetic."""
+    from ocr_engine_spark.functions.sample import curriculum_order
+    from ocr_engine_spark.functions.text import quality_score_raw_col
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.floor(quality_score_raw_col(F.col("text")) * 1e6 + 0.5)
+         .cast("long").alias("q_micro"))
+    return (curriculum_order(d, score_col="q_micro", n_bins=8)
+            .select("doc_id", "q_micro", "bin", "curriculum_pos")
+            .orderBy("doc_id"))
+
+
 def q_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous-hash reshard audit (shards.reshard_plan): the
     movement matrix for growing a shard store 8 -> 10 under
@@ -3183,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window caps at the FIRST 50 dict entries (observed in
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
+        "curriculum": q_curriculum,
         "reshard_plan": q_reshard_plan,
         "sentences": q_sentences,
         "compression_profile": q_compression_profile,
@@ -6632,6 +6653,24 @@ def _compression_profile_oracle() -> str:
     """
 
 
+def _curriculum_oracle() -> str:
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      floor({_QUALITY_RAW} * 1000000 + 0.5)::BIGINT
+                        AS q_micro
+               FROM documents),
+    r AS (SELECT doc_id, q_micro,
+                 row_number() OVER (ORDER BY q_micro, doc_id) AS rk,
+                 count(*) OVER () AS n
+          FROM d),
+    b AS (SELECT *, ((rk - 1) * 8) // n AS bin FROM r)
+    SELECT doc_id, q_micro, bin::BIGINT AS bin,
+           (((rk - 1) - ((bin * n + 7) // 8)) * 8 + bin)::BIGINT
+             AS curriculum_pos
+    FROM b ORDER BY doc_id
+"""
+
+
 _VOCAB_GROWTH_ORACLE = """
     WITH pos AS (
       SELECT doc_id, u.w
@@ -6932,6 +6971,7 @@ def oracle_sql() -> dict[str, str]:
     d["decontaminate_bloom"] = d["decontaminate"]
     d["soft_dedup"] = _SOFT_DEDUP_ORACLE
     d["source_prior"] = _SOURCE_PRIOR_ORACLE
+    d["curriculum"] = _curriculum_oracle()
     d["reshard_plan"] = _RESHARD_PLAN_ORACLE
     d["sentences"] = _sentences_oracle()
     d["compression_profile"] = _compression_profile_oracle()

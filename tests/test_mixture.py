@@ -122,3 +122,40 @@ def test_epochs_default_schema_unchanged(spark):
     df = _docs(spark, {"a": [10]})
     cols = mixture_allocation(df, {"a": 1}).columns
     assert "epochs_ppm" not in cols
+
+
+def test_curriculum_easy_to_hard_is_rank(spark):
+    from ocr_engine_spark.functions.sample import curriculum_order
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(20)],
+        "doc_id long, score long")
+    rows = curriculum_order(df, score_col="score", n_bins=4,
+                            interleave=False) \
+        .orderBy("curriculum_pos").collect()
+    assert [r.score for r in rows] == sorted(r.score for r in rows)
+    assert [r.curriculum_pos for r in rows] == list(range(20))
+    # 4 even bins of 5
+    assert [r.bin for r in rows] == [0]*5 + [1]*5 + [2]*5 + [3]*5
+
+
+def test_curriculum_interleaved_mixes_bins(spark):
+    from ocr_engine_spark.functions.sample import curriculum_order
+    df = spark.createDataFrame(
+        [(i, i) for i in range(12)], "doc_id long, score long")
+    rows = curriculum_order(df, score_col="score", n_bins=3) \
+        .orderBy("curriculum_pos").collect()
+    # positions are a total order; first 3 entries cover all 3 bins
+    pos = [r.curriculum_pos for r in rows]
+    assert len(set(pos)) == 12
+    assert {r.bin for r in rows[:3]} == {0, 1, 2}
+    # within the walk, bins repeat round-robin 0,1,2,0,1,2...
+    assert [r.bin for r in rows] == [0, 1, 2] * 4
+
+
+def test_curriculum_uneven_bins_total_order(spark):
+    from ocr_engine_spark.functions.sample import curriculum_order
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(10)], "doc_id long, score long")
+    rows = curriculum_order(df, score_col="score", n_bins=3).collect()
+    assert len({r.curriculum_pos for r in rows}) == 10
+    assert all(0 <= r.bin < 3 for r in rows)
