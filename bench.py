@@ -64,6 +64,9 @@ HEADLINE = [
     "video_overlap",
     "nested_fields",
     "extraction_f1", "token_fertility", "markdown_render", "crawl_schedule",
+    "linewrap_repair", "dehyphen_report", "quote_spans", "sentences",
+    "mixture_allocate", "mixture_epochs", "mixture_sample", "curriculum",
+    "vocab_growth", "reshard_plan", "compression_profile", "recrawl",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000

@@ -555,3 +555,59 @@ def crawl_schedule(pages: DataFrame, *, n_shards: int = 8,
             .withColumn("drain_ms", F.greatest("polite_bound_ms",
                                                "throughput_bound_ms"))
             .orderBy("shard"))
+
+
+def recrawl_intervals(df: DataFrame, *, id_col: str = "user_id",
+                      ts_col: str = "ts",
+                      state_col: str = "event_type",
+                      min_ms: int = 60_000,
+                      max_ms: int = 7 * 24 * 3_600_000) -> DataFrame:
+    """Per-page re-crawl interval estimation from observation history
+    (the Cho & Garcia-Molina 2003 freshness-scheduling motif, integer
+    form): a page's observations are its fetches in time order; a
+    CHANGE is a fetch whose observed state differs from the previous
+    fetch's.  The scheduler then revisits each page about once per
+    observed change: ``recrawl_ms = span_ms div max(n_changes, 1)``,
+    clamped to [min_ms, max_ms] so never-changing pages don't starve
+    and hot pages don't melt the fetcher.
+
+    Integer contract: timestamps enter as unix MILLIS (``unix_millis``
+    here, ``epoch_ms`` in the DuckDB twin — both truncate the
+    microsecond part identically); ``change_ppm = n_changes * 1e6 div
+    (n_obs - 1)`` is the per-interval change probability in ppm.
+    Pages with a single observation report NULL change_ppm and the
+    max_ms interval (nothing is known; crawl lazily).
+
+    Scale: one (page, ts) window for the lag — a page's history is
+    bounded (fetch counts, not corpus size), so the window partition
+    is small by construction — then one groupBy(page).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(ts_col, "event_id") \
+        if "event_id" in df.columns else \
+        Window.partitionBy(id_col).orderBy(ts_col)
+    # parquet timestamps arrive NTZ; the session runs UTC, so the cast
+    # reads the wall clock as UTC — exactly DuckDB's epoch_ms(ntz)
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    d = (df.withColumn("__ms", ms)
+         .withColumn("__prev", F.lag(state_col).over(w))
+         .withColumn("__chg",
+                     (F.col("__prev").isNotNull()
+                      & (F.col(state_col) != F.col("__prev")))
+                     .cast("long")))
+    agg = (d.groupBy(F.col(id_col).alias("page_id"))
+           .agg(F.count("*").alias("n_obs"),
+                F.sum("__chg").alias("n_changes"),
+                (F.max("__ms") - F.min("__ms")).alias("span_ms")))
+    change_ppm = F.expr(
+        "CASE WHEN n_obs > 1 THEN "
+        "(n_changes * 1000000) div (n_obs - 1) END")
+    raw = F.expr(
+        f"CASE WHEN n_obs > 1 THEN span_ms div "
+        f"CASE WHEN n_changes > 1 THEN n_changes ELSE 1 END "
+        f"ELSE {int(max_ms)} END")
+    recrawl = F.least(F.greatest(raw, F.lit(int(min_ms))),
+                      F.lit(int(max_ms)))
+    return agg.select("page_id", "n_obs", "n_changes", "span_ms",
+                      change_ppm.alias("change_ppm"),
+                      recrawl.cast("long").alias("recrawl_ms"))

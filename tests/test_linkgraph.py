@@ -564,3 +564,51 @@ def test_crawl_schedule_bounds(spark):
     hot = next(r for r in out if r.hottest_host_urls == 50)
     # 50 urls x 1 s politeness = 50 s serial chain >> service bound
     assert hot.drain_ms == 50_000
+
+
+def test_recrawl_intervals_change_math(spark):
+    from ocr_engine_spark.functions.linkgraph import recrawl_intervals
+    from datetime import datetime
+    rows = [
+        # page 1: 3 obs, changes at obs2 (a->b) and obs3 (b->a)
+        (0, datetime(2024, 1, 1, 0, 0, 0), 1, "a"),
+        (1, datetime(2024, 1, 1, 1, 0, 0), 1, "b"),
+        (2, datetime(2024, 1, 1, 2, 0, 0), 1, "a"),
+        # page 2: 3 obs, never changes
+        (3, datetime(2024, 1, 1, 0, 0, 0), 2, "x"),
+        (4, datetime(2024, 1, 1, 4, 0, 0), 2, "x"),
+        (5, datetime(2024, 1, 1, 8, 0, 0), 2, "x"),
+        # page 3: single observation
+        (6, datetime(2024, 1, 1, 0, 0, 0), 3, "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    got = {r.page_id: r for r in recrawl_intervals(df).collect()}
+    p1 = got[1]
+    assert (p1.n_obs, p1.n_changes, p1.span_ms) == (3, 2, 7_200_000)
+    assert p1.change_ppm == 1_000_000
+    assert p1.recrawl_ms == 3_600_000       # span / 2 changes
+    p2 = got[2]
+    assert (p2.n_changes, p2.change_ppm) == (0, 0)
+    # no changes -> span/1, inside the clamp
+    assert p2.recrawl_ms == 28_800_000
+    p3 = got[3]
+    assert p3.n_obs == 1 and p3.change_ppm is None
+    assert p3.recrawl_ms == 7 * 24 * 3_600_000   # max clamp
+
+
+def test_recrawl_clamps(spark):
+    from ocr_engine_spark.functions.linkgraph import recrawl_intervals
+    from datetime import datetime
+    rows = [
+        # page changes every second -> raw 1000 ms, clamped up to min
+        (0, datetime(2024, 1, 1, 0, 0, 0), 1, "a"),
+        (1, datetime(2024, 1, 1, 0, 0, 1), 1, "b"),
+        (2, datetime(2024, 1, 1, 0, 0, 2), 1, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    r = recrawl_intervals(df, min_ms=60_000).collect()[0]
+    assert r.recrawl_ms == 60_000
