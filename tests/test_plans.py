@@ -198,3 +198,32 @@ def test_source_prior_broadcasts_and_never_shuffles_corpus(spark):
     assert shuffles, plan  # the agg shuffles must exist
     for kind in shuffles:
         assert kind in ("hashpartitioning", "SinglePartition"), plan
+
+
+def test_quote_spans_no_cartesian(spark, entrymod):
+    df = entrymod.q_quote_spans(spark, SF_DIR)
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_compression_kernel_is_arrow_batched(spark, entrymod):
+    p = _plan(entrymod.q_compression_profile(spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert p.count("ArrowEvalPython") == 1
+    # only the 3 touched columns are read
+    assert "clean_text" in p and "extracted_text" not in p
+
+
+def test_linewrap_and_sentences_are_pure_jvm(spark, entrymod):
+    for q in (entrymod.q_linewrap_repair, entrymod.q_sentences,
+              entrymod.q_dehyphen_report):
+        p = _plan(q(spark, SF_DIR))
+        assert "Python" not in p, q.__name__
+
+
+def test_reshard_plan_single_scan_no_join(spark, entrymod):
+    p = _plan(entrymod.q_reshard_plan(spark, SF_DIR))
+    # both HRW assignments are columns of one scan: no join anywhere
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
