@@ -3032,6 +3032,37 @@ def q_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("old_shard", "new_shard"))
 
 
+def _sentence_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared sentence-material injection (see q_sentences)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    inj = F.concat(
+        F.lit("Dr. Smith says e.g. this: "),
+        F.replace(F.col("text"), F.lit(" table "), F.lit(". Table ")),
+        F.lit(". Mr. Jones agrees. The end."))
+    return docs.select("doc_id", inj.alias("text"))
+
+
+def q_bitext_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based bitext alignment triage
+    (sentence.bitext_align_score — Gale & Church 1993's length signal,
+    positional 1-1 form, the cheap filter before a DP aligner): side B
+    is a pseudo-translation of side A (every 'a' -> 'ah', lengths
+    drift realistically), and doc_id % 5 == 0 docs grow a 2-sentence
+    tail on B only, exercising the count-mismatch penalty.  No
+    explode: ratio arrays live inside the row; the pair equi-join is
+    the only shuffle.  Oracle: full replay — shared sentence-split
+    twin on both sides, per-index ratio floor-divs, tail penalty."""
+    from ocr_engine_spark.functions.sentence import bitext_align_score
+    a = _sentence_injected(spark, sf_dir)
+    rep = F.replace(F.col("text"), F.lit("a"), F.lit("ah"))
+    b = a.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(rep, F.lit(" More tail here. End again.")))
+         .otherwise(rep).alias("text"))
+    return bitext_align_score(a, b).orderBy("doc_id")
+
+
 def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation (functions/sentence.py): the
     protect-split-restore recipe (Moses nonbreaking-prefixes motif) as
@@ -3043,13 +3074,8 @@ def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     mark / restore chain with chr(2)/chr(30) markers + string_split +
     unnest."""
     from ocr_engine_spark.functions.sentence import sentences
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
-    inj = F.concat(
-        F.lit("Dr. Smith says e.g. this: "),
-        F.replace(F.col("text"), F.lit(" table "), F.lit(". Table ")),
-        F.lit(". Mr. Jones agrees. The end."))
-    d = docs.select("doc_id", inj.alias("text"))
-    return sentences(d).orderBy("doc_id", "sent_idx")
+    return (sentences(_sentence_injected(spark, sf_dir))
+            .orderBy("doc_id", "sent_idx"))
 
 
 def q_compression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3219,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl": q_recrawl,
         "curriculum": q_curriculum,
         "reshard_plan": q_reshard_plan,
+        "bitext_align": q_bitext_align,
         "sentences": q_sentences,
         "compression_profile": q_compression_profile,
         "vocab_growth": q_vocab_growth,
@@ -6600,16 +6627,74 @@ _RESHARD_PLAN_ORACLE = """
 """
 
 
-def _sentences_oracle() -> str:
-    """Protect/mark/restore replay with chr(2)/chr(30) markers; the
+_BITEXT_A_SQL = """
+      SELECT doc_id,
+             'Dr. Smith says e.g. this: '
+               || replace(text, ' table ', '. Table ')
+               || '. Mr. Jones agrees. The end.' AS t
+      FROM documents WHERE doc_id < 250
+"""
+
+
+def _bitext_align_oracle() -> str:
+    return f"""
+        WITH d AS ({_BITEXT_A_SQL}),
+        bsrc AS (SELECT doc_id,
+                        CASE WHEN doc_id % 5 = 0
+                             THEN replace(t, 'a', 'ah')
+                                  || ' More tail here. End again.'
+                             ELSE replace(t, 'a', 'ah') END AS t
+                 FROM d),
+        sa AS (SELECT doc_id, {_sent_split_sql('t')} AS s FROM d),
+        sb AS (SELECT doc_id, {_sent_split_sql('t')} AS s FROM bsrc),
+        pairs AS (SELECT a.doc_id, a.s AS xa, b.s AS xb
+                  FROM sa a JOIN sb b USING (doc_id)),
+        al AS (SELECT p.doc_id,
+                      (least(length(p.xa[u.i]), length(p.xb[u.i]))
+                        * 1000000)
+                      // greatest(greatest(length(p.xa[u.i]),
+                                           length(p.xb[u.i])), 1)
+                        AS ratio
+               FROM pairs p,
+                    LATERAL unnest(generate_series(
+                      1, least(len(p.xa), len(p.xb)))) u(i)),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_aligned,
+                       sum(ratio)::BIGINT AS sum_ratio_ppm
+                FROM al GROUP BY doc_id),
+        meta AS (SELECT doc_id, len(xa)::BIGINT AS n_sents_a,
+                        len(xb)::BIGINT AS n_sents_b
+                 FROM pairs)
+        SELECT m.doc_id, m.n_sents_a, m.n_sents_b,
+               coalesce(a.n_aligned, 0)::BIGINT AS n_aligned,
+               coalesce(a.sum_ratio_ppm, 0)::BIGINT AS sum_ratio_ppm,
+               CASE WHEN coalesce(a.n_aligned, 0) > 0
+                    THEN a.sum_ratio_ppm // a.n_aligned
+               END::BIGINT AS mean_ratio_ppm,
+               (coalesce(a.sum_ratio_ppm, 0)
+                // greatest(m.n_sents_a, m.n_sents_b))::BIGINT
+                 AS align_score_ppm
+        FROM meta m LEFT JOIN agg a USING (doc_id)
+        ORDER BY m.doc_id
+    """
+
+
+def _sent_split_sql(expr: str) -> str:
+    """DuckDB sentence-split twin of sentence.split_sentences_col:
+    protect (chr(2)) / mark (chr(30)) / restore / split; the
     abbreviation list is imported from the operator so the two sides
     cannot drift."""
     from ocr_engine_spark.functions.sentence import ABBREVIATIONS
-    prot = "t"
+    prot = expr
     for a in ABBREVIATIONS:
         lit = a.replace("'", "''")
         prot = (f"replace({prot}, '{lit} ', "
                 f"'{lit}' || chr(2) || ' ')")
+    marked = (f"replace(regexp_replace({prot}, '([.!?]) ([A-Z])', "
+              f"'\\1' || chr(30) || '\\2', 'g'), chr(2), '')")
+    return f"string_split({marked}, chr(30))"
+
+
+def _sentences_oracle() -> str:
     return f"""
         WITH d AS (
           SELECT doc_id,
@@ -6617,15 +6702,8 @@ def _sentences_oracle() -> str:
                    || replace(text, ' table ', '. Table ')
                    || '. Mr. Jones agrees. The end.' AS t
           FROM documents WHERE doc_id < 250),
-        p AS (SELECT doc_id, {prot} AS pt FROM d),
-        m AS (SELECT doc_id,
-                     replace(regexp_replace(pt, '([.!?]) ([A-Z])',
-                                            '\\1' || chr(30) || '\\2',
-                                            'g'),
-                             chr(2), '') AS mt
-              FROM p),
-        arrs AS (SELECT doc_id, string_split(mt, chr(30)) AS arr
-                 FROM m)
+        arrs AS (SELECT doc_id, {_sent_split_sql('t')} AS arr
+                 FROM d)
         SELECT doc_id, (i - 1)::BIGINT AS sent_idx,
                arr[i] AS sentence,
                len(string_split(arr[i], ' '))::BIGINT AS n_tokens
@@ -7015,6 +7093,7 @@ def oracle_sql() -> dict[str, str]:
     d["recrawl"] = _RECRAWL_ORACLE
     d["curriculum"] = _curriculum_oracle()
     d["reshard_plan"] = _RESHARD_PLAN_ORACLE
+    d["bitext_align"] = _bitext_align_oracle()
     d["sentences"] = _sentences_oracle()
     d["compression_profile"] = _compression_profile_oracle()
     d["vocab_growth"] = _VOCAB_GROWTH_ORACLE

@@ -65,3 +65,71 @@ def sentences(df: DataFrame, *, id_col: str = "doc_id",
         "sentence",
         F.size(F.split(F.col("sentence"), " ")).cast("long")
         .alias("n_tokens"))
+
+
+def bitext_align_score(df_a: DataFrame, df_b: DataFrame, *,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Length-based bitext alignment scoring (Gale & Church 1993's
+    core signal — translated sentences have strongly correlated
+    lengths — reduced to the positional 1-1 case): split both sides
+    into sentences, align sentence i with sentence i, score each
+    aligned pair ``min(len)*1e6 div max(len)`` and the document pair
+    by ``sum(pair scores) div max(n_a, n_b)`` — unaligned tail
+    sentences score 0, so count mismatch is penalized without a DP.
+    The cheap triage before a full Gale-Church DP (which needs
+    per-pair dynamic programming — a Pandas-UDF job, deliberately out
+    of scope for the zero-UDF discovery tier): pairs scoring high here
+    ARE overwhelmingly parallel; run the expensive aligner on the
+    survivors.
+
+    Everything stays array-valued inside the row — sentence arrays,
+    length arrays and ratio arrays materialize in their OWN
+    projections (the with_wer/CollapseProject discipline: HOFs inline
+    multiply-referenced inputs and re-evaluate them per element), and
+    there is no explode: one equi-join on the pair id is the only
+    shuffle. HOF lambdas here run over tens of sentences per doc —
+    far below the HOF cliff that matters for per-token work.
+
+    Returns (id, n_sents_a, n_sents_b, n_aligned, sum_ratio_ppm,
+    mean_ratio_ppm, align_score_ppm).
+    """
+    la = df_a.select(F.col(id_col),
+                     split_sentences_col(F.col(text_col)).alias("__sa"))
+    lb = df_b.select(F.col(id_col),
+                     split_sentences_col(F.col(text_col)).alias("__sb"))
+    j = la.join(lb, id_col)
+    j = (j.withColumn("__la", F.transform("__sa",
+                                          lambda s: F.length(s)
+                                          .cast("long")))
+         .withColumn("__lb", F.transform("__sb",
+                                         lambda s: F.length(s)
+                                         .cast("long"))))
+    def _idiv(a, b):
+        # exact integer floor-div inside a lambda (no `div` operator on
+        # bound lambda variables): the numerator is made divisible, so
+        # the double division is an exact small-integer quotient
+        return ((a - a % b) / b).cast("long")
+
+    ratio = F.zip_with(
+        "__la", "__lb",
+        lambda x, y: F.when(
+            x.isNotNull() & y.isNotNull(),
+            _idiv(F.least(x, y) * 1_000_000,
+                  F.greatest(F.greatest(x, y), F.lit(1)))))
+    j = j.withColumn("__r", F.filter(ratio,
+                                     lambda r: r.isNotNull()))
+    sum_ratio = F.aggregate("__r", F.lit(0).cast("long"),
+                            lambda acc, r: acc + r)
+    j = (j.withColumn("n_sents_a", F.size("__sa").cast("long"))
+         .withColumn("n_sents_b", F.size("__sb").cast("long"))
+         .withColumn("n_aligned", F.size("__r").cast("long"))
+         .withColumn("sum_ratio_ppm", sum_ratio))
+    return j.select(
+        id_col, "n_sents_a", "n_sents_b", "n_aligned",
+        "sum_ratio_ppm",
+        F.expr("CASE WHEN n_aligned > 0 THEN "
+               "sum_ratio_ppm div n_aligned END")
+        .alias("mean_ratio_ppm"),
+        F.expr("sum_ratio_ppm div greatest(n_sents_a, n_sents_b)")
+        .alias("align_score_ppm"))

@@ -63,3 +63,40 @@ def test_sentences_rows(spark):
         (1, "Four five.", 2),
         (2, "Six.", 1),
     ]
+
+
+def test_bitext_align_identical_sides_score_million(spark):
+    from ocr_engine_spark.functions.sentence import bitext_align_score
+    df = spark.createDataFrame(
+        [(1, "One two. Three four. Five.")],
+        "doc_id long, text string")
+    r = bitext_align_score(df, df).collect()[0]
+    assert (r.n_sents_a, r.n_sents_b, r.n_aligned) == (3, 3, 3)
+    assert r.mean_ratio_ppm == 1_000_000
+    assert r.align_score_ppm == 1_000_000
+
+
+def test_bitext_align_length_ratio_math(spark):
+    from ocr_engine_spark.functions.sentence import bitext_align_score
+    a = spark.createDataFrame([(1, "Abcd. Wxyz.")],       # lens 5,5
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(1, "Ab. Wxyzwxyzwx.")],   # lens 3,11
+                              "doc_id long, text string")
+    r = bitext_align_score(a, b).collect()[0]
+    # ratios: 3e6//5=600000, 5e6//11=454545
+    assert r.sum_ratio_ppm == 600_000 + 454_545
+    assert r.mean_ratio_ppm == (600_000 + 454_545) // 2
+
+
+def test_bitext_align_count_mismatch_penalized(spark):
+    from ocr_engine_spark.functions.sentence import bitext_align_score
+    a = spark.createDataFrame([(1, "Same text. Again.")],
+                              "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, "Same text. Again. Extra tail sentence. And more.")],
+        "doc_id long, text string")
+    r = bitext_align_score(a, b).collect()[0]
+    assert (r.n_sents_a, r.n_sents_b, r.n_aligned) == (2, 4, 2)
+    # perfect on the aligned prefix, halved by the unaligned tail
+    assert r.mean_ratio_ppm == 1_000_000
+    assert r.align_score_ppm == 2_000_000 // 4
