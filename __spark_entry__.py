@@ -3042,6 +3042,19 @@ def _sentence_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", inj.alias("text"))
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (text.winnow_fingerprints —
+    Schleimer et al. 2003 / MOSS): rightmost window-min over k-gram
+    hashes with the >= w+k-1 shared-substring guarantee that the
+    hash%mod sampling of rolling_fingerprints lacks.  Oracle: full
+    replay — normalization, gram md5-int60s, min(struct(h, -pos))
+    window with the full-window gate, distinct."""
+    from ocr_engine_spark.functions.text import winnow_fingerprints
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return (winnow_fingerprints(docs, k=8, w=16)
+            .orderBy("doc_id", "pos"))
+
+
 def q_bitext_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-based bitext alignment triage
     (sentence.bitext_align_score — Gale & Church 1993's length signal,
@@ -3245,6 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl": q_recrawl,
         "curriculum": q_curriculum,
         "reshard_plan": q_reshard_plan,
+        "winnow_fp": q_winnow_fp,
         "bitext_align": q_bitext_align,
         "sentences": q_sentences,
         "compression_profile": q_compression_profile,
@@ -6627,6 +6641,34 @@ _RESHARD_PLAN_ORACLE = """
 """
 
 
+# min over struct is lexicographic in DuckDB too, so the rightmost-min
+# tie-break ((h, -pos) struct) replays exactly; full windows gated by
+# count over the same frame
+_WINNOW_FP_ORACLE = r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 60),
+    g AS (
+      SELECT doc_id, i - 1 AS p,
+             ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+               AS h
+      FROM n, LATERAL unnest(generate_series(
+               1, greatest(length(t) - 7, 0))) AS u(i)),
+    m AS (
+      SELECT doc_id,
+             min({'h': h, 'np': -p}) OVER fr AS sel,
+             count(*) OVER fr AS cnt
+      FROM g
+      WINDOW fr AS (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING))
+    SELECT DISTINCT doc_id, (-sel.np)::BIGINT AS pos,
+                    sel.h::BIGINT AS fp
+    FROM m WHERE cnt = 16
+    ORDER BY doc_id, pos
+"""
+
+
 _BITEXT_A_SQL = """
       SELECT doc_id,
              'Dr. Smith says e.g. this: '
@@ -7093,6 +7135,7 @@ def oracle_sql() -> dict[str, str]:
     d["recrawl"] = _RECRAWL_ORACLE
     d["curriculum"] = _curriculum_oracle()
     d["reshard_plan"] = _RESHARD_PLAN_ORACLE
+    d["winnow_fp"] = _WINNOW_FP_ORACLE
     d["bitext_align"] = _bitext_align_oracle()
     d["sentences"] = _sentences_oracle()
     d["compression_profile"] = _compression_profile_oracle()

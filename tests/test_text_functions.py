@@ -318,3 +318,52 @@ def test_vocab_growth_first_occurrence_is_positional(spark):
     assert rows[0].new_types == 2      # z, q
     assert rows[1].new_types == 1      # r only
     assert rows[1].cum_types == 3
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Any shared substring of length >= w + k - 1 shares a selected
+    fingerprint (the Schleimer et al. guarantee), and density is far
+    below 1 fingerprint per gram."""
+    from ocr_engine_spark.functions.text import winnow_fingerprints
+    import hashlib
+    shared = "thequickbrownfoxjumpsoverthelazydogandrunsaway"  # 46 chars
+    df = spark.createDataFrame([
+        (1, "prefixblah " + shared + " suffixyada"),
+        (2, "completely other start " + shared),
+    ], "doc_id long, text string")
+    k, w = 8, 16
+    rows = winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    common = by_doc[1] & by_doc[2]
+    assert common, "shared 46-char substring must share a fingerprint"
+    n_grams_1 = len("prefixblah " + shared + " suffixyada") - k + 1
+    assert len(by_doc[1]) < n_grams_1 / 3  # density ~2/(w+1)
+
+
+def test_winnowing_matches_python_reference(spark):
+    from ocr_engine_spark.functions.text import winnow_fingerprints
+    import hashlib
+
+    def norm(s):
+        import re
+        return re.sub(r"\s+", " ", s.strip().lower())
+
+    def ref(s, k, w):
+        s = norm(s)
+        hs = [int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:15], 16)
+              for i in range(len(s) - k + 1)]
+        out = set()
+        for i in range(len(hs) - w + 1):
+            win = hs[i:i + w]
+            m = min(win)
+            p = max(j for j in range(w) if win[j] == m)
+            out.add((i + p, hs[i + p]))
+        return out
+
+    text = "Winnowing picks rightmost minima. So any match survives!"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = {(r.pos, r.fp) for r in
+           winnow_fingerprints(df, k=5, w=4).collect()}
+    assert got == ref(text, 5, 4)
