@@ -2382,6 +2382,54 @@ _TABLE_SNIPPETS = [
 ]
 
 
+_TRIPLE_SNIPPETS = [
+    # th headers
+    "<table><tr><th>Name</th><th>Qty</th></tr>"
+    "<tr><td>alpha</td><td>3</td></tr>"
+    "<tr><td>beta</td><td>7</td></tr></table>",
+    # no th; non-numeric first row over numeric data -> inferred
+    "<table><tr><td>city</td><td>pop</td></tr>"
+    "<tr><td>oslo</td><td>634</td></tr>"
+    "<tr><td>bergen</td><td>271</td></tr></table>",
+    # all-text (no inference) + single-row table: col<N> fallback
+    "<table><tr><td>just</td><td>text</td></tr>"
+    "<tr><td>more</td><td>words</td></tr></table>"
+    "<table><tr><td>lonely</td><td>9</td></tr></table>",
+]
+
+
+def _inject_tables(spark: SparkSession,
+                   snippets: list[str]) -> DataFrame:
+    """pages fixture with deterministic per-url md5-bucket snippet
+    injection (PDFs never injected nor decoded) — shared by the table
+    queries."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url", "html"))
+    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
+    inj = F.when(bucket == 0, F.lit(snippets[0]))            .when(bucket == 1, F.lit(snippets[1]))            .when(bucket == 2, F.lit(snippets[2]))
+    is_html = F.substring("html", 1, 1) == F.lit(b"<")
+    html2 = F.when(is_html & inj.isNotNull(),
+                   F.concat(F.encode(inj, "UTF-8"), F.col("html")))              .otherwise(F.col("html"))
+    return pages.select("url", html2.alias("html"))
+
+
+def q_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational triples with header inference (scrub.table_triples):
+    th-derived names, the WebTables first-row heuristic (Cafarella et
+    al. 2008) for th-less tables, and positional col<N> fallback —
+    exercised by three injected snippet families plus the fixture's
+    organic tables.  Oracle: table_records chain + the stats/join
+    replay."""
+    from ocr_engine_spark.functions.scrub import table_triples
+    corpus = _inject_tables(spark, _TRIPLE_SNIPPETS)
+    return (table_triples(corpus, scan_bytes=None)
+            .orderBy("url", "table_pos", "row_pos", "col_pos"))
+
+
 def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML table mining (scrub.table_records): every tag-free
     <td>/<th> cell of every <table> as (url, table_pos, row_pos,
@@ -2393,22 +2441,8 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     injection and the three-level lazy grammar with chained
     regexp_extract_all + unnest over DuckDB's blob-escape
     projection."""
-    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
     from ocr_engine_spark.functions.scrub import table_records
-    from ocr_engine_spark.functions.text import md5_int60_col
-    ensure_entry_fixture(_ENTRY_CORPUS)
-    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
-                                             "pages.parquet"))
-             .select("url", "html"))
-    bucket = F.pmod(md5_int60_col(F.col("url")), F.lit(4))
-    inj = F.when(bucket == 0, F.lit(_TABLE_SNIPPETS[0])) \
-           .when(bucket == 1, F.lit(_TABLE_SNIPPETS[1])) \
-           .when(bucket == 2, F.lit(_TABLE_SNIPPETS[2]))
-    is_html = F.substring("html", 1, 1) == F.lit(b"<")
-    html2 = F.when(is_html & inj.isNotNull(),
-                   F.concat(F.encode(inj, "UTF-8"), F.col("html"))) \
-             .otherwise(F.col("html"))
-    corpus = pages.select("url", html2.alias("html"))
+    corpus = _inject_tables(spark, _TABLE_SNIPPETS)
     # scan_bytes=None: exact-decode mode (DuckDB can't slice blobs)
     return (table_records(corpus, scan_bytes=None)
             .orderBy("url", "table_pos", "row_pos", "col_pos"))
@@ -3258,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl": q_recrawl,
         "curriculum": q_curriculum,
         "reshard_plan": q_reshard_plan,
+        "table_triples": q_table_triples,
         "winnow_fp": q_winnow_fp,
         "bitext_align": q_bitext_align,
         "sentences": q_sentences,
@@ -5325,17 +5360,20 @@ def _heading_outline_oracle() -> str:
     """
 
 
-def _html_tables_oracle() -> str:
+def _table_chain_sql(snippets: list[str]) -> str:
+    """The table_records replay chain (injection -> blocks -> rows ->
+    cells -> gate), shared by the html_tables and table_triples
+    oracles; ends with CTE ``rec`` = the non-null cell records."""
     from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
     ensure_entry_fixture(_ENTRY_CORPUS)
     pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
-    snips = [s.replace("'", "''") for s in _TABLE_SNIPPETS]
+    snips = [s.replace("'", "''") for s in snippets]
     unesc = _blob_ascii_unescape("html2::VARCHAR")
     block_re = "(?is)<table[^>]*>(.*?)</table>"
     row_re = "(?is)<tr[^>]*>(.*?)</tr>"
     cell_re = "(?is)<t([dh])[^>]*>([^<]*)</t[dh]"
     return f"""
-        WITH pg AS (
+        pg AS (
           SELECT url, html,
                  ('0x' || substr(md5(url), 1, 15))::BIGINT % 4
                    AS bucket,
@@ -5394,9 +5432,53 @@ def _html_tables_oracle() -> str:
                  CASE WHEN t0 NOT LIKE '%' || chr(92) || '%'
                        AND NOT regexp_matches(t0, '[^ -~]')
                       THEN t0 END AS cell
-          FROM v)
+          FROM v),
+        rec AS (SELECT * FROM g WHERE cell IS NOT NULL)
+    """
+
+
+def _html_tables_oracle() -> str:
+    return f"""
+        WITH {_table_chain_sql(_TABLE_SNIPPETS)}
         SELECT url, table_pos, row_pos, col_pos, is_header, cell
-        FROM g WHERE cell IS NOT NULL
+        FROM rec
+        ORDER BY url, table_pos, row_pos, col_pos
+    """
+
+
+def _table_triples_oracle() -> str:
+    return f"""
+        WITH {_table_chain_sql(_TRIPLE_SNIPPETS)},
+        r2 AS (SELECT *,
+                      regexp_matches(cell,
+                                     '^-?[0-9]+([.,][0-9]+)?$')
+                        AS isnum
+               FROM rec),
+        ts AS (SELECT url, table_pos,
+                      min(CASE WHEN is_header THEN row_pos END)
+                        AS throw,
+                      max(row_pos) AS maxrow,
+                      sum(CASE WHEN row_pos = 0 AND isnum
+                               THEN 1 ELSE 0 END) AS fr_num,
+                      sum(CASE WHEN row_pos > 0 AND isnum
+                               THEN 1 ELSE 0 END) AS data_num
+               FROM r2 GROUP BY url, table_pos),
+        hr AS (SELECT url, table_pos,
+                      CASE WHEN throw IS NOT NULL THEN throw
+                           WHEN maxrow >= 1 AND fr_num = 0
+                                AND data_num >= 1 THEN 0
+                      END AS hrow
+               FROM ts),
+        wr AS (SELECT rec.*, hr.hrow
+               FROM rec JOIN hr USING (url, table_pos)),
+        hd AS (SELECT url, table_pos, col_pos, cell AS hname
+               FROM wr WHERE row_pos = hrow),
+        dt AS (SELECT * FROM wr
+               WHERE hrow IS NULL OR row_pos > hrow)
+        SELECT dt.url, dt.table_pos, dt.row_pos, dt.col_pos,
+               coalesce(hd.hname, 'col' || dt.col_pos) AS header,
+               dt.cell AS value
+        FROM dt LEFT JOIN hd USING (url, table_pos, col_pos)
         ORDER BY url, table_pos, row_pos, col_pos
     """
 
@@ -7135,6 +7217,7 @@ def oracle_sql() -> dict[str, str]:
     d["recrawl"] = _RECRAWL_ORACLE
     d["curriculum"] = _curriculum_oracle()
     d["reshard_plan"] = _RESHARD_PLAN_ORACLE
+    d["table_triples"] = _table_triples_oracle()
     d["winnow_fp"] = _WINNOW_FP_ORACLE
     d["bitext_align"] = _bitext_align_oracle()
     d["sentences"] = _sentences_oracle()

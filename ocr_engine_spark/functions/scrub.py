@@ -1576,3 +1576,61 @@ def og_metadata(pages: DataFrame, *, url_col: str = "url",
                         _field("description").alias("og_description"),
                         _field("type").alias("og_type"),
                         _field("image").alias("og_image"))
+
+
+def table_triples(pages: DataFrame, **kwargs) -> DataFrame:
+    """Relational triples from crawl tables with HEADER INFERENCE —
+    the step after :func:`table_records` that makes WebTables-style
+    facts usable: ``(url, table_pos, row_pos, col_pos, header,
+    value)`` where ``header`` names the column.
+
+    Pinned header resolution (replayed verbatim by the oracle):
+
+      1. if the table has ``<th>`` cells, the header row is the FIRST
+         row containing one, and its cells (th or td) name their
+         columns;
+      2. else the FIRST-ROW HEURISTIC (the Cafarella et al. 2008
+         WebTables recovery move for the many tables that never use
+         th): row 0 becomes the header iff the table has >= 2 rows,
+         row 0 contains NO numeric cell, and the remaining rows
+         contain >= 1 numeric cell (``numeric`` = the pinned
+         ``^-?[0-9]+([.,][0-9]+)?$`` grammar — integers/decimals with
+         either separator);
+      3. else no header row: every row is data and columns fall back
+         to positional ``col<N>`` names (also used for data columns
+         wider than the header row).
+
+    Data cells are the rows after the header row (all rows when
+    none). Shape: the map-side ``table_records`` fan-out, one
+    per-table stats aggregate, two joins back on (url, table_pos[,
+    col_pos]) — the per-table key is bounded by scan_bytes, so no
+    skew.
+    """
+    rec = table_records(pages, **kwargs)
+    num = F.col("cell").rlike(r"^-?[0-9]+([.,][0-9]+)?$")
+    r = rec.withColumn("__num", num)
+    ts = (r.groupBy("url", "table_pos")
+          .agg(F.min(F.when(F.col("is_header"), F.col("row_pos")))
+               .alias("__throw"),
+               F.max("row_pos").alias("__maxrow"),
+               F.sum(F.when((F.col("row_pos") == 0) & F.col("__num"),
+                            1).otherwise(0)).alias("__fr_num"),
+               F.sum(F.when((F.col("row_pos") > 0) & F.col("__num"),
+                            1).otherwise(0)).alias("__data_num")))
+    hrow = (F.when(F.col("__throw").isNotNull(), F.col("__throw"))
+            .when((F.col("__maxrow") >= 1) & (F.col("__fr_num") == 0)
+                  & (F.col("__data_num") >= 1), F.lit(0)))
+    ts = ts.select("url", "table_pos", hrow.alias("__hrow"))
+    withrow = r.join(ts, ["url", "table_pos"])
+    headers = (withrow.filter(F.col("row_pos") == F.col("__hrow"))
+               .select("url", "table_pos", "col_pos",
+                       F.col("cell").alias("__hname")))
+    data = withrow.filter(F.col("__hrow").isNull()
+                          | (F.col("row_pos") > F.col("__hrow")))
+    return (data.join(headers, ["url", "table_pos", "col_pos"], "left")
+            .select("url", "table_pos", "row_pos", "col_pos",
+                    F.coalesce(F.col("__hname"),
+                               F.concat(F.lit("col"),
+                                        F.col("col_pos")))
+                    .alias("header"),
+                    F.col("cell").alias("value")))

@@ -898,3 +898,70 @@ def test_page_features(spark):
     p = got["u2"]
     assert p["n_headings"] == 0 and not p["has_title"]
     assert p["html_bytes"] == len(rows[1][1])
+
+
+def _pages(spark, htmls):
+    return spark.createDataFrame(
+        [(f"u{i}", h.encode()) for i, h in enumerate(htmls)],
+        "url string, html binary")
+
+
+def test_table_triples_th_headers(spark):
+    from ocr_engine_spark.functions.scrub import table_triples
+    df = _pages(spark, [
+        "<table><tr><th>Name</th><th>Qty</th></tr>"
+        "<tr><td>alpha</td><td>3</td></tr>"
+        "<tr><td>beta</td><td>7</td></tr></table>",
+    ])
+    rows = table_triples(df).orderBy("row_pos", "col_pos").collect()
+    got = [(r.row_pos, r.header, r.value) for r in rows]
+    assert got == [(1, "Name", "alpha"), (1, "Qty", "3"),
+                   (2, "Name", "beta"), (2, "Qty", "7")]
+
+
+def test_table_triples_first_row_inference(spark):
+    from ocr_engine_spark.functions.scrub import table_triples
+    df = _pages(spark, [
+        "<table><tr><td>city</td><td>pop</td></tr>"
+        "<tr><td>oslo</td><td>634</td></tr></table>",
+    ])
+    rows = table_triples(df).orderBy("col_pos").collect()
+    assert [(r.header, r.value) for r in rows] == \
+        [("city", "oslo"), ("pop", "634")]
+
+
+def test_table_triples_no_header_fallback(spark):
+    from ocr_engine_spark.functions.scrub import table_triples
+    df = _pages(spark, [
+        # all-text: inference must NOT fire; every row is data
+        "<table><tr><td>just</td><td>text</td></tr>"
+        "<tr><td>more</td><td>words</td></tr></table>",
+        # numeric first row: inference must NOT fire either
+        "<table><tr><td>1</td><td>2</td></tr>"
+        "<tr><td>3</td><td>4</td></tr></table>",
+    ])
+    rows = table_triples(df).collect()
+    assert len(rows) == 8                      # all cells are data
+    assert {r.header for r in rows} == {"col0", "col1"}
+
+
+def test_table_triples_wide_data_row_falls_back(spark):
+    from ocr_engine_spark.functions.scrub import table_triples
+    df = _pages(spark, [
+        "<table><tr><th>A</th></tr>"
+        "<tr><td>x</td><td>42</td></tr></table>",
+    ])
+    rows = {r.col_pos: r for r in table_triples(df).collect()}
+    assert rows[0].header == "A"
+    assert rows[1].header == "col1" and rows[1].value == "42"
+
+
+def test_table_triples_single_row_is_data(spark):
+    from ocr_engine_spark.functions.scrub import table_triples
+    df = _pages(spark, [
+        "<table><tr><td>lonely</td><td>9</td></tr></table>",
+    ])
+    rows = table_triples(df).collect()
+    assert [(r.header, r.value) for r in
+            sorted(rows, key=lambda r: r.col_pos)] == \
+        [("col0", "lonely"), ("col1", "9")]
