@@ -3076,6 +3076,31 @@ def _sentence_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", inj.alias("text"))
 
 
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (functions/sketch.py): the pinned-register
+    sketch replayed bit-for-bit by DuckDB (md5 buckets, binary-string
+    rank extraction, dyadic int64 register sums, one pinned double
+    expression) — unlike approx_count_distinct, whose HLL++ state is
+    engine-private.  Two regimes on one output: ~27k distinct
+    (doc,pos,token) triples (raw estimator) and the handful of langs
+    (linear-counting branch).  Oracle: full replay including the
+    small-range ln, quantized once (the drift.py discipline)."""
+    from ocr_engine_spark.functions.sketch import hll_distinct
+    docs = _read(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", F.posexplode(
+                F.split(F.col("text"), " ")).alias("p", "w"))
+            .select(F.concat_ws(":", F.col("doc_id"), F.col("p"),
+                                F.col("w")).alias("v")))
+    r1 = (hll_distinct(toks, "v", b=10)
+          .withColumn("scope", F.lit("token_positions")))
+    langs = docs.select(F.col("lang").alias("v"))
+    r2 = (hll_distinct(langs, "v", b=10)
+          .withColumn("scope", F.lit("langs")))
+    cols = ["scope", "m", "n_buckets_hit", "n_zero_buckets",
+            "sum_scaled", "estimate", "n_exact", "err_ppm"]
+    return r1.unionByName(r2).select(*cols).orderBy("scope")
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (text.winnow_fingerprints —
     Schleimer et al. 2003 / MOSS): rightmost window-min over k-gram
@@ -3293,6 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum": q_curriculum,
         "reshard_plan": q_reshard_plan,
         "table_triples": q_table_triples,
+        "hll_cardinality": q_hll_cardinality,
         "winnow_fp": q_winnow_fp,
         "bitext_align": q_bitext_align,
         "sentences": q_sentences,
@@ -6723,6 +6749,65 @@ _RESHARD_PLAN_ORACLE = """
 """
 
 
+def _hll_sql(vals_cte: str, scope: str) -> str:
+    """HLL replay over a CTE producing column ``v`` (b=10 pinned)."""
+    # alpha_micro for m=1024 = 720541 (sketch._alpha_micro)
+    return f"""
+        SELECT '{scope}' AS scope, 1024::BIGINT AS m,
+               n_hit AS n_buckets_hit, zeros AS n_zero_buckets,
+               ss AS sum_scaled,
+               CASE WHEN raw < 2560 AND zeros > 0
+                    THEN CAST(floor(1024 * ln(1024 * 1.0 / zeros))
+                              AS BIGINT)
+                    ELSE raw END AS estimate,
+               n_exact,
+               CASE WHEN raw < 2560 AND zeros > 0
+                    THEN ((CAST(floor(1024 * ln(1024 * 1.0 / zeros))
+                                AS BIGINT) - n_exact) * 1000000)
+                         // n_exact
+                    ELSE ((raw - n_exact) * 1000000) // n_exact
+               END AS err_ppm
+        FROM (
+          SELECT n_hit, zeros, ss, n_exact,
+                 CAST(floor((720541 * 1.0) * 1125899906842624
+                            / 1000000.0 / ss) AS BIGINT) AS raw
+          FROM (
+            SELECT n_hit, (1024 - n_hit)::BIGINT AS zeros,
+                   (sum_hit + (1024 - n_hit)
+                    * (1::BIGINT << 30))::BIGINT AS ss,
+                   n_exact
+            FROM (
+              SELECT count(*)::BIGINT AS n_hit,
+                     sum(CASE WHEN register <= 30
+                              THEN (1::BIGINT << (30 - register))
+                              ELSE 0 END)::BIGINT AS sum_hit
+              FROM (
+                SELECT bucket, max(rho)::BIGINT AS register
+                FROM (
+                  SELECT h % 1024 AS bucket,
+                         CASE WHEN (h // 1024) = 0 THEN 51
+                              ELSE 50 - length(bin(h // 1024)) + 1
+                         END AS rho
+                  FROM (SELECT ('0x' || substr(md5(v), 1, 15))::BIGINT
+                          AS h FROM ({vals_cte})))
+                GROUP BY bucket)),
+            (SELECT count(DISTINCT v)::BIGINT AS n_exact
+             FROM ({vals_cte}))))
+    """
+
+
+def _hll_cardinality_oracle() -> str:
+    toks = ("SELECT doc_id::VARCHAR || ':' || (u.i - 1)::VARCHAR"
+            " || ':' || t[u.i] AS v"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS t"
+            "       FROM documents) s,"
+            " LATERAL unnest(generate_series(1, len(t))) u(i)")
+    langs = "SELECT lang AS v FROM documents"
+    return (f"SELECT * FROM ({_hll_sql(langs, 'langs')}) "
+            f"UNION ALL SELECT * FROM "
+            f"({_hll_sql(toks, 'token_positions')}) ORDER BY scope")
+
+
 # min over struct is lexicographic in DuckDB too, so the rightmost-min
 # tie-break ((h, -pos) struct) replays exactly; full windows gated by
 # count over the same frame
@@ -7218,6 +7303,7 @@ def oracle_sql() -> dict[str, str]:
     d["curriculum"] = _curriculum_oracle()
     d["reshard_plan"] = _RESHARD_PLAN_ORACLE
     d["table_triples"] = _table_triples_oracle()
+    d["hll_cardinality"] = _hll_cardinality_oracle()
     d["winnow_fp"] = _WINNOW_FP_ORACLE
     d["bitext_align"] = _bitext_align_oracle()
     d["sentences"] = _sentences_oracle()

@@ -67,7 +67,7 @@ HEADLINE = [
     "linewrap_repair", "dehyphen_report", "quote_spans", "sentences",
     "mixture_allocate", "mixture_epochs", "mixture_sample", "curriculum",
     "vocab_growth", "reshard_plan", "compression_profile", "recrawl",
-    "bitext_align", "winnow_fp", "table_triples",
+    "bitext_align", "winnow_fp", "table_triples", "hll_cardinality",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000

@@ -1,0 +1,126 @@
+"""Portable HyperLogLog distinct-count sketch (Flajolet et al. 2007).
+
+Spark ships ``approx_count_distinct`` (HLL++), but its register
+layout and estimate are engine-private: the value cannot be replayed
+by another engine, merged with registers produced elsewhere, or
+asserted in a cross-engine gate. This implementation pins EVERY step
+to portable primitives — md5 hashing, integer register extraction via
+binary-string length (never ``floor(log2(x))``, whose libm form can
+be off-by-one at powers of two), dyadic-rational register sums in
+scaled int64 — so the DuckDB oracle reproduces the registers and the
+estimate bit-for-bit, and register tables from different systems can
+be unioned and max-merged (the HLL merge property) before estimating.
+
+Pinned estimator (every constant a literal in both engines):
+
+* ``h = md5-int60(value)``; bucket ``h % m``; remainder ``r = h div
+  m`` over ``60 - b`` bits; ``rho = (60 - b) - bitlen(r) + 1``
+  (``bitlen`` = length of the binary string; ``r = 0`` -> the full
+  ``61 - b``);
+* register ``M_j = max(rho)`` per bucket; empty buckets are
+  ``M_j = 0``;
+* ``sum_scaled = sum(2^(30 - M_j))`` — the harmonic-mean denominator
+  as EXACT dyadic integers (registers above 30 contribute 0; their
+  true contribution is < 2^-30 of the sum, far below the sketch's
+  own ~1.04/sqrt(m) error, and the cutoff keeps the sum in int64:
+  max m * 2^30);
+* raw estimate ``alpha_m * m^2 * 2^30 / sum_scaled`` evaluated as one
+  pinned double expression over exact integer inputs (IEEE * and /
+  are correctly rounded on both engines; no libm call);
+* small-range correction (est < 2.5m, zeros > 0): linear counting
+  ``m * ln(m / zeros)`` — the one libm call, quantized once like
+  drift.py's micro-nat terms.
+
+``alpha_m`` enters as the integer literal ``round(0.7213 / (1 +
+1.079 / m) * 1e6)`` computed in Python at plan-build time.
+
+Scale: one groupBy(bucket) with map-side combine over the hashed
+column — m rows out regardless of corpus size; the estimate is a
+1-row aggregate over the register table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_engine_spark.functions.text import md5_int60_col
+
+
+def _alpha_micro(m: int) -> int:
+    assert m >= 128, "bias constant pinned for m >= 128"
+    return round(0.7213 / (1 + 1.079 / m) * 1_000_000)
+
+
+def hll_registers(df: DataFrame, col: str, *, b: int = 10) -> DataFrame:
+    """(bucket, register) — the mergeable sketch state. Missing
+    buckets mean register 0; ``hll_estimate`` accounts for them."""
+    assert 7 <= int(b) <= 16
+    m = 1 << int(b)
+    h = md5_int60_col(F.col(col))
+    bucket = F.pmod(h, F.lit(m))
+    rem = F.expr(f"(__h div {m})")
+    width = 60 - int(b)
+    rho = F.when(F.col("__r") == 0, F.lit(width + 1)) \
+           .otherwise(F.lit(width)
+                      - F.length(F.expr("bin(__r)")).cast("int")
+                      + F.lit(1))
+    d = (df.select(h.alias("__h"))
+         .withColumn("__r", rem)
+         .select(F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
+                 rho.alias("__rho")))
+    return (d.groupBy("bucket")
+            .agg(F.max("__rho").cast("long").alias("register")))
+
+
+def hll_estimate(registers: DataFrame, *, b: int = 10) -> DataFrame:
+    """One row: (m, n_buckets_hit, n_zero_buckets, sum_scaled,
+    estimate) from a register table (post-merge if unioned: feed
+    ``max(register) group by bucket`` of the union)."""
+    m = 1 << int(b)
+    am = _alpha_micro(m)
+    agg = registers.agg(
+        F.count("*").alias("n_buckets_hit"),
+        F.sum(F.expr(
+            "CASE WHEN register <= 30 THEN "
+            "shiftleft(1L, 30 - cast(register as int)) ELSE 0 END"))
+         .alias("__sum_hit"))
+    zeros = F.lit(m) - F.col("n_buckets_hit")
+    # empty buckets carry register 0 -> term 2^30 each
+    sum_scaled = (F.col("__sum_hit")
+                  + zeros.cast("long") * F.lit(1 << 30))
+    est_raw = F.expr(
+        f"CAST(floor(({am} * 1.0) * {m * m * (1 << 30)} / 1000000.0"
+        f" / __ss) AS BIGINT)")
+    lc = F.expr(
+        f"CAST(floor({m} * ln({m} * 1.0 / __zeros)) AS BIGINT)")
+    d = (agg.withColumn("__ss", sum_scaled)
+         .withColumn("__zeros", zeros.cast("long"))
+         .withColumn("__raw", est_raw))
+    est = (F.when((F.col("__raw") < int(2.5 * m))
+                  & (F.col("__zeros") > 0), lc)
+           .otherwise(F.col("__raw")))
+    return d.select(F.lit(m).cast("long").alias("m"),
+                    F.col("n_buckets_hit").cast("long")
+                    .alias("n_buckets_hit"),
+                    F.col("__zeros").alias("n_zero_buckets"),
+                    F.col("__ss").alias("sum_scaled"),
+                    est.cast("long").alias("estimate"))
+
+
+def hll_distinct(df: DataFrame, col: str, *, b: int = 10) -> DataFrame:
+    """End-to-end sketch + audit row: the pinned-portable HLL estimate
+    next to the exact distinct count and the signed error in ppm —
+    the cardinality health check a corpus report publishes (vocab
+    size, distinct hosts, distinct fingerprints) when an exact
+    count-distinct shuffle is too expensive at full scale. Here the
+    exact count runs too (fixture scale) so the error is part of the
+    gated output."""
+    regs = hll_registers(df, col, b=b)
+    est = hll_estimate(regs, b=b)
+    exact = df.agg(F.count_distinct(F.col(col)).alias("n_exact"))
+    out = est.crossJoin(F.broadcast(exact))
+    err = F.expr("((estimate - n_exact) * 1000000) div n_exact")
+    return out.select("m", "n_buckets_hit", "n_zero_buckets",
+                      "sum_scaled", "estimate",
+                      F.col("n_exact").cast("long").alias("n_exact"),
+                      err.alias("err_ppm"))
