@@ -3076,6 +3076,25 @@ def _sentence_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", inj.alias("text"))
 
 
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end to end (functions/pq.py, Jegou et al.
+    2011): hash-seeded per-subspace codebooks (one Lloyd iteration on
+    the 10-decimal portability grid), 8-byte encoding of the 64-dim
+    embeddings, ADC lookup-table shortlist (100 of 500), exact re-rank
+    to top-10.  Oracle: FULL SQL replay — seeds, per-subspace argmin
+    with unrolled left-to-right squared-L2 chains (bit-identical to
+    the zip_with/aggregate fold), means, re-assignment, rounded ADC
+    tables, shortlist and re-rank."""
+    from ocr_engine_spark.functions.pq import (
+        pq_search, train_pq_codebooks,
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, k=16, iters=1)
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return pq_search(emb, books, q, 10, shortlist=100)
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog (functions/sketch.py): the pinned-register
     sketch replayed bit-for-bit by DuckDB (md5 buckets, binary-string
@@ -3318,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum": q_curriculum,
         "reshard_plan": q_reshard_plan,
         "table_triples": q_table_triples,
+        "pq_search": q_pq_search,
         "hll_cardinality": q_hll_cardinality,
         "winnow_fp": q_winnow_fp,
         "bitext_align": q_bitext_align,
@@ -6749,6 +6769,285 @@ _RESHARD_PLAN_ORACLE = """
 """
 
 
+_PQ_SEARCH_ORACLE = """
+    WITH
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    c0seed AS (
+      SELECT row_number() OVER (ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC, vec_id ASC)
+               - 1 AS code,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC, vec_id ASC
+      LIMIT 16),
+    cs0 AS (SELECT code, list_slice(cv, 1, 8) AS cv
+               FROM c0seed),
+    sub0 AS (SELECT vec_id, list_slice(v, 1, 8) AS sub
+                FROM e),
+    asg0 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT t.vec_id, t.sub, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub0 t CROSS JOIN cs0 c) WHERE rn = 1),
+    mu0 AS (
+      SELECT code, u.i AS pos, round(avg(sub[u.i]), 10) AS m
+      FROM asg0, LATERAL unnest(generate_series(1, 8)) u(i)
+      GROUP BY code, u.i),
+    cb0 AS (
+      SELECT s.code,
+             coalesce(g.cv2, s.cv) AS cv
+      FROM cs0 s LEFT JOIN (
+        SELECT code, list(m ORDER BY pos) AS cv2
+        FROM mu0 GROUP BY code) g USING (code)),
+    enc0 AS (
+      SELECT vec_id, code FROM (
+        SELECT t.vec_id, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub0 t CROSS JOIN cb0 c) WHERE rn = 1),
+    tab0 AS (
+      SELECT c.code,
+             round((list_slice(q.qv, 1, 8)[1]-c.cv[1])*(list_slice(q.qv, 1, 8)[1]-c.cv[1]) + (list_slice(q.qv, 1, 8)[2]-c.cv[2])*(list_slice(q.qv, 1, 8)[2]-c.cv[2]) + (list_slice(q.qv, 1, 8)[3]-c.cv[3])*(list_slice(q.qv, 1, 8)[3]-c.cv[3]) + (list_slice(q.qv, 1, 8)[4]-c.cv[4])*(list_slice(q.qv, 1, 8)[4]-c.cv[4]) + (list_slice(q.qv, 1, 8)[5]-c.cv[5])*(list_slice(q.qv, 1, 8)[5]-c.cv[5]) + (list_slice(q.qv, 1, 8)[6]-c.cv[6])*(list_slice(q.qv, 1, 8)[6]-c.cv[6]) + (list_slice(q.qv, 1, 8)[7]-c.cv[7])*(list_slice(q.qv, 1, 8)[7]-c.cv[7]) + (list_slice(q.qv, 1, 8)[8]-c.cv[8])*(list_slice(q.qv, 1, 8)[8]-c.cv[8]),
+                   6) AS dv
+      FROM cb0 c, q),
+    cs1 AS (SELECT code, list_slice(cv, 9, 16) AS cv
+               FROM c0seed),
+    sub1 AS (SELECT vec_id, list_slice(v, 9, 16) AS sub
+                FROM e),
+    asg1 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT t.vec_id, t.sub, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub1 t CROSS JOIN cs1 c) WHERE rn = 1),
+    mu1 AS (
+      SELECT code, u.i AS pos, round(avg(sub[u.i]), 10) AS m
+      FROM asg1, LATERAL unnest(generate_series(1, 8)) u(i)
+      GROUP BY code, u.i),
+    cb1 AS (
+      SELECT s.code,
+             coalesce(g.cv2, s.cv) AS cv
+      FROM cs1 s LEFT JOIN (
+        SELECT code, list(m ORDER BY pos) AS cv2
+        FROM mu1 GROUP BY code) g USING (code)),
+    enc1 AS (
+      SELECT vec_id, code FROM (
+        SELECT t.vec_id, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub1 t CROSS JOIN cb1 c) WHERE rn = 1),
+    tab1 AS (
+      SELECT c.code,
+             round((list_slice(q.qv, 9, 16)[1]-c.cv[1])*(list_slice(q.qv, 9, 16)[1]-c.cv[1]) + (list_slice(q.qv, 9, 16)[2]-c.cv[2])*(list_slice(q.qv, 9, 16)[2]-c.cv[2]) + (list_slice(q.qv, 9, 16)[3]-c.cv[3])*(list_slice(q.qv, 9, 16)[3]-c.cv[3]) + (list_slice(q.qv, 9, 16)[4]-c.cv[4])*(list_slice(q.qv, 9, 16)[4]-c.cv[4]) + (list_slice(q.qv, 9, 16)[5]-c.cv[5])*(list_slice(q.qv, 9, 16)[5]-c.cv[5]) + (list_slice(q.qv, 9, 16)[6]-c.cv[6])*(list_slice(q.qv, 9, 16)[6]-c.cv[6]) + (list_slice(q.qv, 9, 16)[7]-c.cv[7])*(list_slice(q.qv, 9, 16)[7]-c.cv[7]) + (list_slice(q.qv, 9, 16)[8]-c.cv[8])*(list_slice(q.qv, 9, 16)[8]-c.cv[8]),
+                   6) AS dv
+      FROM cb1 c, q),
+    cs2 AS (SELECT code, list_slice(cv, 17, 24) AS cv
+               FROM c0seed),
+    sub2 AS (SELECT vec_id, list_slice(v, 17, 24) AS sub
+                FROM e),
+    asg2 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT t.vec_id, t.sub, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub2 t CROSS JOIN cs2 c) WHERE rn = 1),
+    mu2 AS (
+      SELECT code, u.i AS pos, round(avg(sub[u.i]), 10) AS m
+      FROM asg2, LATERAL unnest(generate_series(1, 8)) u(i)
+      GROUP BY code, u.i),
+    cb2 AS (
+      SELECT s.code,
+             coalesce(g.cv2, s.cv) AS cv
+      FROM cs2 s LEFT JOIN (
+        SELECT code, list(m ORDER BY pos) AS cv2
+        FROM mu2 GROUP BY code) g USING (code)),
+    enc2 AS (
+      SELECT vec_id, code FROM (
+        SELECT t.vec_id, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub2 t CROSS JOIN cb2 c) WHERE rn = 1),
+    tab2 AS (
+      SELECT c.code,
+             round((list_slice(q.qv, 17, 24)[1]-c.cv[1])*(list_slice(q.qv, 17, 24)[1]-c.cv[1]) + (list_slice(q.qv, 17, 24)[2]-c.cv[2])*(list_slice(q.qv, 17, 24)[2]-c.cv[2]) + (list_slice(q.qv, 17, 24)[3]-c.cv[3])*(list_slice(q.qv, 17, 24)[3]-c.cv[3]) + (list_slice(q.qv, 17, 24)[4]-c.cv[4])*(list_slice(q.qv, 17, 24)[4]-c.cv[4]) + (list_slice(q.qv, 17, 24)[5]-c.cv[5])*(list_slice(q.qv, 17, 24)[5]-c.cv[5]) + (list_slice(q.qv, 17, 24)[6]-c.cv[6])*(list_slice(q.qv, 17, 24)[6]-c.cv[6]) + (list_slice(q.qv, 17, 24)[7]-c.cv[7])*(list_slice(q.qv, 17, 24)[7]-c.cv[7]) + (list_slice(q.qv, 17, 24)[8]-c.cv[8])*(list_slice(q.qv, 17, 24)[8]-c.cv[8]),
+                   6) AS dv
+      FROM cb2 c, q),
+    cs3 AS (SELECT code, list_slice(cv, 25, 32) AS cv
+               FROM c0seed),
+    sub3 AS (SELECT vec_id, list_slice(v, 25, 32) AS sub
+                FROM e),
+    asg3 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT t.vec_id, t.sub, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub3 t CROSS JOIN cs3 c) WHERE rn = 1),
+    mu3 AS (
+      SELECT code, u.i AS pos, round(avg(sub[u.i]), 10) AS m
+      FROM asg3, LATERAL unnest(generate_series(1, 8)) u(i)
+      GROUP BY code, u.i),
+    cb3 AS (
+      SELECT s.code,
+             coalesce(g.cv2, s.cv) AS cv
+      FROM cs3 s LEFT JOIN (
+        SELECT code, list(m ORDER BY pos) AS cv2
+        FROM mu3 GROUP BY code) g USING (code)),
+    enc3 AS (
+      SELECT vec_id, code FROM (
+        SELECT t.vec_id, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub3 t CROSS JOIN cb3 c) WHERE rn = 1),
+    tab3 AS (
+      SELECT c.code,
+             round((list_slice(q.qv, 25, 32)[1]-c.cv[1])*(list_slice(q.qv, 25, 32)[1]-c.cv[1]) + (list_slice(q.qv, 25, 32)[2]-c.cv[2])*(list_slice(q.qv, 25, 32)[2]-c.cv[2]) + (list_slice(q.qv, 25, 32)[3]-c.cv[3])*(list_slice(q.qv, 25, 32)[3]-c.cv[3]) + (list_slice(q.qv, 25, 32)[4]-c.cv[4])*(list_slice(q.qv, 25, 32)[4]-c.cv[4]) + (list_slice(q.qv, 25, 32)[5]-c.cv[5])*(list_slice(q.qv, 25, 32)[5]-c.cv[5]) + (list_slice(q.qv, 25, 32)[6]-c.cv[6])*(list_slice(q.qv, 25, 32)[6]-c.cv[6]) + (list_slice(q.qv, 25, 32)[7]-c.cv[7])*(list_slice(q.qv, 25, 32)[7]-c.cv[7]) + (list_slice(q.qv, 25, 32)[8]-c.cv[8])*(list_slice(q.qv, 25, 32)[8]-c.cv[8]),
+                   6) AS dv
+      FROM cb3 c, q),
+    cs4 AS (SELECT code, list_slice(cv, 33, 40) AS cv
+               FROM c0seed),
+    sub4 AS (SELECT vec_id, list_slice(v, 33, 40) AS sub
+                FROM e),
+    asg4 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT t.vec_id, t.sub, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub4 t CROSS JOIN cs4 c) WHERE rn = 1),
+    mu4 AS (
+      SELECT code, u.i AS pos, round(avg(sub[u.i]), 10) AS m
+      FROM asg4, LATERAL unnest(generate_series(1, 8)) u(i)
+      GROUP BY code, u.i),
+    cb4 AS (
+      SELECT s.code,
+             coalesce(g.cv2, s.cv) AS cv
+      FROM cs4 s LEFT JOIN (
+        SELECT code, list(m ORDER BY pos) AS cv2
+        FROM mu4 GROUP BY code) g USING (code)),
+    enc4 AS (
+      SELECT vec_id, code FROM (
+        SELECT t.vec_id, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub4 t CROSS JOIN cb4 c) WHERE rn = 1),
+    tab4 AS (
+      SELECT c.code,
+             round((list_slice(q.qv, 33, 40)[1]-c.cv[1])*(list_slice(q.qv, 33, 40)[1]-c.cv[1]) + (list_slice(q.qv, 33, 40)[2]-c.cv[2])*(list_slice(q.qv, 33, 40)[2]-c.cv[2]) + (list_slice(q.qv, 33, 40)[3]-c.cv[3])*(list_slice(q.qv, 33, 40)[3]-c.cv[3]) + (list_slice(q.qv, 33, 40)[4]-c.cv[4])*(list_slice(q.qv, 33, 40)[4]-c.cv[4]) + (list_slice(q.qv, 33, 40)[5]-c.cv[5])*(list_slice(q.qv, 33, 40)[5]-c.cv[5]) + (list_slice(q.qv, 33, 40)[6]-c.cv[6])*(list_slice(q.qv, 33, 40)[6]-c.cv[6]) + (list_slice(q.qv, 33, 40)[7]-c.cv[7])*(list_slice(q.qv, 33, 40)[7]-c.cv[7]) + (list_slice(q.qv, 33, 40)[8]-c.cv[8])*(list_slice(q.qv, 33, 40)[8]-c.cv[8]),
+                   6) AS dv
+      FROM cb4 c, q),
+    cs5 AS (SELECT code, list_slice(cv, 41, 48) AS cv
+               FROM c0seed),
+    sub5 AS (SELECT vec_id, list_slice(v, 41, 48) AS sub
+                FROM e),
+    asg5 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT t.vec_id, t.sub, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub5 t CROSS JOIN cs5 c) WHERE rn = 1),
+    mu5 AS (
+      SELECT code, u.i AS pos, round(avg(sub[u.i]), 10) AS m
+      FROM asg5, LATERAL unnest(generate_series(1, 8)) u(i)
+      GROUP BY code, u.i),
+    cb5 AS (
+      SELECT s.code,
+             coalesce(g.cv2, s.cv) AS cv
+      FROM cs5 s LEFT JOIN (
+        SELECT code, list(m ORDER BY pos) AS cv2
+        FROM mu5 GROUP BY code) g USING (code)),
+    enc5 AS (
+      SELECT vec_id, code FROM (
+        SELECT t.vec_id, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub5 t CROSS JOIN cb5 c) WHERE rn = 1),
+    tab5 AS (
+      SELECT c.code,
+             round((list_slice(q.qv, 41, 48)[1]-c.cv[1])*(list_slice(q.qv, 41, 48)[1]-c.cv[1]) + (list_slice(q.qv, 41, 48)[2]-c.cv[2])*(list_slice(q.qv, 41, 48)[2]-c.cv[2]) + (list_slice(q.qv, 41, 48)[3]-c.cv[3])*(list_slice(q.qv, 41, 48)[3]-c.cv[3]) + (list_slice(q.qv, 41, 48)[4]-c.cv[4])*(list_slice(q.qv, 41, 48)[4]-c.cv[4]) + (list_slice(q.qv, 41, 48)[5]-c.cv[5])*(list_slice(q.qv, 41, 48)[5]-c.cv[5]) + (list_slice(q.qv, 41, 48)[6]-c.cv[6])*(list_slice(q.qv, 41, 48)[6]-c.cv[6]) + (list_slice(q.qv, 41, 48)[7]-c.cv[7])*(list_slice(q.qv, 41, 48)[7]-c.cv[7]) + (list_slice(q.qv, 41, 48)[8]-c.cv[8])*(list_slice(q.qv, 41, 48)[8]-c.cv[8]),
+                   6) AS dv
+      FROM cb5 c, q),
+    cs6 AS (SELECT code, list_slice(cv, 49, 56) AS cv
+               FROM c0seed),
+    sub6 AS (SELECT vec_id, list_slice(v, 49, 56) AS sub
+                FROM e),
+    asg6 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT t.vec_id, t.sub, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub6 t CROSS JOIN cs6 c) WHERE rn = 1),
+    mu6 AS (
+      SELECT code, u.i AS pos, round(avg(sub[u.i]), 10) AS m
+      FROM asg6, LATERAL unnest(generate_series(1, 8)) u(i)
+      GROUP BY code, u.i),
+    cb6 AS (
+      SELECT s.code,
+             coalesce(g.cv2, s.cv) AS cv
+      FROM cs6 s LEFT JOIN (
+        SELECT code, list(m ORDER BY pos) AS cv2
+        FROM mu6 GROUP BY code) g USING (code)),
+    enc6 AS (
+      SELECT vec_id, code FROM (
+        SELECT t.vec_id, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub6 t CROSS JOIN cb6 c) WHERE rn = 1),
+    tab6 AS (
+      SELECT c.code,
+             round((list_slice(q.qv, 49, 56)[1]-c.cv[1])*(list_slice(q.qv, 49, 56)[1]-c.cv[1]) + (list_slice(q.qv, 49, 56)[2]-c.cv[2])*(list_slice(q.qv, 49, 56)[2]-c.cv[2]) + (list_slice(q.qv, 49, 56)[3]-c.cv[3])*(list_slice(q.qv, 49, 56)[3]-c.cv[3]) + (list_slice(q.qv, 49, 56)[4]-c.cv[4])*(list_slice(q.qv, 49, 56)[4]-c.cv[4]) + (list_slice(q.qv, 49, 56)[5]-c.cv[5])*(list_slice(q.qv, 49, 56)[5]-c.cv[5]) + (list_slice(q.qv, 49, 56)[6]-c.cv[6])*(list_slice(q.qv, 49, 56)[6]-c.cv[6]) + (list_slice(q.qv, 49, 56)[7]-c.cv[7])*(list_slice(q.qv, 49, 56)[7]-c.cv[7]) + (list_slice(q.qv, 49, 56)[8]-c.cv[8])*(list_slice(q.qv, 49, 56)[8]-c.cv[8]),
+                   6) AS dv
+      FROM cb6 c, q),
+    cs7 AS (SELECT code, list_slice(cv, 57, 64) AS cv
+               FROM c0seed),
+    sub7 AS (SELECT vec_id, list_slice(v, 57, 64) AS sub
+                FROM e),
+    asg7 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT t.vec_id, t.sub, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub7 t CROSS JOIN cs7 c) WHERE rn = 1),
+    mu7 AS (
+      SELECT code, u.i AS pos, round(avg(sub[u.i]), 10) AS m
+      FROM asg7, LATERAL unnest(generate_series(1, 8)) u(i)
+      GROUP BY code, u.i),
+    cb7 AS (
+      SELECT s.code,
+             coalesce(g.cv2, s.cv) AS cv
+      FROM cs7 s LEFT JOIN (
+        SELECT code, list(m ORDER BY pos) AS cv2
+        FROM mu7 GROUP BY code) g USING (code)),
+    enc7 AS (
+      SELECT vec_id, code FROM (
+        SELECT t.vec_id, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY (t.sub[1]-c.cv[1])*(t.sub[1]-c.cv[1]) + (t.sub[2]-c.cv[2])*(t.sub[2]-c.cv[2]) + (t.sub[3]-c.cv[3])*(t.sub[3]-c.cv[3]) + (t.sub[4]-c.cv[4])*(t.sub[4]-c.cv[4]) + (t.sub[5]-c.cv[5])*(t.sub[5]-c.cv[5]) + (t.sub[6]-c.cv[6])*(t.sub[6]-c.cv[6]) + (t.sub[7]-c.cv[7])*(t.sub[7]-c.cv[7]) + (t.sub[8]-c.cv[8])*(t.sub[8]-c.cv[8]) ASC, c.code ASC) AS rn
+        FROM sub7 t CROSS JOIN cb7 c) WHERE rn = 1),
+    tab7 AS (
+      SELECT c.code,
+             round((list_slice(q.qv, 57, 64)[1]-c.cv[1])*(list_slice(q.qv, 57, 64)[1]-c.cv[1]) + (list_slice(q.qv, 57, 64)[2]-c.cv[2])*(list_slice(q.qv, 57, 64)[2]-c.cv[2]) + (list_slice(q.qv, 57, 64)[3]-c.cv[3])*(list_slice(q.qv, 57, 64)[3]-c.cv[3]) + (list_slice(q.qv, 57, 64)[4]-c.cv[4])*(list_slice(q.qv, 57, 64)[4]-c.cv[4]) + (list_slice(q.qv, 57, 64)[5]-c.cv[5])*(list_slice(q.qv, 57, 64)[5]-c.cv[5]) + (list_slice(q.qv, 57, 64)[6]-c.cv[6])*(list_slice(q.qv, 57, 64)[6]-c.cv[6]) + (list_slice(q.qv, 57, 64)[7]-c.cv[7])*(list_slice(q.qv, 57, 64)[7]-c.cv[7]) + (list_slice(q.qv, 57, 64)[8]-c.cv[8])*(list_slice(q.qv, 57, 64)[8]-c.cv[8]),
+                   6) AS dv
+      FROM cb7 c, q),
+    adc AS (
+      SELECT e.vec_id, round(t0.dv + t1.dv + t2.dv + t3.dv + t4.dv + t5.dv + t6.dv + t7.dv, 6) AS a
+      FROM e
+      JOIN enc0 e0 USING (vec_id) JOIN tab0 t0 ON t0.code = e0.code
+      JOIN enc1 e1 USING (vec_id) JOIN tab1 t1 ON t1.code = e1.code
+      JOIN enc2 e2 USING (vec_id) JOIN tab2 t2 ON t2.code = e2.code
+      JOIN enc3 e3 USING (vec_id) JOIN tab3 t3 ON t3.code = e3.code
+      JOIN enc4 e4 USING (vec_id) JOIN tab4 t4 ON t4.code = e4.code
+      JOIN enc5 e5 USING (vec_id) JOIN tab5 t5 ON t5.code = e5.code
+      JOIN enc6 e6 USING (vec_id) JOIN tab6 t6 ON t6.code = e6.code
+      JOIN enc7 e7 USING (vec_id) JOIN tab7 t7 ON t7.code = e7.code),
+    short AS (SELECT vec_id FROM adc
+              ORDER BY a ASC, vec_id ASC LIMIT 100)
+    SELECT e.vec_id, round((e.v[1]-q.qv[1])*(e.v[1]-q.qv[1]) + (e.v[2]-q.qv[2])*(e.v[2]-q.qv[2]) + (e.v[3]-q.qv[3])*(e.v[3]-q.qv[3]) + (e.v[4]-q.qv[4])*(e.v[4]-q.qv[4]) + (e.v[5]-q.qv[5])*(e.v[5]-q.qv[5]) + (e.v[6]-q.qv[6])*(e.v[6]-q.qv[6]) + (e.v[7]-q.qv[7])*(e.v[7]-q.qv[7]) + (e.v[8]-q.qv[8])*(e.v[8]-q.qv[8]) + (e.v[9]-q.qv[9])*(e.v[9]-q.qv[9]) + (e.v[10]-q.qv[10])*(e.v[10]-q.qv[10]) + (e.v[11]-q.qv[11])*(e.v[11]-q.qv[11]) + (e.v[12]-q.qv[12])*(e.v[12]-q.qv[12]) + (e.v[13]-q.qv[13])*(e.v[13]-q.qv[13]) + (e.v[14]-q.qv[14])*(e.v[14]-q.qv[14]) + (e.v[15]-q.qv[15])*(e.v[15]-q.qv[15]) + (e.v[16]-q.qv[16])*(e.v[16]-q.qv[16]) + (e.v[17]-q.qv[17])*(e.v[17]-q.qv[17]) + (e.v[18]-q.qv[18])*(e.v[18]-q.qv[18]) + (e.v[19]-q.qv[19])*(e.v[19]-q.qv[19]) + (e.v[20]-q.qv[20])*(e.v[20]-q.qv[20]) + (e.v[21]-q.qv[21])*(e.v[21]-q.qv[21]) + (e.v[22]-q.qv[22])*(e.v[22]-q.qv[22]) + (e.v[23]-q.qv[23])*(e.v[23]-q.qv[23]) + (e.v[24]-q.qv[24])*(e.v[24]-q.qv[24]) + (e.v[25]-q.qv[25])*(e.v[25]-q.qv[25]) + (e.v[26]-q.qv[26])*(e.v[26]-q.qv[26]) + (e.v[27]-q.qv[27])*(e.v[27]-q.qv[27]) + (e.v[28]-q.qv[28])*(e.v[28]-q.qv[28]) + (e.v[29]-q.qv[29])*(e.v[29]-q.qv[29]) + (e.v[30]-q.qv[30])*(e.v[30]-q.qv[30]) + (e.v[31]-q.qv[31])*(e.v[31]-q.qv[31]) + (e.v[32]-q.qv[32])*(e.v[32]-q.qv[32]) + (e.v[33]-q.qv[33])*(e.v[33]-q.qv[33]) + (e.v[34]-q.qv[34])*(e.v[34]-q.qv[34]) + (e.v[35]-q.qv[35])*(e.v[35]-q.qv[35]) + (e.v[36]-q.qv[36])*(e.v[36]-q.qv[36]) + (e.v[37]-q.qv[37])*(e.v[37]-q.qv[37]) + (e.v[38]-q.qv[38])*(e.v[38]-q.qv[38]) + (e.v[39]-q.qv[39])*(e.v[39]-q.qv[39]) + (e.v[40]-q.qv[40])*(e.v[40]-q.qv[40]) + (e.v[41]-q.qv[41])*(e.v[41]-q.qv[41]) + (e.v[42]-q.qv[42])*(e.v[42]-q.qv[42]) + (e.v[43]-q.qv[43])*(e.v[43]-q.qv[43]) + (e.v[44]-q.qv[44])*(e.v[44]-q.qv[44]) + (e.v[45]-q.qv[45])*(e.v[45]-q.qv[45]) + (e.v[46]-q.qv[46])*(e.v[46]-q.qv[46]) + (e.v[47]-q.qv[47])*(e.v[47]-q.qv[47]) + (e.v[48]-q.qv[48])*(e.v[48]-q.qv[48]) + (e.v[49]-q.qv[49])*(e.v[49]-q.qv[49]) + (e.v[50]-q.qv[50])*(e.v[50]-q.qv[50]) + (e.v[51]-q.qv[51])*(e.v[51]-q.qv[51]) + (e.v[52]-q.qv[52])*(e.v[52]-q.qv[52]) + (e.v[53]-q.qv[53])*(e.v[53]-q.qv[53]) + (e.v[54]-q.qv[54])*(e.v[54]-q.qv[54]) + (e.v[55]-q.qv[55])*(e.v[55]-q.qv[55]) + (e.v[56]-q.qv[56])*(e.v[56]-q.qv[56]) + (e.v[57]-q.qv[57])*(e.v[57]-q.qv[57]) + (e.v[58]-q.qv[58])*(e.v[58]-q.qv[58]) + (e.v[59]-q.qv[59])*(e.v[59]-q.qv[59]) + (e.v[60]-q.qv[60])*(e.v[60]-q.qv[60]) + (e.v[61]-q.qv[61])*(e.v[61]-q.qv[61]) + (e.v[62]-q.qv[62])*(e.v[62]-q.qv[62]) + (e.v[63]-q.qv[63])*(e.v[63]-q.qv[63]) + (e.v[64]-q.qv[64])*(e.v[64]-q.qv[64]), 6) AS d2
+    FROM short JOIN e USING (vec_id), q
+    ORDER BY d2 ASC, e.vec_id ASC
+    LIMIT 10
+"""
+
+
 def _hll_sql(vals_cte: str, scope: str) -> str:
     """HLL replay over a CTE producing column ``v`` (b=10 pinned)."""
     # alpha_micro for m=1024 = 720541 (sketch._alpha_micro)
@@ -7303,6 +7602,7 @@ def oracle_sql() -> dict[str, str]:
     d["curriculum"] = _curriculum_oracle()
     d["reshard_plan"] = _RESHARD_PLAN_ORACLE
     d["table_triples"] = _table_triples_oracle()
+    d["pq_search"] = _PQ_SEARCH_ORACLE
     d["hll_cardinality"] = _hll_cardinality_oracle()
     d["winnow_fp"] = _WINNOW_FP_ORACLE
     d["bitext_align"] = _bitext_align_oracle()
