@@ -3076,6 +3076,23 @@ def _sentence_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", inj.alias("text"))
 
 
+def q_host_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source risk rate with Wilson 95% bounds
+    (scrub.host_risk_bounds): the governance table behind blocklist
+    decisions — lower bounds separate 2/2-bad hosts from 200/200-bad
+    hosts where raw rates cannot.  ``bad`` = quality micro below
+    700000 (the Gopher/C4 floor).  The interval formula is ONE SQL
+    text evaluated by both engines (+, *, /, sqrt are IEEE-exact; no
+    libm), quantized once to ppm.  Oracle: same expression verbatim
+    over the same aggregate."""
+    from ocr_engine_spark.functions.scrub import host_risk_bounds
+    from ocr_engine_spark.functions.text import quality_score_raw_col
+    docs = _read(spark, sf_dir, "documents")
+    bad = (F.floor(quality_score_raw_col(F.col("text")) * 1e6 + 0.5)
+           < 700_000)
+    return host_risk_bounds(docs, bad).orderBy("stratum")
+
+
 def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization end to end (functions/pq.py, Jegou et al.
     2011): hash-seeded per-subspace codebooks (one Lloyd iteration on
@@ -3337,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum": q_curriculum,
         "reshard_plan": q_reshard_plan,
         "table_triples": q_table_triples,
+        "host_risk": q_host_risk,
         "pq_search": q_pq_search,
         "hll_cardinality": q_hll_cardinality,
         "winnow_fp": q_winnow_fp,
@@ -6769,6 +6787,26 @@ _RESHARD_PLAN_ORACLE = """
 """
 
 
+def _host_risk_oracle() -> str:
+    from ocr_engine_spark.functions.scrub import (
+        WILSON_HIGH_SQL, WILSON_LOW_SQL,
+    )
+    return f"""
+        WITH a AS (
+          SELECT source AS stratum, count(*)::BIGINT AS n_docs,
+                 sum(CASE WHEN floor({_QUALITY_RAW} * 1000000 + 0.5)
+                          < 700000 THEN 1 ELSE 0 END)::BIGINT AS n_bad
+          FROM documents GROUP BY source),
+        t AS (SELECT *, n_docs::DOUBLE AS __n, n_bad::DOUBLE AS __k
+              FROM a)
+        SELECT stratum, n_docs, n_bad,
+               (n_bad * 1000000) // n_docs AS rate_ppm,
+               CAST({WILSON_LOW_SQL} AS BIGINT) AS wilson_low_ppm,
+               CAST({WILSON_HIGH_SQL} AS BIGINT) AS wilson_high_ppm
+        FROM t ORDER BY stratum
+    """
+
+
 _PQ_SEARCH_ORACLE = """
     WITH
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -7602,6 +7640,7 @@ def oracle_sql() -> dict[str, str]:
     d["curriculum"] = _curriculum_oracle()
     d["reshard_plan"] = _RESHARD_PLAN_ORACLE
     d["table_triples"] = _table_triples_oracle()
+    d["host_risk"] = _host_risk_oracle()
     d["pq_search"] = _PQ_SEARCH_ORACLE
     d["hll_cardinality"] = _hll_cardinality_oracle()
     d["winnow_fp"] = _WINNOW_FP_ORACLE

@@ -68,7 +68,7 @@ HEADLINE = [
     "mixture_allocate", "mixture_epochs", "mixture_sample", "curriculum",
     "vocab_growth", "reshard_plan", "compression_profile", "recrawl",
     "bitext_align", "winnow_fp", "table_triples", "hll_cardinality",
-    "pq_search",
+    "pq_search", "host_risk",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000

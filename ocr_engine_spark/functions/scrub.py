@@ -1634,3 +1634,50 @@ def table_triples(pages: DataFrame, **kwargs) -> DataFrame:
                                         F.col("col_pos")))
                     .alias("header"),
                     F.col("cell").alias("value")))
+
+
+# Wilson score interval (1927) for a binomial rate, z = 1.96 —
+# written ONCE as SQL text so the Spark side (F.expr) and the DuckDB
+# oracle evaluate byte-identical expression trees: +, *, /, sqrt are
+# all IEEE-correctly-rounded on both engines (no libm), so the bounds
+# agree bit-for-bit before the single ppm quantization.
+WILSON_LOW_SQL = (
+    "floor(greatest(0.0, "
+    "((__k / __n + (1.96 * 1.96) / (2 * __n)) "
+    " - 1.96 * sqrt((__k / __n * (1 - __k / __n) "
+    "                + (1.96 * 1.96) / (4 * __n)) / __n)) "
+    "/ (1 + (1.96 * 1.96) / __n)) * 1000000 + 0.5)")
+WILSON_HIGH_SQL = (
+    "floor(least(1.0, "
+    "((__k / __n + (1.96 * 1.96) / (2 * __n)) "
+    " + 1.96 * sqrt((__k / __n * (1 - __k / __n) "
+    "                + (1.96 * 1.96) / (4 * __n)) / __n)) "
+    "/ (1 + (1.96 * 1.96) / __n)) * 1000000 + 0.5)")
+
+
+def host_risk_bounds(df: DataFrame, bad: Column, *,
+                     strata_col: str = "source") -> DataFrame:
+    """Per-host (per-source) risk rate with Wilson 95% bounds — the
+    governance table behind blocklisting decisions: a host with 2/2
+    bad pages and a host with 200/200 bad pages both have rate 1.0,
+    but only the second's LOWER bound clears an evidence threshold,
+    which is exactly the small-sample trap the Wilson interval (1927)
+    exists for (and why it beats the normal approximation that
+    collapses at k=0 or n<30 — the common case in a host tail).
+
+    ``bad`` is any boolean Column over the rows (quality floor, spam
+    classifier verdict, robots violation...). One map-side-combined
+    groupBy; the interval math runs on the |hosts|-row aggregate.
+    Returns (stratum, n_docs, n_bad, rate_ppm, wilson_low_ppm,
+    wilson_high_ppm) — all integer ppm, quantized once.
+    """
+    agg = (df.groupBy(F.col(strata_col).alias("stratum"))
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(bad.cast("long")).alias("n_bad")))
+    t = (agg.withColumn("__n", F.col("n_docs").cast("double"))
+         .withColumn("__k", F.col("n_bad").cast("double")))
+    return t.select(
+        "stratum", "n_docs", "n_bad",
+        F.expr("(n_bad * 1000000) div n_docs").alias("rate_ppm"),
+        F.expr(WILSON_LOW_SQL).cast("long").alias("wilson_low_ppm"),
+        F.expr(WILSON_HIGH_SQL).cast("long").alias("wilson_high_ppm"))

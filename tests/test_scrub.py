@@ -965,3 +965,37 @@ def test_table_triples_single_row_is_data(spark):
     assert [(r.header, r.value) for r in
             sorted(rows, key=lambda r: r.col_pos)] == \
         [("col0", "lonely"), ("col1", "9")]
+
+
+def test_wilson_bounds_match_reference(spark):
+    from ocr_engine_spark.functions.scrub import host_risk_bounds
+    from pyspark.sql import functions as F
+    import math
+    rows = [("a", i, i < 2) for i in range(2)] + \
+           [("b", i, True) for i in range(200)] + \
+           [("c", i, False) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, i long, bad boolean")
+    got = {r.stratum: r for r in
+           host_risk_bounds(df, F.col("bad")).collect()}
+
+    def wilson(k, n):
+        z = 1.96
+        ph = k / n
+        c = ph + z * z / (2 * n)
+        r = z * math.sqrt((ph * (1 - ph) + z * z / (4 * n)) / n)
+        d = 1 + z * z / n
+        return (math.floor(max(0.0, (c - r) / d) * 1e6 + 0.5),
+                math.floor(min(1.0, (c + r) / d) * 1e6 + 0.5))
+
+    for s, k, n in (("a", 2, 2), ("b", 200, 200), ("c", 0, 50)):
+        lo, hi = wilson(k, n)
+        assert (got[s].wilson_low_ppm, got[s].wilson_high_ppm) == \
+            (lo, hi), s
+    # the small-sample trap: both a and b are 100% bad, but only b's
+    # LOWER bound is strong evidence
+    assert got["a"].rate_ppm == got["b"].rate_ppm == 1_000_000
+    assert got["a"].wilson_low_ppm < 400_000
+    assert got["b"].wilson_low_ppm > 970_000
+    # k=0 stays well-defined (the normal approximation collapses)
+    assert got["c"].wilson_low_ppm == 0
+    assert 0 < got["c"].wilson_high_ppm < 120_000

@@ -334,6 +334,26 @@ NOTES = {
                            "the pruned 3-column scan; ratio/flag "
                            "arithmetic stays JVM-side around it; no "
                            "BatchEvalPython anywhere",
+    "curriculum": "exact global rank via repartitionByRange + bounded "
+                  "driver offsets (the prefix-rank engine) — no "
+                  "single-task global window; the count re-enters as "
+                  "a 1-row broadcast",
+    "recrawl": "one per-page lag window over bounded fetch history + "
+               "one groupBy(page) — no joins",
+    "bitext_align": "no explode: sentence/length/ratio arrays stay "
+                    "in-row; ONE pair equi-join is the only shuffle",
+    "winnow_fp": "only 8-byte gram hashes explode (text never rides "
+                 "the shuffle); rightmost-min is a per-doc frame "
+                 "window over gram counts",
+    "table_triples": "map-side table_records fan-out, one per-table "
+                     "stats aggregate, two bounded joins on (url, "
+                     "table_pos[, col_pos])",
+    "hll_cardinality": "one groupBy(bucket) with map-side combine -> "
+                       "m register rows regardless of corpus size; "
+                       "the estimate is a 1-row aggregate",
+    "pq_search": "encoding + ADC are map-only constant-literal "
+                 "lookups; TakeOrderedAndProject for the shortlist "
+                 "and the re-rank — the corpus never shuffles",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -396,7 +416,9 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "soft_dedup", "source_prior",
             "linewrap_repair", "quote_spans", "mixture_sample",
             "vocab_growth", "sentences", "reshard_plan",
-            "compression_profile",
+            "compression_profile", "curriculum", "recrawl",
+            "bitext_align", "winnow_fp", "table_triples",
+            "hll_cardinality", "pq_search",
             "extraction_pipeline"]
 
 
