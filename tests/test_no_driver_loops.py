@@ -42,6 +42,10 @@ COLLECT_ALLOWLIST = {
         '"meta")).collect()[0]',              # index metadata: 1 row
         '.alias("t")).collect()[0])',         # append stats delta: 1 row
     ],
+    "functions/pq.py": [
+        ".limit(k).select(vec_col).collect())",  # codebook seed: k rows
+        '.collect())  # k x d rows, bounded',    # Lloyd sub-means
+    ],
     "functions/bpe.py": [
         ".first())  # 1-row argmax read, IVF-seed discipline",
     ],
