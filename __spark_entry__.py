@@ -3137,6 +3137,26 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r1.unionByName(r2).select(*cols).orderBy("scope")
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable count-min sketch (functions/sketch.py — Cormode &
+    Muthukrishnan 2005): the frequency-side companion of the HLL
+    sketch.  Spark's own ``count_min_sketch`` aggregate emits an
+    engine-private binary blob; this one is a plain (row, slot, cnt)
+    integer table DuckDB rebuilds bit-for-bit and other systems can
+    SUM-merge.  Token frequencies over the documents table at a
+    deliberately narrow width (d=3, w=64) so collisions actually
+    exercise the min-over-rows estimator; output = exact top-20
+    tokens with their sketch estimates and the one-sided overcount
+    (>= 0 by the CMS guarantee).  Oracle: counters, probes and the
+    min all replayed verbatim."""
+    from ocr_engine_spark.functions.sketch import cms_topk_audit
+    docs = _read(spark, sf_dir, "documents")
+    toks = (docs.where(F.length(F.trim(F.col("text"))) > 0)
+            .select(F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                      r"\s+")).alias("tok")))
+    return cms_topk_audit(toks, "tok", d=3, w=64, k=20)
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (text.winnow_fingerprints —
     Schleimer et al. 2003 / MOSS): rightmost window-min over k-gram
@@ -3357,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_risk": q_host_risk,
         "pq_search": q_pq_search,
         "hll_cardinality": q_hll_cardinality,
+        "cms_counts": q_cms_counts,
         "winnow_fp": q_winnow_fp,
         "bitext_align": q_bitext_align,
         "sentences": q_sentences,
@@ -7145,6 +7166,39 @@ def _hll_cardinality_oracle() -> str:
             f"({_hll_sql(toks, 'token_positions')}) ORDER BY scope")
 
 
+_CMS_COUNTS_ORACLE = r"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+      WHERE length(trim(text)) > 0),
+    counters AS (
+      SELECT u.r AS row,
+             ('0x' || substr(md5(u.r::VARCHAR || chr(31) || tok),
+                             1, 15))::BIGINT % 64 AS slot,
+             count(*)::BIGINT AS cnt
+      FROM t, LATERAL unnest(generate_series(0, 2)) u(r)
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT tok AS value, count(*)::BIGINT AS n_exact
+      FROM t GROUP BY tok
+      ORDER BY n_exact DESC, value ASC LIMIT 20),
+    est AS (
+      SELECT p.value, min(coalesce(c.cnt, 0))::BIGINT AS estimate
+      FROM (SELECT e.value, u.r AS row,
+                   ('0x' || substr(md5(u.r::VARCHAR || chr(31)
+                                       || e.value), 1, 15))::BIGINT
+                   % 64 AS slot
+            FROM exact e,
+                 LATERAL unnest(generate_series(0, 2)) u(r)) p
+      LEFT JOIN counters c ON c.row = p.row AND c.slot = p.slot
+      GROUP BY p.value)
+    SELECT e.value, e.n_exact, s.estimate,
+           (s.estimate - e.n_exact)::BIGINT AS overcount
+    FROM exact e JOIN est s ON e.value = s.value
+    ORDER BY e.n_exact DESC, e.value ASC
+"""
+
+
 # min over struct is lexicographic in DuckDB too, so the rightmost-min
 # tie-break ((h, -pos) struct) replays exactly; full windows gated by
 # count over the same frame
@@ -7643,6 +7697,7 @@ def oracle_sql() -> dict[str, str]:
     d["host_risk"] = _host_risk_oracle()
     d["pq_search"] = _PQ_SEARCH_ORACLE
     d["hll_cardinality"] = _hll_cardinality_oracle()
+    d["cms_counts"] = _CMS_COUNTS_ORACLE
     d["winnow_fp"] = _WINNOW_FP_ORACLE
     d["bitext_align"] = _bitext_align_oracle()
     d["sentences"] = _sentences_oracle()

@@ -124,3 +124,104 @@ def hll_distinct(df: DataFrame, col: str, *, b: int = 10) -> DataFrame:
                       "sum_scaled", "estimate",
                       F.col("n_exact").cast("long").alias("n_exact"),
                       err.alias("err_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — portable registers
+# ---------------------------------------------------------------------------
+
+def _cms_slot(row_col, value_col, w: int):
+    """Pinned probe: ``md5-int60(row || US || value) % w``.  The row
+    index enters the hash as a decimal string with a US (0x1f)
+    separator so d independent-enough hash functions come out of the
+    ONE portable primitive; DuckDB twin:
+    ``('0x' || substr(md5(row::VARCHAR || chr(31) || v), 1, 15))
+    ::BIGINT % w``."""
+    probe = F.concat(row_col.cast("string"),
+                     F.lit("\x1f"), value_col.cast("string"))
+    return F.pmod(md5_int60_col(probe), F.lit(int(w)))
+
+
+def cms_counters(df: DataFrame, col: str, *, d: int = 4, w: int = 512,
+                 weight_col: str | None = None) -> DataFrame:
+    """(row, slot, cnt) — the mergeable count-min state, ≤ ``d*w``
+    rows regardless of corpus size.
+
+    The frequency-side companion of ``hll_registers``: Spark's own
+    ``count_min_sketch`` aggregate emits an opaque binary blob
+    (engine-private layout, not queryable relationally); this one is
+    a plain integer table another engine can rebuild bit-for-bit,
+    union with counters produced elsewhere, and SUM-merge (the CMS
+    merge property — counters are linear).
+
+    Scale shape: the d-way ``explode(sequence)`` happens map-side and
+    the groupBy's partial aggregation collapses it to at most ``d*w``
+    (row, slot) keys per map partition before the shuffle — corpus
+    rows never cross the wire.  Item weights (``weight_col``, e.g.
+    bytes per host) ride the same path; default weight is 1 (counts).
+    """
+    assert 1 <= int(d) <= 8 and int(w) >= 16
+    wcol = (F.col(weight_col).cast("long") if weight_col
+            else F.lit(1).cast("long"))
+    rows = (df.select(F.col(col).alias("__v"), wcol.alias("__w"))
+            .where(F.col("__v").isNotNull())
+            .select("__v", "__w",
+                    F.explode(F.sequence(F.lit(0), F.lit(int(d) - 1)))
+                    .alias("row")))
+    return (rows.select("row",
+                        _cms_slot(F.col("row"), F.col("__v"),
+                                  int(w)).alias("slot"),
+                        "__w")
+            .groupBy("row", "slot")
+            .agg(F.sum("__w").alias("cnt")))
+
+
+def cms_estimate(counters: DataFrame, items: DataFrame, col: str, *,
+                 d: int = 4, w: int = 512) -> DataFrame:
+    """(value, estimate) — point queries against a counter table.
+
+    ``estimate = min over rows of counter[row][slot(row, value)]``;
+    a probe landing on an untouched slot reads 0 (left join +
+    coalesce), so absent items can resolve to 0 exactly.  The CMS
+    guarantee (one-sided): ``estimate >= true`` always, and
+    ``estimate <= true + e/w * N`` with probability ``1 - e^-d`` per
+    query.  The counter table is ≤ d*w rows — it enters the probe
+    join as a broadcast build side, so querying never shuffles the
+    item table."""
+    probes = (items.select(F.col(col).alias("value"))
+              .where(F.col("value").isNotNull()).distinct()
+              .select("value",
+                      F.explode(F.sequence(F.lit(0),
+                                           F.lit(int(d) - 1)))
+                      .alias("row")))
+    probes = probes.select(
+        "value", "row",
+        _cms_slot(F.col("row"), F.col("value"), int(w)).alias("slot"))
+    joined = probes.join(F.broadcast(counters), ["row", "slot"],
+                         "left")
+    return (joined.groupBy("value")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("long").alias("estimate")))
+
+
+def cms_topk_audit(df: DataFrame, col: str, *, d: int = 4,
+                   w: int = 512, k: int = 20) -> DataFrame:
+    """End-to-end audit: the exact top-k items (count desc, value asc)
+    with their CMS estimates and the one-sided overcount — the
+    heavy-hitter health check a corpus report publishes (hot tokens,
+    hot hosts, hot fingerprints) when the full key set is too wide to
+    shuffle at scale.  Here the exact count runs too (fixture scale)
+    so ``overcount = estimate - n_exact >= 0`` is part of the gated
+    output."""
+    exact = (df.groupBy(F.col(col).alias("value"))
+             .agg(F.count("*").cast("long").alias("n_exact"))
+             .where(F.col("value").isNotNull())
+             .orderBy(F.col("n_exact").desc(), F.col("value").asc())
+             .limit(int(k)))
+    counters = cms_counters(df, col, d=d, w=w)
+    est = cms_estimate(counters, exact, "value", d=d, w=w)
+    return (exact.join(est, "value")
+            .select("value", "n_exact", "estimate",
+                    (F.col("estimate") - F.col("n_exact"))
+                    .cast("long").alias("overcount"))
+            .orderBy(F.col("n_exact").desc(), F.col("value").asc()))

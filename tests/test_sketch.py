@@ -55,3 +55,94 @@ def test_hll_registers_merge_property(spark):
     est_u = hll_estimate(
         hll_registers(a.union(b_), "v")).collect()[0].estimate
     assert est_m == est_u        # register-max merge == union sketch
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from ocr_engine_spark.functions.sketch import (
+    cms_counters,
+    cms_estimate,
+    cms_topk_audit,
+)
+
+
+def _md5_int60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_cms(values, d, w):
+    """Reference CMS: dict[(row, slot)] -> count."""
+    c = {}
+    for v in values:
+        for row in range(d):
+            slot = _md5_int60(f"{row}\x1f{v}") % w
+            c[(row, slot)] = c.get((row, slot), 0) + 1
+    return c
+
+
+def _py_estimate(c, v, d, w):
+    return min(c.get((row, _md5_int60(f"{row}\x1f{v}") % w), 0)
+               for row in range(d))
+
+
+def _zipf_values():
+    # value "t<i>" appears 200//(i+1) times: a heavy head + long tail
+    vals = []
+    for i in range(60):
+        vals.extend([f"t{i}"] * (200 // (i + 1)))
+    return vals
+
+
+def test_cms_counters_match_python_reference(spark):
+    vals = _zipf_values()
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {(r.row, r.slot): r.cnt
+           for r in cms_counters(df, "v", d=3, w=32).collect()}
+    assert got == _py_cms(vals, 3, 32)
+
+
+def test_cms_estimate_never_undercounts_and_is_exact_when_wide(spark):
+    vals = _zipf_values()
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    exact = {}
+    for v in vals:
+        exact[v] = exact.get(v, 0) + 1
+    # narrow sketch: one-sided error only, equal to the replica
+    ref = _py_cms(vals, 3, 32)
+    rows = cms_topk_audit(df, "v", d=3, w=32, k=60).collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert r.n_exact == exact[r.value]
+        assert r.overcount >= 0                      # never undercounts
+        assert r.estimate == _py_estimate(ref, r.value, 3, 32)
+    # wide sketch: no collisions at this cardinality -> exact
+    wide = cms_topk_audit(df, "v", d=4, w=4096, k=60).collect()
+    assert all(r.overcount == 0 for r in wide)
+
+
+def test_cms_counters_sum_merge_equals_union_sketch(spark):
+    from pyspark.sql import functions as F
+    vals = _zipf_values()
+    a = spark.createDataFrame([(v,) for v in vals[:400]], ["v"])
+    b = spark.createDataFrame([(v,) for v in vals[400:]], ["v"])
+    merged = (cms_counters(a, "v", d=3, w=32)
+              .union(cms_counters(b, "v", d=3, w=32))
+              .groupBy("row", "slot").agg(F.sum("cnt").alias("cnt")))
+    whole = cms_counters(a.union(b), "v", d=3, w=32)
+    as_map = lambda df: {(r.row, r.slot): r.cnt for r in df.collect()}
+    assert as_map(merged) == as_map(whole)
+
+
+def test_cms_absent_item_reads_min_slot(spark):
+    vals = _zipf_values()
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    counters = cms_counters(df, "v", d=3, w=32)
+    probe = spark.createDataFrame([("never-seen-xyz",)], ["v"])
+    ref = _py_cms(vals, 3, 32)
+    got = cms_estimate(counters, probe, "v", d=3, w=32).collect()[0]
+    assert got.estimate == _py_estimate(ref, "never-seen-xyz", 3, 32)
+    assert got.estimate >= 0
