@@ -1104,6 +1104,26 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(cand, bench).orderBy("doc_id")
 
 
+def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PaLM-style positional overlap fraction (decontam.py
+    contamination_fraction): same benchmark/planted-leak setup as
+    q_decontaminate but with n=8 grams and per-doc POSITIONAL fractions
+    — the planted 'leaked copy …substr(text,1,160)… trailing noise'
+    docs land at intermediate fractions (the leaked token run hits, the
+    wrapper grams miss), exercising the micro-unit division. Oracle
+    replays tokens, positional (non-distinct) gram hashes, the hit
+    count, and the integer division verbatim."""
+    from ocr_engine_spark.functions.decontam import contamination_fraction
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    leaked = bench.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("leaked copy "), F.substring("text", 1, 160),
+                 F.lit(" trailing noise")).alias("text"))
+    cand = docs.filter(F.col("doc_id") % 37 != 0).unionByName(leaked)
+    return contamination_fraction(cand, bench, n=8).orderBy("doc_id")
+
+
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefilter decontamination (functions/bloom.py): the SAME
     benchmark/planted-leak setup as q_decontaminate, answered through
@@ -3370,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window caps at the FIRST 50 dict entries (observed in
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
+        "contamination_fraction": q_contamination_fraction,
         "recrawl": q_recrawl,
         "curriculum": q_curriculum,
         "reshard_plan": q_reshard_plan,
@@ -8662,6 +8683,50 @@ def _oracle_sql() -> dict[str, str]:
                    count(DISTINCT c.gram_hash)::BIGINT AS n_hits
             FROM cgram c JOIN bgram b USING (gram_hash)
             GROUP BY c.doc_id
+            ORDER BY doc_id
+        """,
+        "contamination_fraction": """
+            WITH bench AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+            cand AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+              UNION ALL
+              SELECT doc_id + 10000,
+                     'leaked copy ' || substr(text, 1, 160)
+                       || ' trailing noise'
+              FROM bench),
+            btok AS (
+              SELECT list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM bench),
+            bgram AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5(array_to_string(t[i : i + 7], ' ')),
+                                1, 15))::BIGINT AS gram_hash
+              FROM btok, unnest(range(1, len(t) - 6)) AS u(i)),
+            ctok AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM cand),
+            -- POSITIONAL grams: no DISTINCT — every gram position is a row
+            cgram AS (
+              SELECT doc_id,
+                ('0x' || substr(md5(array_to_string(t[i : i + 7], ' ')),
+                                1, 15))::BIGINT AS gram_hash
+              FROM ctok, unnest(range(1, len(t) - 6)) AS u(i)),
+            sizes AS (
+              SELECT doc_id, greatest(len(t) - 7, 0)::BIGINT AS n_grams
+              FROM ctok),
+            hits AS (
+              SELECT doc_id, count(*)::BIGINT AS n_hits
+              FROM cgram JOIN bgram USING (gram_hash)
+              GROUP BY doc_id)
+            SELECT s.doc_id::BIGINT AS doc_id, s.n_grams, h.n_hits,
+                   (h.n_hits * 1000000) // s.n_grams AS hit_frac_micro
+            FROM sizes s JOIN hits h USING (doc_id)
             ORDER BY doc_id
         """,
         "quality_filter": f"""

@@ -100,3 +100,64 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
                .filter(F.col("n_hits") >= min_hits)
                .select(id_col))
     return docs.join(flagged, id_col, "left_anti")
+
+
+def contamination_fraction(docs: DataFrame, benchmark: DataFrame, *,
+                           n: int = 8, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """PaLM-style POSITIONAL contamination fraction (Chowdhery et al.
+    2022 app. D; Llama 2, Touvron et al. 2023 §A.6): for every training
+    document with >= 1 hit, the fraction of its ``len(tokens)-n+1``
+    word-n-gram POSITIONS whose gram appears in the benchmark set —
+    (doc_id, n_grams, n_hits, hit_frac_micro). Positions, not distinct
+    grams: a doc that repeats one leaked 8-gram fifty times is 50
+    positions contaminated, which is what "how much of this document is
+    benchmark text" means. Clean documents are ABSENT (absent == clean).
+
+    Plan shape at 100 TB — two passes over the corpus, ZERO
+    corpus-sized shuffles:
+
+      * pass 1 (hits): explode gram positions, broadcast-hash-semi-join
+        against the benchmark gram set, then group ONLY the hit rows —
+        near-zero volume for a clean corpus (the same shape as
+        ``contamination_report``, minus the dedup);
+      * pass 2 (sizes): ``greatest(size(tokens)-n+1, 0)`` in a
+        projection — no gram materialization, no shuffle;
+      * the final sizes⋈hits equi-join BROADCASTS the hit table (the
+        flagged set is small by construction — benchmarks are MBs), so
+        the corpus-side scan stays map-side.
+
+    ``hit_frac_micro = n_hits * 1e6 div n_grams`` in long integer
+    micro-units — exact on both engines (PaLM's threshold "70% of
+    8-grams" is ``>= 700000``)."""
+    bench = F.broadcast(benchmark_ngram_hashes(benchmark, n, text_col))
+    toks = docs.select(F.col(id_col),
+                       word_tokens_col(F.col(text_col)).alias("t"))
+    pos = (toks
+           .select(id_col, F.explode(ngrams_col(F.col("t"), n)).alias("g"))
+           .select(id_col, md5_int60_col(F.col("g")).alias("gram_hash")))
+    hits = (pos.join(bench, "gram_hash")  # broadcast hash join
+            .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+    sizes = toks.select(
+        F.col(id_col),
+        F.greatest(F.size("t") - F.lit(n - 1), F.lit(0))
+        .cast("long").alias("n_grams"))
+    return (sizes.join(F.broadcast(hits), id_col)
+            .select(id_col, "n_grams", F.col("n_hits").cast("long"),
+                    F.expr("n_hits * 1000000L div n_grams")
+                    .alias("hit_frac_micro")))
+
+
+def decontaminate_fraction(docs: DataFrame, benchmark: DataFrame, *,
+                           n: int = 8, max_frac_micro: int = 700_000,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Drop every training document whose positional benchmark-overlap
+    fraction reaches ``max_frac_micro`` (default = PaLM's 70% of
+    8-grams). Same anti-join-the-flagged-ids shape as
+    ``decontaminate``."""
+    flagged = (contamination_fraction(docs, benchmark, n=n, id_col=id_col,
+                                      text_col=text_col)
+               .filter(F.col("hit_frac_micro") >= max_frac_micro)
+               .select(id_col))
+    return docs.join(flagged, id_col, "left_anti")

@@ -11,7 +11,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ocr_engine_spark.functions.decontam import (
-    contamination_report, decontaminate, ngrams_col, word_tokens_col,
+    contamination_fraction, contamination_report, decontaminate,
+    decontaminate_fraction, ngrams_col, word_tokens_col,
 )
 
 
@@ -60,6 +61,55 @@ def test_decontaminate_drops_flagged_keeps_clean(spark):
     kept = sorted(r["doc_id"]
                   for r in decontaminate(docs, bench, n=4).collect())
     assert kept == [2]
+
+
+def test_fraction_counts_positions_not_distinct_grams(spark):
+    """PaLM-style fraction is POSITIONAL: a doc repeating one leaked
+    gram is contaminated at every repeat position, not once."""
+    bench = _df(spark, [(100, "alpha beta gamma")])
+    docs = _df(spark, [
+        # tokens: alpha beta gamma alpha beta gamma -> 4 trigram
+        # positions; positions 1 and 4 hit (same distinct gram twice)
+        (1, "alpha beta gamma alpha beta gamma"),
+        (2, "clean words only in here now"),
+    ])
+    rows = {r["doc_id"]: r for r in
+            contamination_fraction(docs, bench, n=3).collect()}
+    assert set(rows) == {1}           # absent == clean
+    assert rows[1]["n_grams"] == 4
+    assert rows[1]["n_hits"] == 2
+    assert rows[1]["hit_frac_micro"] == 500_000
+    # the distinct-gram report would say 1 hit for the same doc
+    rep = {r["doc_id"]: r["n_hits"] for r in
+           contamination_report(docs, bench, n=3).collect()}
+    assert rep == {1: 1}
+
+
+def test_fraction_threshold_drop(spark):
+    """decontaminate_fraction drops only docs at/above the threshold:
+    a fully-leaked doc goes, a one-gram brush survives PaLM's 70%."""
+    bench = _df(spark, [(100, "one two three four five six seven")])
+    docs = _df(spark, [
+        (1, "one two three four five six seven"),    # 100% leaked
+        (2, "zz one two three zz yy xx ww vv uu"),   # 1/8 positions
+        (3, "no overlap at all in this document"),
+    ])
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate_fraction(docs, bench, n=3,
+                                         max_frac_micro=700_000).collect())
+    assert kept == [2, 3]
+
+
+def test_fraction_join_shape_is_broadcast(spark):
+    """Scale shape: BOTH joins (gram semi-join, hits-back-to-sizes)
+    broadcast the small side — no corpus-sized shuffle anywhere."""
+    bench = _df(spark, [(100, "one two three four five six")])
+    docs = _df(spark, [(1, "zz one two three four zz")])
+    plan = (contamination_fraction(docs, bench, n=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_benchmark_side_is_broadcast(spark):
