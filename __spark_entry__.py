@@ -2176,6 +2176,48 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("rank_micro"), "host"))
 
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point HITS (functions/linkgraph.py:hits) over the
+    synthetic host graph: 3 iterations of the L1-normalized hub/auth
+    mutual recursion. The dangling hosts (no out-edges) exercise the
+    hub=0 branch and the zero-filled left joins; the oracle replays
+    all 3 unrolled iterations (6 join+agg rounds) verbatim with
+    HUGEINT-exact normalization."""
+    from ocr_engine_spark.functions.linkgraph import hits
+    e = _synthetic_host_edges(spark)
+    return (hits(e, iterations=3)
+            .select(F.col("node").alias("host"),
+                    F.col("hub").alias("hub_micro"),
+                    F.col("auth").alias("auth_micro"))
+            .orderBy(F.desc("auth_micro"), F.desc("hub_micro"), "host"))
+
+
+def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + spam mass (functions/linkgraph.py:trustrank;
+    Gyöngyi et al. 2004) over the synthetic host graph: the 2
+    lexicographically-smallest hosts are the trusted seed set, 5
+    seed-teleport iterations, joined against uniform-teleport PageRank
+    to publish ``spam_mass_micro = (pr - trust) * 1e6 div pr`` — the
+    paper's spam indicator (high rank, low trust). Oracle replays BOTH
+    unrolled fixed-point chains and the final join."""
+    from ocr_engine_spark.functions.linkgraph import pagerank, trustrank
+    e = _synthetic_host_edges(spark)
+    seeds = (e.select(F.col("src_host").alias("node"))
+             .unionByName(e.select(F.col("dst_host").alias("node")))
+             .distinct().orderBy("node").limit(2))
+    tr = trustrank(e, seeds, iterations=5)
+    pr = pagerank(e, iterations=5)
+    return (tr.join(pr, "node")
+            .select(F.col("node").alias("host"),
+                    F.col("trust").alias("trust_micro"),
+                    F.col("rank").alias("rank_micro"),
+                    F.when(F.col("rank") <= 0, F.lit(0))
+                    .otherwise(F.expr(
+                        "((rank - trust) * 1000000) div rank"))
+                    .cast("long").alias("spam_mass_micro"))
+            .orderBy(F.desc("spam_mass_micro"), "host"))
+
+
 def q_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall-style harmonic centrality with integer KMV sketches
     (functions/linkgraph.py:harmonic_centrality) over the same
@@ -3434,6 +3476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_noindex": q_robots_noindex,
         "robots_audit": q_robots_audit,
         "outlink_hosts": q_outlink_hosts,
+        "host_hits": q_host_hits,
+        "host_trustrank": q_host_trustrank,
         "host_pagerank": q_host_pagerank,
         "host_harmonic": q_host_harmonic,
         "crawl_frontier": q_crawl_frontier,
@@ -6304,6 +6348,104 @@ def _host_pagerank_oracle(iterations: int = 5) -> str:
     """
 
 
+def _host_hits_oracle(iterations: int = 3,
+                      scale: int = 1_000_000) -> str:
+    """Unrolled HITS fixed-point chain: per iteration an auth pass
+    (sum hub over in-edges, L1-normalize) then a hub pass — HUGEINT
+    arithmetic keeps the ``raw * scale // total`` step exact."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    its = []
+    prev = "h0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+        ar{i} AS (SELECT e.dst AS node, sum(h.hub) AS araw
+                  FROM edges e JOIN {prev} h ON e.src = h.node
+                  GROUP BY e.dst),
+        at{i} AS (SELECT coalesce(sum(araw), 0) AS ta FROM ar{i}),
+        a{i} AS (SELECT n.node,
+                   (CASE WHEN t.ta <= 0 THEN 0
+                         ELSE (coalesce(ar.araw, 0)::HUGEINT * {scale})
+                              // t.ta END)::BIGINT AS auth
+                 FROM nodes n CROSS JOIN at{i} t
+                 LEFT JOIN ar{i} ar ON ar.node = n.node),
+        hr{i} AS (SELECT e.src AS node, sum(a.auth) AS hraw
+                  FROM edges e JOIN a{i} a ON e.dst = a.node
+                  GROUP BY e.src),
+        ht{i} AS (SELECT coalesce(sum(hraw), 0) AS th FROM hr{i}),
+        h{i} AS (SELECT n.node,
+                   (CASE WHEN t.th <= 0 THEN 0
+                         ELSE (coalesce(hr.hraw, 0)::HUGEINT * {scale})
+                              // t.th END)::BIGINT AS hub
+                 FROM nodes n CROSS JOIN ht{i} t
+                 LEFT JOIN hr{i} hr ON hr.node = n.node)""")
+        prev = f"h{i}"
+    return f"""
+        WITH {_synth_edges_cte(pages)},
+        nodes AS (SELECT src AS node FROM e0
+                  UNION SELECT dst FROM e0),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        h0 AS (SELECT node, ({scale} // nn.n)::BIGINT AS hub
+               FROM nodes CROSS JOIN nn),{','.join(its)}
+        SELECT h.node AS host, h.hub AS hub_micro,
+               a.auth AS auth_micro
+        FROM {prev} h JOIN a{iterations} a USING (node)
+        ORDER BY auth_micro DESC, hub_micro DESC, host
+    """
+
+
+def _host_trustrank_oracle(iterations: int = 5,
+                           scale: int = 1_000_000_000_000) -> str:
+    """Unrolled TrustRank chain (seed-concentrated teleport, dangling
+    mass back to seeds) joined to the shared PageRank chain for the
+    spam-mass report."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    pr_chain, pr_last = _pagerank_ctes(iterations)
+    its = []
+    prev = "t0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+        tc{i} AS (SELECT e.dst AS node, sum(r.tr // d.deg) AS contrib
+                  FROM edges e JOIN {prev} r ON e.src = r.node
+                  JOIN deg d ON d.node = r.node GROUP BY e.dst),
+        td{i} AS (SELECT coalesce(sum(r.tr), 0) AS dangling
+                  FROM {prev} r LEFT JOIN deg d ON r.node = d.node
+                  WHERE d.deg IS NULL),
+        t{i} AS (SELECT m.node, m.is_seed,
+                   (CASE WHEN m.is_seed
+                         THEN (({scale} // nsd.ns) * 15) // 100
+                         ELSE 0 END
+                    + (85 * (coalesce(c.contrib, 0)
+                             + CASE WHEN m.is_seed
+                                    THEN dd.dangling // nsd.ns
+                                    ELSE 0 END)) // 100)::BIGINT AS tr
+                 FROM mk m CROSS JOIN nsd CROSS JOIN td{i} dd
+                 LEFT JOIN tc{i} c ON c.node = m.node)""")
+        prev = f"t{i}"
+    return f"""
+        WITH {_synth_edges_cte(pages)},
+        {pr_chain},
+        seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 2),
+        nsd AS (SELECT count(*) AS ns FROM seeds),
+        mk AS (SELECT n.node, s.node IS NOT NULL AS is_seed
+               FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+        t0 AS (SELECT m.node, m.is_seed,
+                      (CASE WHEN m.is_seed THEN {scale} // nsd.ns
+                            ELSE 0 END)::BIGINT AS tr
+               FROM mk m CROSS JOIN nsd),{','.join(its)}
+        SELECT t.node AS host, t.tr AS trust_micro,
+               p.pr::BIGINT AS rank_micro,
+               (CASE WHEN p.pr <= 0 THEN 0
+                     ELSE ((p.pr - t.tr) * 1000000) // p.pr
+                END)::BIGINT AS spam_mass_micro
+        FROM {prev} t JOIN {pr_last} p USING (node)
+        ORDER BY spam_mass_micro DESC, host
+    """
+
+
 def _crawl_frontier_oracle(now_epoch: int = 1767225600,
                            budget: int = 2, top_n: int = 40) -> str:
     from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
@@ -8777,6 +8919,8 @@ def _oracle_sql() -> dict[str, str]:
         "robots_noindex": _robots_noindex_oracle(),
         "outlink_hosts": _outlink_hosts_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
+        "host_hits": _host_hits_oracle(),
+        "host_trustrank": _host_trustrank_oracle(),
         "host_harmonic": _host_harmonic_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),
         "mirror_hosts": _mirror_hosts_oracle(),

@@ -514,6 +514,173 @@ def pagerank(edges: DataFrame, *, src: str = "src_host",
     return ranks
 
 
+def hits(edges: DataFrame, *, src: str = "src_host",
+         dst: str = "dst_host", iterations: int = 5,
+         scale: int = 1_000_000) -> DataFrame:
+    """(node, hub, auth) — Kleinberg's HITS (Kleinberg 1999, "Hubs and
+    authorities") in integer fixed-point with L1 normalization: per
+    iteration ``auth_raw(v) = sum of hub over in-edges`` then
+    ``auth = auth_raw * scale div sum(auth_raw)`` (and symmetrically
+    for hubs), so each vector re-sums to ~``scale`` minus bounded
+    truncation. Like :func:`pagerank` every operation is integer
+    add / multiply / div — ranks are bit-identical across
+    partitioning, parallelism and reduce order (the 4N-executor
+    reproducibility property) and DuckDB replays the unrolled
+    iteration chain verbatim.
+
+    Plan shape: two edge-join + groupBy rounds per iteration (auth
+    pass, hub pass) — the same edge-aggregate shuffle as PageRank,
+    twice — plus two 1-row normalization aggregates broadcast back;
+    ``localCheckpoint`` per iteration caps the lineage like pagerank's.
+
+    Overflow bound: the normalization multiply needs
+    ``auth_raw * scale < 2^63``. Hubs start at ``scale div n`` (L1
+    mass ~scale, not n*scale), so ``auth_raw <= max_in_degree *
+    scale`` and the product is safe while ``max_degree * scale^2 <
+    9.2e18`` — at the default micro-unit scale that is ~9e6 in-links
+    to ONE node from this host-level graph; lower ``scale`` for
+    denser graphs. Self-loops are dropped from propagation, endpoints
+    stay in the node set with zero-filled scores.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .where(F.col("s") != F.col("d"))
+         .distinct()
+         .persist())
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct()
+             .persist())
+    n = nodes.count()  # driver scalar: graph metadata, 1 value
+    if n == 0:
+        return nodes.select("node",
+                            F.lit(0).cast("long").alias("hub"),
+                            F.lit(0).cast("long").alias("auth"))
+    hub = (nodes.withColumn("hub", F.lit(scale // n).cast("long"))
+           .localCheckpoint())
+    auth = None
+    for _ in range(iterations):
+        araw = (e.join(hub, e["s"] == hub["node"])
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.sum("hub").alias("araw")))
+        ta = araw.agg(F.coalesce(F.sum("araw"), F.lit(0)).alias("ta"))
+        auth = (nodes.join(araw, "node", "left")
+                .crossJoin(F.broadcast(ta))
+                .select("node",
+                        F.when(F.col("ta") <= 0, F.lit(0))
+                        .otherwise(F.expr(
+                            f"(coalesce(araw, CAST(0 AS BIGINT))"
+                            f" * {scale}) div ta"))
+                        .cast("long").alias("auth"))
+                .localCheckpoint())
+        hraw = (e.join(auth, e["d"] == auth["node"])
+                .groupBy(F.col("s").alias("node"))
+                .agg(F.sum("auth").alias("hraw")))
+        th = hraw.agg(F.coalesce(F.sum("hraw"), F.lit(0)).alias("th"))
+        hub = (nodes.join(hraw, "node", "left")
+               .crossJoin(F.broadcast(th))
+               .select("node",
+                       F.when(F.col("th") <= 0, F.lit(0))
+                       .otherwise(F.expr(
+                           f"(coalesce(hraw, CAST(0 AS BIGINT))"
+                           f" * {scale}) div th"))
+                       .cast("long").alias("hub"))
+               .localCheckpoint())
+    out = hub.join(auth, "node")
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame, *,
+              src: str = "src_host", dst: str = "dst_host",
+              seed_col: str = "node", weight: str | None = None,
+              iterations: int = 10, damping_pct: int = 85,
+              scale: int = PAGERANK_SCALE) -> DataFrame:
+    """(node, trust) — TrustRank (Gyöngyi, Garcia-Molina & Pedersen
+    2004, "Combating web spam with TrustRank"): PageRank whose teleport
+    vector is concentrated on a TRUSTED SEED set instead of uniform, so
+    trust decays with link distance from the seeds and spam farms — far
+    from any seed — end up with trust << their PageRank. Same integer
+    fixed-point contract as :func:`pagerank` (bit-identical across
+    partitioning/parallelism, DuckDB-replayable): seeds each start and
+    teleport with ``scale div n_seeds`` mass; dangling mass returns to
+    the seeds, not the whole graph.
+
+    ``seeds`` is a DataFrame (column ``seed_col``) because real seed
+    lists are curated tables, not literals; it is counted once for the
+    split arithmetic (driver scalar, graph metadata) and broadcast into
+    the membership join. Nodes absent from the edge set are ignored
+    even if listed as seeds. The usual spam-mass workflow pairs this
+    with :func:`pagerank`: ``spam_mass = (pr - trust) / pr``.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    wcol = (F.col(weight).cast("long") if weight is not None
+            else F.lit(1).cast("long"))
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                      wcol.alias("w"))
+    nodes = (e0.select(F.col("s").alias("node"))
+             .unionByName(e0.select(F.col("d").alias("node")))
+             .distinct()
+             .persist())
+    e = e0.where(F.col("s") != F.col("d"))
+    if weight is None:
+        e = e.distinct()
+    else:
+        e = e.groupBy("s", "d").agg(F.sum("w").alias("w"))
+    e = e.persist()
+    sd = (seeds.select(F.col(seed_col).alias("node")).distinct()
+          .join(nodes, "node")  # seeds outside the graph carry no mass
+          .withColumn("is_seed", F.lit(True))
+          .persist())
+    ns = sd.count()  # driver scalar: |seeds|, graph metadata
+    if ns == 0:
+        raise ValueError("no seed intersects the graph's node set")
+    deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.sum("w").alias("deg"))
+    base = scale // ns
+    tele = (base * (100 - damping_pct)) // 100
+    marked = nodes.join(F.broadcast(sd), "node", "left").persist()
+    ranks = (marked.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+        .cast("long").alias("trust"))
+        .localCheckpoint())
+    for _ in range(iterations):
+        r = ranks.join(deg, "node", "left")
+        linked = r.where(F.col("deg").isNotNull())
+        shares = (e.join(linked, e["s"] == linked["node"])
+                  .select(F.col("d").alias("node"),
+                          F.expr("(trust * w) div deg").alias("share")))
+        contrib = shares.groupBy("node").agg(
+            F.sum("share").alias("contrib"))
+        dangling = (r.where(F.col("deg").isNull())
+                    .agg(F.coalesce(F.sum("trust"), F.lit(0))
+                         .alias("dangling")))
+        ranks = (marked.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select(
+                     "node",
+                     (F.when(F.col("is_seed"), F.lit(tele))
+                      .otherwise(F.lit(0)).cast("long")
+                      + F.expr(
+                          f"({damping_pct} * (coalesce(contrib,"
+                          f" CAST(0 AS BIGINT)) + CASE WHEN is_seed"
+                          f" THEN dangling div {ns} ELSE 0 END))"
+                          f" div 100"))
+                     .cast("long").alias("trust"))
+                 .localCheckpoint())
+    e.unpersist()
+    nodes.unpersist()
+    sd.unpersist()
+    marked.unpersist()
+    return ranks
+
+
 def crawl_schedule(pages: DataFrame, *, n_shards: int = 8,
                    delay_ms: int = 1000, service_ms: int = 100,
                    url_col: str = "url") -> DataFrame:

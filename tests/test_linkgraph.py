@@ -21,11 +21,13 @@ from pyspark.sql import functions as F
 from ocr_engine_spark.functions.linkgraph import (
     PAGERANK_SCALE,
     anchor_records,
+    hits,
     host_edges,
     outlink_records,
     pagerank,
     resolve_url_col,
     target_host_col,
+    trustrank,
 )
 
 HTML = (b'<html><body>\n'
@@ -612,3 +614,129 @@ def test_recrawl_clamps(spark):
               "event_type string")
     r = recrawl_intervals(df, min_ms=60_000).collect()[0]
     assert r.recrawl_ms == 60_000
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities
+# ---------------------------------------------------------------------------
+
+def ref_hits_fixed(edges, iterations=3, scale=1_000_000):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    es = sorted({(s, d) for s, d in edges if s != d})
+    n = len(nodes)
+    hub = {v: scale // n for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iterations):
+        araw = defaultdict(int)
+        for s, d in es:
+            araw[d] += hub[s]
+        ta = sum(araw.values())
+        auth = {v: (araw.get(v, 0) * scale) // ta if ta > 0 else 0
+                for v in nodes}
+        hraw = defaultdict(int)
+        for s, d in es:
+            hraw[s] += auth[d]
+        th = sum(hraw.values())
+        hub = {v: (hraw.get(v, 0) * scale) // th if th > 0 else 0
+               for v in nodes}
+    return hub, auth
+
+
+def test_hits_matches_fixed_point_reference(edges_df):
+    rows = hits(edges_df, iterations=3).collect()
+    rhub, rauth = ref_hits_fixed(EDGES, iterations=3)
+    assert {r.node: r["hub"] for r in rows} == rhub
+    assert {r.node: r["auth"] for r in rows} == rauth
+
+
+def test_hits_bit_identical_across_partitioning(edges_df):
+    a = {(r.node, r["hub"], r["auth"])
+         for r in hits(edges_df.repartition(1), iterations=2).collect()}
+    b = {(r.node, r["hub"], r["auth"])
+         for r in hits(edges_df.repartition(7, "dst_host"),
+                       iterations=2).collect()}
+    assert a == b
+
+
+def test_hits_structure(edges_df):
+    """'a' (linked by b,c,d,e) is the top authority; the pure sinks
+    have zero hub score; L1 mass of each vector is ~scale."""
+    got = {r.node: r for r in hits(edges_df, iterations=3).collect()}
+    top_auth = max(got.values(), key=lambda r: r["auth"])
+    assert top_auth.node == "a"
+    assert got["sink1"]["hub"] == 0 and got["sink2"]["hub"] == 0
+    for key in ("hub", "auth"):
+        total = sum(r[key] for r in got.values())
+        assert 1_000_000 * 0.999 < total <= 1_000_000
+
+
+def test_hits_validations(edges_df):
+    with pytest.raises(ValueError):
+        hits(edges_df, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# TrustRank
+# ---------------------------------------------------------------------------
+
+def ref_trustrank_fixed(edges, seeds, iterations=5,
+                        scale=PAGERANK_SCALE, dp=85):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    es = {(s, d) for s, d in edges if s != d}
+    deg = Counter(s for s, _ in es)
+    sd = set(seeds) & set(nodes)
+    ns = len(sd)
+    base = scale // ns
+    tele = (base * (100 - dp)) // 100
+    tr = {v: base if v in sd else 0 for v in nodes}
+    for _ in range(iterations):
+        contrib = defaultdict(int)
+        for s, d in es:
+            contrib[d] += tr[s] // deg[s]
+        dangling = sum(tr[v] for v in nodes if v not in deg)
+        tr = {v: (tele if v in sd else 0)
+              + (dp * (contrib[v]
+                       + (dangling // ns if v in sd else 0))) // 100
+              for v in nodes}
+    return tr
+
+
+def _seed_df(spark, names):
+    return spark.createDataFrame([(s,) for s in names], "node string")
+
+
+def test_trustrank_matches_fixed_point_reference(edges_df, spark):
+    got = {r.node: r["trust"]
+           for r in trustrank(edges_df, _seed_df(spark, ["a", "c"]),
+                              iterations=5).collect()}
+    assert got == ref_trustrank_fixed(EDGES, ["a", "c"], iterations=5)
+
+
+def test_trustrank_spam_farm_has_rank_but_no_trust(spark):
+    """The paper's motivating case: a dense spam farm earns PageRank
+    but — unreachable from any seed — zero trust."""
+    edges = [
+        ("good1", "good2"), ("good2", "good1"), ("good1", "news"),
+        ("good2", "news"),
+        # spam farm: 3 boosters all pointing at the target, cycle back
+        ("s1", "spamtarget"), ("s2", "spamtarget"), ("s3", "spamtarget"),
+        ("spamtarget", "s1"), ("spamtarget", "s2"), ("spamtarget", "s3"),
+    ]
+    e = spark.createDataFrame(edges, "src_host string, dst_host string")
+    tr = {r.node: r["trust"]
+          for r in trustrank(e, _seed_df(spark, ["good1", "good2"]),
+                             iterations=5).collect()}
+    pr = {r.node: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    assert tr["spamtarget"] == 0
+    assert pr["spamtarget"] > 0
+    assert tr["news"] > 0            # reachable from seeds
+    assert tr["good1"] > tr["news"]  # trust decays with distance
+
+
+def test_trustrank_seeds_outside_graph_ignored(edges_df, spark):
+    got = trustrank(edges_df, _seed_df(spark, ["a", "nope"]),
+                    iterations=2).collect()
+    ref = ref_trustrank_fixed(EDGES, ["a"], iterations=2)
+    assert {r.node: r["trust"] for r in got} == ref
+    with pytest.raises(ValueError):
+        trustrank(edges_df, _seed_df(spark, ["nope"]), iterations=2)
