@@ -461,6 +461,35 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH precision/recall audit (dedup.py:lsh_quality_audit) on a
+    planted-gradient corpus: originals (doc_id < 150) plus exact copies
+    (doc_id%3==0, Jaccard 1.0), 10-token-suffix mutations (doc_id%3==1,
+    high Jaccard) and 240-char truncations (doc_id%3==2, mid Jaccard —
+    the S-curve knee at num_perm=16/bands=8/r=2 where recall is
+    genuinely lossy). md5 portable hashes so the oracle replays the
+    ENTIRE chain — signatures, band-key equality (sub-signature
+    equality == band-hash equality), exact-Jaccard truth, the
+    P/R micro arithmetic — value-exactly."""
+    from ocr_engine_spark.functions.dedup import lsh_quality_audit
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 150).select("doc_id", "text"))
+    exact = (docs.filter(F.col("doc_id") % 3 == 0)
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     "text"))
+    mut = (docs.filter(F.col("doc_id") % 3 == 1)
+           .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                   F.concat(F.col("text"),
+                            F.lit(" zz yy xx ww vv uu tt ss rr qq"))
+                   .alias("text")))
+    trunc = (docs.filter(F.col("doc_id") % 3 == 2)
+             .select((F.col("doc_id") + 3_000_000).alias("doc_id"),
+                     F.substring("text", 1, 240).alias("text")))
+    corpus = docs.unionByName(exact).unionByName(mut).unionByName(trunc)
+    return lsh_quality_audit(corpus, threshold=0.5, num_perm=16,
+                             bands=8, hash_fn="md5")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster RESOLUTION (pairs are not dedup): MinHash-LSH
     pairs over the doubled corpus -> connected components (min-label
@@ -3544,6 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_pairs": q_embedding_pairs,
         "minhash_near_dups": q_minhash_near_dups,
+        "lsh_audit": q_lsh_audit,
         "dedup_clusters": q_dedup_clusters,
         "dedup_best": q_dedup_best,
         "simhash_near_dups": q_simhash_near_dups,
@@ -3636,6 +3666,105 @@ def _minhash_signatures_oracle() -> str:
                min(mh) AS min_mh, max(mh) AS max_mh,
                sum(mh)::BIGINT AS total_mh
         FROM sig
+    """
+
+
+def _lsh_audit_oracle(threshold: float = 0.5, num_perm: int = 16,
+                      bands: int = 8) -> str:
+    """Full-chain replay of lsh_quality_audit on the planted-gradient
+    corpus: md5 signatures, band-key equality (two docs share an LSH
+    bucket iff their r-length sub-signatures are equal — xxhash64 of
+    the joined values is injective up to hash collisions), exact
+    inverted-index Jaccard truth, and the P/R micro arithmetic."""
+    from ocr_engine_spark.functions.dedup import MERSENNE_P, _perm_params
+    perms = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
+                      for i, (a, b) in enumerate(_perm_params(num_perm,
+                                                              42)))
+    p = MERSENNE_P
+    r = num_perm // bands
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        corpus AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM base WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 text || ' zz yy xx ww vv uu tt ss rr qq'
+          FROM base WHERE doc_id % 3 = 1
+          UNION ALL
+          SELECT doc_id + 3000000, substr(text, 1, 240)
+          FROM base WHERE doc_id % 3 = 2),
+        toks AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM corpus),
+        sh AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(t) - 2, 0)),
+                     i -> array_to_string(t[i:i+2], ' '))) AS sh
+            FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                  GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
+                >= {threshold}),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(sh), 1, 15))::BIGINT % {p} AS hv
+          FROM sh),
+        perms(perm, a, b) AS (VALUES {perms}),
+        sig AS (
+          SELECT d.doc_id, perms.perm,
+                 coalesce(min((h.hv * perms.a + perms.b) % {p}), {p})
+                   AS mh
+          FROM (SELECT DISTINCT doc_id FROM toks) d
+          CROSS JOIN perms
+          LEFT JOIN h ON h.doc_id = d.doc_id
+          GROUP BY d.doc_id, perms.perm),
+        bandkeys AS (
+          SELECT doc_id, perm // {r} AS band_id,
+                 array_to_string(list(mh ORDER BY perm), ',') AS bkey
+          FROM sig GROUP BY doc_id, perm // {r}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandkeys a
+          JOIN bandkeys b ON a.band_id = b.band_id AND a.bkey = b.bkey
+                          AND a.doc_id < b.doc_id),
+        flags AS (
+          SELECT coalesce(t.id_a, c.id_a) AS id_a,
+                 coalesce(t.id_b, c.id_b) AS id_b,
+                 t.id_a IS NOT NULL AS is_true,
+                 c.id_a IS NOT NULL AS is_cand
+          FROM truth t FULL OUTER JOIN cand c
+            ON t.id_a = c.id_a AND t.id_b = c.id_b),
+        agg AS (
+          SELECT sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT
+                   AS n_true,
+                 sum(CASE WHEN is_cand THEN 1 ELSE 0 END)::BIGINT
+                   AS n_cand,
+                 sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0
+                     END)::BIGINT AS n_hit
+          FROM flags)
+        SELECT n_true, n_cand, n_hit,
+               (CASE WHEN n_cand <= 0 THEN 0
+                     ELSE (n_hit * 1000000) // n_cand END)::BIGINT
+                 AS precision_micro,
+               (CASE WHEN n_true <= 0 THEN 0
+                     ELSE (n_hit * 1000000) // n_true END)::BIGINT
+                 AS recall_micro
+        FROM agg
     """
 
 
@@ -8230,6 +8359,7 @@ def _oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "minhash_signatures": _minhash_signatures_oracle(),
+        "lsh_audit": _lsh_audit_oracle(),
         "minhash_near_dups": r"""
             WITH doubled AS (
               SELECT doc_id, text FROM documents WHERE doc_id < 100

@@ -68,7 +68,8 @@ HEADLINE = [
     "mixture_allocate", "mixture_epochs", "mixture_sample", "curriculum",
     "vocab_growth", "reshard_plan", "compression_profile", "recrawl",
     "bitext_align", "winnow_fp", "table_triples", "hll_cardinality",
-    "pq_search", "host_risk",
+    "pq_search", "host_risk", "cms_counts", "contamination_fraction",
+    "host_hits", "host_trustrank", "lsh_audit",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000

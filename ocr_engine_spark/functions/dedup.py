@@ -271,6 +271,75 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard"))
 
 
+def lsh_quality_audit(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.5,
+                      num_perm: int = 16, bands: int = 8, n: int = 3,
+                      seed: int = 42,
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """ONE-ROW precision/recall audit of the banded-LSH candidate set
+    against exact shingle Jaccard ground truth: (n_true, n_cand, n_hit,
+    precision_micro, recall_micro). ``n_true`` counts pairs with exact
+    Jaccard >= ``threshold`` (via the inverted-index equi-join — no
+    cross join), ``n_cand`` the distinct LSH candidate pairs, ``n_hit``
+    their intersection; precision/recall in integer micro-units
+    (0 when the denominator is 0).
+
+    This is the governance number behind every (num_perm, bands)
+    choice: the S-curve says collision probability at Jaccard s is
+    ``1-(1-s^r)^b``, and this operator MEASURES the realized
+    precision/recall instead of trusting the formula — run it on a
+    deterministic corpus sample before committing a 100 TB dedup pass
+    (the ground-truth side is pair-quadratic in shared-shingle
+    neighborhoods, which is exactly why it runs on the sample, not the
+    corpus). Shingle arrays are materialized once and shared by the
+    truth pass and the signature pass."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles_col(F.col(text_col), n).alias("sh")).persist()
+    # truth: inverted index -> intersection counts -> exact Jaccard
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, "s")
+             .filter(F.col("a.id") < F.col("b.id"))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    truth = (inter
+             .join(sizes.select(F.col("id").alias("id_a"),
+                                F.col("n_sh").alias("n_a")), "id_a")
+             .join(sizes.select(F.col("id").alias("id_b"),
+                                F.col("n_sh").alias("n_b")), "id_b")
+             .filter(F.round(F.col("inter").cast("double")
+                             / (F.col("n_a") + F.col("n_b")
+                                - F.col("inter")), 6) >= threshold)
+             .select("id_a", "id_b")
+             .withColumn("is_true", F.lit(1)))
+    hashed = sh.select(
+        "id", F.transform("sh", _shingle_hash_fn(hash_fn)).alias("__sh"))
+    cands = (_bands_to_candidates(
+        hashed.select("id",
+                      minhash_sig_from_hashes_col(F.col("__sh"), num_perm,
+                                                  seed).alias("sig")),
+        num_perm, bands)
+        .withColumn("is_cand", F.lit(1)))
+    joined = truth.join(cands, ["id_a", "id_b"], "full_outer")
+    return joined.agg(
+        F.coalesce(F.sum("is_true"), F.lit(0)).cast("long")
+        .alias("n_true"),
+        F.coalesce(F.sum("is_cand"), F.lit(0)).cast("long")
+        .alias("n_cand"),
+        F.coalesce(F.sum(F.col("is_true") * F.col("is_cand")),
+                   F.lit(0)).cast("long").alias("n_hit"),
+    ).select(
+        "n_true", "n_cand", "n_hit",
+        F.when(F.col("n_cand") <= 0, F.lit(0))
+        .otherwise(F.expr("(n_hit * 1000000) div n_cand"))
+        .cast("long").alias("precision_micro"),
+        F.when(F.col("n_true") <= 0, F.lit(0))
+        .otherwise(F.expr("(n_hit * 1000000) div n_true"))
+        .cast("long").alias("recall_micro"))
+
+
 class MinHashIndex:
     """Build-once / probe-many near-dup index — the INCREMENTAL dedup
     lifecycle at corpus scale: signatures + band rows of the historical

@@ -230,3 +230,32 @@ def test_mirror_fanout_guard(spark):
              for r in mirror_host_pairs(pages, k=16, min_permille=1,
                                         max_fp_fanout=64).collect()}
     assert len(loose) == 15  # all C(6,2) pairs via the boilerplate fp
+
+
+def test_lsh_quality_audit_counts(spark):
+    """Planted truth: exact copy pair must be candidate AND true; a
+    disjoint pair neither. P/R micro arithmetic checked by hand."""
+    from ocr_engine_spark.functions.dedup import lsh_quality_audit
+    rows = [(0, BASE), (1, BASE), (2, OTHER),
+            (3, NEAR)]  # (0,1) exact pair; (0,3)/(1,3) near pair
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = lsh_quality_audit(df, threshold=0.5, num_perm=16,
+                          bands=8).collect()[0]
+    # truth at 0.5: (0,1) J=1.0 and (0,3),(1,3) J~0.87 -> 3 true pairs
+    assert r.n_true == 3
+    # identical signatures guarantee (0,1) is a candidate
+    assert r.n_cand >= 1 and r.n_hit >= 1
+    assert r.n_hit <= min(r.n_true, r.n_cand)
+    assert r.precision_micro == (r.n_hit * 1_000_000) // r.n_cand
+    assert r.recall_micro == (r.n_hit * 1_000_000) // r.n_true
+
+
+def test_lsh_quality_audit_empty_truth(spark):
+    """All-disjoint corpus: zero true pairs, zero hits, recall=0 (the
+    0-denominator guard) — and no crash."""
+    from ocr_engine_spark.functions.dedup import lsh_quality_audit
+    rows = [(0, BASE), (1, OTHER)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = lsh_quality_audit(df, threshold=0.5).collect()[0]
+    assert r.n_true == 0 and r.n_hit == 0
+    assert r.recall_micro == 0
