@@ -566,6 +566,27 @@ def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (similarity.py:semantic_contamination): benchmark = every 23rd
+    embedding; corpus = all embeddings PLUS +0.05-shifted copies
+    (paraphrase stand-ins: high-but-not-1.0 cosine). Benchmark members
+    flag themselves at cosine 1.0, their shifted twins at ~0.99+, and
+    the map-only matmul path is value-checked against DuckDB's
+    brute-force corpus x benchmark cosine join at round-6
+    granularity."""
+    from ocr_engine_spark.functions.similarity import semantic_contamination
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.05))
+         .alias("embedding"))
+    corpus = emb.unionByName(shifted)
+    bench = emb.filter(F.col("vec_id") % 23 == 0)
+    return (semantic_contamination(corpus, bench, threshold=0.8)
+            .orderBy("vec_id"))
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REALISTIC embedding-dedup regime: high threshold (0.7), r=8
     sign bits x 32 bands (boundary recall ~0.96, buckets selective
@@ -3579,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "ivf_topk": q_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
         "media_profile": q_media_profile,
@@ -8499,6 +8521,27 @@ def _oracle_sql() -> dict[str, str]:
         # brute-force oracle is exact here: copy pairs sit at cosine
         # >= 0.917 (recall 1 - 3e-6 per pair at b=32, r=8) and the
         # nearest non-copy pair is at 0.603 — no boundary pairs exist
+        "semantic_decontaminate": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            corpus AS (
+              SELECT vec_id, v FROM e
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(v, x -> x + 0.05) FROM e),
+            bench AS (SELECT v FROM e WHERE vec_id % 23 = 0),
+            p AS (SELECT c.vec_id,
+                         round(list_cosine_similarity(c.v, b.v), 6)
+                             AS cos
+                  FROM corpus c CROSS JOIN bench b),
+            agg AS (SELECT vec_id, max(cos) AS max_cosine,
+                           sum(CASE WHEN cos >= 0.8 THEN 1 ELSE 0
+                               END)::BIGINT AS n_bench_hits
+                    FROM p GROUP BY vec_id)
+            SELECT vec_id, max_cosine, n_bench_hits
+            FROM agg WHERE max_cosine >= 0.8
+            ORDER BY vec_id
+        """,
         "embedding_near_dups": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),

@@ -573,6 +573,71 @@ def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
                                broadcast_max_bytes=broadcast_max_bytes)
 
 
+def semantic_contamination(corpus: DataFrame, benchmark: DataFrame, *,
+                           threshold: float = 0.8,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           bench_vec_col: str = "embedding",
+                           bench_max_bytes: int = 256 << 20) -> DataFrame:
+    """Embedding-space benchmark decontamination: (vec_id, max_cosine,
+    n_bench_hits) for every corpus vector whose maximum cosine against
+    ANY benchmark embedding reaches ``threshold`` — the semantic
+    complement of the n-gram overlap check in functions/decontam.py
+    (paraphrased leaks share no 13-gram but sit next to the benchmark
+    in embedding space; cf. SemDeDup's cosine criterion, Abbas et al.
+    2023). Clean rows are ABSENT (absent == clean, the decontam
+    convention).
+
+    Plan shape at 100 TB: the benchmark matrix is SMALL by nature
+    (benchmarks are MBs) — it is collected once (guarded by
+    ``bench_max_bytes``), broadcast, and each Arrow batch answers with
+    ONE matmul (n x dim @ dim x m): a pure MAP over the corpus, zero
+    shuffle, zero corpus-side join. ``max_cosine`` is the raw float
+    max rounded to 6 JVM-side (round is monotone, so max-then-round ==
+    round-then-max — what the DuckDB twin computes); ``n_bench_hits``
+    counts benchmark vectors at rounded-cosine >= threshold."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    n_b = benchmark.count()
+    first = benchmark.select(bench_vec_col).first()
+    dim = len(first[0]) if first else 0
+    if n_b == 0 or dim == 0:
+        raise ValueError("benchmark embedding set is empty")
+    if n_b * dim * 8 > bench_max_bytes:
+        raise ValueError(
+            f"benchmark matrix ~{n_b * dim * 8} B exceeds "
+            f"bench_max_bytes ({bench_max_bytes}) — shard the benchmark "
+            f"and union the reports")
+    rows = benchmark.select(F.col(bench_vec_col)
+                            .cast("array<double>")).collect()
+    B = np.stack([np.asarray(r[0], dtype="float64") for r in rows])
+    bn = np.sqrt(np.einsum("ij,ij->i", B, B))
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((B, bn))
+
+    @pandas_udf("struct<mc:double,nh:bigint>")
+    def _contam(v: pd.Series) -> pd.DataFrame:
+        mat, nrm = bc.value
+        if len(v) == 0:
+            return pd.DataFrame({"mc": pd.Series([], dtype="float64"),
+                                 "nh": pd.Series([], dtype="int64")})
+        A = np.stack(v.to_numpy())                      # n x dim
+        an = np.sqrt(np.einsum("ij,ij->i", A, A))
+        C = (A @ mat.T) / np.outer(an, nrm)             # n x m
+        hits = (np.round(C, 6) >= threshold).sum(axis=1)
+        return pd.DataFrame({"mc": C.max(axis=1),
+                             "nh": hits.astype("int64")})
+
+    s = corpus.select(
+        F.col(id_col),
+        _contam(F.col(vec_col).cast("array<double>")).alias("s"))
+    return (s.select(id_col,
+                     F.round(F.col("s.mc"), 6).alias("max_cosine"),
+                     F.col("s.nh").alias("n_bench_hits"))
+            .filter(F.col("max_cosine") >= threshold))
+
+
 # ---------------------------------------------------------------------------
 # seed-centroid quality scoring (LAION / FineWeb-Edu motif)
 # ---------------------------------------------------------------------------

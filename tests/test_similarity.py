@@ -212,3 +212,53 @@ def test_seed_quality_scoring_is_map_only(emb):
         ._jdf.queryExecution().executedPlan().toString()
     for node in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan, node
+
+
+def test_semantic_contamination_planted_leak(spark):
+    """A corpus vector equal to a benchmark vector is flagged at
+    cosine 1.0; an orthogonal vector is absent; a scaled copy (same
+    direction) also hits at 1.0 (cosine is scale-invariant)."""
+    from ocr_engine_spark.functions.similarity import semantic_contamination
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]),      # exact leak
+         (2, [2.0, 0.0, 0.0]),      # scaled leak
+         (3, [0.0, 0.0, 1.0]),      # orthogonal: clean
+         (4, [1.0, 1.0, 0.0])],     # cos 0.7071 vs both: below 0.8
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in
+           semantic_contamination(corpus, bench,
+                                  threshold=0.8).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].max_cosine == 1.0 and got[1].n_bench_hits == 1
+    assert got[2].max_cosine == 1.0
+
+
+def test_semantic_contamination_is_map_only(spark):
+    """After the bounded benchmark collect, scoring is one Arrow
+    projection over the corpus: no Exchange, no Join."""
+    from ocr_engine_spark.functions.similarity import semantic_contamination
+
+    bench = spark.createDataFrame([(0, [1.0, 0.0])],
+                                  "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                                   "vec_id long, embedding array<double>")
+    plan = (semantic_contamination(corpus, bench, threshold=0.5)
+            .limit(7)._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_semantic_contamination_guards(spark):
+    from ocr_engine_spark.functions.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])],
+                                   "vec_id long, embedding array<double>")
+    empty = corpus.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        semantic_contamination(corpus, empty)
+    with pytest.raises(ValueError, match="bench_max_bytes"):
+        semantic_contamination(corpus, corpus, bench_max_bytes=8)
