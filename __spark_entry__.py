@@ -461,6 +461,24 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (dedup.py:containment_pairs):
+    planted EXCERPTS — the first 160 chars of every 5th doc under a new
+    id — are near-fully contained in their source (cont ~1.0) while
+    their Jaccard is small; the threshold keeps subset pairs that both
+    symmetric dedups would miss. Oracle replays shingles, the
+    inverted-index join and both round-6 divisions."""
+    from ocr_engine_spark.functions.dedup import containment_pairs
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200).select("doc_id", "text"))
+    excerpts = (docs.filter(F.col("doc_id") % 5 == 0)
+                .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                        F.substring("text", 1, 160).alias("text")))
+    corpus = docs.unionByName(excerpts)
+    return (containment_pairs(corpus, threshold=0.9)
+            .orderBy("id_a", "id_b"))
+
+
 def q_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH precision/recall audit (dedup.py:lsh_quality_audit) on a
     planted-gradient corpus: originals (doc_id < 150) plus exact copies
@@ -2226,6 +2244,17 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("rank_micro"), "host"))
 
 
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-graph health gate (functions/linkgraph.py:graph_stats)
+    over the synthetic host graph WITH self-loops kept in the input
+    (keep_self_loops analog: the raw e0 edge list), so the loop
+    counter, dangling arithmetic and reciprocity all exercise. Oracle
+    replays every counter off the same edge CTEs."""
+    from ocr_engine_spark.functions.linkgraph import graph_stats
+    e = _synthetic_host_edges(spark)
+    return graph_stats(e)
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point HITS (functions/linkgraph.py:hits) over the
     synthetic host graph: 3 iterations of the L1-normalized hub/auth
@@ -3526,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_noindex": q_robots_noindex,
         "robots_audit": q_robots_audit,
         "outlink_hosts": q_outlink_hosts,
+        "graph_stats": q_graph_stats,
         "host_hits": q_host_hits,
         "host_trustrank": q_host_trustrank,
         "host_pagerank": q_host_pagerank,
@@ -3595,6 +3625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs": q_embedding_pairs,
         "minhash_near_dups": q_minhash_near_dups,
         "lsh_audit": q_lsh_audit,
+        "containment": q_containment,
         "dedup_clusters": q_dedup_clusters,
         "dedup_best": q_dedup_best,
         "simhash_near_dups": q_simhash_near_dups,
@@ -6499,6 +6530,42 @@ def _host_pagerank_oracle(iterations: int = 5) -> str:
     """
 
 
+def _graph_stats_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    return f"""
+        WITH {_synth_edges_cte(pages)},
+        e0d AS (SELECT DISTINCT src, dst FROM e0),
+        loops AS (SELECT count(*) AS n_self_loops FROM e0d
+                  WHERE src = dst),
+        nodes AS (SELECT src AS node FROM e0d
+                  UNION SELECT dst FROM e0d),
+        nn AS (SELECT count(*) AS n_nodes FROM nodes),
+        ne AS (SELECT count(*) AS n_edges FROM edges),
+        od AS (SELECT max(c) AS max_out_deg, count(*) AS n_linked
+               FROM (SELECT src, count(*) AS c FROM edges
+                     GROUP BY src)),
+        idg AS (SELECT max(c) AS max_in_deg
+                FROM (SELECT dst, count(*) AS c FROM edges
+                      GROUP BY dst)),
+        rc AS (SELECT count(*) AS n_reciprocal
+               FROM edges a JOIN edges b
+                 ON a.src = b.dst AND a.dst = b.src)
+        SELECT nn.n_nodes::BIGINT AS n_nodes,
+               ne.n_edges::BIGINT AS n_edges,
+               loops.n_self_loops::BIGINT AS n_self_loops,
+               (nn.n_nodes - od.n_linked)::BIGINT AS n_dangling,
+               coalesce(od.max_out_deg, 0)::BIGINT AS max_out_deg,
+               coalesce(idg.max_in_deg, 0)::BIGINT AS max_in_deg,
+               rc.n_reciprocal::BIGINT AS n_reciprocal,
+               (CASE WHEN ne.n_edges <= 0 THEN 0
+                     ELSE (rc.n_reciprocal * 1000000) // ne.n_edges
+                END)::BIGINT AS reciprocity_micro
+        FROM nn, ne, loops, od, idg, rc
+    """
+
+
 def _host_hits_oracle(iterations: int = 3,
                       scale: int = 1_000_000) -> str:
     """Unrolled HITS fixed-point chain: per iteration an auth pass
@@ -8381,6 +8448,44 @@ def _oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "minhash_signatures": _minhash_signatures_oracle(),
+        "containment": r"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            corpus AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + 1000000, substr(text, 1, 160)
+              FROM base WHERE doc_id % 5 = 0),
+            toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM corpus),
+            sh AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 2, 0)),
+                         i -> array_to_string(t[i:i+2], ' '))) AS sh
+                FROM toks)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            j AS (
+              SELECT id_a, id_b, inter::BIGINT AS inter,
+                     sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b,
+                     round(inter * 1.0 / sa.n_sh, 6) AS cont_a,
+                     round(inter * 1.0 / sb.n_sh, 6) AS cont_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b)
+            SELECT id_a, id_b, inter, n_a, n_b, cont_a, cont_b
+            FROM j WHERE greatest(cont_a, cont_b) >= 0.9
+            ORDER BY id_a, id_b
+        """,
         "lsh_audit": _lsh_audit_oracle(),
         "minhash_near_dups": r"""
             WITH doubled AS (
@@ -9093,6 +9198,7 @@ def _oracle_sql() -> dict[str, str]:
         "outlink_hosts": _outlink_hosts_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
         "host_hits": _host_hits_oracle(),
+        "graph_stats": _graph_stats_oracle(),
         "host_trustrank": _host_trustrank_oracle(),
         "host_harmonic": _host_harmonic_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),

@@ -271,6 +271,47 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard"))
 
 
+def containment_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """ASYMMETRIC shingle containment pairs (Broder 1997's second
+    resemblance measure): ``cont_a = |A∩B| / |A|`` — how much of doc A
+    lives inside doc B — and symmetrically ``cont_b``. A 100-word
+    excerpt quoted inside a 10,000-word page has Jaccard ~0.01 (both
+    symmetric dedups miss it) but containment ~1.0; this is the
+    subset/quote detector that complements the Jaccard family.
+    Output: (id_a, id_b, inter, n_a, n_b, cont_a, cont_b), id_a <
+    id_b, kept when ``greatest(cont_a, cont_b) >= threshold``.
+
+    Same inverted-index equi-join shape as ``jaccard_pairs`` (shared
+    shingles only — never a cross join); same scale discipline: exact
+    and shuffle-bound, so at 100 TB it runs inside LSH candidate
+    buckets or on audit samples. Containments are round-6 doubles
+    (inter/n_a with both longs — exact division then one rounding,
+    replayed verbatim by the oracle)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(shingles_col(F.col(text_col), n)).alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, "sh")
+             .filter(F.col("a.id") < F.col("b.id"))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("n_sh").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("n_sh").alias("n_b")), "id_b")
+            .withColumn("cont_a", F.round(F.col("inter").cast("double")
+                                          / F.col("n_a"), 6))
+            .withColumn("cont_b", F.round(F.col("inter").cast("double")
+                                          / F.col("n_b"), 6))
+            .filter(F.greatest("cont_a", "cont_b") >= threshold)
+            .select("id_a", "id_b", "inter", "n_a", "n_b",
+                    "cont_a", "cont_b"))
+
+
 def lsh_quality_audit(df: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text", threshold: float = 0.5,
                       num_perm: int = 16, bands: int = 8, n: int = 3,

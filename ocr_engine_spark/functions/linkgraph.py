@@ -514,6 +514,62 @@ def pagerank(edges: DataFrame, *, src: str = "src_host",
     return ranks
 
 
+def graph_stats(edges: DataFrame, *, src: str = "src_host",
+                dst: str = "dst_host") -> DataFrame:
+    """ONE-ROW crawl-graph health report: (n_nodes, n_edges,
+    n_self_loops, n_dangling, max_out_deg, max_in_deg, n_reciprocal,
+    reciprocity_micro). The gate a 100 TB link-graph job publishes
+    before anyone trusts PageRank numbers built on it: a reciprocity
+    spike means a link farm / mirror mesh got in, a dangling-fraction
+    spike means the frontier outran the crawl, a max-degree explosion
+    means a hub host needs salting downstream.
+
+    Conventions match :func:`pagerank`: edges are DISTINCT directed
+    pairs, self-loops counted separately and excluded from every other
+    stat, dangling = nodes with no (non-loop) out-edge. ``n_reciprocal``
+    counts directed edges whose reverse also exists (so a mutual pair
+    contributes 2); ``reciprocity_micro = n_reciprocal * 1e6 div
+    n_edges``. Plan: degree aggregates + one self-equi-join on the
+    (small) edge list, 1-row aggregates crossJoined — the node set is
+    never shuffled twice."""
+    e0 = edges.select(F.col(src).alias("s"),
+                      F.col(dst).alias("d")).distinct()
+    loops = e0.filter(F.col("s") == F.col("d")) \
+        .agg(F.count("*").alias("n_self_loops"))
+    e = e0.filter(F.col("s") != F.col("d")).persist()
+    nodes = (e0.select(F.col("s").alias("node"))
+             .unionByName(e0.select(F.col("d").alias("node")))
+             .distinct())
+    nn = nodes.agg(F.count("*").alias("n_nodes"))
+    ne = e.agg(F.count("*").alias("n_edges"))
+    outd = (e.groupBy("s").agg(F.count("*").alias("od"))
+            .agg(F.coalesce(F.max("od"), F.lit(0)).cast("long")
+                 .alias("max_out_deg"),
+                 F.count("*").alias("n_linked")))
+    ind = (e.groupBy("d").agg(F.count("*").alias("idg"))
+           .agg(F.coalesce(F.max("idg"), F.lit(0)).cast("long")
+                .alias("max_in_deg")))
+    a, b = e.alias("a"), e.alias("b")
+    recip = (a.join(b, (F.col("a.s") == F.col("b.d"))
+                    & (F.col("a.d") == F.col("b.s")))
+             .agg(F.count("*").alias("n_reciprocal")))
+    out = (nn.crossJoin(F.broadcast(ne))
+           .crossJoin(F.broadcast(loops))
+           .crossJoin(F.broadcast(outd))
+           .crossJoin(F.broadcast(ind))
+           .crossJoin(F.broadcast(recip))
+           .select(
+               "n_nodes", "n_edges", "n_self_loops",
+               (F.col("n_nodes") - F.col("n_linked")).cast("long")
+               .alias("n_dangling"),
+               "max_out_deg", "max_in_deg", "n_reciprocal",
+               F.when(F.col("n_edges") <= 0, F.lit(0))
+               .otherwise(F.expr("(n_reciprocal * 1000000)"
+                                 " div n_edges"))
+               .cast("long").alias("reciprocity_micro")))
+    return out
+
+
 def hits(edges: DataFrame, *, src: str = "src_host",
          dst: str = "dst_host", iterations: int = 5,
          scale: int = 1_000_000) -> DataFrame:

@@ -629,9 +629,15 @@ def semantic_contamination(corpus: DataFrame, benchmark: DataFrame, *,
         return pd.DataFrame({"mc": C.max(axis=1),
                              "nh": hits.astype("int64")})
 
+    # asNondeterministic: the UDF IS deterministic, but without the
+    # marker Catalyst pushes the threshold filter below the projection
+    # and re-evaluates the struct UDF for the surviving rows — TWO
+    # ArrowEvalPython stages per branch (observed in PLANS.md). The
+    # marker pins one evaluation; the filter runs above it.
     s = corpus.select(
         F.col(id_col),
-        _contam(F.col(vec_col).cast("array<double>")).alias("s"))
+        _contam.asNondeterministic()(
+            F.col(vec_col).cast("array<double>")).alias("s"))
     return (s.select(id_col,
                      F.round(F.col("s.mc"), 6).alias("max_cosine"),
                      F.col("s.nh").alias("n_bench_hits"))

@@ -259,3 +259,32 @@ def test_lsh_quality_audit_empty_truth(spark):
     r = lsh_quality_audit(df, threshold=0.5).collect()[0]
     assert r.n_true == 0 and r.n_hit == 0
     assert r.recall_micro == 0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short excerpt inside a long doc: containment ~1.0, Jaccard
+    small — jaccard_pairs at 0.5 misses it, containment_pairs finds
+    it with the right direction."""
+    from ocr_engine_spark.functions.dedup import containment_pairs
+    long_doc = " ".join(f"w{i}" for i in range(200))
+    excerpt = " ".join(f"w{i}" for i in range(30))   # first 30 tokens
+    df = spark.createDataFrame([(0, long_doc), (1, excerpt),
+                                (2, OTHER)], ["doc_id", "text"])
+    rows = {(r.id_a, r.id_b): r for r in
+            containment_pairs(df, threshold=0.9).collect()}
+    assert set(rows) == {(0, 1)}
+    r = rows[(0, 1)]
+    assert r.cont_b == 1.0                       # excerpt fully inside
+    assert r.cont_a < 0.2                        # long doc barely covered
+    jac = {(p.id_a, p.id_b)
+           for p in jaccard_pairs(df, threshold=0.5).collect()}
+    assert (0, 1) not in jac
+
+
+def test_containment_no_cross_join(spark):
+    from ocr_engine_spark.functions.dedup import containment_pairs
+    df = spark.createDataFrame([(0, BASE), (1, NEAR)], ["doc_id", "text"])
+    plan = (containment_pairs(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

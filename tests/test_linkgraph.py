@@ -740,3 +740,21 @@ def test_trustrank_seeds_outside_graph_ignored(edges_df, spark):
     assert {r.node: r["trust"] for r in got} == ref
     with pytest.raises(ValueError):
         trustrank(edges_df, _seed_df(spark, ["nope"]), iterations=2)
+
+
+def test_graph_stats_hand_counted(spark):
+    """EDGES fixture counted by hand: 10 nodes (a..g, sink1, sink2,
+    x), 12 non-loop edges, 1 self loop; reciprocal directed edges are
+    the a<->b and f<->g mutual pairs (4 edges) over 12."""
+    from ocr_engine_spark.functions.linkgraph import graph_stats
+    e = spark.createDataFrame(EDGES, "src_host string, dst_host string")
+    r = graph_stats(e).collect()[0]
+    assert r.n_nodes == 10
+    assert r.n_edges == 12
+    assert r.n_self_loops == 1
+    # no out-edges: sink1, sink2, and x (its only edge is the loop)
+    assert r.n_dangling == 3
+    assert r.max_in_deg == 4          # a <- b,c,d,e
+    assert r.max_out_deg == 2         # every linking host fans out 2
+    assert r.n_reciprocal == 4        # a<->b, f<->g
+    assert r.reciprocity_micro == (4 * 1_000_000) // 12

@@ -250,6 +250,9 @@ def test_semantic_contamination_is_map_only(spark):
             .limit(7)._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "Join" not in plan
+    # exactly ONE Arrow stage: without asNondeterministic the pushed
+    # filter re-evaluates the struct UDF (two ArrowEvalPython nodes)
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_semantic_contamination_guards(spark):

@@ -354,6 +354,22 @@ NOTES = {
     "pq_search": "encoding + ADC are map-only constant-literal "
                  "lookups; TakeOrderedAndProject for the shortlist "
                  "and the re-rank — the corpus never shuffles",
+    "contamination_fraction": "hits pass: broadcast gram semi-join, "
+                              "groupBy carries ONLY hit rows; sizes "
+                              "pass is a pure projection (no gram "
+                              "materialization); final join broadcasts "
+                              "the hit table — zero corpus-sized "
+                              "shuffles",
+    "containment": "inverted-index equi-join only (shared shingles), "
+                   "two broadcast size joins; no CartesianProduct / "
+                   "BroadcastNestedLoopJoin",
+    "lsh_audit": "truth via shingle equi-join (no CartesianProduct), "
+                 "candidates via band equi-join, full-outer on pairs "
+                 "only; one-row final aggregate",
+    "semantic_decontaminate": "ONE ArrowEvalPython stage over the "
+                              "corpus after the bounded benchmark "
+                              "collect — no Exchange, no Join before "
+                              "the presentation sort",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -419,6 +435,8 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "compression_profile", "curriculum", "recrawl",
             "bitext_align", "winnow_fp", "table_triples",
             "hll_cardinality", "pq_search",
+            "contamination_fraction", "lsh_audit", "containment",
+            "semantic_decontaminate",
             "extraction_pipeline"]
 
 
