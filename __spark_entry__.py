@@ -1192,6 +1192,24 @@ def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_fraction(cand, bench, n=8).orderBy("doc_id")
 
 
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination forensics (decontam.py:contamination_spans): the
+    q_decontaminate setup (13-gram planted leaks) but reporting WHERE
+    each overlap sits — the planted 'leaked copy …' docs put the hit
+    run at positions ~3+, so first_hit/last_hit/span exercise beyond
+    the trivial position-1 case. Oracle replays positional grams and
+    the min/max arithmetic."""
+    from ocr_engine_spark.functions.decontam import contamination_spans
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    leaked = bench.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("leaked copy "), F.substring("text", 1, 160),
+                 F.lit(" trailing noise")).alias("text"))
+    cand = docs.filter(F.col("doc_id") % 37 != 0).unionByName(leaked)
+    return contamination_spans(cand, bench, n=13).orderBy("doc_id")
+
+
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefilter decontamination (functions/bloom.py): the SAME
     benchmark/planted-leak setup as q_decontaminate, answered through
@@ -3512,6 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
         "contamination_fraction": q_contamination_fraction,
+        "contamination_spans": q_contamination_spans,
         "recrawl": q_recrawl,
         "curriculum": q_curriculum,
         "reshard_plan": q_reshard_plan,
@@ -9101,6 +9120,47 @@ def _oracle_sql() -> dict[str, str]:
               FROM ctok, unnest(range(1, len(t) - 11)) AS u(i))
             SELECT c.doc_id::BIGINT AS doc_id,
                    count(DISTINCT c.gram_hash)::BIGINT AS n_hits
+            FROM cgram c JOIN bgram b USING (gram_hash)
+            GROUP BY c.doc_id
+            ORDER BY doc_id
+        """,
+        "contamination_spans": """
+            WITH bench AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+            cand AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+              UNION ALL
+              SELECT doc_id + 10000,
+                     'leaked copy ' || substr(text, 1, 160)
+                       || ' trailing noise'
+              FROM bench),
+            btok AS (
+              SELECT list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM bench),
+            bgram AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5(array_to_string(t[i : i + 12], ' ')),
+                                1, 15))::BIGINT AS gram_hash
+              FROM btok, unnest(range(1, len(t) - 11)) AS u(i)),
+            ctok AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM cand),
+            cgram AS (
+              SELECT doc_id, i AS pos,
+                ('0x' || substr(md5(array_to_string(t[i : i + 12], ' ')),
+                                1, 15))::BIGINT AS gram_hash
+              FROM ctok, unnest(range(1, len(t) - 11)) AS u(i))
+            SELECT c.doc_id::BIGINT AS doc_id,
+                   count(*)::BIGINT AS n_hits,
+                   min(c.pos)::BIGINT AS first_hit,
+                   max(c.pos)::BIGINT AS last_hit,
+                   (max(c.pos) - min(c.pos) + 13)::BIGINT
+                       AS hit_span_tokens
             FROM cgram c JOIN bgram b USING (gram_hash)
             GROUP BY c.doc_id
             ORDER BY doc_id

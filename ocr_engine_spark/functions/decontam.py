@@ -148,6 +148,42 @@ def contamination_fraction(docs: DataFrame, benchmark: DataFrame, *,
                     .alias("hit_frac_micro")))
 
 
+def contamination_spans(docs: DataFrame, benchmark: DataFrame, *,
+                        n: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Contamination FORENSICS: for every document with >= 1 benchmark
+    n-gram hit, WHERE the overlap sits — (doc_id, n_hits, first_hit,
+    last_hit, hit_span_tokens) with 1-based gram positions and
+    ``hit_span_tokens = last_hit - first_hit + n`` (the token window
+    that bounds every hit). The triage signal reviewers need before
+    dropping a document: a tight span at one position is a quoted
+    benchmark question (maybe fine to excise); hits spread across the
+    whole document is a leaked test set (drop it). Clean documents are
+    ABSENT.
+
+    Same plan shape as :func:`contamination_report` — positions ride
+    the explode for free (posexplode), the broadcast semi-join keeps
+    only hit rows, and the groupBy aggregates count/min/max over hits
+    only."""
+    bench = F.broadcast(benchmark_ngram_hashes(benchmark, n, text_col))
+    toks = docs.select(F.col(id_col),
+                       word_tokens_col(F.col(text_col)).alias("t"))
+    pos = (toks
+           .select(id_col,
+                   F.posexplode(ngrams_col(F.col("t"), n))
+                   .alias("p0", "g"))
+           .select(id_col, (F.col("p0") + 1).alias("pos"),
+                   md5_int60_col(F.col("g")).alias("gram_hash")))
+    return (pos.join(bench, "gram_hash")  # broadcast hash join
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hits"),
+                 F.min("pos").cast("long").alias("first_hit"),
+                 F.max("pos").cast("long").alias("last_hit"))
+            .select(id_col, "n_hits", "first_hit", "last_hit",
+                    (F.col("last_hit") - F.col("first_hit") + n)
+                    .cast("long").alias("hit_span_tokens")))
+
+
 def decontaminate_fraction(docs: DataFrame, benchmark: DataFrame, *,
                            n: int = 8, max_frac_micro: int = 700_000,
                            id_col: str = "doc_id",

@@ -11,8 +11,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ocr_engine_spark.functions.decontam import (
-    contamination_fraction, contamination_report, decontaminate,
-    decontaminate_fraction, ngrams_col, word_tokens_col,
+    contamination_fraction, contamination_report, contamination_spans,
+    decontaminate, decontaminate_fraction, ngrams_col, word_tokens_col,
 )
 
 
@@ -121,3 +121,21 @@ def test_benchmark_side_is_broadcast(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_spans_locate_the_leak(spark):
+    """Hit positions are 1-based gram positions: a doc whose tokens
+    3..7 replicate the benchmark run has its trigram hits exactly at
+    positions 3,4,5 and span = 5-3+3 = 5 tokens."""
+    bench = _df(spark, [(100, "alpha beta gamma delta epsilon")])
+    docs = _df(spark, [
+        (1, "xx yy alpha beta gamma delta epsilon zz"),
+        (2, "clean words only over here today"),
+    ])
+    rows = {r["doc_id"]: r for r in
+            contamination_spans(docs, bench, n=3).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert r.n_hits == 3
+    assert r.first_hit == 3 and r.last_hit == 5
+    assert r.hit_span_tokens == 5
