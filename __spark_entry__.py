@@ -3531,6 +3531,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- lead; the 50 green-in-r03 entries follow.
         "contamination_fraction": q_contamination_fraction,
         "contamination_spans": q_contamination_spans,
+        "lsh_audit": q_lsh_audit,
+        "containment": q_containment,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "graph_stats": q_graph_stats,
+        "host_hits": q_host_hits,
+        "host_trustrank": q_host_trustrank,
         "recrawl": q_recrawl,
         "curriculum": q_curriculum,
         "reshard_plan": q_reshard_plan,
@@ -3574,9 +3580,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_noindex": q_robots_noindex,
         "robots_audit": q_robots_audit,
         "outlink_hosts": q_outlink_hosts,
-        "graph_stats": q_graph_stats,
-        "host_hits": q_host_hits,
-        "host_trustrank": q_host_trustrank,
         "host_pagerank": q_host_pagerank,
         "host_harmonic": q_host_harmonic,
         "crawl_frontier": q_crawl_frontier,
@@ -3643,14 +3646,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_pairs": q_embedding_pairs,
         "minhash_near_dups": q_minhash_near_dups,
-        "lsh_audit": q_lsh_audit,
-        "containment": q_containment,
         "dedup_clusters": q_dedup_clusters,
         "dedup_best": q_dedup_best,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "embedding_near_dups": q_embedding_near_dups,
-        "semantic_decontaminate": q_semantic_decontaminate,
         "ivf_topk": q_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
         "media_profile": q_media_profile,
