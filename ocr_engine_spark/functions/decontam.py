@@ -69,14 +69,17 @@ def benchmark_ngram_hashes(benchmark: DataFrame, n: int = 13,
             .distinct())
 
 
-def contamination_report(docs: DataFrame, benchmark: DataFrame, *,
-                         n: int = 13, id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
-    """(doc_id, n_hits) for every training document sharing >= 1
-    word n-gram with the benchmark set; clean documents are ABSENT
-    (absent == clean, the dedup-decisions convention). ``n_hits``
-    counts DISTINCT overlapping grams."""
-    bench = F.broadcast(benchmark_ngram_hashes(benchmark, n, text_col))
+def contamination_report_from_hashes(docs: DataFrame,
+                                     gram_hashes: DataFrame, *,
+                                     n: int = 13,
+                                     id_col: str = "doc_id",
+                                     text_col: str = "text") -> DataFrame:
+    """:func:`contamination_report` against a PREBUILT distinct
+    gram-hash table (column ``gram_hash``) — the shape the streaming
+    gate and any build-once/score-many pipeline needs: the benchmark
+    hash set is materialized once (e.g. parquet) and each scoring run
+    just broadcasts it."""
+    bench = F.broadcast(gram_hashes.select("gram_hash").distinct())
     toks = docs.select(F.col(id_col),
                        word_tokens_col(F.col(text_col)).alias("t"))
     doc_grams = (toks
@@ -86,6 +89,18 @@ def contamination_report(docs: DataFrame, benchmark: DataFrame, *,
     return (doc_grams.join(bench, "gram_hash")  # broadcast hash join
             .groupBy(id_col)
             .agg(F.countDistinct("gram_hash").alias("n_hits")))
+
+
+def contamination_report(docs: DataFrame, benchmark: DataFrame, *,
+                         n: int = 13, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(doc_id, n_hits) for every training document sharing >= 1
+    word n-gram with the benchmark set; clean documents are ABSENT
+    (absent == clean, the dedup-decisions convention). ``n_hits``
+    counts DISTINCT overlapping grams."""
+    return contamination_report_from_hashes(
+        docs, benchmark_ngram_hashes(benchmark, n, text_col),
+        n=n, id_col=id_col, text_col=text_col)
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame, *,

@@ -349,6 +349,58 @@ def read_edge_table(spark: SparkSession, output_root: str, *,
             .agg(F.sum("n_links").alias("n_links")))
 
 
+def start_decontam_stream(pages_stream: DataFrame, bench_hash_path: str,
+                          output_root: str, checkpoint_path: str, *,
+                          table: str = "pages_clean",
+                          flagged_table: str = "pages_contaminated",
+                          n: int = 13, min_hits: int = 1,
+                          id_col: str = "url", text_col: str = "text",
+                          available_now: bool = True):
+    """Continuous-ingest benchmark decontamination: every micro-batch
+    is scored against the PERSISTED benchmark gram-hash table
+    (``benchmark_ngram_hashes(...).write.parquet(bench_hash_path)`` —
+    build once, broadcast per batch, so a benchmark refresh lands
+    without restarting the stream). Survivors commit to ``table``;
+    flagged ids + hit counts commit to ``flagged_table`` — the
+    quarantine stream a compliance reviewer audits.
+
+    foreachBatch with the ManifestCatalog commit marker (the
+    start_near_dedup_stream exactly-once shape), guarded PER TABLE so
+    a crash between the two writes replays only the missing one."""
+    from ocr_engine_spark.engine.catalog import ManifestCatalog
+    from ocr_engine_spark.functions.decontam import (
+        contamination_report_from_hashes,
+    )
+
+    cat = ManifestCatalog(output_root)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        done_clean = batch_id in cat.committed_batches(table)
+        done_flag = batch_id in cat.committed_batches(flagged_table)
+        if done_clean and done_flag:
+            return  # replayed after recovery; already committed
+        hashes = batch_df.sparkSession.read.parquet(bench_hash_path)
+        b = batch_df.dropDuplicates([id_col])
+        flagged = (contamination_report_from_hashes(
+            b, hashes, n=n, id_col=id_col, text_col=text_col)
+            .filter(F.col("n_hits") >= min_hits)
+            .persist())
+        if not done_flag:
+            cat.write_batch(flagged, flagged_table, batch_id)
+        if not done_clean:
+            survivors = b.join(flagged.select(id_col), id_col,
+                               "left_anti")
+            cat.write_batch(survivors, table, batch_id)
+        flagged.unpersist()
+
+    w = (pages_stream.writeStream
+         .foreachBatch(_process)
+         .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def start_classify_stream(pages_stream: DataFrame, model_path: str,
                           output_root: str, checkpoint_path: str, *,
                           table: str = "pages_classified",

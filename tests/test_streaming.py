@@ -693,3 +693,83 @@ def test_stream_classify_against_model(spark, tmp_path):
         n_batches + 1
     got2 = {r["url"]: r["pred_label"] for r in rows}
     assert got2["https://c.example.com/4"] == "ham"
+
+
+def test_stream_decontam_against_hash_table(spark, tmp_path):
+    """Micro-batches are gated against the persisted benchmark gram
+    hashes: leaked docs land in the quarantine table with hit counts,
+    clean docs in the survivors table; checkpoint recovery re-commits
+    neither."""
+    import datetime
+    import time
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ocr_engine_spark.engine.catalog import ManifestCatalog
+    from ocr_engine_spark.functions.decontam import benchmark_ngram_hashes
+    from ocr_engine_spark.streaming.stream_job import start_decontam_stream
+
+    bench_text = ("the capital of france is paris and the capital of "
+                  "spain is madrid according to the atlas")
+    bench = spark.createDataFrame([(0, bench_text)],
+                                  "doc_id long, text string")
+    hash_path = str(tmp_path / "bench_hashes")
+    benchmark_ngram_hashes(bench, n=5).write.parquet(hash_path)
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    t0 = datetime.datetime(2025, 5, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        tbl = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+            "html": pa.array([b""] * len(rows), pa.binary()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, str(src / name))
+        time.sleep(0.05)
+
+    write_file("f1.parquet", [
+        ("https://a.example.com/leak",
+         "quiz answers say the capital of france is paris and more"),
+        ("https://a.example.com/clean",
+         "spark shuffles data between executor nodes during joins")])
+    write_file("f2.parquet", [
+        ("https://b.example.com/clean2",
+         "completely unrelated prose about gardening and compost")])
+
+    out_root = str(tmp_path / "dc_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string").option("maxFilesPerTrigger", "1")
+            .parquet(str(src)))
+        q = start_decontam_stream(stream, hash_path, out_root, ckpt,
+                                  n=5)
+        q.awaitTermination(180)
+
+    run()
+    cat = ManifestCatalog(out_root)
+    clean = {r["url"] for r in
+             cat.read_table(spark, "pages_clean").collect()}
+    flagged = {r["url"]: r["n_hits"] for r in
+               cat.read_table(spark, "pages_contaminated").collect()}
+    assert clean == {"https://a.example.com/clean",
+                     "https://b.example.com/clean2"}
+    assert set(flagged) == {"https://a.example.com/leak"}
+    assert flagged["https://a.example.com/leak"] >= 1
+
+    # recovery: nothing re-commits, a new file gates exactly once
+    write_file("f3.parquet", [
+        ("https://c.example.com/leak2",
+         "the capital of spain is madrid according to the atlas notes")])
+    run()
+    rows = cat.read_table(spark, "pages_clean").collect()
+    assert len(rows) == len({r["url"] for r in rows}) == 2
+    flagged2 = {r["url"] for r in
+                cat.read_table(spark, "pages_contaminated").collect()}
+    assert flagged2 == {"https://a.example.com/leak",
+                        "https://c.example.com/leak2"}
