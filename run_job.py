@@ -175,6 +175,14 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--hashes", type=int, default=5)
     dc.add_argument("--id-col", default="doc_id")
     dc.add_argument("--text-col", default="text")
+    dc.add_argument("--fraction-micro", type=int, default=None,
+                    metavar="MICRO",
+                    help="PaLM-style positional-overlap mode: drop docs "
+                         "whose hit fraction reaches MICRO (700000 = "
+                         "the paper's 70%% of 8-grams); uses --ngram")
+    dc.add_argument("--spans", action="store_true",
+                    help="also write <output>_spans forensics (where "
+                         "each contaminated doc overlaps)")
 
     pk = sub.add_parser("pack", help="pack docs into training shards")
     pk.add_argument("--input", required=True, help="documents parquet")
@@ -277,6 +285,15 @@ def main(argv: list[str] | None = None) -> int:
                          "against this epoch-seconds instant")
     lg.add_argument("--per-host-budget", type=int, default=2)
     lg.add_argument("--frontier-top", type=int, default=1000)
+    lg.add_argument("--stats", action="store_true",
+                    help="include the one-row graph health report in "
+                         "the JSON summary")
+    lg.add_argument("--hits", action="store_true",
+                    help="also write HITS hub/authority ranks")
+    lg.add_argument("--trust-seeds", metavar="HOST,HOST,...",
+                    default=None,
+                    help="also write TrustRank ranks + spam mass "
+                         "teleporting to these seed hosts")
 
     pl = sub.add_parser(
         "pipeline",
@@ -559,7 +576,16 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import Observation, functions as F
         docs = spark.read.parquet(args.input)
         bench = spark.read.parquet(args.benchmark)
-        if args.bloom:
+        if args.fraction_micro is not None:
+            from ocr_engine_spark.functions.decontam import (
+                contamination_fraction,
+            )
+            report = (contamination_fraction(
+                docs, bench, n=args.ngram, id_col=args.id_col,
+                text_col=args.text_col)
+                .filter(F.col("hit_frac_micro")
+                        >= args.fraction_micro))
+        elif args.bloom:
             from ocr_engine_spark.functions.bloom import (
                 contamination_report_bloom,
             )
@@ -580,9 +606,20 @@ def main(argv: list[str] | None = None) -> int:
         obs = Observation("decontam_kept")
         clean.observe(obs, F.count(F.lit(1)).alias("n")) \
             .write.mode("overwrite").parquet(args.output)
-        print(json.dumps({"contaminated": flagged.count(),
-                          "kept": obs.get["n"],
-                          "path": "bloom" if args.bloom else "exact"}))
+        out = {"contaminated": flagged.count(), "kept": obs.get["n"],
+               "path": ("fraction" if args.fraction_micro is not None
+                        else "bloom" if args.bloom else "exact")}
+        if args.spans:
+            from ocr_engine_spark.functions.decontam import (
+                contamination_spans,
+            )
+            sp = contamination_spans(docs, bench, n=args.ngram,
+                                     id_col=args.id_col,
+                                     text_col=args.text_col)
+            sp.write.mode("overwrite").parquet(args.output + "_spans")
+            out["spans"] = spark.read.parquet(
+                args.output + "_spans").count()
+        print(json.dumps(out))
         flagged.unpersist()
     elif args.cmd == "pack":
         from ocr_engine_spark.functions.pack import pack_sequences
@@ -784,6 +821,33 @@ def main(argv: list[str] | None = None) -> int:
                 os.path.join(args.output, "harmonic"))
             out["harmonic_hosts"] = spark.read.parquet(
                 os.path.join(args.output, "harmonic")).count()
+        if args.stats:
+            from ocr_engine_spark.functions.linkgraph import graph_stats
+            out["stats"] = graph_stats(edges).collect()[0].asDict()
+        if args.hits:
+            from ocr_engine_spark.functions.linkgraph import hits
+            ha = hits(edges, iterations=args.iterations)
+            ha.write.mode("overwrite").parquet(
+                os.path.join(args.output, "hits"))
+            out["hits_hosts"] = spark.read.parquet(
+                os.path.join(args.output, "hits")).count()
+        if args.trust_seeds is not None:
+            from ocr_engine_spark.functions.linkgraph import trustrank
+            seeds = spark.createDataFrame(
+                [(h.strip(),) for h in args.trust_seeds.split(",")
+                 if h.strip()], "node string")
+            tr = trustrank(edges, seeds, iterations=args.iterations,
+                           damping_pct=args.damping_pct)
+            sm = (tr.join(ranks, "node")
+                  .select("node", "trust", "rank",
+                          F.when(F.col("rank") <= 0, F.lit(0))
+                          .otherwise(F.expr(
+                              "((rank - trust) * 1000000) div rank"))
+                          .cast("long").alias("spam_mass_micro")))
+            sm.write.mode("overwrite").parquet(
+                os.path.join(args.output, "trust"))
+            out["trust_hosts"] = spark.read.parquet(
+                os.path.join(args.output, "trust")).count()
         if args.frontier is not None:
             from ocr_engine_spark.functions.linkgraph import (
                 crawl_frontier,
