@@ -89,8 +89,11 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     Scale note: exact and shuffle-bound; at 100 TB this runs only inside
     LSH candidate buckets (minhash_candidate_pairs verifies with this).
     """
-    sh = df.select(F.col(id_col).alias("id"),
-                   F.explode(shingles_col(F.col(text_col), n)).alias("sh"))
+    from ocr_engine_spark.functions.generate import explode_nonull
+    # explode_nonull: plain explode re-evaluates the shingle grammar in
+    # a Catalyst-inferred guard filter (see generate.py)
+    sh = explode_nonull(df, shingles_col(F.col(text_col), n), "sh",
+                        F.col(id_col).alias("id"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, "sh")
@@ -289,8 +292,11 @@ def containment_pairs(df: DataFrame, *, id_col: str = "doc_id",
     buckets or on audit samples. Containments are round-6 doubles
     (inter/n_a with both longs — exact division then one rounding,
     replayed verbatim by the oracle)."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   F.explode(shingles_col(F.col(text_col), n)).alias("sh"))
+    from ocr_engine_spark.functions.generate import explode_nonull
+    # explode_nonull: plain explode re-evaluates the shingle grammar in
+    # a Catalyst-inferred guard filter (see generate.py)
+    sh = explode_nonull(df, shingles_col(F.col(text_col), n), "sh",
+                        F.col(id_col).alias("id"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, "sh")
@@ -776,10 +782,10 @@ def dedup_paragraphs(df: DataFrame, *, id_col: str = "doc_id",
     fingerprint join-back, per-doc reassembly — the same bounded-skew
     shape as dedup_kgrams.
     """
-    paras = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), "\n\n"))
-         .alias("__pos", "__p"))
+    from ocr_engine_spark.functions.generate import posexplode_nonull
+    paras = posexplode_nonull(df, F.split(F.col(text_col), "\n\n"),
+                              "__pos", "__p",
+                              F.col(id_col).alias("__id"))
     elig = paras.withColumn(
         "__elig", (F.trim("__p") != "") &
                   (F.length("__p") >= F.lit(int(min_chars))))

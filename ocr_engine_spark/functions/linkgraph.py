@@ -163,10 +163,12 @@ def outlink_records(pages: DataFrame, *, url_col: str = "url",
     """(url, href, target_url) — one row per extracted link, resolved
     to an absolute target. Map-only: decode + regex + explode, no
     shuffle; Catalyst prunes the scan to (url, html)."""
+    from ocr_engine_spark.functions.generate import explode_nonull
     hrefs = outlink_hrefs_col(F.col(html_col))
-    return (pages
-            .select(F.col(url_col).alias("url"),
-                    F.explode(hrefs).alias("href"))
+    # explode_nonull: a plain explode would re-evaluate the whole href
+    # grammar in a Catalyst-inferred guard filter (see generate.py)
+    return (explode_nonull(pages, hrefs, "href",
+                           F.col(url_col).alias("url"))
             .withColumn("target_url",
                         resolve_url_col(F.col("href"), F.col("url")))
             .where(F.col("target_url").isNotNull()))
@@ -184,9 +186,9 @@ def anchor_records(pages: DataFrame, *, url_col: str = "url",
                                  F.lit(A_ELEM_RE), F.lit(0))
     gated = F.when(F.substring(F.col(html_col), 1, 1) == F.lit(b"<"),
                    elems)
-    out = (pages
-           .select(F.col(url_col).alias("url"),
-                   F.explode(gated).alias("elem"))
+    from ocr_engine_spark.functions.generate import explode_nonull
+    out = (explode_nonull(pages, gated, "elem",
+                          F.col(url_col).alias("url"))
            .select("url",
                    strip_quotes_col(
                        F.regexp_extract("elem", A_ELEM_RE, 2))
@@ -221,9 +223,12 @@ def anchor_term_profile(pages: DataFrame, *, url_col: str = "url",
     a = anchor_records(pages, url_col=url_col, html_col=html_col)
     if ascii_only:
         a = a.where(is_portable_ascii(F.col("anchor_text")))
-    toks = (a.select(host_col(F.col("target_url")).alias("dst_host"),
-                     F.explode(F.split(F.lower(F.col("anchor_text")),
-                                       r"[^a-z0-9]+")).alias("term"))
+    from ocr_engine_spark.functions.generate import explode_nonull
+    toks = (explode_nonull(a,
+                           F.split(F.lower(F.col("anchor_text")),
+                                   r"[^a-z0-9]+"), "term",
+                           host_col(F.col("target_url"))
+                           .alias("dst_host"))
             .where((F.col("term") != F.lit(""))
                    & (F.col("dst_host") != F.lit(""))))
     counts = toks.groupBy("dst_host", "term").agg(
@@ -243,8 +248,8 @@ def host_edges(pages: DataFrame, *, url_col: str = "url",
     href explode and host resolution are pipelined into the scan."""
     src = host_col(F.col(url_col))
     hrefs = outlink_hrefs_col(F.col(html_col))
-    e = (pages
-         .select(src.alias("src_host"), F.explode(hrefs).alias("href"))
+    from ocr_engine_spark.functions.generate import explode_nonull
+    e = (explode_nonull(pages, hrefs, "href", src.alias("src_host"))
          .select("src_host",
                  target_host_col(F.col("href"),
                                  F.col("src_host")).alias("dst_host"))

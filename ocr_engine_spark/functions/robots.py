@@ -74,10 +74,10 @@ def parse_robots(robots: DataFrame, *, host_col: str = "host",
     shuffle of (host, line) rows regardless of corpus scale.
     """
     agent_lc = agent.lower()
-    lines = (robots
-             .select(F.col(host_col).alias("host"),
-                     F.posexplode(F.split(body_col, r"\r?\n"))
-                     .alias("pos", "line"))
+    from ocr_engine_spark.functions.generate import posexplode_nonull
+    lines = (posexplode_nonull(robots, F.split(body_col, r"\r?\n"),
+                               "pos", "line",
+                               F.col(host_col).alias("host"))
              .withColumn("line",
                          F.trim(F.regexp_replace("line", "#.*$", "")))
              .withColumn("field",
@@ -185,10 +185,10 @@ def sitemap_declarations(robots: DataFrame, *, host_col: str = "host",
     dropped, leaving ``pos`` holes over the declaration lines only).
     Zero joins, zero UDF — the discovery seed for ``sitemap_records``.
     """
-    return (robots
-            .select(F.col(host_col).alias("host"),
-                    F.posexplode(F.split(body_col, r"\r?\n"))
-                    .alias("__lp", "line"))
+    from ocr_engine_spark.functions.generate import posexplode_nonull
+    return (posexplode_nonull(robots, F.split(body_col, r"\r?\n"),
+                              "__lp", "line",
+                              F.col(host_col).alias("host"))
             .withColumn("line",
                         F.trim(F.regexp_replace("line", "#.*$", "")))
             .where(F.lower(F.trim(F.regexp_extract(
@@ -236,11 +236,13 @@ def sitemap_records(sitemaps: DataFrame, *, url_col: str = "url",
     body = F.col(body_col)
 
     def _kind(block_re: str, kind: str) -> DataFrame:
-        e = sitemaps.select(
-            F.col(url_col).alias("url"),
-            F.posexplode(F.regexp_extract_all(body, F.lit(block_re),
-                                              F.lit(1)))
-            .alias("pos", "__b"))
+        from ocr_engine_spark.functions.generate import (
+            posexplode_nonull,
+        )
+        e = posexplode_nonull(
+            sitemaps, F.regexp_extract_all(body, F.lit(block_re),
+                                           F.lit(1)),
+            "pos", "__b", F.col(url_col).alias("url"))
         loc = F.nullif(F.trim(F.regexp_extract("__b", _SM_LOC_RE, 1)),
                        F.lit(""))
         lastmod = F.nullif(F.trim(F.regexp_extract("__b", _SM_LASTMOD_RE,
@@ -305,11 +307,13 @@ def feed_records(feeds: DataFrame, *, url_col: str = "url",
     body = F.col(body_col)
 
     def _kind(block_re: str, kind: str) -> DataFrame:
-        e = feeds.select(
-            F.col(url_col).alias("url"),
-            F.posexplode(F.regexp_extract_all(body, F.lit(block_re),
-                                              F.lit(1)))
-            .alias("pos", "__b"))
+        from ocr_engine_spark.functions.generate import (
+            posexplode_nonull,
+        )
+        e = posexplode_nonull(
+            feeds, F.regexp_extract_all(body, F.lit(block_re),
+                                        F.lit(1)),
+            "pos", "__b", F.col(url_col).alias("url"))
         title = F.nullif(F.trim(F.regexp_replace(
             F.regexp_extract("__b", _FEED_TITLE_RE, 1),
             r"[ \t\n\r]+", " ")), F.lit(""))

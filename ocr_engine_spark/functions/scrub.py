@@ -17,6 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ocr_engine_spark.functions.generate import (
+    explode_nonull, posexplode_nonull,
+)
 from ocr_engine_spark.functions.portability import portable_or_null
 
 # ---------------------------------------------------------------------------
@@ -77,10 +80,9 @@ def prune_frequent_lines(df: DataFrame, *, id_col: str = "doc_id",
     (one groupBy shuffle on the doc id). Blank lines never count toward
     frequency and are always kept. A document whose every line is
     pruned keeps an empty string."""
-    lines = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), "\n"))
-         .alias("__pos", "__line"))
+    lines = posexplode_nonull(df, F.split(F.col(text_col), "\n"),
+                              "__pos", "__line",
+                              F.col(id_col).alias("__id"))
     freq = (lines.filter(F.trim("__line") != "")
             .groupBy("__line")
             .agg(F.countDistinct("__id").alias("__df"))
@@ -287,8 +289,8 @@ def blocked_domains_join(df: DataFrame, blocked: DataFrame, *,
     never fans out more than ~5x and never nested-loops. Compose
     ``df.join(result, id_col, 'left_anti')`` to drop flagged rows."""
     host = registrable_host_col(F.col(url_col))
-    sfx = (df.select(F.col(id_col),
-                     F.explode(host_suffixes_col(host)).alias("__sfx")))
+    sfx = explode_nonull(df, host_suffixes_col(host), "__sfx",
+                         F.col(id_col))
     bl = blocked.select(F.lower(F.col(domain_col)).alias("__sfx"))
     return (sfx.join(bl, "__sfx")
             .groupBy(id_col)
@@ -662,8 +664,8 @@ def heading_records(pages: DataFrame, *, url_col: str = "url",
     is_html = F.substring(html, 1, 1) == F.lit(b"<")
     ms = F.when(is_html,
                 F.regexp_extract_all(head, F.lit(_HEADING_RE), F.lit(0)))
-    e = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(ms).alias("pos", "m"))
+    e = posexplode_nonull(pages, ms, "pos", "m",
+                           F.col(url_col).alias("url"))
     level = F.regexp_extract("m", r"(?i)<h([1-6])", 1).cast("long")
     txt = F.nullif(F.trim(F.regexp_replace(
         F.regexp_extract("m", _HEADING_RE, 2),
@@ -745,16 +747,16 @@ def table_records(pages: DataFrame, *, url_col: str = "url",
     blocks = F.when(is_html,
                     F.regexp_extract_all(head, F.lit(_TABLE_BLOCK_RE),
                                          F.lit(1)))
-    t = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(blocks).alias("table_pos", "__block"))
+    t = posexplode_nonull(pages, blocks, "table_pos", "__block",
+                           F.col(url_col).alias("url"))
     rows = F.regexp_extract_all(F.col("__block"), F.lit(_TABLE_ROW_RE),
                                 F.lit(1))
-    r = t.select("url", "table_pos",
-                 F.posexplode(rows).alias("row_pos", "__row"))
+    r = posexplode_nonull(t, rows, "row_pos", "__row",
+                          "url", "table_pos")
     cells = F.regexp_extract_all(F.col("__row"), F.lit(_TABLE_CELL_RE),
                                  F.lit(0))
-    c = r.select("url", "table_pos", "row_pos",
-                 F.posexplode(cells).alias("col_pos", "__m"))
+    c = posexplode_nonull(r, cells, "col_pos", "__m",
+                          "url", "table_pos", "row_pos")
     is_header = (F.lower(F.regexp_extract("__m", _TABLE_CELL_RE, 1))
                  == F.lit("h"))
     txt = F.nullif(F.trim(F.regexp_replace(
@@ -832,8 +834,8 @@ def jsonld_records(pages: DataFrame, *, url_col: str = "url",
     blocks = F.when(is_html,
                     F.regexp_extract_all(head, F.lit(_JSONLD_RE),
                                          F.lit(1)))
-    e = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(blocks).alias("pos", "__p"))
+    e = posexplode_nonull(pages, blocks, "pos", "__p",
+                           F.col(url_col).alias("url"))
     payload = F.nullif(F.trim("__p"), F.lit(""))
     if ascii_only:
         payload = portable_or_null(payload)
@@ -1020,8 +1022,8 @@ def image_captions(pages: DataFrame, *, url_col: str = "url",
     tags = F.when(is_html,
                   F.regexp_extract_all(head, F.lit(_IMG_TAG_RE),
                                        F.lit(0)))
-    e = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(tags).alias("pos", "__t"))
+    e = posexplode_nonull(pages, tags, "pos", "__t",
+                           F.col(url_col).alias("url"))
     src = F.nullif(F.regexp_extract("__t", _IMG_SRC_RE, 1), F.lit(""))
     alt = F.nullif(F.trim(F.regexp_replace(
         F.regexp_extract("__t", _IMG_ALT_RE, 1),
@@ -1082,14 +1084,14 @@ def list_records(pages: DataFrame, *, url_col: str = "url",
     blocks = F.when(is_html,
                     F.regexp_extract_all(head, F.lit(_LIST_BLOCK_RE),
                                          F.lit(0)))
-    b = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(blocks).alias("list_pos", "__b"))
+    b = posexplode_nonull(pages, blocks, "list_pos", "__b",
+                           F.col(url_col).alias("url"))
     ordered = (F.lower(F.regexp_extract("__b", _LIST_BLOCK_RE, 1))
                == F.lit("o"))
     body = F.regexp_extract("__b", _LIST_BLOCK_RE, 2)
     items = F.regexp_extract_all(body, F.lit(_LIST_ITEM_RE), F.lit(1))
-    i = b.select("url", "list_pos", ordered.alias("ordered"),
-                 F.posexplode(items).alias("item_pos", "__i"))
+    i = posexplode_nonull(b, items, "item_pos", "__i",
+                          "url", "list_pos", ordered.alias("ordered"))
     item = F.nullif(F.trim(F.regexp_replace(
         F.col("__i"), r"[ \t\n\r]+", " ")), F.lit(""))
     if ascii_only:
@@ -1133,8 +1135,8 @@ def media_links(pages: DataFrame, *, url_col: str = "url",
     tags = F.when(is_html,
                   F.regexp_extract_all(head, F.lit(_MEDIA_TAG_RE),
                                        F.lit(0)))
-    e = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(tags).alias("pos", "__t"))
+    e = posexplode_nonull(pages, tags, "pos", "__t",
+                           F.col(url_col).alias("url"))
     src = F.nullif(F.regexp_extract("__t", _IMG_SRC_RE, 1), F.lit(""))
     if ascii_only:
         src = portable_or_null(src)
@@ -1168,8 +1170,8 @@ def embed_links(pages: DataFrame, *, url_col: str = "url",
     tags = F.when(is_html,
                   F.regexp_extract_all(head, F.lit(_EMBED_TAG_RE),
                                        F.lit(0)))
-    e = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(tags).alias("pos", "__t"))
+    e = posexplode_nonull(pages, tags, "pos", "__t",
+                           F.col(url_col).alias("url"))
     src = F.nullif(F.regexp_extract("__t", _IMG_SRC_RE, 1), F.lit(""))
     if ascii_only:
         src = portable_or_null(src)
@@ -1199,8 +1201,8 @@ def pagination_links(pages: DataFrame, *, url_col: str = "url",
     tags = F.when(is_html,
                   F.regexp_extract_all(head, F.lit(_LINK_TAG_RE),
                                        F.lit(0)))
-    e = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(tags).alias("__p", "__t"))
+    e = posexplode_nonull(pages, tags, "__p", "__t",
+                           F.col(url_col).alias("url"))
     rel = F.lower(F.regexp_extract("__t", _PAGINATION_REL_RE, 1))
     href = F.nullif(F.regexp_extract("__t", _HREF_VAL_RE, 1), F.lit(""))
     if ascii_only:
@@ -1268,8 +1270,8 @@ def microdata_records(pages: DataFrame, *, url_col: str = "url",
     ms = F.when(is_html,
                 F.regexp_extract_all(head, F.lit(_MD_PROP_TAG_RE),
                                      F.lit(0)))
-    e = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(ms).alias("pos", "__m"))
+    e = posexplode_nonull(pages, ms, "pos", "__m",
+                           F.col(url_col).alias("url"))
     prop = F.nullif(F.regexp_extract("__m", _MD_PROP_VAL_RE, 1),
                     F.lit(""))
     content = F.nullif(F.regexp_extract("__m", _MD_CONTENT_VAL_RE, 1),
@@ -1304,8 +1306,8 @@ def microdata_types(pages: DataFrame, *, url_col: str = "url",
     ms = F.when(is_html,
                 F.regexp_extract_all(head, F.lit(_MD_TYPE_VAL_RE),
                                      F.lit(1)))
-    e = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(ms).alias("pos", "__t"))
+    e = posexplode_nonull(pages, ms, "pos", "__t",
+                           F.col(url_col).alias("url"))
     t = F.nullif(F.trim("__t"), F.lit(""))
     if ascii_only:
         t = portable_or_null(t)
@@ -1351,8 +1353,8 @@ def rdfa_records(pages: DataFrame, *, url_col: str = "url",
     ms = F.when(is_html,
                 F.regexp_extract_all(head, F.lit(_RDFA_PROP_TAG_RE),
                                      F.lit(0)))
-    e = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(ms).alias("pos", "__m"))
+    e = posexplode_nonull(pages, ms, "pos", "__m",
+                           F.col(url_col).alias("url"))
     prop = F.nullif(F.regexp_extract("__m", _RDFA_PROP_VAL_RE, 1),
                     F.lit(""))
     content = F.nullif(F.regexp_extract("__m", _MD_CONTENT_VAL_RE, 1),
@@ -1384,8 +1386,8 @@ def rdfa_types(pages: DataFrame, *, url_col: str = "url",
     ms = F.when(is_html,
                 F.regexp_extract_all(head, F.lit(_RDFA_TYPEOF_VAL_RE),
                                      F.lit(1)))
-    e = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(ms).alias("pos", "__t"))
+    e = posexplode_nonull(pages, ms, "pos", "__t",
+                           F.col(url_col).alias("url"))
     t = F.nullif(F.trim("__t"), F.lit(""))
     if ascii_only:
         t = portable_or_null(t)
@@ -1445,8 +1447,8 @@ def hreflang_records(pages: DataFrame, *, url_col: str = "url",
     tags = F.when(is_html,
                   F.regexp_extract_all(head, F.lit(_LINK_TAG_RE),
                                        F.lit(0)))
-    e = pages.select(F.col(url_col).alias("url"),
-                     F.posexplode(tags).alias("pos", "__t"))
+    e = posexplode_nonull(pages, tags, "pos", "__t",
+                           F.col(url_col).alias("url"))
     lang = F.nullif(F.lower(
         F.regexp_extract("__t", _HREFLANG_VAL_RE, 1)), F.lit(""))
     href = F.nullif(F.regexp_extract("__t", _HREF_VAL_RE, 1), F.lit(""))
