@@ -191,6 +191,18 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap sessionization (functions/sessions.py:sessionize) over
+    the events table at a 30-minute gap — the batch twin of the
+    applyInPandasWithState streaming operator, here as two per-user
+    windows + one aggregate, all integer epoch arithmetic. Oracle
+    replays lag/gap/running-sum/aggregate verbatim."""
+    from ocr_engine_spark.functions.sessions import sessionize
+    events = _read(spark, sf_dir, "events")
+    return (sessionize(events, gap_min=30)
+            .orderBy("user_id", "session_id"))
+
+
 def q_events_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1-per-group via window row_number (top-k-per-key pattern)."""
     from pyspark.sql import Window
@@ -2273,6 +2285,29 @@ def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_stats(e)
 
 
+def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected host components (functions/cluster.py:
+    connected_components — STRING ids preserved, min-label = the
+    lexicographically smallest member host) over the synthetic host
+    graph treated as undirected, with per-component sizes via a
+    component-bounded window. The site-cluster / link-farm grouping a
+    graph layer publishes next to its ranks. Oracle: recursive-CTE
+    min-reachable replay (the dedup_clusters pattern, host strings)."""
+    from pyspark.sql import Window
+    from ocr_engine_spark.functions.cluster import connected_components
+    e = _synthetic_host_edges(spark)
+    pairs = (e.select(F.col("src_host").alias("id_a"),
+                      F.col("dst_host").alias("id_b"))
+             .where(F.col("id_a") != F.col("id_b")).distinct())
+    cc = connected_components(pairs)
+    return (cc.select(F.col("node").alias("host"), "component")
+            .withColumn("comp_size",
+                        F.count("*").over(
+                            Window.partitionBy("component"))
+                        .cast("long"))
+            .orderBy("host"))
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point HITS (functions/linkgraph.py:hits) over the
     synthetic host graph: 3 iterations of the L1-normalized hub/auth
@@ -3537,6 +3572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": q_graph_stats,
         "host_hits": q_host_hits,
         "host_trustrank": q_host_trustrank,
+        "sessionize": q_sessionize,
+        "host_components": q_host_components,
         "recrawl": q_recrawl,
         "curriculum": q_curriculum,
         "reshard_plan": q_reshard_plan,
@@ -6549,6 +6586,28 @@ def _host_pagerank_oracle(iterations: int = 5) -> str:
     """
 
 
+def _host_components_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    return f"""
+        WITH RECURSIVE {_synth_edges_cte(pages)},
+        und AS (SELECT src AS a, dst AS b FROM edges
+                UNION SELECT dst, src FROM edges),
+        n2 AS (SELECT DISTINCT a AS node FROM und),
+        reach(node, r) AS (
+          SELECT node, node FROM n2
+          UNION
+          SELECT u.b, re.r FROM reach re JOIN und u ON u.a = re.node),
+        comp AS (SELECT node, min(r) AS component FROM reach
+                 GROUP BY node)
+        SELECT node AS host, component,
+               (count(*) OVER (PARTITION BY component))::BIGINT
+                 AS comp_size
+        FROM comp ORDER BY host
+    """
+
+
 def _graph_stats_oracle() -> str:
     from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
     ensure_entry_fixture(_ENTRY_CORPUS)
@@ -8201,6 +8260,35 @@ def _oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag ORDER BY l_returnflag
         """,
+        "sessionize": """
+            WITH d AS (
+              SELECT user_id, event_id,
+                     cast(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM events),
+            m AS (
+              SELECT user_id, event_id, ep,
+                     CASE WHEN lag(ep) OVER w IS NULL THEN 1
+                          WHEN ep - lag(ep) OVER w > 1800 THEN 1
+                          ELSE 0 END AS newf
+              FROM d
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ep, event_id)),
+            s AS (
+              SELECT user_id, ep,
+                     sum(newf) OVER (PARTITION BY user_id
+                                     ORDER BY ep, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)::BIGINT
+                       AS session_id
+              FROM m)
+            SELECT user_id, session_id,
+                   min(ep)::BIGINT AS start_epoch,
+                   max(ep)::BIGINT AS end_epoch,
+                   count(*)::BIGINT AS n_events,
+                   (max(ep) - min(ep))::BIGINT AS duration_s
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
         "events_window_topk": """
             SELECT event_type, count(*) AS n_users_top,
                    round(sum(value), 2) AS sum_top_value
@@ -9259,6 +9347,7 @@ def _oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle(),
         "host_hits": _host_hits_oracle(),
         "graph_stats": _graph_stats_oracle(),
+        "host_components": _host_components_oracle(),
         "host_trustrank": _host_trustrank_oracle(),
         "host_harmonic": _host_harmonic_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),

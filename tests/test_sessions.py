@@ -1,0 +1,52 @@
+"""Batch gap sessionization (functions/sessions.py) — hand-built
+vectors; the oracle gate (sessionize in __spark_entry__) replays the
+full window chain over the events table."""
+
+from __future__ import annotations
+
+import datetime
+
+from ocr_engine_spark.functions.sessions import sessionize
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime.datetime(2025, 5, 1, 0, 0, 0)
+          + datetime.timedelta(seconds=s), u) for i, s, u in rows],
+        "event_id long, ts timestamp, user_id long")
+
+
+def test_gap_splits_sessions(spark):
+    """User 1: events at t=0, 60, 5000 s with a 30-min gap -> two
+    sessions; user 2: one event -> one singleton session."""
+    df = _ev(spark, [(1, 0, 1), (2, 60, 1), (3, 5000, 1), (4, 0, 2)])
+    got = {(r.user_id, r.session_id): r
+           for r in sessionize(df, gap_min=30).collect()}
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    s1 = got[(1, 1)]
+    assert s1.n_events == 2 and s1.duration_s == 60
+    s2 = got[(1, 2)]
+    assert s2.n_events == 1 and s2.duration_s == 0
+    assert s2.start_epoch - s1.end_epoch == 5000 - 60
+
+
+def test_boundary_gap_is_same_session(spark):
+    """A gap of EXACTLY gap_min minutes does not split (> not >=)."""
+    df = _ev(spark, [(1, 0, 1), (2, 1800, 1), (3, 3601, 1)])
+    got = sessionize(df, gap_min=30).collect()
+    by_id = {r.session_id: r for r in got}
+    assert set(by_id) == {1, 2}
+    assert by_id[1].n_events == 2          # 0 and 1800 together
+    assert by_id[2].start_epoch - by_id[1].end_epoch == 1801
+
+
+def test_simultaneous_events_deterministic(spark):
+    """Events sharing a timestamp order by event_id — repartitioning
+    cannot flap the session split."""
+    rows = [(i, 0, 1) for i in range(5)] + [(99, 10_000, 1)]
+    df = _ev(spark, rows)
+    a = sorted((r.session_id, r.n_events)
+               for r in sessionize(df.repartition(1)).collect())
+    b = sorted((r.session_id, r.n_events)
+               for r in sessionize(df.repartition(7, "event_id")).collect())
+    assert a == b == [(1, 5), (2, 1)]
