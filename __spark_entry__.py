@@ -191,6 +191,18 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase over the events table
+    (functions/sessions.py:funnel_report): strictly-after earliest-
+    first semantics, conversion in integer micro-units vs step 1.
+    Oracle replays the chained min-after-min aggregation and the
+    division verbatim."""
+    from ocr_engine_spark.functions.sessions import funnel_report
+    events = _read(spark, sf_dir, "events")
+    return (funnel_report(events, ["view", "click", "purchase"])
+            .orderBy("step_idx"))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap sessionization (functions/sessions.py:sessionize) over
     the events table at a 30-minute gap — the batch twin of the
@@ -3573,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": q_host_hits,
         "host_trustrank": q_host_trustrank,
         "sessionize": q_sessionize,
+        "funnel": q_funnel,
         "host_components": q_host_components,
         "recrawl": q_recrawl,
         "curriculum": q_curriculum,
@@ -8259,6 +8272,36 @@ def _oracle_sql() -> dict[str, str]:
                    round(max(l_extendedprice), 2) AS max_price
             FROM lineitem
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              GROUP BY e.user_id),
+            c AS (
+              SELECT 1 AS step_idx, 'view' AS step,
+                     (SELECT count(*) FROM s1) AS n
+              UNION ALL
+              SELECT 2, 'click', (SELECT count(*) FROM s2)
+              UNION ALL
+              SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+            SELECT step_idx::BIGINT AS step_idx, step,
+                   n::BIGINT AS n_users,
+                   (CASE WHEN (SELECT n FROM c WHERE step_idx = 1) <= 0
+                         THEN 0
+                         ELSE (n * 1000000)
+                              // (SELECT n FROM c c2 WHERE c2.step_idx = 1)
+                    END)::BIGINT AS conversion_micro
+            FROM c ORDER BY step_idx
         """,
         "sessionize": """
             WITH d AS (

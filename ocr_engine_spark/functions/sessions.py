@@ -18,6 +18,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def funnel_report(events: DataFrame, steps: list[str], *,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel analysis: one row per step — (step_idx, step,
+    n_users, conversion_micro) — where a user reaches step i only with
+    an event of type ``steps[i]`` STRICTLY AFTER their earliest
+    qualifying time for step i-1 (classic earliest-first funnel
+    semantics; simultaneous events do not advance the funnel).
+    ``conversion_micro`` is vs the FIRST step in integer micro-units.
+
+    Plan: per step, one groupBy on ``user_col`` over only that step's
+    events joined to the (shrinking) qualified-user set — every
+    exchange hashes the same key, so Spark reuses the partitioning;
+    the final report is a union of 1-row aggregates with the step-1
+    count broadcast back for the division. Nothing corpus-sized
+    survives past the first filter."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    base = events.select(F.col(user_col).alias("u"),
+                         F.col(ts_col).alias("t"),
+                         F.col(type_col).alias("et"))
+    cur = None
+    rows = []
+    for i, st in enumerate(steps):
+        f = base.filter(F.col("et") == st).select("u", "t")
+        if cur is None:
+            cur = f.groupBy("u").agg(F.min("t").alias("__t"))
+        else:
+            cur = (f.join(cur, "u")
+                   .filter(F.col("t") > F.col("__t"))
+                   .groupBy("u").agg(F.min("t").alias("__t")))
+        rows.append(cur.agg(F.count("*").alias("n_users"))
+                    .select(F.lit(i + 1).cast("long").alias("step_idx"),
+                            F.lit(st).alias("step"), "n_users"))
+    report = rows[0]
+    for r in rows[1:]:
+        report = report.unionByName(r)
+    first = (report.filter(F.col("step_idx") == 1)
+             .select(F.col("n_users").alias("__n1")))
+    return (report.crossJoin(F.broadcast(first))
+            .select("step_idx", "step",
+                    F.col("n_users").cast("long").alias("n_users"),
+                    F.when(F.col("__n1") <= 0, F.lit(0))
+                    .otherwise(F.expr("(n_users * 1000000) div __n1"))
+                    .cast("long").alias("conversion_micro")))
+
+
 def sessionize(events: DataFrame, *, user_col: str = "user_id",
                ts_col: str = "ts", id_col: str = "event_id",
                gap_min: int = 30) -> DataFrame:

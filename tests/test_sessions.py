@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from ocr_engine_spark.functions.sessions import sessionize
 
 
@@ -50,3 +52,31 @@ def test_simultaneous_events_deterministic(spark):
     b = sorted((r.session_id, r.n_events)
                for r in sessionize(df.repartition(7, "event_id")).collect())
     assert a == b == [(1, 5), (2, 1)]
+
+
+def test_funnel_strictly_after_semantics(spark):
+    """User 1 completes view->click->purchase in order; user 2 clicks
+    BEFORE viewing (click doesn't count, purchase after view does not
+    advance past the missing click); user 3 views only. Simultaneous
+    view+click (user 4) does not advance."""
+    from ocr_engine_spark.functions.sessions import funnel_report
+    rows = [
+        (1, 0, 1, "view"), (2, 10, 1, "click"), (3, 20, 1, "purchase"),
+        (4, 0, 2, "click"), (5, 10, 2, "view"), (6, 20, 2, "purchase"),
+        (7, 0, 3, "view"),
+        (8, 0, 4, "view"), (9, 0, 4, "click"),
+    ]
+    import datetime
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2025, 5, 1) + datetime.timedelta(seconds=s),
+          u, t) for i, s, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.step_idx: r for r in
+           funnel_report(df, ["view", "click", "purchase"]).collect()}
+    assert got[1].n_users == 4            # users 1,2,3,4 all viewed
+    assert got[2].n_users == 1            # only user 1 clicked after view
+    assert got[3].n_users == 1
+    assert got[1].conversion_micro == 1_000_000
+    assert got[2].conversion_micro == 250_000
+    with pytest.raises(ValueError):
+        funnel_report(df, [])

@@ -370,6 +370,15 @@ NOTES = {
                               "corpus after the bounded benchmark "
                               "collect — no Exchange, no Join before "
                               "the presentation sort",
+    "graph_stats": "degree aggregates + one edge self-join; 1-row "
+                   "aggregates return as broadcasts — the node set "
+                   "shuffles once",
+    "sessionize": "ONE shuffle on user_id shared by the lag/running-sum "
+                  "window chain AND the session aggregate (no second "
+                  "Exchange)",
+    "contamination_spans": "positions ride the gram posexplode for "
+                           "free; broadcast semi-join keeps only hit "
+                           "rows before the groupBy",
 }
 
 # synthetic plan targets: operators whose queries() entry returns a
@@ -436,7 +445,8 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "bitext_align", "winnow_fp", "table_triples",
             "hll_cardinality", "pq_search",
             "contamination_fraction", "lsh_audit", "containment",
-            "semantic_decontaminate",
+            "semantic_decontaminate", "graph_stats", "sessionize",
+            "contamination_spans",
             "extraction_pipeline"]
 
 
