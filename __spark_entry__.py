@@ -191,6 +191,18 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events table
+    (functions/sessions.py:retention_cohorts): integer epoch-week
+    indices (no date_trunc — week/timezone conventions differ across
+    engines), distinct-activity cells, micro retention vs the
+    cohort's offset-0 size. Oracle replays the distinct/min/join/count
+    chain with the same floored epoch arithmetic."""
+    from ocr_engine_spark.functions.sessions import retention_cohorts
+    events = _read(spark, sf_dir, "events")
+    return (retention_cohorts(events).orderBy("cohort", "offset"))
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase over the events table
     (functions/sessions.py:funnel_report): strictly-after earliest-
@@ -3586,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": q_host_trustrank,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
+        "retention": q_retention,
         "host_components": q_host_components,
         "recrawl": q_recrawl,
         "curriculum": q_curriculum,
@@ -8272,6 +8285,26 @@ def _oracle_sql() -> dict[str, str]:
                    round(max(l_extendedprice), 2) AS max_price
             FROM lineitem
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "retention": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS u,
+                     cast(floor(floor(epoch(ts)) / 604800) AS BIGINT)
+                       AS p
+              FROM events),
+            first AS (SELECT u, min(p) AS p0 FROM act GROUP BY u),
+            cells AS (
+              SELECT f.p0 AS cohort, (a.p - f.p0)::BIGINT AS "offset",
+                     count(*)::BIGINT AS n_users
+              FROM act a JOIN first f USING (u)
+              GROUP BY 1, 2),
+            sizes AS (SELECT cohort, n_users AS c0 FROM cells
+                      WHERE "offset" = 0)
+            SELECT c.cohort, c."offset" AS offset, c.n_users,
+                   ((c.n_users * 1000000) // s.c0)::BIGINT
+                     AS retention_micro
+            FROM cells c JOIN sizes s USING (cohort)
+            ORDER BY cohort, "offset"
         """,
         "funnel": """
             WITH s1 AS (

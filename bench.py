@@ -70,7 +70,7 @@ HEADLINE = [
     "bitext_align", "winnow_fp", "table_triples", "hll_cardinality",
     "pq_search", "host_risk", "cms_counts", "contamination_fraction",
     "host_hits", "host_trustrank", "lsh_audit", "semantic_decontaminate", "containment", "graph_stats", "contamination_spans",
-    "sessionize", "host_components", "funnel",
+    "sessionize", "host_components", "funnel", "retention",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000

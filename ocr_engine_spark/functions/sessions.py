@@ -18,6 +18,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def retention_cohorts(events: DataFrame, *, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      period_s: int = 604_800) -> DataFrame:
+    """Cohort retention matrix: (cohort, offset, n_users,
+    retention_micro) — users grouped by their first-seen period
+    (integer ``floor(epoch / period_s)``, default weekly; epoch-index
+    arithmetic on purpose — ``date_trunc`` week/timezone conventions
+    differ across engines, integer division doesn't), ``offset`` =
+    periods since the cohort period, ``n_users`` = distinct cohort
+    members active at that offset, ``retention_micro`` vs the cohort's
+    offset-0 size (offset 0 is by construction every member).
+
+    Plan: one (user, period) distinct, one min-per-user aggregate
+    joined back (both hash the user key — exchange reuse), then a
+    (cohort, offset) count; cohort sizes come back as a broadcast
+    join. Corpus-sized data crosses the wire once."""
+    per = (F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(period_s))
+           .cast("long"))
+    act = (events.select(F.col(user_col).alias("u"), per.alias("p"))
+           .distinct())
+    first = act.groupBy("u").agg(F.min("p").alias("p0"))
+    joined = act.join(first, "u")
+    cells = (joined.groupBy(F.col("p0").alias("cohort"),
+                            (F.col("p") - F.col("p0")).cast("long")
+                            .alias("offset"))
+             .agg(F.count("*").alias("n_users")))
+    sizes = (cells.filter(F.col("offset") == 0)
+             .select(F.col("cohort"), F.col("n_users").alias("__c0")))
+    return (cells.join(F.broadcast(sizes), "cohort")
+            .select("cohort", "offset",
+                    F.col("n_users").cast("long").alias("n_users"),
+                    F.expr("(n_users * 1000000) div __c0")
+                    .cast("long").alias("retention_micro")))
+
+
 def funnel_report(events: DataFrame, steps: list[str], *,
                   user_col: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type") -> DataFrame:

@@ -80,3 +80,30 @@ def test_funnel_strictly_after_semantics(spark):
     assert got[2].conversion_micro == 250_000
     with pytest.raises(ValueError):
         funnel_report(df, [])
+
+
+def test_retention_cohorts_matrix(spark):
+    """Two cohorts, hand-built: cohort A (users 1,2) both active week
+    0; user 1 returns week 1; user 2 returns week 2. Cohort B (user 3)
+    active its own week 0 only."""
+    from ocr_engine_spark.functions.sessions import retention_cohorts
+    W = 604_800
+    base = datetime.datetime(2025, 1, 6)  # epoch-week aligned enough
+    rows = [(1, 0, 1), (2, 3600, 2),          # cohort A week 0
+            (3, W + 60, 1),                   # user 1, +1 week
+            (4, 2 * W + 60, 2),               # user 2, +2 weeks
+            (5, 3 * W, 3)]                    # cohort B
+    df = spark.createDataFrame(
+        [(i, base + datetime.timedelta(seconds=s), u)
+         for i, s, u in rows],
+        "event_id long, ts timestamp, user_id long")
+    got = {(r.cohort, r.offset): r
+           for r in retention_cohorts(df).collect()}
+    cohorts = sorted({c for c, _ in got})
+    a, b = cohorts[0], cohorts[1]
+    assert got[(a, 0)].n_users == 2
+    assert got[(a, 1)].n_users == 1
+    assert got[(a, 2)].n_users == 1
+    assert got[(a, 1)].retention_micro == 500_000
+    assert got[(b, 0)].n_users == 1
+    assert (b, 1) not in got
