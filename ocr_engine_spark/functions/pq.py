@@ -57,7 +57,16 @@ def _sqdist_py(a: list[float], b: list[float]) -> float:
 def nearest_code_col(sub: Column, cents: Codebook) -> Column:
     """Argmin-squared-L2 code for a subvector over a constant
     codebook literal — map-only aggregate fold, ties to the lowest
-    code (strict ``<`` keeps the first minimum)."""
+    code (strict ``<`` keeps the first minimum).
+
+    Deliberately a HOF fold, NOT an unrolled ``least``-over-structs
+    chain: unrolling k×d element_at terms looked codegen-friendly but
+    Catalyst inlines the subvector slice into every term and the
+    collapsed projections balloon to a multi-MiB task binary
+    (measured: 99 s vs 6 s for the fold at sf0.1) — the same
+    expression-duplication failure mode the outer-generate helpers
+    exist for. The fold keeps the tree small; the argmin itself is
+    k·d lambda evals per row against literal centroids."""
     clit = F.array(*[
         F.struct(F.lit(int(j)).alias("code"),
                  F.array(*[F.lit(float(x)) for x in v]).alias("cv"))
@@ -82,39 +91,52 @@ def train_pq_codebooks(embeddings: DataFrame, *, m: int = 8,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> list[Codebook]:
     """One codebook per subspace. Driver holds m*k*d floats — the
-    whole model is a broadcastable literal, never a join side."""
+    whole model is a broadcastable literal, never a join side.
+
+    All ``m`` subspaces train in ONE corpus pass per Lloyd iteration:
+    each row projects to an array of (subspace, code, subvector)
+    structs that a single explode + groupBy(s, code, pos) reduces to
+    every per-(subspace, code, dim) mean at once. The per-subspace
+    means are identical to training subspaces one at a time (same
+    rows, same ``avg``; the extra ``s`` grouping key only separates
+    them), but a 10^12-row table is scanned once per iteration
+    instead of ``m`` times — and locally, 1 job replaces 8."""
     rows = (embeddings
             .orderBy(sample_hash_col(id_col).asc(), F.col(id_col).asc())
             .limit(k).select(vec_col).collect())
     dim = len(rows[0][0])
     assert dim % m == 0, "dim must split evenly into m subspaces"
     d = dim // m
-    books: list[Codebook] = []
-    for s in range(m):
-        cents: Codebook = [
-            (j, [float(x) for x in rows[j][0][s * d:(s + 1) * d]])
-            for j in range(k)]
-        for _ in range(int(iters)):
-            sub = embeddings.select(
+    books: list[Codebook] = [
+        [(j, [float(x) for x in rows[j][0][s * d:(s + 1) * d]])
+         for j in range(k)]
+        for s in range(m)]
+    for _ in range(int(iters)):
+        per_sub = F.array(*[
+            F.struct(
+                F.lit(s).alias("__s"),
+                nearest_code_col(_sub_col(vec_col, s, d), books[s])
+                .alias("__code"),
                 _sub_col(vec_col, s, d).alias("__sub"))
-            assigned = sub.withColumn(
-                "__code", nearest_code_col(F.col("__sub"), cents))
-            mean_rows = (assigned
-                         .select("__code",
-                                 F.posexplode("__sub")
-                                 .alias("__pos", "__x"))
-                         .groupBy("__code", "__pos")
-                         .agg(F.avg("__x").alias("__m"))
-                         .collect())  # k x d rows, bounded
-            by_code: dict[int, dict[int, float]] = {}
-            for r in mean_rows:
-                by_code.setdefault(int(r["__code"]), {})[
-                    int(r["__pos"])] = round(float(r["__m"]), 10)
-            cents = [(j,
-                      [by_code[j][p] for p in range(d)]
-                      if j in by_code else old)
-                     for j, old in cents]
-        books.append(cents)
+            for s in range(m)])
+        mean_rows = (embeddings
+                     .select(F.explode(per_sub).alias("__e"))
+                     .select("__e.__s", "__e.__code",
+                             F.posexplode("__e.__sub")
+                             .alias("__pos", "__x"))
+                     .groupBy("__s", "__code", "__pos")
+                     .agg(F.avg("__x").alias("__m"))
+                     .collect())  # m x k x d rows, bounded
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in mean_rows:
+            by_key.setdefault((int(r["__s"]), int(r["__code"])), {})[
+                int(r["__pos"])] = round(float(r["__m"]), 10)
+        books = [
+            [(j,
+              [by_key[(s, j)][p] for p in range(d)]
+              if (s, j) in by_key else old)
+             for j, old in books[s]]
+            for s in range(m)]
     return books
 
 

@@ -46,7 +46,7 @@ COLLECT_ALLOWLIST = {
     ],
     "functions/pq.py": [
         ".limit(k).select(vec_col).collect())",  # codebook seed: k rows
-        '.collect())  # k x d rows, bounded',    # Lloyd sub-means
+        '.collect())  # m x k x d rows, bounded',  # Lloyd sub-means
     ],
     "functions/bpe.py": [
         ".first())  # 1-row argmax read, IVF-seed discipline",
