@@ -3582,12 +3582,27 @@ def q_dehyphen_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "site_idx"))
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit (text.zipf_fit): slope/intercept/r² of
+    ln(freq) on ln(rank) for the top-100 corpus unigrams, every OLS
+    sum in exact order-free int64 over once-quantized micro-ln
+    points, the three ratios each ONE double expression quantized at
+    the end.  The corpus-health scalar next to vocab_growth's Heaps
+    curve — natural text sits near slope -1; template floods bend it.
+    Oracle: full replay (same tokenization as cms_counts, same
+    quantization grid, same floor(x+0.5))."""
+    from ocr_engine_spark.functions.text import zipf_fit
+    docs = _read(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_n=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never-driver-checked first: the driver's correctness
         # --- window caps at the FIRST 50 dict entries (observed in
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
+        "zipf_fit": q_zipf_fit,
         "contamination_fraction": q_contamination_fraction,
         "contamination_spans": q_contamination_spans,
         "lsh_audit": q_lsh_audit,
@@ -8166,8 +8181,51 @@ _SOURCE_PRIOR_ORACLE = f"""
 """
 
 
+# OLS sums stay exact int64 (order-free: Spark's partial aggregation
+# and DuckDB's serial sum agree bit-for-bit); slope/intercept/r² are
+# each ONE double expression over the exact integers, floor(x+0.5)
+# quantized (round() half-away differs between engines for negatives)
+_ZIPF_FIT_ORACLE = r"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+      WHERE length(trim(text)) > 0),
+    c AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY tok),
+    top AS (SELECT tok, cnt FROM c
+            ORDER BY cnt DESC, tok ASC LIMIT 100),
+    r AS (SELECT row_number() OVER (ORDER BY cnt DESC, tok ASC)
+                   AS rank, cnt
+          FROM top),
+    p AS (SELECT round(ln(rank::DOUBLE) * 1e6)::BIGINT AS x,
+                 round(ln(cnt::DOUBLE) * 1e6)::BIGINT AS y
+          FROM r),
+    s AS (SELECT count(*)::BIGINT AS n,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * y)::BIGINT AS sxy,
+                 sum(x * x)::BIGINT AS sxx,
+                 sum(y * y)::BIGINT AS syy
+          FROM p)
+    SELECT n AS n_terms,
+           floor((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE * 1e6 + 0.5)::BIGINT
+             AS slope_micro,
+           floor((sy::DOUBLE
+                  - ((n * sxy - sx * sy)::DOUBLE
+                     / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+                 / n::DOUBLE + 0.5)::BIGINT AS intercept_micro,
+           CASE WHEN n * syy - sy * sy = 0 THEN NULL
+                ELSE floor(((n * sxy - sx * sy)::DOUBLE
+                            * (n * sxy - sx * sy)::DOUBLE)
+                           / ((n * sxx - sx * sx)::DOUBLE
+                              * (n * syy - sy * sy)::DOUBLE)
+                           * 1e6 + 0.5)::BIGINT END AS r2_micro
+    FROM s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
+    d["zipf_fit"] = _ZIPF_FIT_ORACLE
     # the Bloom prefilter + exact-confirm pipeline is semantically
     # byte-identical to the exact operator (no false negatives; false
     # positives die in the confirm join) — gating it against the SAME

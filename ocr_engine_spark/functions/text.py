@@ -569,3 +569,74 @@ def winnow_fingerprints(df, *, k: int = 8, w: int = 16,
                    F.col("__m.__h").alias("fp"))
            .distinct())
     return sel
+
+
+def zipf_fit(df, *, top_n: int = 100, text_col: str = "text"):
+    """Zipf's-law fit over the corpus unigram distribution: OLS of
+    ``ln(freq)`` on ``ln(rank)`` for the top ``top_n`` terms — the
+    one-row corpus-health scalar behind "does this crawl look like
+    natural language" (natural text sits near slope -1 [Zipf 1949;
+    Piantadosi 2014]; template floods and synthetic loops flatten or
+    steepen it, so drift in the slope is a cheap generation-loop /
+    spam-regression alarm next to `vocab_growth`'s Heaps curve).
+
+    Portability contract (the tfidf/dsir fixed-point discipline):
+    ``x = round(ln(rank)*1e6)`` and ``y = round(ln(count)*1e6)`` are
+    quantized ONCE per term; every OLS sum (Sx, Sy, Sxy, Sxx, Syy)
+    stays in exact int64 arithmetic (order-free, so Spark's partial
+    aggregation and DuckDB's serial sum agree bit-for-bit; bounds:
+    |x| <= 1.9e7 @ rank 1e8, so Sxy <= top_n * 3.6e14 — safe to
+    top_n ~ 2.5e4); slope / intercept / r² are each ONE double
+    expression over those exact integers, floor(·*1e6 + 0.5)-quantized
+    at the end. Slope and intercept are in micro-ln units per ln unit
+    (dimensionless), r² in micro.
+
+    Scale shape: one map-side-combined token count shuffle (bounded by
+    vocabulary), a TakeOrdered top-``top_n``, a single-partition
+    row_number over ``top_n`` rows, and a 1-row aggregate. Nothing
+    else touches corpus size."""
+    from pyspark.sql import Window
+
+    from ocr_engine_spark.functions.generate import explode_nonull
+    counts = (explode_nonull(df, tokens_col(F.lower(F.col(text_col))),
+                             "__tok")
+              .groupBy("__tok").agg(F.count("*").alias("__cnt")))
+    top = counts.orderBy(F.col("__cnt").desc(),
+                         F.col("__tok").asc()).limit(int(top_n))
+    w = Window.orderBy(F.col("__cnt").desc(), F.col("__tok").asc())
+    ranked = top.select(
+        F.row_number().over(w).alias("__rank"), "__cnt")
+    pts = ranked.select(
+        F.round(F.log(F.col("__rank").cast("double")) * 1e6, 0)
+        .cast("long").alias("__x"),
+        F.round(F.log(F.col("__cnt").cast("double")) * 1e6, 0)
+        .cast("long").alias("__y"))
+    s = pts.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"))
+    n = F.col("n_terms")
+    cov = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+    varx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    vary = (n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    # one double expression each; micro-quantized with floor(x+0.5)
+    # (round() half-away differs between engines for negatives)
+    slope = cov.cast("double") / varx.cast("double")
+    intercept = (F.col("__sy").cast("double")
+                 - slope * F.col("__sx").cast("double")) / n.cast("double")
+    r2 = ((cov.cast("double") * cov.cast("double"))
+          / (varx.cast("double") * vary.cast("double")))
+    return s.select(
+        "n_terms",
+        F.floor(slope * 1e6 + F.lit(0.5)).cast("long")
+        .alias("slope_micro"),
+        F.floor(intercept + F.lit(0.5)).cast("long")
+        .alias("intercept_micro"),
+        # degenerate flat corpus: vary = 0 -> r² undefined, not ±Inf
+        # (ANSI mode would throw casting Inf to long)
+        F.when(vary == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(r2 * 1e6 + F.lit(0.5)).cast("long"))
+        .alias("r2_micro"))

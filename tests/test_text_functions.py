@@ -367,3 +367,32 @@ def test_winnowing_matches_python_reference(spark):
     got = {(r.pos, r.fp) for r in
            winnow_fingerprints(df, k=5, w=4).collect()}
     assert got == ref(text, 5, 4)
+
+
+def test_zipf_fit_on_exact_zipfian_corpus(spark):
+    # freq(rank r) = floor(1200 / r): an exact power-law with slope -1.
+    # OLS over ln-ln points must land near slope_micro = -1e6 with an
+    # almost-perfect fit; floor() quantization of the counts bends the
+    # tail slightly, hence the loose band.
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r:03d}"] * (1200 // r)
+    df = spark.createDataFrame([(" ".join(words),)], ["text"])
+    from ocr_engine_spark.functions.text import zipf_fit
+    row = zipf_fit(df, top_n=40).collect()[0]
+    assert row["n_terms"] == 40
+    assert -1_060_000 < row["slope_micro"] < -940_000
+    assert row["r2_micro"] > 990_000
+
+
+def test_zipf_fit_flat_corpus_zero_slope(spark):
+    # every term equally frequent -> ln(freq) constant -> slope 0 and
+    # an undefined r² guarded to NULL when vary = 0 (ANSI mode
+    # would throw casting Inf to long otherwise).
+    words = [f"t{i}" for i in range(20)] * 5
+    df = spark.createDataFrame([(" ".join(words),)], ["text"])
+    from ocr_engine_spark.functions.text import zipf_fit
+    row = zipf_fit(df, top_n=20).collect()[0]
+    assert row["n_terms"] == 20
+    assert row["slope_micro"] == 0
+    assert row["r2_micro"] is None
