@@ -3596,6 +3596,18 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning tails (similarity.embedding_outliers,
+    Sorscher et al. 2022): squared L2 to the global centroid, top-20
+    outliers + top-20 prototypes. Centroid on the 10-decimal grid,
+    d2 rounded to 6 before the selection sort. Oracle: full replay —
+    per-dim avg, same rounding, both tails."""
+    from ocr_engine_spark.functions.similarity import embedding_outliers
+    emb = _read(spark, sf_dir, "embeddings")
+    return (embedding_outliers(emb, k=20)
+            .orderBy("scope", "d2", "vec_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never-driver-checked first: the driver's correctness
@@ -3603,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
         "zipf_fit": q_zipf_fit,
+        "embedding_outliers": q_embedding_outliers,
         "contamination_fraction": q_contamination_fraction,
         "contamination_spans": q_contamination_spans,
         "lsh_audit": q_lsh_audit,
@@ -8223,9 +8236,33 @@ _ZIPF_FIT_ORACLE = r"""
 """
 
 
+# centroid on the 10-decimal grid; d2 rounded to 6 BEFORE the tail
+# selection sort so both engines pick identical rows (sum order across
+# dims differs between engines by ~1e-14 — far inside the grid)
+_EMBEDDING_OUTLIERS_ORACLE = r"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    x AS (SELECT vec_id, u.i AS pos, v[u.i] AS val
+          FROM e, LATERAL unnest(generate_series(1, len(v))) u(i)),
+    cent AS (SELECT pos, round(avg(val), 10) AS c
+             FROM x GROUP BY pos),
+    d AS (SELECT vec_id,
+                 round(sum((val - c) * (val - c)), 6) AS d2
+          FROM x JOIN cent USING (pos) GROUP BY vec_id),
+    o AS (SELECT vec_id, d2, 'outlier' AS scope FROM d
+          ORDER BY d2 DESC, vec_id ASC LIMIT 20),
+    p AS (SELECT vec_id, d2, 'prototype' AS scope FROM d
+          ORDER BY d2 ASC, vec_id ASC LIMIT 20)
+    SELECT vec_id, d2, scope FROM o
+    UNION ALL SELECT vec_id, d2, scope FROM p
+    ORDER BY scope, d2, vec_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
+    d["embedding_outliers"] = _EMBEDDING_OUTLIERS_ORACLE
     # the Bloom prefilter + exact-confirm pipeline is semantically
     # byte-identical to the exact operator (no false negatives; false
     # positives die in the confirm join) — gating it against the SAME

@@ -681,3 +681,31 @@ def seed_quality_scores(embeddings: DataFrame, seed_pred,
     sim = cosine_col(F.col(vec_col).cast("array<double>"), c)
     return embeddings.select(
         "*", F.round(sim, 6).alias("seed_cosine"))
+
+
+def embedding_outliers(embeddings: DataFrame, k: int = 20,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Prototypicality pruning signal (Sorscher et al. 2022, "Beyond
+    neural scaling laws": distance-to-centroid ranks what to KEEP —
+    prune the most prototypical when data is abundant, the hardest
+    outliers when it is scarce; SemDeDup's companion knob): squared L2
+    from every embedding to the GLOBAL centroid, surfacing the top-k
+    of both tails.
+
+    Shape: ``seed_centroid`` (one dim-row shuffle + bounded driver
+    read) puts the centroid in the scan as a literal; the distance is
+    one map-side fold per row; each tail is a TakeOrdered top-k. No
+    join, no UDF, nothing corpus-sized moves. Portability: centroid
+    on the 10-decimal grid, d2 rounded to 6 BEFORE the (d2, id)
+    presentation sort so both engines select identical tails."""
+    from ocr_engine_spark.functions.pq import sqdist_col
+    cent = seed_centroid(embeddings, F.lit(True), vec_col)
+    d2 = F.round(sqdist_col(F.col(vec_col).cast("array<double>"),
+                            _vec_lit(cent)), 6)
+    base = embeddings.select(F.col(id_col), d2.alias("d2"))
+    out = (base.orderBy(F.col("d2").desc(), F.col(id_col).asc())
+           .limit(int(k)).withColumn("scope", F.lit("outlier")))
+    proto = (base.orderBy(F.col("d2").asc(), F.col(id_col).asc())
+             .limit(int(k)).withColumn("scope", F.lit("prototype")))
+    return out.unionByName(proto)

@@ -265,3 +265,23 @@ def test_semantic_contamination_guards(spark):
         semantic_contamination(corpus, empty)
     with pytest.raises(ValueError, match="bench_max_bytes"):
         semantic_contamination(corpus, corpus, bench_max_bytes=8)
+
+
+def test_embedding_outliers_tails(spark):
+    # 10 clustered vectors near the origin + one far point: the far
+    # point must top the outlier tail, the cluster fills the
+    # prototype tail, and the two tails are disjoint at k <= n/2.
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.similarity import embedding_outliers
+    rows = [(i, [0.01 * i, 0.02 * i, 0.0, 0.0]) for i in range(10)]
+    rows.append((99, [50.0, -50.0, 50.0, -50.0]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_outliers(emb, k=3).collect()
+    by_scope = {}
+    for r in out:
+        by_scope.setdefault(r["scope"], []).append(r["vec_id"])
+    assert by_scope["outlier"][0] == 99
+    assert len(by_scope["outlier"]) == 3
+    assert len(by_scope["prototype"]) == 3
+    assert 99 not in by_scope["prototype"]
+    assert not set(by_scope["outlier"]) & set(by_scope["prototype"])
