@@ -3608,6 +3608,46 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("scope", "d2", "vec_id"))
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch resemblance of two crawl snapshots (sketch.py —
+    Bar-Yossef et al. 2002, Beyer et al. 2007) audited against the
+    exact Jaccard on the same key basis: snapshots A = doc_id%3 != 1
+    and B = doc_id%3 != 0 of the documents table keyed by normalized
+    text, k = 64 minimum md5-int60 values per side. At 10^12 rows the
+    exact side is a full key shuffle; the sketch answers from 64 rows
+    per snapshot — the audit measures what that compression costs.
+    Oracle: full replay of both paths (k-min sets, merged k-min of
+    the union, integer-ppm estimate and exact)."""
+    from ocr_engine_spark.functions.sketch import kmv_jaccard, kmv_sketch
+    from ocr_engine_spark.functions.text import (
+        md5_int60_col, normalized_col,
+    )
+    docs = _read(spark, sf_dir, "documents")
+    key = normalized_col(F.col("text"))
+    a = docs.filter(F.col("doc_id") % 3 != 1).select(key.alias("k"))
+    b = docs.filter(F.col("doc_id") % 3 != 0).select(key.alias("k"))
+    est = kmv_jaccard(kmv_sketch(a, "k", k=64),
+                      kmv_sketch(b, "k", k=64), k=64)
+    ha = (a.select(md5_int60_col(F.col("k")).alias("h")).distinct()
+          .select("h", F.lit(1).alias("ia"), F.lit(0).alias("ib")))
+    hb = (b.select(md5_int60_col(F.col("k")).alias("h")).distinct()
+          .select("h", F.lit(0).alias("ia"), F.lit(1).alias("ib")))
+    exact = (ha.unionByName(hb)
+             .groupBy("h").agg(F.max("ia").alias("ia"),
+                               F.max("ib").alias("ib"))
+             .agg(F.sum(F.col("ia") * F.col("ib")).cast("long")
+                  .alias("n_inter"),
+                  F.count("*").alias("n_union")))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("n_a", "n_b", "k_union", "n_both",
+                    "est_jaccard_ppm",
+                    F.expr("(n_inter * 1000000) div n_union")
+                    .alias("exact_jaccard_ppm"),
+                    (F.col("est_jaccard_ppm")
+                     - F.expr("(n_inter * 1000000) div n_union"))
+                    .alias("err_ppm")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never-driver-checked first: the driver's correctness
@@ -3616,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- lead; the 50 green-in-r03 entries follow.
         "zipf_fit": q_zipf_fit,
         "embedding_outliers": q_embedding_outliers,
+        "corpus_overlap": q_corpus_overlap,
         "contamination_fraction": q_contamination_fraction,
         "contamination_spans": q_contamination_spans,
         "lsh_audit": q_lsh_audit,
@@ -8259,10 +8300,47 @@ _EMBEDDING_OUTLIERS_ORACLE = r"""
 """
 
 
+_CORPUS_OVERLAP_ORACLE = r"""
+    WITH ka AS (
+      SELECT DISTINCT ('0x' || substr(md5(trim(regexp_replace(
+               lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS h
+      FROM documents WHERE doc_id % 3 != 1),
+    kb AS (
+      SELECT DISTINCT ('0x' || substr(md5(trim(regexp_replace(
+               lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS h
+      FROM documents WHERE doc_id % 3 != 0),
+    sa AS (SELECT h FROM ka ORDER BY h ASC LIMIT 64),
+    sb AS (SELECT h FROM kb ORDER BY h ASC LIMIT 64),
+    m AS (SELECT h, max(ia) AS ia, max(ib) AS ib
+          FROM (SELECT h, 1 AS ia, 0 AS ib FROM sa
+                UNION ALL SELECT h, 0, 1 FROM sb)
+          GROUP BY h),
+    ku AS (SELECT * FROM m ORDER BY h ASC LIMIT 64),
+    est AS (SELECT (SELECT count(*) FROM sa)::BIGINT AS n_a,
+                   (SELECT count(*) FROM sb)::BIGINT AS n_b,
+                   count(*)::BIGINT AS k_union,
+                   sum(ia * ib)::BIGINT AS n_both
+            FROM ku),
+    ex AS (SELECT sum(ia * ib)::BIGINT AS n_inter,
+                  count(*)::BIGINT AS n_union
+           FROM (SELECT h, max(ia) AS ia, max(ib) AS ib
+                 FROM (SELECT h, 1 AS ia, 0 AS ib FROM ka
+                       UNION ALL SELECT h, 0, 1 FROM kb)
+                 GROUP BY h))
+    SELECT n_a, n_b, k_union, n_both,
+           (n_both * 1000000) // k_union AS est_jaccard_ppm,
+           (n_inter * 1000000) // n_union AS exact_jaccard_ppm,
+           ((n_both * 1000000) // k_union
+            - (n_inter * 1000000) // n_union) AS err_ppm
+    FROM est, ex
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
     d["embedding_outliers"] = _EMBEDDING_OUTLIERS_ORACLE
+    d["corpus_overlap"] = _CORPUS_OVERLAP_ORACLE
     # the Bloom prefilter + exact-confirm pipeline is semantically
     # byte-identical to the exact operator (no false negatives; false
     # positives die in the confirm join) — gating it against the SAME

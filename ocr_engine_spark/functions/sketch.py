@@ -225,3 +225,53 @@ def cms_topk_audit(df: DataFrame, col: str, *, d: int = 4,
                     (F.col("estimate") - F.col("n_exact"))
                     .cast("long").alias("overcount"))
             .orderBy(F.col("n_exact").desc(), F.col("value").asc()))
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values (KMV) sketch — Bar-Yossef et al. 2002; Beyer et al.
+# 2007 ("On synopses for distinct-value estimation under multiset
+# operations"): the k smallest distinct hash values of a column are a
+# mergeable synopsis supporting distinct-count, union, intersection
+# and Jaccard estimates. HLL (above) answers |A| cheaper; KMV answers
+# SET-ALGEBRA questions HLL cannot (resemblance of two crawls without
+# re-reading either), and its md5-int60 basis makes every step
+# bit-replayable cross-engine.
+# ---------------------------------------------------------------------------
+
+def kmv_sketch(df: DataFrame, col: str, *, k: int = 64) -> DataFrame:
+    """The k smallest DISTINCT md5-int60 hashes of ``col`` — one
+    (h) column, ascending. groupBy(h) collapses duplicates with
+    map-side combine (shuffle bounded by distinct values, never rows),
+    then a TakeOrdered k-min. The result is k rows regardless of
+    input size and unions with any other sketch of the same basis."""
+    from ocr_engine_spark.functions.text import md5_int60_col
+    return (df.select(md5_int60_col(F.col(col)).alias("h"))
+            .groupBy("h").agg(F.lit(1).alias("__one")).drop("__one")
+            .orderBy(F.col("h").asc()).limit(int(k)))
+
+
+def kmv_jaccard(sketch_a: DataFrame, sketch_b: DataFrame,
+                *, k: int = 64) -> DataFrame:
+    """Jaccard estimate from two KMV sketches (Beyer et al. 2007):
+    K(U) = the k smallest of K(A) ∪ K(B); est = |K(U) ∩ K(A) ∩ K(B)|
+    / |K(U)|. Everything below runs on <= 2k rows. Returns one row
+    (n_a, n_b, k_union, n_both, est_jaccard_ppm) with the ppm an
+    integer division — exact in both engines."""
+    a = sketch_a.select("h", F.lit(1).alias("in_a"),
+                        F.lit(0).alias("in_b"))
+    b = sketch_b.select("h", F.lit(0).alias("in_a"),
+                        F.lit(1).alias("in_b"))
+    merged = (a.unionByName(b)
+              .groupBy("h").agg(F.max("in_a").alias("in_a"),
+                                F.max("in_b").alias("in_b")))
+    ku = merged.orderBy(F.col("h").asc()).limit(int(k))
+    counts_a = sketch_a.agg(F.count("*").alias("n_a"))
+    counts_b = sketch_b.agg(F.count("*").alias("n_b"))
+    return (ku.agg(F.count("*").alias("k_union"),
+                   F.sum(F.col("in_a") * F.col("in_b"))
+                   .cast("long").alias("n_both"))
+            .crossJoin(F.broadcast(counts_a))
+            .crossJoin(F.broadcast(counts_b))
+            .select("n_a", "n_b", "k_union", "n_both",
+                    F.expr("(n_both * 1000000) div k_union")
+                    .alias("est_jaccard_ppm")))

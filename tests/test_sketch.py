@@ -146,3 +146,38 @@ def test_cms_absent_item_reads_min_slot(spark):
     got = cms_estimate(counters, probe, "v", d=3, w=32).collect()[0]
     assert got.estimate == _py_estimate(ref, "never-seen-xyz", 3, 32)
     assert got.estimate >= 0
+
+
+def test_kmv_jaccard_known_overlap(spark):
+    # two 300-element sets sharing 100 elements: true J = 100/500 =
+    # 0.2. A k=64 KMV estimate has relative error ~1/sqrt(64) = 12.5%;
+    # assert inside a 3-sigma band and exactness of the plumbing
+    # (sketch sizes, merged k-min size).
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.sketch import kmv_jaccard, kmv_sketch
+    a = spark.range(0, 300).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    b = spark.range(200, 500).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    row = kmv_jaccard(kmv_sketch(a, "v", k=64),
+                      kmv_sketch(b, "v", k=64), k=64).collect()[0]
+    assert row["n_a"] == 64 and row["n_b"] == 64
+    assert row["k_union"] == 64
+    assert 0 <= row["n_both"] <= 64
+    assert 50_000 < row["est_jaccard_ppm"] < 400_000
+
+
+def test_kmv_sketch_smaller_than_k_is_exact(spark):
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.sketch import kmv_jaccard, kmv_sketch
+    a = spark.range(0, 10).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v"))
+    b = spark.range(5, 15).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v"))
+    # below k the sketch IS the distinct set -> the estimate is exact:
+    # J = 5/15
+    row = kmv_jaccard(kmv_sketch(a, "v", k=64),
+                      kmv_sketch(b, "v", k=64), k=64).collect()[0]
+    assert row["n_a"] == 10 and row["n_b"] == 10
+    assert row["k_union"] == 15 and row["n_both"] == 5
+    assert row["est_jaccard_ppm"] == 333_333
