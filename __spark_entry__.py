@@ -3648,6 +3648,65 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("err_ppm")))
 
 
+def q_ai_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI-crawler opt-out governance audit: the robots.txt fixture
+    replayed for the agents a training-data pipeline must respect —
+    'gptbot' (the bodies carry a dedicated block-all group for it),
+    'ccbot' (no dedicated group: falls through to '*' — the
+    agent-fallback semantics under test) and '*' itself. Per agent:
+    url counts, blocked share (ppm), and hosts whose ENTIRE page set
+    is blocked — the "how much corpus does honoring each opt-out
+    cost" table a 100 TB ingest publishes before filtering. Matcher
+    semantics are functions/robots.py's (exact agent token OR '*',
+    groups merged — documented there; no RFC longest-prefix agent
+    precedence). Oracle: the full robots parse/precedence replay per
+    agent + the same two-level aggregate."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.robots import robots_decisions
+    from ocr_engine_spark.functions.scrub import host_col
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url"))
+    hosts = pages.select(host_col(F.col("url")).alias("host")).distinct()
+    bucket = F.pmod(md5_int60_col(F.col("host")), F.lit(4))
+    lang = (F.when(bucket == 0, F.lit("ar"))
+             .when(bucket == 1, F.lit("de"))
+             .otherwise(F.lit("fr")))
+    robots = (hosts.where(bucket < 3)
+              .select("host",
+                      F.concat(F.lit(_ROBOTS_TXT_HEAD), lang,
+                               F.lit(_ROBOTS_TXT_MID), lang,
+                               F.lit(_ROBOTS_TXT_TAIL))
+                      .alias("robots_txt")))
+    outs = []
+    for agent in ("gptbot", "ccbot", "*"):
+        dec = (robots_decisions(pages, robots, agent=agent)
+               .select("url", "allowed",
+                       host_col(F.col("url")).alias("host")))
+        per_host = (dec.groupBy("host")
+                    .agg(F.min(F.col("allowed").cast("int"))
+                         .alias("__any_ok")))
+        full = per_host.agg(
+            F.sum((F.col("__any_ok") == 0).cast("long"))
+            .alias("n_hosts_full_block"),
+            F.count("*").alias("n_hosts"))
+        tot = dec.agg(
+            F.count("*").alias("n_urls"),
+            F.sum((~F.col("allowed")).cast("long")).alias("n_blocked"))
+        outs.append(
+            tot.crossJoin(F.broadcast(full))
+            .select(F.lit(agent).alias("agent"), "n_urls", "n_blocked",
+                    F.expr("(n_blocked * 1000000) div n_urls")
+                    .alias("blocked_ppm"),
+                    "n_hosts", "n_hosts_full_block"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("agent")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never-driver-checked first: the driver's correctness
@@ -3657,6 +3716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
+        "ai_optout": q_ai_optout,
         "contamination_fraction": q_contamination_fraction,
         "contamination_spans": q_contamination_spans,
         "lsh_audit": q_lsh_audit,
@@ -8336,11 +8396,131 @@ _CORPUS_OVERLAP_ORACLE = r"""
 """
 
 
+def _robots_decisions_sql(agent: str) -> str:
+    """The robots_audit oracle's parse/precedence replay, with the
+    group-applies clause parameterized by agent token (matcher
+    semantics mirror functions/robots.py: exact token OR '*', groups
+    merged) and host carried to the output — the per-url decisions
+    table (url, host, allowed) the ai_optout aggregates replay over."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    esc = ("CASE WHEN pattern LIKE '%$' "
+           "THEN substr(pattern, 1, length(pattern) - 1) "
+           "ELSE pattern END")
+    esc = f"replace({esc}, '\\', '\\\\')"
+    for ch in ".^$+?()[]{}|":
+        esc = f"replace({esc}, '{ch}', '\\{ch}')"
+    esc = f"replace({esc}, '*', '.*')"
+    path_re = "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)'"
+    agent_lit = agent.replace("'", "''").lower()
+    return f"""
+        WITH pg AS (
+          SELECT url,
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                 CASE WHEN regexp_extract(url, {path_re}, 1) = ''
+                      THEN '/'
+                      ELSE regexp_extract(url, {path_re}, 1) END AS path
+          FROM read_parquet('{pages}')),
+        hb AS (
+          SELECT host,
+                 ('0x' || substr(md5(host), 1, 15))::BIGINT % 4 AS b
+          FROM (SELECT DISTINCT host FROM pg)),
+        robots AS (
+          SELECT host,
+                 '{_ROBOTS_TXT_HEAD}' || lang || '{_ROBOTS_TXT_MID}'
+                   || lang || '{_ROBOTS_TXT_TAIL}' AS body
+          FROM (SELECT host,
+                       CASE WHEN b = 0 THEN 'ar'
+                            WHEN b = 1 THEN 'de'
+                            ELSE 'fr' END AS lang
+                FROM hb WHERE b < 3)),
+        lines0 AS (
+          SELECT host, generate_subscripts(ls, 1) AS pos,
+                 unnest(ls) AS raw
+          FROM (SELECT host,
+                       regexp_split_to_array(body, '\r?\n') AS ls
+                FROM robots)),
+        dirs AS (
+          SELECT * FROM (
+            SELECT host, pos,
+                   lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+                     AS field,
+                   trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS value
+            FROM (SELECT host, pos,
+                         trim(regexp_replace(raw, '#.*$', '')) AS line
+                  FROM lines0))
+          WHERE field IN ('user-agent', 'allow', 'disallow')),
+        blk AS (
+          SELECT *, field = 'user-agent' AS is_ua,
+                 CASE WHEN field = 'user-agent' AND NOT coalesce(
+                        lag(field = 'user-agent')
+                          OVER (PARTITION BY host ORDER BY pos), false)
+                      THEN 1 ELSE 0 END AS st
+          FROM dirs),
+        blk2 AS (
+          SELECT *, sum(st) OVER (PARTITION BY host ORDER BY pos)
+                    AS block_id
+          FROM blk),
+        app AS (
+          SELECT host, block_id FROM blk2 WHERE is_ua
+          GROUP BY host, block_id
+          HAVING bool_or(lower(value) IN ('{agent_lit}', '*'))),
+        rules AS (
+          SELECT b.host, b.field = 'allow' AS allow, b.value AS pattern,
+                 length(b.value) AS plen, b.pos AS rule_pos
+          FROM blk2 b JOIN app USING (host, block_id)
+          WHERE NOT b.is_ua AND b.value != ''),
+        rx AS (
+          SELECT *, '^' || {esc} ||
+                 CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rgx
+          FROM rules),
+        hits AS (
+          SELECT p.url, r.allow, r.pattern,
+                 row_number() OVER (
+                   PARTITION BY p.url
+                   ORDER BY r.plen DESC, r.allow DESC, r.pattern DESC,
+                            r.rule_pos ASC) AS rn
+          FROM pg p JOIN rx r
+            ON p.host = r.host AND regexp_matches(p.path, r.rgx)),
+        best AS (SELECT url, allow FROM hits WHERE rn = 1)
+        SELECT p.url, p.host, coalesce(b.allow, true) AS allowed
+        FROM pg p LEFT JOIN best b USING (url)
+    """
+
+
+def _ai_optout_oracle() -> str:
+    parts = []
+    for agent in ("gptbot", "ccbot", "*"):
+        dec = _robots_decisions_sql(agent)
+        agent_lit = agent.replace("'", "''")
+        parts.append(f"""
+        SELECT '{agent_lit}' AS agent,
+               t.n_urls, t.n_blocked,
+               (t.n_blocked * 1000000) // t.n_urls AS blocked_ppm,
+               h.n_hosts, h.n_hosts_full_block
+        FROM (SELECT count(*)::BIGINT AS n_urls,
+                     sum(CASE WHEN allowed THEN 0 ELSE 1 END)::BIGINT
+                       AS n_blocked
+              FROM ({dec})) t,
+             (SELECT count(*)::BIGINT AS n_hosts,
+                     sum(CASE WHEN any_ok = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_hosts_full_block
+              FROM (SELECT host,
+                           min(CASE WHEN allowed THEN 1 ELSE 0 END)
+                             AS any_ok
+                    FROM ({dec}) GROUP BY host)) h""")
+    return ("SELECT * FROM (" + "\nUNION ALL".join(parts)
+            + ") ORDER BY agent")
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
     d["embedding_outliers"] = _EMBEDDING_OUTLIERS_ORACLE
     d["corpus_overlap"] = _CORPUS_OVERLAP_ORACLE
+    d["ai_optout"] = _ai_optout_oracle()
     # the Bloom prefilter + exact-confirm pipeline is semantically
     # byte-identical to the exact operator (no false negatives; false
     # positives die in the confirm join) — gating it against the SAME

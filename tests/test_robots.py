@@ -264,3 +264,28 @@ def test_feed_links(spark):
         ("u1", 0, "/feed.xml"),
         ("u1", 2, "https://s/atom"),
     ]
+
+
+def test_agent_specific_group_and_fallback(spark):
+    # gptbot has a dedicated block-all group AND inherits the '*'
+    # group (merged-groups semantics, see parse_robots docstring);
+    # ccbot has no dedicated group and must fall through to '*' only.
+    from ocr_engine_spark.functions.robots import robots_decisions
+    body = ("User-agent: gptbot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /private/\n")
+    robots = spark.createDataFrame(
+        [("h.example", body)], ["host", "robots_txt"])
+    pages = spark.createDataFrame(
+        [("https://h.example/a",), ("https://h.example/private/x",)],
+        ["url"])
+    def decide(agent):
+        rows = robots_decisions(pages, robots, agent=agent) \
+            .orderBy("url").collect()
+        return {r["url"].rsplit("/", 2)[-1] or "private": r["allowed"]
+                for r in rows}
+    got_gpt = decide("gptbot")
+    assert got_gpt == {"a": False, "x": False}
+    got_cc = decide("ccbot")
+    assert got_cc == {"a": True, "x": False}
+    got_star = decide("*")
+    assert got_star == got_cc
