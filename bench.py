@@ -71,6 +71,7 @@ HEADLINE = [
     "pq_search", "host_risk", "cms_counts", "contamination_fraction",
     "host_hits", "host_trustrank", "lsh_audit", "semantic_decontaminate", "containment", "graph_stats", "contamination_spans",
     "sessionize", "host_components", "funnel", "retention",
+    "zipf_fit", "embedding_outliers", "corpus_overlap", "ai_optout",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000
