@@ -3707,6 +3707,29 @@ def q_ai_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("agent")
 
 
+def q_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (functions/lm.py —
+    Kneser & Ney 1995, Chen & Goodman 1998: the smoothing KenLM uses,
+    vs ppl_filter's add-alpha): same clean-slice reference
+    (lang='en' AND doc_id%5==0), hashed 1024-bucket basis, absolute
+    discount D = n1/(n1+2·n2) derived in-plan from exact count-of-
+    count integers, continuation-probability backoff. Oracle: full
+    replay — counts, D, the floored Pcont, the interpolated p, single
+    ln() quantization and integer per-doc sums."""
+    from ocr_engine_spark.functions.lm import (
+        doc_log_ppl_kn, fit_kn_bigram_lm,
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
+    ref = docs.filter((F.col("lang") == "en") &
+                      (F.col("doc_id") % 5 == 0))
+    big, ctx, n1w, scalars = fit_kn_bigram_lm(ref, buckets=1024)
+    out = doc_log_ppl_kn(docs, big, ctx, n1w, scalars, buckets=1024)
+    return (out.select("doc_id", "n_bigrams", "nll_micro",
+                       "log_ppl_micro")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never-driver-checked first: the driver's correctness
@@ -3714,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- CORRECTNESS_r03), so entries without a prior driver row
         # --- lead; the 50 green-in-r03 entries follow.
         "zipf_fit": q_zipf_fit,
+        "kn_ppl": q_kn_ppl,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -8515,9 +8539,91 @@ def _ai_optout_oracle() -> str:
             + ") ORDER BY agent")
 
 
+# D, Pcont and p are each ONE double expression over exact int64
+# counts — identical text to the Spark expressions modulo dialect —
+# and ln() quantizes once (negative-value round() parity is the
+# ppl_filter precedent)
+_KN_PPL_ORACLE = """
+    WITH reftok AS (
+      SELECT list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS t
+      FROM documents WHERE lang = 'en' AND doc_id % 5 = 0),
+    refp0 AS (
+      SELECT unnest(t[1 : len(t) - 1]) AS c,
+             unnest(t[2 : len(t)]) AS w
+      FROM reftok WHERE len(t) >= 2),
+    refp AS (
+      SELECT ('0x' || substr(md5(c), 1, 15))::BIGINT % 1024 AS cb,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS wb
+      FROM refp0),
+    big AS (SELECT cb, wb, count(*)::BIGINT AS c_big
+            FROM refp GROUP BY cb, wb),
+    ctx AS (SELECT cb, sum(c_big)::BIGINT AS c_ctx,
+                   count(*)::BIGINT AS n1c
+            FROM big GROUP BY cb),
+    n1w AS (SELECT wb, count(*)::BIGINT AS n1w FROM big GROUP BY wb),
+    sca AS (SELECT count(*)::BIGINT AS nb,
+                   sum(CASE WHEN c_big = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n1,
+                   sum(CASE WHEN c_big = 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n2
+            FROM big),
+    dtok AS (
+      SELECT doc_id,
+             list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS t
+      FROM documents),
+    dp0 AS (
+      SELECT doc_id, unnest(t[1 : len(t) - 1]) AS c,
+             unnest(t[2 : len(t)]) AS w
+      FROM dtok WHERE len(t) >= 2),
+    dp AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(c), 1, 15))::BIGINT % 1024 AS cb,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS wb
+      FROM dp0),
+    terms AS (
+      SELECT d.doc_id,
+             coalesce(b.c_big, 0) AS c_big,
+             coalesce(x.c_ctx, 0) AS c_ctx,
+             coalesce(x.n1c, 0) AS n1c,
+             coalesce(w.n1w, 0) AS n1w,
+             s.nb, s.n1, s.n2
+      FROM dp d
+      LEFT JOIN big b ON d.cb = b.cb AND d.wb = b.wb
+      LEFT JOIN ctx x ON d.cb = x.cb
+      LEFT JOIN n1w w ON d.wb = w.wb, sca s),
+    lp AS (
+      SELECT doc_id,
+             round(ln(
+               CASE WHEN c_ctx > 0
+                    THEN (greatest(c_big::DOUBLE - dd, 0.0)
+                          + dd * n1c::DOUBLE * pc) / c_ctx::DOUBLE
+                    ELSE pc END) * 1e6)::BIGINT AS lp
+      FROM (SELECT *,
+                   CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+                        ELSE n1::DOUBLE / (n1 + 2 * n2)::DOUBLE END
+                     AS dd,
+                   CASE WHEN n1w > 0
+                        THEN n1w::DOUBLE / nb::DOUBLE
+                        ELSE 1.0 / (nb + 1024)::DOUBLE END AS pc
+            FROM terms)),
+    sc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             (-sum(lp))::BIGINT AS nll_micro
+      FROM lp GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, nll_micro,
+           nll_micro // n_bigrams AS log_ppl_micro
+    FROM sc ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
+    d["kn_ppl"] = _KN_PPL_ORACLE
     d["embedding_outliers"] = _EMBEDDING_OUTLIERS_ORACLE
     d["corpus_overlap"] = _CORPUS_OVERLAP_ORACLE
     d["ai_optout"] = _ai_optout_oracle()

@@ -156,3 +156,95 @@ def ppl_bucket(docs: DataFrame, reference: DataFrame, *,
             .withColumn("ppl_rank", F.col("__grank").cast("long"))
             .withColumn("bucket", bucket)
             .drop("__grank", "__all", "__n"))
+
+
+def fit_kn_bigram_lm(reference: DataFrame, *, buckets: int,
+                     id_col: str = "doc_id", text_col: str = "text"
+                     ) -> tuple[DataFrame, DataFrame, DataFrame,
+                                DataFrame]:
+    """Interpolated Kneser-Ney statistics (Kneser & Ney 1995; Chen &
+    Goodman 1998 — the smoothing KenLM itself uses, here on the hashed
+    bucket basis): returns ``(big, ctx, n1w, scalars)`` where
+
+      * ``big``     = (cb, wb, c_big) bigram counts;
+      * ``ctx``     = (cb, c_ctx, n1c): context totals and the number
+        of DISTINCT bucket types following cb (N1+(cb·));
+      * ``n1w``     = (wb, n1w): distinct contexts preceding wb
+        (N1+(·wb) — the continuation count that makes KN score a word
+        by how many contexts it completes, not how often it occurs);
+      * ``scalars`` = 1 row (nb, n1, n2): distinct bigram types and
+        the count-of-counts feeding the Ney-Essen-Kneser discount
+        ``D = n1 / (n1 + 2·n2)``.
+
+    Everything derives from ONE pass over the reference's bigram
+    table; all four outputs are bounded by reference gram volume and
+    broadcast into scoring."""
+    pairs = bigram_pairs(reference, buckets=buckets, id_col=id_col,
+                         text_col=text_col)
+    big = pairs.groupBy("cb", "wb").agg(F.count("*").alias("c_big"))
+    ctx = big.groupBy("cb").agg(F.sum("c_big").alias("c_ctx"),
+                                F.count("*").alias("n1c"))
+    n1w = big.groupBy("wb").agg(F.count("*").alias("n1w"))
+    scalars = big.agg(
+        F.count("*").alias("nb"),
+        F.sum((F.col("c_big") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c_big") == 2).cast("long")).alias("n2"))
+    return big, ctx, n1w, scalars
+
+
+def doc_log_ppl_kn(docs: DataFrame, big: DataFrame, ctx: DataFrame,
+                   n1w: DataFrame, scalars: DataFrame, *, buckets: int,
+                   id_col: str = "doc_id", text_col: str = "text"
+                   ) -> DataFrame:
+    """(id, n_bigrams, nll_micro, log_ppl_micro) under interpolated
+    Kneser-Ney:
+
+      ``p(w|c) = (max(c(c,w) - D, 0) + D · N1+(c·) · Pcont(w)) / c(c·)``
+      ``Pcont(w) = N1+(·w) / nb``, floored at ``1/(nb + buckets)`` for
+      words completing no reference context; contexts with ``c(c·)=0``
+      back off to ``Pcont(w)`` alone.
+
+    Portability: D, Pcont and p are each ONE double expression over
+    exact int64 counts (the n-row scalar rides a broadcast cross
+    join — never a Python literal, so both engines derive it from the
+    same integers), ln() is quantized ONCE to micro-nats, per-doc sums
+    are exact integers. The interpolation term can push p marginally
+    above 1 for pathological contexts (documented Chen-Goodman
+    artifact of flooring Pcont), so single-gram lp may be slightly
+    positive — scores remain a valid ranking signal.
+
+    Plan: three broadcast joins + one 1-row cross join + one
+    (doc, partial-sum) shuffle with map-side combine — identical shape
+    to the add-alpha scorer."""
+    pairs = bigram_pairs(docs, buckets=buckets, id_col=id_col,
+                         text_col=text_col)
+    joined = (pairs
+              .join(F.broadcast(big), ["cb", "wb"], "left")
+              .join(F.broadcast(ctx), ["cb"], "left")
+              .join(F.broadcast(n1w), ["wb"], "left")
+              .crossJoin(F.broadcast(scalars))
+              .withColumn("c_big", F.coalesce(F.col("c_big"), F.lit(0)))
+              .withColumn("c_ctx", F.coalesce(F.col("c_ctx"), F.lit(0)))
+              .withColumn("n1c", F.coalesce(F.col("n1c"), F.lit(0)))
+              .withColumn("n1w", F.coalesce(F.col("n1w"), F.lit(0))))
+    d = F.when(F.col("n1") + 2 * F.col("n2") == 0, F.lit(0.5)) \
+         .otherwise(F.col("n1").cast("double")
+                    / (F.col("n1") + 2 * F.col("n2")).cast("double"))
+    pcont = F.when(F.col("n1w") > 0,
+                   F.col("n1w").cast("double")
+                   / F.col("nb").cast("double")) \
+             .otherwise(F.lit(1.0)
+                        / (F.col("nb") + F.lit(buckets)).cast("double"))
+    p = F.when(
+        F.col("c_ctx") > 0,
+        (F.greatest(F.col("c_big").cast("double") - d, F.lit(0.0))
+         + d * F.col("n1c").cast("double") * pcont)
+        / F.col("c_ctx").cast("double")) \
+        .otherwise(pcont)
+    lp_micro = F.round(F.log(p) * F.lit(MICRO), 0).cast("long")
+    return (joined.withColumn("__lp", lp_micro)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 (-F.sum("__lp")).alias("nll_micro"))
+            .withColumn("log_ppl_micro",
+                        F.expr("nll_micro div n_bigrams")))

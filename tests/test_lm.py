@@ -114,3 +114,92 @@ def test_ppl_bucket_deterministic_across_partitioning(spark):
     key = lambda rows: sorted((r.doc_id, r.n_bigrams, r.log_ppl_micro,
                                r.ppl_rank, r.bucket) for r in rows)
     assert key(a) == key(b)
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    # The Kneser-Ney signature (Kneser & Ney 1995): "francisco" is
+    # FREQUENT but completes only one context ("san"); "apple"
+    # has the same total count spread over many contexts. After an
+    # unseen context, KN must prefer "apple" (high continuation
+    # count) over "francisco" (continuation count 1), even though
+    # their raw unigram frequencies tie.
+    from ocr_engine_spark.functions.lm import (
+        doc_log_ppl_kn, fit_kn_bigram_lm,
+    )
+    ref_text = " ".join(["san francisco"] * 8) + " " + " ".join(
+        f"{c} apple" for c in ["red", "green", "ripe", "sour", "sweet",
+                               "old", "new", "wild"])
+    ref = spark.createDataFrame([(0, ref_text)], ["doc_id", "text"])
+    big, ctx, n1w, sca = fit_kn_bigram_lm(ref, buckets=1024)
+    probe = spark.createDataFrame(
+        [(1, "zzz francisco"), (2, "zzz apple")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["nll_micro"]
+           for r in doc_log_ppl_kn(probe, big, ctx, n1w, sca,
+                                   buckets=1024).collect()}
+    # lower NLL = more probable; apple must win after the unseen
+    # context "zzz"
+    assert got[2] < got[1]
+
+
+def test_kn_scores_match_python_reference(spark):
+    # full-replay twin: pure-Python Kneser-Ney with the same md5
+    # bucket hashing and the same single-quantized micro-nat lp
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+    from ocr_engine_spark.functions.lm import (
+        doc_log_ppl_kn, fit_kn_bigram_lm,
+    )
+    B = 64
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    def hb(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    ref_rows = [(0, "the cat sat on the mat"),
+                (1, "the dog sat on the log the cat ran")]
+    doc_rows = [(10, "the cat sat"), (11, "a cat flew the mat"),
+                (12, "xyzzy plugh")]
+    pairs = []
+    for _, t in ref_rows:
+        w = [hb(x) for x in toks(t)]
+        pairs += list(zip(w, w[1:]))
+    big = Counter(pairs)
+    ctx_tot = Counter()
+    n1c = Counter()
+    n1w = Counter()
+    for (c, w), n in big.items():
+        ctx_tot[c] += n
+        n1c[c] += 1
+        n1w[w] += 1
+    nb = len(big)
+    n1 = sum(1 for v in big.values() if v == 1)
+    n2 = sum(1 for v in big.values() if v == 2)
+    D = 0.5 if n1 + 2 * n2 == 0 else n1 / (n1 + 2 * n2)
+    want = {}
+    for did, t in doc_rows:
+        w = [hb(x) for x in toks(t)]
+        lps = []
+        for c, wd in zip(w, w[1:]):
+            pc = (n1w[wd] / nb) if n1w.get(wd) else 1.0 / (nb + B)
+            if ctx_tot.get(c):
+                p = (max(big.get((c, wd), 0) - D, 0.0)
+                     + D * n1c[c] * pc) / ctx_tot[c]
+            else:
+                p = pc
+            # Spark round() half-up on the already-negative value
+            v = math.log(p) * 1e6
+            lps.append(math.floor(v + 0.5) if v >= 0
+                       else -math.floor(-v + 0.5))
+        if lps:
+            want[did] = (len(lps), -sum(lps))
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    docs = spark.createDataFrame(doc_rows, ["doc_id", "text"])
+    bigt, ctxt, n1wt, scat = fit_kn_bigram_lm(ref, buckets=B)
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll_micro"])
+           for r in doc_log_ppl_kn(docs, bigt, ctxt, n1wt, scat,
+                                   buckets=B).collect()}
+    assert got == want
