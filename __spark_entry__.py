@@ -3730,6 +3730,42 @@ def q_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (scrub.url_trap_report — Heydon &
+    Najork 2001: calendar pages / session ids as infinite URL
+    spaces): fixture urls expanded with deterministic variants (md5
+    bucket 0: three /cal/2024-M-D date paths per url; bucket 1: a
+    10-hex ?sid= session id; others raw), templated via the pinned
+    hex->H, digits->N, query-value->V chain, concentration per
+    (host, template) with distinct-URL counts and the trap flag.
+    Oracle: replay of the variant synthesis, the regexp chain and
+    both aggregation levels."""
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    from ocr_engine_spark.functions.scrub import url_trap_report
+    from ocr_engine_spark.functions.text import md5_int60_col
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = (spark.read.parquet(os.path.join(_ENTRY_CORPUS,
+                                             "pages.parquet"))
+             .select("url"))
+    h = md5_int60_col(F.col("url"))
+    bucket = F.pmod(h, F.lit(4))
+    def cal(i: int):
+        m = (F.pmod(h + F.lit(i * 37), F.lit(12)) + 1).cast("string")
+        d = (F.pmod(h + F.lit(i * 59), F.lit(28)) + 1).cast("string")
+        return F.concat(F.lit("/cal/2024-"), m, F.lit("-"), d)
+    sid = F.concat(F.lit("?sid="), F.substring(F.md5(F.col("url")),
+                                               1, 10))
+    suffixes = (F.when(bucket == 0, F.array(cal(1), cal(2), cal(3)))
+                .when(bucket == 1, F.array(sid))
+                .otherwise(F.array(F.lit(""))))
+    variants = (pages.select(F.col("url"), F.explode(suffixes)
+                             .alias("__s"))
+                .select(F.concat(F.col("url"), F.col("__s"))
+                        .alias("url")))
+    return (url_trap_report(variants, trap_min_urls=8)
+            .orderBy("host", "template"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never-driver-checked first: the driver's correctness
@@ -3738,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- lead; the 50 green-in-r03 entries follow.
         "zipf_fit": q_zipf_fit,
         "kn_ppl": q_kn_ppl,
+        "url_traps": q_url_traps,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -8620,10 +8657,60 @@ _KN_PPL_ORACLE = """
 """
 
 
+def _url_traps_oracle() -> str:
+    from ocr_engine_spark.fixtures.frozen import ensure_entry_fixture
+    ensure_entry_fixture(_ENTRY_CORPUS)
+    pages = os.path.join(_ENTRY_CORPUS, "pages.parquet").replace("'", "''")
+    return f"""
+        WITH pg AS (SELECT url,
+                           ('0x' || substr(md5(url), 1, 15))::BIGINT AS h
+                    FROM read_parquet('{pages}')),
+        vs AS (
+          SELECT url || s AS url FROM (
+            SELECT url, unnest(CASE
+              WHEN h % 4 = 0 THEN [
+                '/cal/2024-' || ((h + 37) % 12 + 1)::VARCHAR || '-'
+                             || ((h + 59) % 28 + 1)::VARCHAR,
+                '/cal/2024-' || ((h + 74) % 12 + 1)::VARCHAR || '-'
+                             || ((h + 118) % 28 + 1)::VARCHAR,
+                '/cal/2024-' || ((h + 111) % 12 + 1)::VARCHAR || '-'
+                             || ((h + 177) % 28 + 1)::VARCHAR]
+              WHEN h % 4 = 1 THEN ['?sid=' || substr(md5(url), 1, 10)]
+              ELSE [''] END) AS s
+            FROM pg)),
+        t AS (
+          SELECT lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   CASE WHEN regexp_extract(url,
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)',
+                          1) = '' THEN '/'
+                        ELSE regexp_extract(url,
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)',
+                          1) END,
+                   '[0-9a-f]{{8,}}', 'H', 'g'),
+                   '[0-9]+', 'N', 'g'),
+                   '=[^&#]*', '=V', 'g') AS template,
+                 url
+          FROM vs),
+        pt AS (SELECT host, template,
+                      count(DISTINCT url)::BIGINT AS n_urls
+               FROM t GROUP BY host, template),
+        ph AS (SELECT host, sum(n_urls)::BIGINT AS host_urls
+               FROM pt GROUP BY host)
+        SELECT pt.host, pt.template, pt.n_urls, ph.host_urls,
+               (pt.n_urls * 1000000) // ph.host_urls AS share_ppm,
+               pt.n_urls >= 8 AS is_trap
+        FROM pt JOIN ph USING (host)
+        ORDER BY host, template
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
     d["kn_ppl"] = _KN_PPL_ORACLE
+    d["url_traps"] = _url_traps_oracle()
     d["embedding_outliers"] = _EMBEDDING_OUTLIERS_ORACLE
     d["corpus_overlap"] = _CORPUS_OVERLAP_ORACLE
     d["ai_optout"] = _ai_optout_oracle()

@@ -1683,3 +1683,57 @@ def host_risk_bounds(df: DataFrame, bad: Column, *,
         F.expr("(n_bad * 1000000) div n_docs").alias("rate_ppm"),
         F.expr(WILSON_LOW_SQL).cast("long").alias("wilson_low_ppm"),
         F.expr(WILSON_HIGH_SQL).cast("long").alias("wilson_high_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# Crawler-trap detection (Heydon & Najork 2001, "Mercator: A scalable,
+# extensible Web crawler" — calendar pages, session ids and other
+# infinite URL spaces are the classic crawler trap): URLs that are
+# DISTINCT as strings but collapse to one path TEMPLATE betray a
+# generator, not content.
+# ---------------------------------------------------------------------------
+
+_PATHQ_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)"
+
+
+def url_template_col(url: Column) -> Column:
+    """Path+query template: fragment dropped, >=8-char lowercase hex
+    runs -> 'H' (session ids, content hashes), digit runs -> 'N'
+    (dates, pagination, numeric ids), query VALUES -> 'V'. Applied in
+    that pinned order so a hex id never half-survives digit collapse.
+    Pure codegen'd regexp chain — zero shuffle, zero UDF."""
+    pq = F.regexp_extract(url, _PATHQ_RE, 1)
+    pq = F.when(pq == "", F.lit("/")).otherwise(pq)
+    t = F.regexp_replace(pq, "[0-9a-f]{8,}", "H")
+    t = F.regexp_replace(t, "[0-9]+", "N")
+    return F.regexp_replace(t, "=[^&#]*", "=V")
+
+
+def url_trap_report(pages: DataFrame, *, url_col: str = "url",
+                    trap_min_urls: int = 8) -> DataFrame:
+    """Per-(host, template) URL concentration: (host, template,
+    n_urls, host_urls, share_ppm, is_trap) where ``n_urls`` counts
+    DISTINCT raw URLs collapsing to the template and ``is_trap``
+    flags templates at or above ``trap_min_urls`` — the frontier-
+    hygiene table a crawl scheduler reads before burning fetch budget
+    on /cal/2024-N-N page N+1.
+
+    Scale shape: the template is a map-side projection; ONE
+    (host, template) shuffle with partial-distinct combine, host
+    totals by a second bounded rollup joined back on host (templates
+    per host are bounded; the join side is host-level, broadcast when
+    small, hash otherwise). No payload byte is touched."""
+    base = pages.select(
+        host_col(F.col(url_col)).alias("host"),
+        url_template_col(F.col(url_col)).alias("template"),
+        F.col(url_col).alias("__u"))
+    per_tpl = (base.groupBy("host", "template")
+               .agg(F.countDistinct("__u").alias("n_urls")))
+    per_host = (per_tpl.groupBy("host")
+                .agg(F.sum("n_urls").alias("host_urls")))
+    return (per_tpl.join(per_host, "host")
+            .select("host", "template", "n_urls", "host_urls",
+                    F.expr("(n_urls * 1000000) div host_urls")
+                    .alias("share_ppm"),
+                    (F.col("n_urls") >= trap_min_urls)
+                    .alias("is_trap")))

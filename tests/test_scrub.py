@@ -999,3 +999,35 @@ def test_wilson_bounds_match_reference(spark):
     # k=0 stays well-defined (the normal approximation collapses)
     assert got["c"].wilson_low_ppm == 0
     assert 0 < got["c"].wilson_high_ppm < 120_000
+
+
+def test_url_template_collapse(spark):
+    from ocr_engine_spark.functions.scrub import url_template_col
+    import pyspark.sql.functions as F
+    rows = [
+        ("https://h/cal/2024-3-14",),
+        ("https://h/cal/2024-12-1",),          # same template
+        ("https://h/p?sid=deadbeef42&x=7#f",),  # hex id + value + frag
+        ("https://h/",),
+        ("https://h",),                         # empty path -> '/'
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    got = [r[0] for r in
+           df.select(url_template_col(F.col("url"))).collect()]
+    assert got == ["/cal/N-N-N", "/cal/N-N-N",
+                   "/p?sid=V&x=V", "/", "/"]
+
+
+def test_url_trap_report_flags_generator(spark):
+    from ocr_engine_spark.functions.scrub import url_trap_report
+    urls = [(f"https://trap.example/cal/2024-{m}-{d}",)
+            for m in range(1, 4) for d in range(1, 5)]   # 12 urls, 1 tpl
+    urls += [(f"https://ok.example/post/{i}",) for i in range(3)]
+    df = spark.createDataFrame(urls, ["url"])
+    rows = {(r["host"], r["template"]): r
+            for r in url_trap_report(df, trap_min_urls=8).collect()}
+    trap = rows[("trap.example", "/cal/N-N-N")]
+    assert trap["n_urls"] == 12 and trap["is_trap"]
+    assert trap["share_ppm"] == 1_000_000
+    ok = rows[("ok.example", "/post/N")]
+    assert ok["n_urls"] == 3 and not ok["is_trap"]
