@@ -3766,6 +3766,19 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential cleaning-funnel report (functions/funnel.py — the
+    RefinedWeb/FineWeb per-stage removal table): input -> 25-token
+    floor -> 0.35-quality floor (micro units) -> exact dedup, all
+    four survivor counts from ONE corpus scan (aggregate conjunctions
+    + distinct survivor fingerprints), stage rows unfolded from the
+    1-row aggregate. Oracle: same conjunction sums and distinct-CASE
+    count over the shared _NTOK/_QUALITY_RAW twins."""
+    from ocr_engine_spark.functions.funnel import filter_funnel
+    docs = _read(spark, sf_dir, "documents")
+    return filter_funnel(docs).orderBy("stage_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never-driver-checked first: the driver's correctness
@@ -3775,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "kn_ppl": q_kn_ppl,
         "url_traps": q_url_traps,
+        "filter_funnel": q_filter_funnel,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -8711,6 +8725,33 @@ def oracle_sql() -> dict[str, str]:
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
     d["kn_ppl"] = _KN_PPL_ORACLE
     d["url_traps"] = _url_traps_oracle()
+    d["filter_funnel"] = f"""
+        WITH t AS (SELECT doc_id, text FROM documents),
+        q AS (SELECT doc_id, text, {_NTOK} AS n_tokens,
+                     floor({_QUALITY_RAW} * 1e6 + 0.5) AS q_micro,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                             'g'))) AS fp
+              FROM t),
+        c AS (SELECT count(*)::BIGINT AS c0,
+                     sum(CASE WHEN n_tokens >= 25 THEN 1 ELSE 0
+                         END)::BIGINT AS c1,
+                     sum(CASE WHEN n_tokens >= 25 AND q_micro >= 350000
+                         THEN 1 ELSE 0 END)::BIGINT AS c2,
+                     count(DISTINCT CASE WHEN n_tokens >= 25
+                             AND q_micro >= 350000 THEN fp
+                           END)::BIGINT AS c3
+              FROM q),
+        s AS (SELECT 0 AS stage_idx, 'input' AS stage,
+                     c0 AS n_in, c0 AS n_kept FROM c
+              UNION ALL SELECT 1, 'min_tokens_25', c0, c1 FROM c
+              UNION ALL SELECT 2, 'quality_micro_350000', c1, c2 FROM c
+              UNION ALL SELECT 3, 'exact_dedup', c2, c3 FROM c)
+        SELECT stage_idx, stage, n_in, n_kept,
+               CASE WHEN n_in > 0
+                    THEN ((n_in - n_kept) * 1000000) // n_in END
+                 AS drop_ppm
+        FROM s ORDER BY stage_idx
+    """
     d["embedding_outliers"] = _EMBEDDING_OUTLIERS_ORACLE
     d["corpus_overlap"] = _CORPUS_OVERLAP_ORACLE
     d["ai_optout"] = _ai_optout_oracle()
