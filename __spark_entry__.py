@@ -3766,6 +3766,27 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching detection (sentence.mixed_language_report —
+    Kreutzer et al. 2022's top web-corpus audit finding): docs
+    doc_id%4==0 get a French sentence appended, %4==1 a German one,
+    sentence-level langid votes aggregated to per-doc majority share
+    and the mixed flag. Oracle: injection + the shared sentence-split
+    twin + the per-sentence langid CASE + struct-min argmax replay."""
+    from ocr_engine_spark.functions.sentence import mixed_language_report
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    inject = (F.when(F.col("doc_id") % 4 == 0,
+                     F.lit(" Le chat dort sur la table avec les amis"
+                           " et une souris."))
+              .when(F.col("doc_id") % 4 == 1,
+                    F.lit(" Der Hund und die Katze mit das ein"
+                          " Garten für auf im Winter."))
+              .otherwise(F.lit("")))
+    d = docs.select("doc_id",
+                    F.concat(F.col("text"), inject).alias("text"))
+    return mixed_language_report(d).orderBy("doc_id")
+
+
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential cleaning-funnel report (functions/funnel.py — the
     RefinedWeb/FineWeb per-stage removal table): input -> 25-token
@@ -3789,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_ppl": q_kn_ppl,
         "url_traps": q_url_traps,
         "filter_funnel": q_filter_funnel,
+        "mixed_lang": q_mixed_lang,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -7226,10 +7248,30 @@ def _nested_fields_oracle() -> str:
     """
 
 
-def _stop_count(lang: str) -> str:
+def _stop_count(lang: str, col: str = "text") -> str:
     words = oracle_stopword_list(lang)
-    return (r"len(list_filter(string_split_regex(trim(lower(text)), '\s+'), "
-            f"w -> w in ({words})))")
+    return (f"len(list_filter(string_split_regex(trim(lower({col})), "
+            rf"'\s+'), w -> w in ({words})))")
+
+
+def _lang_guess_sql(col: str) -> str:
+    """The lang_guess_col twin as a CASE over an arbitrary column —
+    script branches then the ordered stopword argmax (en>fr>de>es
+    first-wins ties)."""
+    return f"""CASE
+        WHEN (length({col}) - length(regexp_replace({col},
+             '[\\x{{0600}}-\\x{{06FF}}]', '', 'g'))) * 1.0
+             / greatest(length({col}), 1) > 0.08 THEN 'ar'
+        WHEN (length({col}) - length(regexp_replace({col},
+             '[\\x{{4E00}}-\\x{{9FFF}}]', '', 'g'))) * 1.0
+             / greatest(length({col}), 1) > 0.08 THEN 'zh'
+        WHEN {_stop_count('en', col)} >= {_stop_count('fr', col)}
+         AND {_stop_count('en', col)} >= {_stop_count('de', col)}
+         AND {_stop_count('en', col)} >= {_stop_count('es', col)} THEN 'en'
+        WHEN {_stop_count('fr', col)} >= {_stop_count('de', col)}
+         AND {_stop_count('fr', col)} >= {_stop_count('es', col)} THEN 'fr'
+        WHEN {_stop_count('de', col)} >= {_stop_count('es', col)} THEN 'de'
+        ELSE 'es' END"""
 
 
 # Full replay of functions/gopher.py: the nine probe rewrites, every
@@ -8725,6 +8767,34 @@ def oracle_sql() -> dict[str, str]:
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
     d["kn_ppl"] = _KN_PPL_ORACLE
     d["url_traps"] = _url_traps_oracle()
+    d["mixed_lang"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 4 = 0
+                   THEN ' Le chat dort sur la table avec les amis et une souris.'
+                   WHEN doc_id % 4 = 1
+                   THEN ' Der Hund und die Katze mit das ein Garten für auf im Winter.'
+                   ELSE '' END AS t
+          FROM documents WHERE doc_id < 250),
+        arrs AS (SELECT doc_id, {_sent_split_sql('t')} AS arr FROM d),
+        s AS (SELECT doc_id, arr[i] AS sentence
+              FROM arrs,
+                   LATERAL unnest(generate_series(1, len(arr))) u(i)),
+        v AS (SELECT doc_id, {_lang_guess_sql('sentence')} AS lang
+              FROM s),
+        pl AS (SELECT doc_id, lang, count(*)::BIGINT AS n
+               FROM v GROUP BY doc_id, lang),
+        pd AS (SELECT doc_id, sum(n)::BIGINT AS n_sents,
+                      count(*)::BIGINT AS n_langs,
+                      min({{'nn': -n, 'lang': lang}}) AS m
+               FROM pl GROUP BY doc_id)
+        SELECT doc_id, n_sents, n_langs,
+               m.lang AS majority_lang,
+               ((-m.nn) * 1000000) // n_sents AS majority_ppm,
+               n_langs >= 2 AS is_mixed
+        FROM pd ORDER BY doc_id
+    """
     d["filter_funnel"] = f"""
         WITH t AS (SELECT doc_id, text FROM documents),
         q AS (SELECT doc_id, text, {_NTOK} AS n_tokens,

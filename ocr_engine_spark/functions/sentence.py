@@ -133,3 +133,41 @@ def bitext_align_score(df_a: DataFrame, df_b: DataFrame, *,
         .alias("mean_ratio_ppm"),
         F.expr("sum_ratio_ppm div greatest(n_sents_a, n_sents_b)")
         .alias("align_score_ppm"))
+
+
+def mixed_language_report(df: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Code-switching / mixed-language detection (the top audit
+    finding of Kreutzer et al. 2022, "Quality at a Glance": web-corpus
+    language labels routinely hide second-language content): sentence-
+    level language votes under the deterministic heuristic langid,
+    aggregated per document into (n_sents, n_langs, majority_lang,
+    majority_ppm, is_mixed). A doc whose majority share sinks is a
+    translation-mix, boilerplate-mix or wrong-label candidate that a
+    doc-level langid alone cannot see.
+
+    Shape: sentence fan-out is map-side (posexplode), votes reduce in
+    ONE (doc, lang) count with map-side combine, the per-doc argmax is
+    a min over (−n, lang) structs — smallest negated count = most
+    votes, ties to the alphabetically first lang, identical to the
+    DuckDB struct-min. No window, no UDF, nothing quadratic."""
+    from ocr_engine_spark.functions.text import lang_guess_col
+    sents = sentences(df, id_col=id_col, text_col=text_col)
+    votes = sents.select(F.col(id_col),
+                         lang_guess_col(F.col("sentence")).alias("lang"))
+    per_lang = votes.groupBy(id_col, "lang").agg(F.count("*").alias("n"))
+    per_doc = (per_lang.groupBy(id_col)
+               .agg(F.sum("n").alias("n_sents"),
+                    F.count("*").alias("n_langs"),
+                    F.min(F.struct((-F.col("n")).alias("nn"),
+                                   F.col("lang").alias("lang")))
+                    .alias("__m")))
+    return (per_doc
+            .withColumn("__mn", -F.col("__m.nn"))
+            .select(F.col(id_col),
+                    F.col("n_sents").cast("long").alias("n_sents"),
+                    F.col("n_langs").cast("long").alias("n_langs"),
+                    F.col("__m.lang").alias("majority_lang"),
+                    F.expr("(__mn * 1000000) div n_sents")
+                    .alias("majority_ppm"),
+                    (F.col("n_langs") >= 2).alias("is_mixed")))

@@ -100,3 +100,21 @@ def test_bitext_align_count_mismatch_penalized(spark):
     # perfect on the aligned prefix, halved by the unaligned tail
     assert r.mean_ratio_ppm == 1_000_000
     assert r.align_score_ppm == 2_000_000 // 4
+
+
+def test_mixed_language_report_flags_code_switching(spark):
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.sentence import mixed_language_report
+    en = ("The cat is on the mat with a dog. The day is good for the "
+          "friends of the family.")
+    mixed = en + " Le chat dort sur la table avec les amis et une souris."
+    rows = [(0, en), (1, mixed)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in mixed_language_report(df).collect()}
+    assert not got[0]["is_mixed"]
+    assert got[0]["majority_lang"] == "en"
+    assert got[0]["majority_ppm"] == 1_000_000
+    assert got[1]["is_mixed"]
+    assert got[1]["majority_lang"] == "en"
+    assert got[1]["n_langs"] == 2
+    assert got[1]["majority_ppm"] < 1_000_000
