@@ -3766,6 +3766,24 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+_LEXICON = {
+    "latency": ["slow", "crash", "stall"],
+    "hype": ["fast", "big", "blazing"],
+}
+
+
+def q_lexicon_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-lexicon filter (scrub.lexicon_scan — C4's badword drop
+    rule, Raffel et al. 2020, with Dodge et al. 2021's counts-first
+    caveat): two pinned categories of fixture-vocabulary stand-in
+    words, word-boundary regexp_count chains, integer ppm, C4's
+    binary dropped flag. Map-only, zero shuffle. Oracle: same
+    boundaries via len(regexp_extract_all(...))."""
+    from ocr_engine_spark.functions.scrub import lexicon_scan
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return lexicon_scan(docs, _LEXICON).orderBy("doc_id")
+
+
 def q_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-switching detection (sentence.mixed_language_report —
     Kreutzer et al. 2022's top web-corpus audit finding): docs
@@ -3811,6 +3829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_traps": q_url_traps,
         "filter_funnel": q_filter_funnel,
         "mixed_lang": q_mixed_lang,
+        "lexicon_scan": q_lexicon_scan,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -8767,6 +8786,30 @@ def oracle_sql() -> dict[str, str]:
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
     d["kn_ppl"] = _KN_PPL_ORACLE
     d["url_traps"] = _url_traps_oracle()
+    d["lexicon_scan"] = r"""
+        WITH d AS (SELECT doc_id, lower(text) AS t, text
+                   FROM documents WHERE doc_id < 300),
+        c AS (
+          SELECT doc_id,
+                 (case when length(trim(text)) = 0 then 0
+                  else len(string_split_regex(trim(text), '\s+'))
+                  end)::BIGINT AS n_tokens,
+                 (len(regexp_extract_all(t, '\bfast\b'))
+                  + len(regexp_extract_all(t, '\bbig\b'))
+                  + len(regexp_extract_all(t, '\bblazing\b')))::BIGINT
+                   AS hype_hits,
+                 (len(regexp_extract_all(t, '\bslow\b'))
+                  + len(regexp_extract_all(t, '\bcrash\b'))
+                  + len(regexp_extract_all(t, '\bstall\b')))::BIGINT
+                   AS latency_hits
+          FROM d)
+        SELECT doc_id, n_tokens, hype_hits, latency_hits,
+               (hype_hits + latency_hits)::BIGINT AS total_hits,
+               (hype_hits + latency_hits) >= 1 AS dropped,
+               ((hype_hits + latency_hits) * 1000000)
+                 // greatest(n_tokens, 1) AS hit_ppm
+        FROM c ORDER BY doc_id
+    """
     d["mixed_lang"] = f"""
         WITH d AS (
           SELECT doc_id,

@@ -1737,3 +1737,47 @@ def url_trap_report(pages: DataFrame, *, url_col: str = "url",
                     .alias("share_ppm"),
                     (F.col("n_urls") >= trap_min_urls)
                     .alias("is_trap")))
+
+
+def lexicon_scan(df: DataFrame, lexicon: dict[str, list[str]], *,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """C4-style content-lexicon filter (Raffel et al. 2020 dropped any
+    page containing a listed word; Dodge et al. 2021 documents what
+    that rule costs — which is why this emits COUNTS per category and
+    leaves the drop policy to the caller): word-boundary hit counts
+    per category, total ppm against token count, and C4's binary
+    ``dropped`` flag (>= 1 hit anywhere).
+
+    The lexicon is a plan-time constant: each category compiles to a
+    chain of ``regexp_count(lower(text), '\\bword\\b')`` terms — one
+    codegen'd map-side projection, zero shuffle, zero UDF, linear in
+    corpus bytes regardless of category count. ASCII ``\\b`` agrees
+    between Java regex and RE2, so the oracle counts with
+    ``len(regexp_extract_all(...))`` verbatim."""
+    import re as _re
+    t = F.lower(F.col(text_col))
+    cat_cols = []
+    total = None
+    for cat in sorted(lexicon):
+        cnt = None
+        for w in lexicon[cat]:
+            c = F.regexp_count(t, F.lit(rf"\b{_re.escape(w)}\b"))
+            cnt = c if cnt is None else cnt + c
+        cnt = (cnt if cnt is not None else F.lit(0)).cast("long")
+        cat_cols.append(cnt.alias(f"{cat}_hits"))
+        total = cnt if total is None else total + cnt
+    from ocr_engine_spark.functions.text import token_count_col
+    n_tokens = token_count_col(F.col(text_col))
+    total = (total if total is not None else F.lit(0)).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        *cat_cols,
+        total.alias("total_hits"),
+        (total >= 1).alias("dropped"))
+    # exact integer ppm (float-div-then-cast truncation can disagree
+    # with SQL floor division on representation edges)
+    return out.withColumn(
+        "hit_ppm",
+        F.expr("(total_hits * 1000000) div greatest(n_tokens, 1)"))

@@ -1031,3 +1031,20 @@ def test_url_trap_report_flags_generator(spark):
     assert trap["share_ppm"] == 1_000_000
     ok = rows[("ok.example", "/post/N")]
     assert ok["n_urls"] == 3 and not ok["is_trap"]
+
+
+def test_lexicon_scan_word_boundaries(spark):
+    from ocr_engine_spark.functions.scrub import lexicon_scan
+    rows = [
+        (0, "the fast dog ran fast past a fastball"),   # 2 hits, not 3
+        (1, "nothing listed here"),
+        (2, "Slow... very SLOW, slowly"),               # 2 (case, punct)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    lex = {"hype": ["fast"], "latency": ["slow"]}
+    got = {r["doc_id"]: r for r in lexicon_scan(df, lex).collect()}
+    assert got[0]["hype_hits"] == 2 and got[0]["latency_hits"] == 0
+    assert got[0]["dropped"]
+    assert got[1]["total_hits"] == 0 and not got[1]["dropped"]
+    assert got[2]["latency_hits"] == 2   # 'slowly' must NOT match
+    assert got[2]["hit_ppm"] == (2 * 1_000_000) // 4
