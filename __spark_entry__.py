@@ -3766,6 +3766,27 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card-number detection (scrub.luhn_card_report,
+    ISO/IEC 7812): doc_id%5==0 gets a Luhn-valid 16-digit injection,
+    %5==1 the same digits with a broken checksum, %5==2 a phone-like
+    short run that must not even be a candidate. Oracle: same
+    candidate regex + the mod-10 digit fold as list_transform/
+    list_sum."""
+    from ocr_engine_spark.functions.scrub import luhn_card_report
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    inject = (F.when(F.col("doc_id") % 5 == 0,
+                     F.lit(" pay 4111 1111 1111 1111 today"))
+              .when(F.col("doc_id") % 5 == 1,
+                    F.lit(" pay 4111 1111 1111 1112 today"))
+              .when(F.col("doc_id") % 5 == 2,
+                    F.lit(" call 555-123-4567"))
+              .otherwise(F.lit("")))
+    d = docs.select("doc_id",
+                    F.concat(F.col("text"), inject).alias("text"))
+    return luhn_card_report(d).orderBy("doc_id")
+
+
 _LEXICON = {
     "latency": ["slow", "crash", "stall"],
     "hype": ["fast", "big", "blazing"],
@@ -3830,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": q_filter_funnel,
         "mixed_lang": q_mixed_lang,
         "lexicon_scan": q_lexicon_scan,
+        "luhn_cards": q_luhn_cards,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -8786,6 +8808,42 @@ def oracle_sql() -> dict[str, str]:
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
     d["kn_ppl"] = _KN_PPL_ORACLE
     d["url_traps"] = _url_traps_oracle()
+    d["luhn_cards"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 5 = 0 THEN ' pay 4111 1111 1111 1111 today'
+                   WHEN doc_id % 5 = 1 THEN ' pay 4111 1111 1111 1112 today'
+                   WHEN doc_id % 5 = 2 THEN ' call 555-123-4567'
+                   ELSE '' END AS t
+          FROM documents WHERE doc_id < 200),
+        cand AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   unnest(regexp_extract_all(t,
+                     '\b(?:\d[ -]?){12,18}\d\b')), '[ -]', '', 'g') AS dg
+          FROM d),
+        c2 AS (SELECT doc_id, dg, length(dg) AS L
+               FROM cand WHERE length(dg) BETWEEN 13 AND 19),
+        ck AS (
+          SELECT doc_id,
+                 list_sum(list_transform(generate_series(1, L), j ->
+                   CASE WHEN (L - j) % 2 = 1
+                        THEN CASE WHEN substr(dg, j, 1)::INT * 2 > 9
+                                  THEN substr(dg, j, 1)::INT * 2 - 9
+                                  ELSE substr(dg, j, 1)::INT * 2 END
+                        ELSE substr(dg, j, 1)::INT END)) % 10 = 0 AS ok
+          FROM c2),
+        pd AS (SELECT doc_id, count(*)::BIGINT AS n_candidates,
+                      sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT
+                        AS n_valid
+               FROM ck GROUP BY doc_id)
+        SELECT b.doc_id,
+               coalesce(pd.n_candidates, 0)::BIGINT AS n_candidates,
+               coalesce(pd.n_valid, 0)::BIGINT AS n_valid
+        FROM (SELECT doc_id FROM d) b LEFT JOIN pd USING (doc_id)
+        ORDER BY doc_id
+    """
     d["lexicon_scan"] = r"""
         WITH d AS (SELECT doc_id, lower(text) AS t, text
                    FROM documents WHERE doc_id < 300),

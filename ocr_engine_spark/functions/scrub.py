@@ -1781,3 +1781,49 @@ def lexicon_scan(df: DataFrame, lexicon: dict[str, list[str]], *,
     return out.withColumn(
         "hit_ppm",
         F.expr("(total_hits * 1000000) div greatest(n_tokens, 1)"))
+
+
+_CARD_CAND_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_card_report(df: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Credit-card detection with Luhn mod-10 validation (ISO/IEC
+    7812 — the checksum separating card numbers from arbitrary digit
+    runs; pattern-only PII scanners false-positive on order ids and
+    timestamps, which is why code-corpus PII pipelines such as
+    BigCode's validate Luhn before redacting): per document,
+    ``n_candidates`` (13-19-digit runs allowing single space/dash
+    separators) and ``n_valid`` (Luhn-passing).
+
+    The check runs on the exploded candidate rows — rare by
+    construction, so the HOF digit fold prices in candidates, not
+    corpus bytes; everything else is one map-side regexp scan and a
+    (doc) count with map-side combine. Docs without candidates keep a
+    zero row via the left join back to the scope."""
+    cands = (df.select(F.col(id_col),
+                       F.explode(F.regexp_extract_all(
+                           F.col(text_col), F.lit(_CARD_CAND_RE), 0))
+                       .alias("__raw"))
+             .withColumn("__d", F.regexp_replace("__raw", "[ -]", ""))
+             .withColumn("__L", F.length("__d"))
+             .filter((F.col("__L") >= 13) & (F.col("__L") <= 19)))
+    v = lambda j: F.substring(F.col("__d"), j, F.lit(1)).cast("int")
+    term = lambda j: F.when(
+        F.pmod(F.col("__L") - j, F.lit(2)) == 1,
+        F.when(v(j) * 2 > 9, v(j) * 2 - 9).otherwise(v(j) * 2)) \
+        .otherwise(v(j))
+    luhn_sum = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.col("__L")), term),
+        F.lit(0), lambda acc, x: acc + x)
+    per_doc = (cands
+               .withColumn("__ok", F.pmod(luhn_sum, F.lit(10)) == 0)
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_candidates"),
+                    F.sum(F.col("__ok").cast("long")).alias("n_valid")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_candidates", F.lit(0)).cast("long")
+                    .alias("n_candidates"),
+                    F.coalesce("n_valid", F.lit(0)).cast("long")
+                    .alias("n_valid")))

@@ -1048,3 +1048,22 @@ def test_lexicon_scan_word_boundaries(spark):
     assert got[1]["total_hits"] == 0 and not got[1]["dropped"]
     assert got[2]["latency_hits"] == 2   # 'slowly' must NOT match
     assert got[2]["hit_ppm"] == (2 * 1_000_000) // 4
+
+
+def test_luhn_card_detection(spark):
+    from ocr_engine_spark.functions.scrub import luhn_card_report
+    rows = [
+        (0, "pay with 4111 1111 1111 1111 now"),      # valid Visa test
+        (1, "bad card 4111-1111-1111-1112"),          # checksum broken
+        (2, "call 555-123-4567 or 555 987 6543"),     # too short
+        (3, "amex 3782 822463 10005 works"),          # valid 15-digit
+        (4, "plain text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_candidates"], r["n_valid"])
+           for r in luhn_card_report(df).collect()}
+    assert got[0] == (1, 1)
+    assert got[1] == (1, 0)
+    assert got[2] == (0, 0)
+    assert got[3] == (1, 1)
+    assert got[4] == (0, 0)
