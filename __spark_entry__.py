@@ -3766,6 +3766,20 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sparse-projection distortion audit
+    (similarity.jl_projection_audit — JL 1984; Achlioptas 2003): the
+    64-dim embeddings projected to 16 dims with the md5-derived
+    +-1/0 matrix, pairwise squared distances compared on the vec_id <
+    20 sample, ratio_ppm concentrating at 1e6. Oracle: the matrix is
+    RE-DERIVED in SQL from the same md5 basis; distances replayed on
+    the 6-decimal grid."""
+    from ocr_engine_spark.functions.similarity import jl_projection_audit
+    emb = _read(spark, sf_dir, "embeddings")
+    return (jl_projection_audit(emb, k=16, max_id=20)
+            .orderBy("id_a", "id_b"))
+
+
 def q_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luhn-validated card-number detection (scrub.luhn_card_report,
     ISO/IEC 7812): doc_id%5==0 gets a Luhn-valid 16-digit injection,
@@ -3852,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_lang": q_mixed_lang,
         "lexicon_scan": q_lexicon_scan,
         "luhn_cards": q_luhn_cards,
+        "jl_audit": q_jl_audit,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -8808,6 +8823,36 @@ def oracle_sql() -> dict[str, str]:
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
     d["kn_ppl"] = _KN_PPL_ORACLE
     d["url_traps"] = _url_traps_oracle()
+    d["jl_audit"] = """
+        WITH m AS (
+          SELECT j.j, i.i,
+                 CASE ('0x' || substr(md5(j.j::VARCHAR || ':'
+                        || i.i::VARCHAR), 1, 15))::BIGINT % 6
+                      WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS r
+          FROM (SELECT unnest(generate_series(0, 15)) AS j) j,
+               (SELECT unnest(generate_series(0, 63)) AS i) i),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 20),
+        x AS (SELECT vec_id, u.i - 1 AS i, v[u.i] AS val
+              FROM e, LATERAL unnest(generate_series(1, len(v))) u(i)),
+        s AS (SELECT vec_id, m.j, round(sum(val * m.r), 6) AS sj
+              FROM x JOIN m ON x.i = m.i GROUP BY vec_id, m.j),
+        dp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      round(sum((a.sj - b.sj) * (a.sj - b.sj)), 6)
+                        AS d2p
+               FROM s a JOIN s b ON a.j = b.j AND a.vec_id < b.vec_id
+               GROUP BY 1, 2),
+        d0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      round(sum((a.val - b.val) * (a.val - b.val)), 6)
+                        AS d2
+               FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+               GROUP BY 1, 2)
+        SELECT id_a, id_b, d2, d2p,
+               floor((d2p * 3000000.0) / (16.0 * d2) + 0.5)::BIGINT
+                 AS ratio_ppm
+        FROM d0 JOIN dp USING (id_a, id_b)
+        WHERE d2 > 0 ORDER BY id_a, id_b
+    """
     d["luhn_cards"] = r"""
         WITH d AS (
           SELECT doc_id,

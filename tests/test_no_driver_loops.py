@@ -22,6 +22,7 @@ COLLECT_ALLOWLIST = {
     "functions/similarity.py": [
         ".select(vec_col).collect())",  # centroid seed: limit(n) upstream
         "embeddings.select(vec_col).first()",  # dim probe: 1 row
+        "emb.select(vec_col).first()",         # dim probe: 1 row
         "benchmark.select(bench_vec_col).first()",  # dim probe: 1 row
         "rows = base.collect()",  # broadcast-verify matrix: size-guarded
         '.cast("array<double>")).collect()',  # benchmark matrix: size-guarded

@@ -285,3 +285,34 @@ def test_embedding_outliers_tails(spark):
     assert len(by_scope["prototype"]) == 3
     assert 99 not in by_scope["prototype"]
     assert not set(by_scope["outlier"]) & set(by_scope["prototype"])
+
+
+def test_jl_projection_distortion_concentrates(spark):
+    # JL guarantee at k=16: pairwise distance ratios concentrate
+    # around 1 with spread O(1/sqrt(k)); assert the ratio distribution
+    # is centered (mean within 25%) and no catastrophic collapse.
+    import os
+    from ocr_engine_spark.functions.similarity import jl_projection_audit
+    from tests.conftest import TESTDATA_SF001
+    emb = spark.read.parquet(
+        os.path.join(TESTDATA_SF001, "embeddings.parquet"))
+    rows = jl_projection_audit(emb, k=16, max_id=20).collect()
+    assert len(rows) == 190
+    ratios = [r["ratio_ppm"] for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 750_000 < mean < 1_250_000
+    assert all(r > 100_000 for r in ratios)
+
+
+def test_sparse_projection_matrix_deterministic_density(spark):
+    from ocr_engine_spark.functions.similarity import (
+        sparse_projection_matrix,
+    )
+    m = sparse_projection_matrix(64, 16)
+    again = sparse_projection_matrix(64, 16)
+    assert m == again
+    flat = [v for row in m for v in row]
+    nz = sum(1 for v in flat if v != 0)
+    # expected density 1/3 of 1024 = ~341; allow generous band
+    assert 230 < nz < 460
+    assert set(flat) <= {-1, 0, 1}
