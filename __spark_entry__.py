@@ -3766,6 +3766,28 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_kn3_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 interpolated Kneser-Ney perplexity (functions/lm.py —
+    Chen & Goodman 1998 §4.1.6 with CONTINUATION counts at the lower
+    orders, the KenLM formulation, vs kn_ppl's order-2): same clean
+    reference slice, 1024 buckets, D3/D2 from each level's count-of-
+    counts, full p3->p2->p1 backoff chain. Oracle: complete replay of
+    every table, both discounts, the floored p1 and the nested
+    interpolation."""
+    from ocr_engine_spark.functions.lm import (
+        doc_log_ppl_kn3, fit_kn_trigram_lm,
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
+    ref = docs.filter((F.col("lang") == "en") &
+                      (F.col("doc_id") % 5 == 0))
+    model = fit_kn_trigram_lm(ref, buckets=1024)
+    out = doc_log_ppl_kn3(docs, model, buckets=1024)
+    return (out.select("doc_id", "n_trigrams", "nll_micro",
+                       "log_ppl_micro")
+            .orderBy("doc_id"))
+
+
 def q_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss sparse-projection distortion audit
     (similarity.jl_projection_audit — JL 1984; Achlioptas 2003): the
@@ -3867,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon_scan": q_lexicon_scan,
         "luhn_cards": q_luhn_cards,
         "jl_audit": q_jl_audit,
+        "kn3_ppl": q_kn3_ppl,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -8823,6 +8846,113 @@ def oracle_sql() -> dict[str, str]:
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
     d["kn_ppl"] = _KN_PPL_ORACLE
     d["url_traps"] = _url_traps_oracle()
+    d["kn3_ppl"] = """
+    WITH reftok AS (
+      SELECT list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS t
+      FROM documents WHERE lang = 'en' AND doc_id % 5 = 0),
+    refp0 AS (
+      SELECT unnest(t[1 : len(t) - 2]) AS u,
+             unnest(t[2 : len(t) - 1]) AS v,
+             unnest(t[3 : len(t)]) AS w
+      FROM reftok WHERE len(t) >= 3),
+    refp AS (
+      SELECT ('0x' || substr(md5(u), 1, 15))::BIGINT % 1024 AS ub,
+             ('0x' || substr(md5(v), 1, 15))::BIGINT % 1024 AS vb,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS wb
+      FROM refp0),
+    tri AS (SELECT ub, vb, wb, count(*)::BIGINT AS c3
+            FROM refp GROUP BY ub, vb, wb),
+    tctx AS (SELECT ub, vb, sum(c3)::BIGINT AS c3tot,
+                    count(*)::BIGINT AS n13
+             FROM tri GROUP BY ub, vb),
+    cont2 AS (SELECT vb, wb, count(*)::BIGINT AS c2h
+              FROM tri GROUP BY vb, wb),
+    c2ctx AS (SELECT vb, sum(c2h)::BIGINT AS c2tot,
+                     count(*)::BIGINT AS n12
+              FROM cont2 GROUP BY vb),
+    cont1 AS (SELECT wb, count(*)::BIGINT AS c1h
+              FROM cont2 GROUP BY wb),
+    sca AS (SELECT
+              (SELECT count(*) FROM cont2)::BIGINT AS nb2,
+              (SELECT sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)
+               FROM tri)::BIGINT AS n1_3,
+              (SELECT sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)
+               FROM tri)::BIGINT AS n2_3,
+              (SELECT sum(CASE WHEN c2h = 1 THEN 1 ELSE 0 END)
+               FROM cont2)::BIGINT AS n1_2,
+              (SELECT sum(CASE WHEN c2h = 2 THEN 1 ELSE 0 END)
+               FROM cont2)::BIGINT AS n2_2),
+    dtok AS (
+      SELECT doc_id,
+             list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS t
+      FROM documents),
+    dp0 AS (
+      SELECT doc_id, unnest(t[1 : len(t) - 2]) AS u,
+             unnest(t[2 : len(t) - 1]) AS v,
+             unnest(t[3 : len(t)]) AS w
+      FROM dtok WHERE len(t) >= 3),
+    dp AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(u), 1, 15))::BIGINT % 1024 AS ub,
+             ('0x' || substr(md5(v), 1, 15))::BIGINT % 1024 AS vb,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS wb
+      FROM dp0),
+    terms AS (
+      SELECT d.doc_id,
+             coalesce(t3.c3, 0) AS c3,
+             coalesce(tc.c3tot, 0) AS c3tot,
+             coalesce(tc.n13, 0) AS n13,
+             coalesce(c2.c2h, 0) AS c2h,
+             coalesce(cc.c2tot, 0) AS c2tot,
+             coalesce(cc.n12, 0) AS n12,
+             coalesce(c1.c1h, 0) AS c1h,
+             s.nb2, s.n1_3, s.n2_3, s.n1_2, s.n2_2
+      FROM dp d
+      LEFT JOIN tri t3 ON d.ub = t3.ub AND d.vb = t3.vb
+                       AND d.wb = t3.wb
+      LEFT JOIN tctx tc ON d.ub = tc.ub AND d.vb = tc.vb
+      LEFT JOIN cont2 c2 ON d.vb = c2.vb AND d.wb = c2.wb
+      LEFT JOIN c2ctx cc ON d.vb = cc.vb
+      LEFT JOIN cont1 c1 ON d.wb = c1.wb, sca s),
+    lp AS (
+      SELECT doc_id,
+             round(ln(
+               CASE WHEN c3tot > 0
+                    THEN (greatest(c3::DOUBLE - dd3, 0.0)
+                          + dd3 * n13::DOUBLE * p2) / c3tot::DOUBLE
+                    ELSE p2 END) * 1e6)::BIGINT AS lp
+      FROM (SELECT *,
+                   CASE WHEN c2tot > 0
+                        THEN (greatest(c2h::DOUBLE - dd2, 0.0)
+                              + dd2 * n12::DOUBLE * p1)
+                             / c2tot::DOUBLE
+                        ELSE p1 END AS p2
+            FROM (SELECT *,
+                         CASE WHEN n1_3 + 2 * n2_3 = 0 THEN 0.5
+                              ELSE n1_3::DOUBLE
+                                   / (n1_3 + 2 * n2_3)::DOUBLE END
+                           AS dd3,
+                         CASE WHEN n1_2 + 2 * n2_2 = 0 THEN 0.5
+                              ELSE n1_2::DOUBLE
+                                   / (n1_2 + 2 * n2_2)::DOUBLE END
+                           AS dd2,
+                         CASE WHEN c1h > 0
+                              THEN c1h::DOUBLE / nb2::DOUBLE
+                              ELSE 1.0 / (nb2 + 1024)::DOUBLE END
+                           AS p1
+                  FROM terms))),
+    sc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+             (-sum(lp))::BIGINT AS nll_micro
+      FROM lp GROUP BY doc_id)
+    SELECT doc_id, n_trigrams, nll_micro,
+           nll_micro // n_trigrams AS log_ppl_micro
+    FROM sc ORDER BY doc_id
+    """
     d["jl_audit"] = """
         WITH m AS (
           SELECT j.j, i.i,

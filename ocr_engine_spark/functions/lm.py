@@ -248,3 +248,132 @@ def doc_log_ppl_kn(docs: DataFrame, big: DataFrame, ctx: DataFrame,
                  (-F.sum("__lp")).alias("nll_micro"))
             .withColumn("log_ppl_micro",
                         F.expr("nll_micro div n_bigrams")))
+
+
+def trigram_triples(df: DataFrame, *, buckets: int,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """One (id, ub, vb, wb) row per trigram occurrence under the
+    portable hash — the order-3 sibling of ``bigram_pairs`` (same
+    materialize-then-zip discipline; docs under 3 tokens contribute
+    nothing)."""
+    toks = df.select(F.col(id_col),
+                     word_tokens_col(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    trips = F.when(n >= 3, F.arrays_zip(
+        F.slice("__t", 1, n - 2).alias("u"),
+        F.slice("__t", 2, n - 2).alias("v"),
+        F.slice("__t", 3, n - 2).alias("w"))
+    ).otherwise(F.array().cast(
+        "array<struct<u:string,v:string,w:string>>"))
+    return (toks.select(id_col, F.explode(trips).alias("__p"))
+            .select(id_col,
+                    (md5_int60_col(F.col("__p.u")) % F.lit(buckets))
+                    .alias("ub"),
+                    (md5_int60_col(F.col("__p.v")) % F.lit(buckets))
+                    .alias("vb"),
+                    (md5_int60_col(F.col("__p.w")) % F.lit(buckets))
+                    .alias("wb")))
+
+
+def fit_kn_trigram_lm(reference: DataFrame, *, buckets: int,
+                      id_col: str = "doc_id", text_col: str = "text"
+                      ) -> dict[str, DataFrame]:
+    """Full interpolated Kneser-Ney order-3 statistics (Chen &
+    Goodman 1998 §4.1.6 — lower orders use CONTINUATION counts, not
+    raw counts): returns a dict of broadcastable tables
+
+      * ``tri``   (ub, vb, wb, c3): raw trigram counts;
+      * ``tctx``  (ub, vb, c3tot, n13): trigram context totals and
+        N1+(uv·);
+      * ``cont2`` (vb, wb, c2h): continuation bigram counts
+        N1+(·vw) — how many left contexts the bigram completes;
+      * ``c2ctx`` (vb, c2tot, n12): continuation-context totals and
+        N1+(v·) over the continuation table;
+      * ``cont1`` (wb, c1h): N1+ (·w) over continuation bigrams;
+      * ``sca``   1 row (nb2, n1_3, n2_3, n1_2, n2_2): distinct
+        continuation-bigram types and both levels' count-of-counts
+        feeding D3 = n1_3/(n1_3+2·n2_3), D2 = n1_2/(n1_2+2·n2_2).
+
+    Everything flows from ONE trigram-table pass; all outputs are
+    reference-bounded broadcast sides."""
+    trips = trigram_triples(reference, buckets=buckets, id_col=id_col,
+                            text_col=text_col)
+    tri = trips.groupBy("ub", "vb", "wb").agg(F.count("*").alias("c3"))
+    tctx = tri.groupBy("ub", "vb").agg(F.sum("c3").alias("c3tot"),
+                                       F.count("*").alias("n13"))
+    cont2 = tri.groupBy("vb", "wb").agg(F.count("*").alias("c2h"))
+    c2ctx = cont2.groupBy("vb").agg(F.sum("c2h").alias("c2tot"),
+                                    F.count("*").alias("n12"))
+    cont1 = cont2.groupBy("wb").agg(F.count("*").alias("c1h"))
+    sca = (tri.agg(
+        F.sum((F.col("c3") == 1).cast("long")).alias("n1_3"),
+        F.sum((F.col("c3") == 2).cast("long")).alias("n2_3"))
+        .crossJoin(cont2.agg(
+            F.count("*").alias("nb2"),
+            F.sum((F.col("c2h") == 1).cast("long")).alias("n1_2"),
+            F.sum((F.col("c2h") == 2).cast("long")).alias("n2_2"))))
+    return {"tri": tri, "tctx": tctx, "cont2": cont2, "c2ctx": c2ctx,
+            "cont1": cont1, "sca": sca}
+
+
+def doc_log_ppl_kn3(docs: DataFrame, model: dict[str, DataFrame], *,
+                    buckets: int, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, n_trigrams, nll_micro, log_ppl_micro) under interpolated
+    order-3 Kneser-Ney with the continuation-count backoff chain:
+
+      p1(w)      = c1h/nb2, floored at 1/(nb2+buckets);
+      p2(w|v)    = (max(c2h-D2,0) + D2·N1+(v·)·p1(w)) / c2tot(v),
+                   backing fully to p1 when v completes nothing;
+      p3(w|u,v)  = (max(c3-D3,0) + D3·N1+(uv·)·p2(w|v)) / c3tot(u,v),
+                   backing fully to p2 when (u,v) is unseen.
+
+    Same portability contract as the bigram scorer: D2/D3/p1/p2/p3
+    are single double expressions over exact int64 counts riding a
+    broadcast 1-row cross join; ln() quantizes once; per-doc sums are
+    exact integers. Plan: five broadcast joins + one 1-row cross join
+    + one (doc, partial-sum) shuffle."""
+    trips = trigram_triples(docs, buckets=buckets, id_col=id_col,
+                            text_col=text_col)
+    j = (trips
+         .join(F.broadcast(model["tri"]), ["ub", "vb", "wb"], "left")
+         .join(F.broadcast(model["tctx"]), ["ub", "vb"], "left")
+         .join(F.broadcast(model["cont2"]), ["vb", "wb"], "left")
+         .join(F.broadcast(model["c2ctx"]), ["vb"], "left")
+         .join(F.broadcast(model["cont1"]), ["wb"], "left")
+         .crossJoin(F.broadcast(model["sca"])))
+    for c in ("c3", "c3tot", "n13", "c2h", "c2tot", "n12", "c1h"):
+        j = j.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    d3 = F.when(F.col("n1_3") + 2 * F.col("n2_3") == 0, F.lit(0.5)) \
+          .otherwise(F.col("n1_3").cast("double")
+                     / (F.col("n1_3") + 2 * F.col("n2_3"))
+                     .cast("double"))
+    d2 = F.when(F.col("n1_2") + 2 * F.col("n2_2") == 0, F.lit(0.5)) \
+          .otherwise(F.col("n1_2").cast("double")
+                     / (F.col("n1_2") + 2 * F.col("n2_2"))
+                     .cast("double"))
+    p1 = F.when(F.col("c1h") > 0,
+                F.col("c1h").cast("double")
+                / F.col("nb2").cast("double")) \
+          .otherwise(F.lit(1.0)
+                     / (F.col("nb2") + F.lit(buckets)).cast("double"))
+    p2 = F.when(
+        F.col("c2tot") > 0,
+        (F.greatest(F.col("c2h").cast("double") - d2, F.lit(0.0))
+         + d2 * F.col("n12").cast("double") * p1)
+        / F.col("c2tot").cast("double")) \
+        .otherwise(p1)
+    p3 = F.when(
+        F.col("c3tot") > 0,
+        (F.greatest(F.col("c3").cast("double") - d3, F.lit(0.0))
+         + d3 * F.col("n13").cast("double") * p2)
+        / F.col("c3tot").cast("double")) \
+        .otherwise(p2)
+    lp_micro = F.round(F.log(p3) * F.lit(MICRO), 0).cast("long")
+    return (j.withColumn("__lp", lp_micro)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_trigrams"),
+                 (-F.sum("__lp")).alias("nll_micro"))
+            .withColumn("log_ppl_micro",
+                        F.expr("nll_micro div n_trigrams")))

@@ -203,3 +203,90 @@ def test_kn_scores_match_python_reference(spark):
            for r in doc_log_ppl_kn(docs, bigt, ctxt, n1wt, scat,
                                    buckets=B).collect()}
     assert got == want
+
+
+def test_kn3_known_trigram_beats_shuffled(spark):
+    from ocr_engine_spark.functions.lm import (
+        doc_log_ppl_kn3, fit_kn_trigram_lm,
+    )
+    ref_text = " ".join(["the cat sat on the mat"] * 6)
+    ref = spark.createDataFrame([(0, ref_text)], ["doc_id", "text"])
+    model = fit_kn_trigram_lm(ref, buckets=1024)
+    probe = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "cat the sat")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["nll_micro"]
+           for r in doc_log_ppl_kn3(probe, model,
+                                    buckets=1024).collect()}
+    assert got[1] < got[2]
+
+
+def test_kn3_matches_python_reference(spark):
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+    from ocr_engine_spark.functions.lm import (
+        doc_log_ppl_kn3, fit_kn_trigram_lm,
+    )
+    B = 64
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    def hb(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    ref_rows = [(0, "the cat sat on the mat today"),
+                (1, "the dog sat on the log and the cat ran away")]
+    doc_rows = [(10, "the cat sat on a log"), (11, "xyzzy plugh quux"),
+                (12, "to be")]   # < 3 tokens: absent
+    tri = Counter()
+    for _, t in ref_rows:
+        w = [hb(x) for x in toks(t)]
+        for g in zip(w, w[1:], w[2:]):
+            tri[g] += 1
+    tctx, n13, cont2 = Counter(), Counter(), Counter()
+    for (u, v, w), n in tri.items():
+        tctx[(u, v)] += n
+        n13[(u, v)] += 1
+        cont2[(v, w)] += 1
+    c2ctx, n12, cont1 = Counter(), Counter(), Counter()
+    for (v, w), n in cont2.items():
+        c2ctx[v] += n
+        n12[v] += 1
+        cont1[w] += 1
+    nb2 = len(cont2)
+    n1_3 = sum(1 for x in tri.values() if x == 1)
+    n2_3 = sum(1 for x in tri.values() if x == 2)
+    n1_2 = sum(1 for x in cont2.values() if x == 1)
+    n2_2 = sum(1 for x in cont2.values() if x == 2)
+    D3 = 0.5 if n1_3 + 2 * n2_3 == 0 else n1_3 / (n1_3 + 2 * n2_3)
+    D2 = 0.5 if n1_2 + 2 * n2_2 == 0 else n1_2 / (n1_2 + 2 * n2_2)
+    want = {}
+    for did, t in doc_rows:
+        w = [hb(x) for x in toks(t)]
+        lps = []
+        for u, v, x in zip(w, w[1:], w[2:]):
+            p1 = (cont1[x] / nb2) if cont1.get(x) else 1.0 / (nb2 + B)
+            if c2ctx.get(v):
+                p2 = (max(cont2.get((v, x), 0) - D2, 0.0)
+                      + D2 * n12[v] * p1) / c2ctx[v]
+            else:
+                p2 = p1
+            if tctx.get((u, v)):
+                p3 = (max(tri.get((u, v, x), 0) - D3, 0.0)
+                      + D3 * n13[(u, v)] * p2) / tctx[(u, v)]
+            else:
+                p3 = p2
+            val = math.log(p3) * 1e6
+            lps.append(math.floor(val + 0.5) if val >= 0
+                       else -math.floor(-val + 0.5))
+        if lps:
+            want[did] = (len(lps), -sum(lps))
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    docs = spark.createDataFrame(doc_rows, ["doc_id", "text"])
+    model = fit_kn_trigram_lm(ref, buckets=B)
+    got = {r["doc_id"]: (r["n_trigrams"], r["nll_micro"])
+           for r in doc_log_ppl_kn3(docs, model, buckets=B).collect()}
+    assert got == want
+    assert 12 not in got
