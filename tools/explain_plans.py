@@ -17,6 +17,44 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NOTES = {
+    "zipf_fit": "one vocab-bounded HashAggregate + TakeOrderedAndProject "
+                "top-100; the OLS window runs on 100 rows (the "
+                "single-partition WindowExec is bounded by top_n, "
+                "never the corpus)",
+    "embedding_outliers": "centroid literal in the scan projection; two "
+                          "TakeOrderedAndProject tails, no join, no "
+                          "corpus shuffle",
+    "corpus_overlap": "both KMV sketches are TakeOrdered k-mins over "
+                      "the distinct-hash aggregate; the merge runs on "
+                      "<= 2k rows; exact side shows the one full key "
+                      "shuffle the sketch avoids",
+    "ai_optout": "three matcher passes share the broadcast rule table; "
+                 "per-agent aggregates are 1-row cross joins",
+    "kn_ppl": "three BroadcastHashJoins + one 1-row broadcast cross "
+              "join; the only corpus-keyed exchange is the (doc) "
+              "partial-sum aggregate",
+    "kn3_ppl": "five BroadcastHashJoins off ONE trigram-table pass; "
+               "same single (doc) partial-sum exchange as kn_ppl",
+    "url_traps": "template is a codegen'd regexp chain in the scan "
+                 "projection; one (host, template) partial-distinct "
+                 "aggregate + bounded host rollup join",
+    "filter_funnel": "ONE scan: all four survivor counts in a single "
+                     "HashAggregate (conjunction sums + distinct "
+                     "fingerprint), stage rows from a Generate over "
+                     "the 1-row result",
+    "mixed_lang": "sentence Generate is map-side; one (doc, lang) "
+                  "partial count then the per-doc struct-min argmax "
+                  "aggregate — no window",
+    "lexicon_scan": "pure Project over regexp_count chains — zero "
+                    "exchange, zero UDF; WholeStageCodegen spans the "
+                    "whole signal path",
+    "luhn_cards": "candidate Generate prices in rare regex hits; the "
+                  "HOF digit fold sits above the explode, never on "
+                  "corpus bytes",
+    "jl_audit": "projection = flat +- chains in the scan projection "
+                "(no matrix join); the pair join is bounded by "
+                "max_id",
+
     "filter_pushdown": "all three predicates appear in PushedFilters on "
                        "the parquet scan; ReadSchema carries only the 3 "
                        "touched columns",
@@ -447,6 +485,10 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "contamination_fraction", "lsh_audit", "containment",
             "semantic_decontaminate", "graph_stats", "sessionize",
             "contamination_spans",
+            "zipf_fit", "embedding_outliers", "corpus_overlap",
+            "ai_optout", "kn_ppl", "kn3_ppl", "url_traps",
+            "filter_funnel", "mixed_lang", "lexicon_scan",
+            "luhn_cards", "jl_audit",
             "extraction_pipeline"]
 
 
