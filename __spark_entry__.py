@@ -3766,6 +3766,44 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantile sketch audit (sketch.value_sample_sketch —
+    the KMV idea pointed at values: a deterministic mergeable
+    reservoir): n_chars quantiles at p in {25,50,75,90,99} from a
+    k=128 hash-rank sample vs the exact type-1 quantiles over the
+    full column. The exact side is the full-sort cost the sketch
+    avoids at 10^12 rows; the audit prices the substitution. Oracle:
+    both paths replayed (md5 sample membership, rank selection, exact
+    ranks)."""
+    from ocr_engine_spark.functions.sketch import (
+        sketch_quantiles, value_sample_sketch,
+    )
+    from pyspark.sql import Window
+    docs = _read(spark, sf_dir, "documents")
+    sk = value_sample_sketch(docs, "n_chars", id_col="doc_id", k=128)
+    est = sketch_quantiles(sk, [25, 50, 75, 90, 99])
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    ranked = (docs.select("doc_id", "n_chars")
+              .withColumn("__r", F.row_number().over(w))
+              .crossJoin(F.broadcast(docs.agg(F.count("*")
+                                              .alias("__n")))))
+    parts = []
+    for p in (25, 50, 75, 90, 99):
+        r = F.greatest(F.lit(1),
+                       F.ceil(F.lit(p) * F.col("__n") / F.lit(100)))
+        parts.append(ranked.filter(F.col("__r") == r)
+                     .select(F.lit(p).alias("pct"),
+                             F.col("n_chars").alias("exact_value")))
+    exact = parts[0]
+    for q in parts[1:]:
+        exact = exact.unionByName(q)
+    return (est.join(exact, "pct")
+            .select("pct", "est_value", "exact_value",
+                    (F.col("est_value") - F.col("exact_value"))
+                    .alias("err"))
+            .orderBy("pct"))
+
+
 def q_kn3_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-3 interpolated Kneser-Ney perplexity (functions/lm.py —
     Chen & Goodman 1998 §4.1.6 with CONTINUATION counts at the lower
@@ -3890,6 +3928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luhn_cards": q_luhn_cards,
         "jl_audit": q_jl_audit,
         "kn3_ppl": q_kn3_ppl,
+        "quantile_sketch": q_quantile_sketch,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -8846,6 +8885,35 @@ def oracle_sql() -> dict[str, str]:
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
     d["kn_ppl"] = _KN_PPL_ORACLE
     d["url_traps"] = _url_traps_oracle()
+    d["quantile_sketch"] = """
+        WITH base AS (
+          SELECT doc_id, n_chars,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   AS h
+          FROM documents),
+        sk AS (SELECT h, n_chars AS v FROM base
+               ORDER BY h ASC LIMIT 128),
+        skr AS (SELECT v, row_number() OVER (ORDER BY v ASC, h ASC)
+                         AS r,
+                       count(*) OVER () AS n
+                FROM sk),
+        p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct),
+        est AS (SELECT p.pct, skr.v AS est_value
+                FROM p JOIN skr
+                  ON skr.r = greatest(1, ceil(p.pct * skr.n / 100.0))),
+        fr AS (SELECT n_chars,
+                      row_number() OVER (ORDER BY n_chars ASC,
+                                         doc_id ASC) AS r,
+                      count(*) OVER () AS n
+               FROM base),
+        ex AS (SELECT p.pct, fr.n_chars AS exact_value
+               FROM p JOIN fr
+                 ON fr.r = greatest(1, ceil(p.pct * fr.n / 100.0)))
+        SELECT est.pct, est.est_value, ex.exact_value,
+               (est.est_value - ex.exact_value)::BIGINT AS err
+        FROM est JOIN ex ON est.pct = ex.pct
+        ORDER BY est.pct
+    """
     d["kn3_ppl"] = """
     WITH reftok AS (
       SELECT list_filter(

@@ -275,3 +275,49 @@ def kmv_jaccard(sketch_a: DataFrame, sketch_b: DataFrame,
             .select("n_a", "n_b", "k_union", "n_both",
                     F.expr("(n_both * 1000000) div k_union")
                     .alias("est_jaccard_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k uniform value sample -> quantile estimates. The hash-rank
+# sample is the KMV idea pointed at VALUES instead of distinct hashes
+# (a deterministic reservoir: the k rows with the smallest md5-int60
+# row keys are a uniform sample, and the k-min of two samples' union
+# is the sample of the union — mergeable across shards/snapshots the
+# way approx_percentile's private state is not).
+# ---------------------------------------------------------------------------
+
+def value_sample_sketch(df: DataFrame, value_col: str, *,
+                        id_col: str, k: int = 128) -> DataFrame:
+    """(h, v): the ``k`` rows with the smallest md5-int60(id), hash
+    kept for mergeability and deterministic tie-order. One TakeOrdered
+    over a map-side projection — no full sort, no shuffle of the
+    corpus."""
+    from ocr_engine_spark.functions.text import md5_int60_col
+    return (df.select(md5_int60_col(F.col(id_col).cast("string"))
+                      .alias("h"),
+                      F.col(value_col).alias("v"))
+            .orderBy(F.col("h").asc()).limit(int(k)))
+
+
+def sketch_quantiles(sketch: DataFrame,
+                     pcts: list[int]) -> DataFrame:
+    """Type-1 quantile per requested integer percent from the sample:
+    the value at rank ``greatest(1, ceil(p * n / 100))`` in (v, h)
+    order. Runs entirely on the k-row sketch (the single-partition
+    window is bounded by k)."""
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("v").asc(), F.col("h").asc())
+    ranked = (sketch.withColumn("__r", F.row_number().over(w))
+              .crossJoin(F.broadcast(
+                  sketch.agg(F.count("*").alias("__n")))))
+    parts = []
+    for p in pcts:
+        r = F.greatest(F.lit(1),
+                       F.ceil(F.lit(int(p)) * F.col("__n") / F.lit(100)))
+        parts.append(ranked.filter(F.col("__r") == r)
+                     .select(F.lit(int(p)).alias("pct"),
+                             F.col("v").alias("est_value")))
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out

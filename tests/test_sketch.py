@@ -181,3 +181,36 @@ def test_kmv_sketch_smaller_than_k_is_exact(spark):
     assert row["n_a"] == 10 and row["n_b"] == 10
     assert row["k_union"] == 15 and row["n_both"] == 5
     assert row["est_jaccard_ppm"] == 333_333
+
+
+def test_value_sample_quantiles_close_to_exact(spark):
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.sketch import (
+        sketch_quantiles, value_sample_sketch,
+    )
+    # values 0..999 uniformly; a k=128 sample's median must land
+    # within ~3 sigma of 500 (binomial spread ~ n*sqrt(p q / k) ~ 44)
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"),
+                                     F.col("id").alias("val"))
+    sk = value_sample_sketch(df, "val", id_col="doc_id", k=128)
+    est = {r["pct"]: r["est_value"]
+           for r in sketch_quantiles(sk, [50, 90]).collect()}
+    assert 360 < est[50] < 640
+    assert 800 < est[90] <= 999
+
+
+def test_value_sample_sketch_mergeable(spark):
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.sketch import value_sample_sketch
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"),
+                                    F.col("id").alias("val"))
+    a = df.filter(F.col("doc_id") < 250)
+    b = df.filter(F.col("doc_id") >= 250)
+    k = 64
+    merged = (value_sample_sketch(a, "val", id_col="doc_id", k=k)
+              .unionByName(value_sample_sketch(b, "val",
+                                               id_col="doc_id", k=k))
+              .orderBy(F.col("h").asc()).limit(k))
+    direct = value_sample_sketch(df, "val", id_col="doc_id", k=k)
+    assert sorted(tuple(r) for r in merged.collect()) == \
+        sorted(tuple(r) for r in direct.collect())
