@@ -322,6 +322,42 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--id-col", default="doc_id")
     pl.add_argument("--text-col", default="text")
 
+    tp = sub.add_parser("traps", help="crawler-trap detection: per-"
+                        "(host, path-template) URL concentration")
+    tp.add_argument("--pages", required=True, help="pages parquet (url)")
+    tp.add_argument("--min-urls", type=int, default=8)
+    tp.add_argument("--output", default=None,
+                    help="optionally write template rows parquet")
+
+    fu = sub.add_parser("funnel", help="single-scan cleaning-funnel "
+                        "report (length -> quality -> exact dedup)")
+    fu.add_argument("--input", required=True, help="documents parquet")
+    fu.add_argument("--min-tokens", type=int, default=25)
+    fu.add_argument("--min-quality-micro", type=int, default=350_000)
+    fu.add_argument("--text-col", default="text")
+
+    px = sub.add_parser("perplexity", help="LM perplexity scoring "
+                        "against a clean reference corpus")
+    px.add_argument("--input", required=True, help="documents parquet")
+    px.add_argument("--reference", required=True,
+                    help="clean reference parquet")
+    px.add_argument("--order", type=int, choices=[2, 3], default=2,
+                    help="2 = interpolated KN bigram, 3 = full "
+                         "Chen-Goodman trigram chain")
+    px.add_argument("--buckets", type=int, default=4096)
+    px.add_argument("--output", required=True,
+                    help="per-doc scores parquet")
+    px.add_argument("--id-col", default="doc_id")
+    px.add_argument("--text-col", default="text")
+
+    oo = sub.add_parser("optout", help="per-agent robots.txt opt-out "
+                        "governance audit")
+    oo.add_argument("--pages", required=True, help="pages parquet (url)")
+    oo.add_argument("--robots", required=True,
+                    help="robots parquet (host, robots_txt)")
+    oo.add_argument("--agents", default="gptbot,ccbot,*",
+                    help="comma-separated agent tokens")
+
     args = ap.parse_args(argv)
 
     from ocr_engine_spark.engine.session import build_session
@@ -922,6 +958,85 @@ def main(argv: list[str] | None = None) -> int:
                      .first())
             out["encoded_docs"] = stats["docs"]
             out["total_tokens"] = int(stats["tokens"])
+        print(json.dumps(out))
+    elif args.cmd == "traps":
+        from pyspark.sql import functions as F
+        from ocr_engine_spark.functions.scrub import url_trap_report
+        pages = spark.read.parquet(args.pages)
+        rep = url_trap_report(pages, trap_min_urls=args.min_urls)
+        if args.output:
+            rep.write.mode("overwrite").parquet(args.output)
+            rep = spark.read.parquet(args.output)
+        stats = rep.agg(
+            F.countDistinct("host").alias("hosts"),
+            F.count("*").alias("templates"),
+            F.coalesce(F.sum(F.col("is_trap").cast("long")), F.lit(0))
+            .alias("trap_templates"),
+            F.coalesce(F.sum(F.when(F.col("is_trap"),
+                                    F.col("n_urls"))), F.lit(0))
+            .alias("trapped_urls")).first()
+        print(json.dumps({"hosts": stats["hosts"],
+                          "templates": stats["templates"],
+                          "trap_templates": int(stats["trap_templates"]),
+                          "trapped_urls": int(stats["trapped_urls"])}))
+    elif args.cmd == "funnel":
+        from ocr_engine_spark.functions.funnel import filter_funnel
+        docs = spark.read.parquet(args.input)
+        rows = (filter_funnel(docs, min_tokens=args.min_tokens,
+                              min_quality_micro=args.min_quality_micro,
+                              text_col=args.text_col)
+                .orderBy("stage_idx").collect())
+        print(json.dumps([{
+            "stage": r["stage"], "n_in": r["n_in"],
+            "n_kept": r["n_kept"], "drop_ppm": r["drop_ppm"]}
+            for r in rows]))
+    elif args.cmd == "perplexity":
+        from pyspark.sql import functions as F
+        docs = spark.read.parquet(args.input)
+        ref = spark.read.parquet(args.reference)
+        if args.order == 2:
+            from ocr_engine_spark.functions.lm import (
+                doc_log_ppl_kn, fit_kn_bigram_lm,
+            )
+            big, ctx, n1w, sca = fit_kn_bigram_lm(
+                ref, buckets=args.buckets, id_col=args.id_col,
+                text_col=args.text_col)
+            scored = doc_log_ppl_kn(docs, big, ctx, n1w, sca,
+                                    buckets=args.buckets,
+                                    id_col=args.id_col,
+                                    text_col=args.text_col)
+        else:
+            from ocr_engine_spark.functions.lm import (
+                doc_log_ppl_kn3, fit_kn_trigram_lm,
+            )
+            model = fit_kn_trigram_lm(ref, buckets=args.buckets,
+                                      id_col=args.id_col,
+                                      text_col=args.text_col)
+            scored = doc_log_ppl_kn3(docs, model, buckets=args.buckets,
+                                     id_col=args.id_col,
+                                     text_col=args.text_col)
+        scored.write.mode("overwrite").parquet(args.output)
+        st = (spark.read.parquet(args.output)
+              .agg(F.count("*").alias("docs"),
+                   F.min("log_ppl_micro").alias("min"),
+                   F.max("log_ppl_micro").alias("max")).first())
+        print(json.dumps({"order": args.order, "docs": st["docs"],
+                          "log_ppl_micro_min": int(st["min"]),
+                          "log_ppl_micro_max": int(st["max"])}))
+    elif args.cmd == "optout":
+        from pyspark.sql import functions as F
+        from ocr_engine_spark.functions.robots import robots_decisions
+        pages = spark.read.parquet(args.pages)
+        robots = spark.read.parquet(args.robots)
+        out = []
+        for agent in args.agents.split(","):
+            dec = robots_decisions(pages, robots, agent=agent)
+            st = dec.agg(
+                F.count("*").alias("urls"),
+                F.coalesce(F.sum((~F.col("allowed")).cast("long")),
+                           F.lit(0)).alias("blocked")).first()
+            out.append({"agent": agent, "urls": st["urls"],
+                        "blocked": int(st["blocked"])})
         print(json.dumps(out))
     spark.stop()
     return 0

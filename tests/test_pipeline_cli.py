@@ -253,3 +253,29 @@ def test_discover_cli(tmp_path):
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert rep["counts"] == {"feeds": 1, "alternates": 1,
                              "metadata": 2, "pages": 2}
+
+
+def test_funnel_and_perplexity_cli(tmp_path):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    cmd = [sys.executable, os.path.join(REPO, "run_job.py"), "funnel",
+           "--input", "/root/testdata/sf0.001/documents.parquet"]
+    res = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                         text=True, check=True)
+    rows = json.loads(res.stdout.strip().splitlines()[-1])
+    assert [r["stage"] for r in rows] == [
+        "input", "min_tokens_25", "quality_micro_350000", "exact_dedup"]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_kept"]
+
+    out = str(tmp_path / "ppl")
+    cmd = [sys.executable, os.path.join(REPO, "run_job.py"),
+           "perplexity",
+           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--reference", "/root/testdata/sf0.001/documents.parquet",
+           "--order", "3", "--buckets", "256", "--output", out]
+    res = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                         text=True, check=True)
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rep["order"] == 3 and rep["docs"] > 0
+    assert rep["log_ppl_micro_min"] <= rep["log_ppl_micro_max"]
+    assert os.path.isdir(out)
