@@ -5,7 +5,7 @@ extract_html must never raise on arbitrary bytes (errors-are-data)."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 import ocr_engine_spark.kernels.html_extract as hx
 
@@ -112,3 +112,43 @@ def test_extract_pdf_never_raises_on_mutations(data):
         other = data.draw(st.binary(max_size=64))
         payload = doc[:cut] + other + doc[cut:]
     _contract(px.extract_pdf(payload))
+
+
+# --- round-4 additions: url templating / lexicon / luhn fuzz --------------
+
+@settings(max_examples=100, deadline=None)
+@given(paths=st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=40), min_size=1, max_size=8))
+@example(paths=["/cal/2024-1-2"])
+@example(paths=["/p?sid=deadbeef42#frag?x=1"])
+@example(paths=["/ab\x8599"])              # NEL in path (the r3 gate bug)
+@example(paths=["/\u2028x?y=\u20299"])    # U+2028/U+2029 separators
+def test_url_template_never_leaves_digits(spark, paths):
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.scrub import url_template_col
+    rows = [(f"https://h.example{p}",) for p in paths]
+    df = spark.createDataFrame(rows, ["url"])
+    got = [r[0] for r in df.select(
+        url_template_col(F.col("url")).alias("t")).collect()]
+    for t in got:
+        # digit runs always collapse to N; fragments never survive
+        assert not any(c.isdigit() for c in t if ord(c) < 128), t
+        assert "#" not in t, t
+
+
+@settings(max_examples=100, deadline=None)
+@given(body=st.text(alphabet=st.characters(min_codepoint=32,
+                                           max_codepoint=126),
+                    max_size=80))
+@example(body="4111 1111 1111 1111")
+@example(body="4111-1111-1111-1112")
+@example(body="0" * 19)
+@example(body="1" * 30)            # >19 digits: pattern never matches
+def test_luhn_report_total_function(spark, body):
+    from ocr_engine_spark.functions.scrub import luhn_card_report
+    df = spark.createDataFrame([(0, body)], ["doc_id", "text"])
+    rows = luhn_card_report(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 <= r["n_valid"] <= r["n_candidates"]
