@@ -3766,6 +3766,34 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-quality eval (search.bm25_batch_topk + bm25_mrr — TREC
+    MRR, Voorhees 1999): ten queries, each carrying a planted unique
+    marker term (injected 3x into its relevant doc) plus two common
+    terms, scored in ONE batched plan; per-query reciprocal rank of
+    the planted doc in the top-10. Oracle: batched BM25 replay with
+    the qid dimension + the rank join."""
+    from ocr_engine_spark.functions.search import bm25_mrr, doc_postings
+    docs = _read(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 400).select("doc_id", "text")
+    mark = F.concat(F.lit(" qmark"), F.col("doc_id").cast("string"),
+                    F.lit(" qmark"), F.col("doc_id").cast("string"),
+                    F.lit(" qmark"), F.col("doc_id").cast("string"))
+    injected = docs.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 37 == 0) & (F.col("doc_id") < 370),
+               F.concat(F.col("text"), mark))
+        .otherwise(F.col("text")).alias("text"))
+    queries = spark.createDataFrame(
+        [(q, t) for q in range(10)
+         for t in (f"qmark{q * 37}", "table", "scan")],
+        ["qid", "term"])
+    relevance = spark.createDataFrame(
+        [(q, q * 37) for q in range(10)], ["qid", "rel_id"])
+    post = doc_postings(injected)
+    return bm25_mrr(post, queries, relevance, k=10).orderBy("qid")
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k quantile sketch audit (sketch.value_sample_sketch —
     the KMV idea pointed at values: a deterministic mergeable
@@ -3929,6 +3957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_audit": q_jl_audit,
         "kn3_ppl": q_kn3_ppl,
         "quantile_sketch": q_quantile_sketch,
+        "bm25_mrr": q_bm25_mrr,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -8885,6 +8914,74 @@ def oracle_sql() -> dict[str, str]:
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
     d["kn_ppl"] = _KN_PPL_ORACLE
     d["url_traps"] = _url_traps_oracle()
+    d["bm25_mrr"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 37 = 0 AND doc_id < 370
+                      THEN text || ' qmark' || doc_id::VARCHAR
+                                || ' qmark' || doc_id::VARCHAR
+                                || ' qmark' || doc_id::VARCHAR
+                      ELSE text END AS text
+          FROM documents WHERE doc_id < 400),
+        tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text),
+                                                '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+          FROM d),
+        post AS (
+          SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term
+                FROM tok)
+          GROUP BY doc_id, dl, term),
+        q AS (
+          SELECT qq.q AS qid, unnest(['qmark' || (qq.q * 37)::VARCHAR,
+                                      'table', 'scan']) AS term
+          FROM (SELECT unnest(generate_series(0, 9)) AS q) qq),
+        terms AS (SELECT DISTINCT term FROM q),
+        qt AS (SELECT post.* FROM post JOIN terms USING (term)),
+        st AS (
+          SELECT count(*)::BIGINT AS n_docs,
+                 sum(dl)::BIGINT AS total_dl
+          FROM (SELECT doc_id, any_value(dl) AS dl
+                FROM post GROUP BY doc_id)),
+        dft AS (SELECT term, count(*)::BIGINT AS dft FROM qt
+                GROUP BY term),
+        idf AS (
+          SELECT term, st.n_docs, st.total_dl,
+                 ln(1.0::DOUBLE
+                    + (st.n_docs - dft.dft + 0.5::DOUBLE)
+                      / (dft.dft + 0.5::DOUBLE)) AS idf
+          FROM dft, st),
+        scored AS (
+          SELECT q.qid, qt.doc_id,
+                 sum(CAST(round(
+                   idf.idf
+                   * (qt.tf * 2.2::DOUBLE
+                      / (qt.tf + 1.2::DOUBLE
+                         * (0.25::DOUBLE
+                            + 0.75::DOUBLE * qt.dl
+                              / (idf.total_dl / idf.n_docs))))
+                   * 1000000.0::DOUBLE) AS BIGINT))::BIGINT
+                   AS score_micro
+          FROM qt JOIN idf USING (term) JOIN q USING (term)
+          GROUP BY q.qid, qt.doc_id),
+        rk AS (
+          SELECT qid, doc_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score_micro DESC,
+                                             doc_id) AS rank
+          FROM scored),
+        rel AS (SELECT unnest(generate_series(0, 9)) AS qid),
+        rel2 AS (SELECT qid, qid * 37 AS rel_id FROM rel)
+        SELECT r.qid, r.rel_id,
+               k.rank::BIGINT AS rank,
+               coalesce(1000000 // k.rank, 0)::BIGINT AS rr_ppm
+        FROM rel2 r
+        LEFT JOIN (SELECT * FROM rk WHERE rank <= 10) k
+          ON r.qid = k.qid AND r.rel_id = k.doc_id
+        ORDER BY r.qid
+    """
     d["quantile_sketch"] = """
         WITH base AS (
           SELECT doc_id, n_chars,

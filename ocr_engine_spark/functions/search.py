@@ -326,3 +326,70 @@ def phrase_search(pos_post: DataFrame, phrase_terms: list[str], *,
     return (g.select(F.col(id_col), F.size(acc).alias("n_matches"),
                      F.array_min(acc).alias("first_pos"))
             .filter(F.col("n_matches") >= 1))
+
+
+def bm25_batch_topk(postings: DataFrame, queries: DataFrame, k: int, *,
+                    k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id",
+                    qid_col: str = "qid") -> DataFrame:
+    """All queries scored in ONE plan — the retrieval-EVAL shape
+    (the serving path runs one query against pruned buckets;
+    evaluation runs hundreds, and a driver loop of bm25_topk plans
+    would pay per-query job overhead and per-query df scans):
+    ``queries`` is a (qid, term) table; df/idf compute ONCE per
+    distinct term, postings fan out to queries via a broadcast join,
+    and the per-query top-k is a qid-partitioned window over each
+    query's hit set (bounded by docs containing its terms). Returns
+    (qid, rank, id, score_micro, n_terms_hit), same scoring contract
+    as bm25_topk."""
+    from pyspark.sql import Window
+
+    terms = queries.select("term").distinct()
+    qt = postings.join(F.broadcast(terms), "term")
+    st = (postings.groupBy(id_col).agg(F.first("dl").alias("dl"))
+          .agg(F.count("*").alias("n_docs"),
+               F.sum("dl").alias("total_dl")))
+    dft = qt.groupBy("term").agg(F.count("*").alias("dft"))
+    idf_t = (dft.crossJoin(F.broadcast(st))
+             .select("term", "n_docs", "total_dl",
+                     F.log(F.lit(1.0)
+                           + (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+                           / (F.col("dft") + F.lit(0.5))).alias("idf")))
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)
+           / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                         + F.lit(b) * F.col("dl") / avgdl)))
+    contrib = F.round(F.col("idf") * tfn * F.lit(MICRO), 0).cast("long")
+    scored = (qt.join(F.broadcast(idf_t), "term")
+              .join(F.broadcast(queries), "term")
+              .select(qid_col, id_col, contrib.alias("c_micro"))
+              .groupBy(qid_col, id_col)
+              .agg(F.sum("c_micro").alias("score_micro"),
+                   F.count("*").alias("n_terms_hit")))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score_micro").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select(qid_col, "rank", id_col, "score_micro",
+                    "n_terms_hit"))
+
+
+def bm25_mrr(postings: DataFrame, queries: DataFrame,
+             relevance: DataFrame, k: int = 10, *,
+             k1: float = 1.2, b: float = 0.75,
+             id_col: str = "doc_id", qid_col: str = "qid") -> DataFrame:
+    """Per-query reciprocal rank of the relevant document
+    (``relevance``: (qid, rel_id)) within the BM25 top-``k``: (qid,
+    rel_id, rank, rr_ppm) with rank NULL and rr_ppm 0 when the
+    relevant doc misses the cutoff — mean(rr_ppm) is MRR@k in ppm.
+    The standard search-quality gate (Voorhees 1999 TREC-8) run
+    corpus-side so an index/analyzer change is priced before
+    shipping."""
+    ranked = bm25_batch_topk(postings, queries, k, k1=k1, b=b,
+                             id_col=id_col, qid_col=qid_col)
+    hit = ranked.select(qid_col, F.col(id_col).alias("rel_id"), "rank")
+    return (relevance.join(hit, [qid_col, "rel_id"], "left")
+            .select(qid_col, "rel_id",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.coalesce(F.expr("1000000 div rank"), F.lit(0))
+                    .cast("long").alias("rr_ppm")))

@@ -225,3 +225,48 @@ def test_index_append_equals_rebuild(spark, tmp_path):
     gp = sorted(map(tuple, inc2.phrase(spark, "the table").collect()))
     wp = sorted(map(tuple, full.phrase(spark, "the table").collect()))
     assert gp == wp
+
+
+def test_bm25_mrr_planted_markers_rank_first(spark):
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.search import (
+        bm25_batch_topk, bm25_mrr, doc_postings,
+    )
+    base = "the data table holds a scan of the order rows "
+    rows = [(i, base + (f"zmark{i} zmark{i}" if i < 3 else ""))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    post = doc_postings(docs)
+    queries = spark.createDataFrame(
+        [(q, t) for q in range(3) for t in (f"zmark{q}", "table")],
+        ["qid", "term"])
+    relevance = spark.createDataFrame(
+        [(q, q) for q in range(3)], ["qid", "rel_id"])
+    got = {r["qid"]: r for r in
+           bm25_mrr(post, queries, relevance, k=5).collect()}
+    # the rare planted marker dominates idf: the relevant doc is #1
+    for q in range(3):
+        assert got[q]["rank"] == 1
+        assert got[q]["rr_ppm"] == 1_000_000
+    # batched top-k agrees with the single-query scorer per qid
+    from ocr_engine_spark.functions.search import bm25_topk
+    single = bm25_topk(post, ["zmark1", "table"], 5).collect()
+    batched = (bm25_batch_topk(post, queries, 5)
+               .filter(F.col("qid") == 1).orderBy("rank").collect())
+    assert [(r["rank"], r["doc_id"], r["score_micro"])
+            for r in single] == \
+           [(r["rank"], r["doc_id"], r["score_micro"])
+            for r in batched]
+
+
+def test_bm25_mrr_missing_doc_scores_zero(spark):
+    from ocr_engine_spark.functions.search import bm25_mrr, doc_postings
+    docs = spark.createDataFrame(
+        [(i, "common words only here") for i in range(5)],
+        ["doc_id", "text"])
+    post = doc_postings(docs)
+    queries = spark.createDataFrame([(0, "absentterm")],
+                                    ["qid", "term"])
+    relevance = spark.createDataFrame([(0, 3)], ["qid", "rel_id"])
+    row = bm25_mrr(post, queries, relevance, k=5).collect()[0]
+    assert row["rank"] is None and row["rr_ppm"] == 0
