@@ -3794,6 +3794,56 @@ def q_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_mrr(post, queries, relevance, k=10).orderBy("qid")
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (search.rrf_fuse —
+    Cormack et al. 2009): the bm25_mrr marker queries' TEXT top-10
+    fused with a VECTOR top-10 (cosine to the relevant doc's own
+    embedding, rounded to the 6-grid before ranking), contributions
+    1e6 div (60+rank) in exact integers. Oracle: both rankings and
+    the fusion replayed; output is each query's fused top-5."""
+    from ocr_engine_spark.functions.search import (
+        bm25_batch_topk, doc_postings, rrf_fuse,
+    )
+    from pyspark.sql import Window
+    docs = _read(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 400).select("doc_id", "text")
+    mark = F.concat(F.lit(" qmark"), F.col("doc_id").cast("string"),
+                    F.lit(" qmark"), F.col("doc_id").cast("string"),
+                    F.lit(" qmark"), F.col("doc_id").cast("string"))
+    injected = docs.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 37 == 0) & (F.col("doc_id") < 370),
+               F.concat(F.col("text"), mark))
+        .otherwise(F.col("text")).alias("text"))
+    queries = spark.createDataFrame(
+        [(q, t) for q in range(10)
+         for t in (f"qmark{q * 37}", "table", "scan")],
+        ["qid", "term"])
+    text_rank = (bm25_batch_topk(doc_postings(injected), queries, 10)
+                 .select("qid", "doc_id", "rank",
+                         F.lit("text").alias("source")))
+    from ocr_engine_spark.functions.similarity import cosine_col
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = (emb.filter((F.col("vec_id") % 37 == 0) &
+                     (F.col("vec_id") < 370))
+          .select((F.col("vec_id") / 37).cast("long").alias("qid"),
+                  F.col("embedding").alias("__qv")))
+    sim = F.round(cosine_col(F.col("embedding").cast("array<double>"),
+                             F.col("__qv").cast("array<double>")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("__sim").desc(),
+                                          F.col("doc_id"))
+    vec_rank = (emb.crossJoin(F.broadcast(qv))
+                .select("qid", F.col("vec_id").alias("doc_id"),
+                        sim.alias("__sim"))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 10)
+                .select("qid", "doc_id", "rank",
+                        F.lit("vec").alias("source")))
+    fused = rrf_fuse(text_rank.unionByName(vec_rank), k0=60)
+    return (fused.filter(F.col("rank") <= 5)
+            .orderBy("qid", "rank"))
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k quantile sketch audit (sketch.value_sample_sketch —
     the KMV idea pointed at values: a deterministic mergeable
@@ -3958,6 +4008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn3_ppl": q_kn3_ppl,
         "quantile_sketch": q_quantile_sketch,
         "bm25_mrr": q_bm25_mrr,
+        "hybrid_rrf": q_hybrid_rrf,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -8914,6 +8965,97 @@ def oracle_sql() -> dict[str, str]:
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
     d["kn_ppl"] = _KN_PPL_ORACLE
     d["url_traps"] = _url_traps_oracle()
+    d["hybrid_rrf"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 37 = 0 AND doc_id < 370
+                      THEN text || ' qmark' || doc_id::VARCHAR
+                                || ' qmark' || doc_id::VARCHAR
+                                || ' qmark' || doc_id::VARCHAR
+                      ELSE text END AS text
+          FROM documents WHERE doc_id < 400),
+        tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text),
+                                                '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+          FROM d),
+        post AS (
+          SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term
+                FROM tok)
+          GROUP BY doc_id, dl, term),
+        q AS (
+          SELECT qq.q AS qid, unnest(['qmark' || (qq.q * 37)::VARCHAR,
+                                      'table', 'scan']) AS term
+          FROM (SELECT unnest(generate_series(0, 9)) AS q) qq),
+        terms AS (SELECT DISTINCT term FROM q),
+        qt AS (SELECT post.* FROM post JOIN terms USING (term)),
+        st AS (
+          SELECT count(*)::BIGINT AS n_docs,
+                 sum(dl)::BIGINT AS total_dl
+          FROM (SELECT doc_id, any_value(dl) AS dl
+                FROM post GROUP BY doc_id)),
+        dft AS (SELECT term, count(*)::BIGINT AS dft FROM qt
+                GROUP BY term),
+        idf AS (
+          SELECT term, st.n_docs, st.total_dl,
+                 ln(1.0::DOUBLE
+                    + (st.n_docs - dft.dft + 0.5::DOUBLE)
+                      / (dft.dft + 0.5::DOUBLE)) AS idf
+          FROM dft, st),
+        scored AS (
+          SELECT q.qid, qt.doc_id,
+                 sum(CAST(round(
+                   idf.idf
+                   * (qt.tf * 2.2::DOUBLE
+                      / (qt.tf + 1.2::DOUBLE
+                         * (0.25::DOUBLE
+                            + 0.75::DOUBLE * qt.dl
+                              / (idf.total_dl / idf.n_docs))))
+                   * 1000000.0::DOUBLE) AS BIGINT))::BIGINT
+                   AS score_micro
+          FROM qt JOIN idf USING (term) JOIN q USING (term)
+          GROUP BY q.qid, qt.doc_id),
+        trk AS (
+          SELECT qid, doc_id, rank FROM (
+            SELECT qid, doc_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score_micro DESC,
+                                               doc_id) AS rank
+            FROM scored) WHERE rank <= 10),
+        qv AS (SELECT (vec_id // 37)::BIGINT AS qid,
+                      embedding::DOUBLE[] AS v
+               FROM embeddings
+               WHERE vec_id % 37 = 0 AND vec_id < 370),
+        vsim AS (
+          SELECT qv.qid, e.vec_id AS doc_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              qv.v), 6) AS sim
+          FROM embeddings e, qv),
+        vrk AS (
+          SELECT qid, doc_id, rank FROM (
+            SELECT qid, doc_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, doc_id)
+                     AS rank
+            FROM vsim) WHERE rank <= 10),
+        allr AS (SELECT * FROM trk UNION ALL SELECT * FROM vrk),
+        fused AS (
+          SELECT qid, doc_id,
+                 sum(1000000 // (60 + rank))::BIGINT AS rrf_micro,
+                 count(*)::BIGINT AS n_sources
+          FROM allr GROUP BY qid, doc_id)
+        SELECT qid, doc_id, n_sources, rrf_micro,
+               rank::BIGINT AS rank
+        FROM (SELECT *,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY rrf_micro DESC,
+                                                 doc_id) AS rank
+              FROM fused)
+        WHERE rank <= 5
+        ORDER BY qid, rank
+    """
     d["bm25_mrr"] = r"""
         WITH d AS (
           SELECT doc_id,

@@ -393,3 +393,28 @@ def bm25_mrr(postings: DataFrame, queries: DataFrame,
                     F.col("rank").cast("long").alias("rank"),
                     F.coalesce(F.expr("1000000 div rank"), F.lit(0))
                     .cast("long").alias("rr_ppm")))
+
+
+def rrf_fuse(rankings: DataFrame, *, k0: int = 60,
+             qid_col: str = "qid", id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009 — the
+    standard hybrid-retrieval combiner: score-free, so a BM25 ranking
+    and a cosine ranking fuse without calibrating incomparable score
+    scales): ``rankings`` is (qid, id, rank, source); each source
+    contributes ``1e6 div (k0 + rank)`` — integer-exact, so fused
+    scores and the re-rank are engine-identical. Returns (qid, id,
+    n_sources, rrf_micro, rank). One (qid, id) groupBy + a
+    qid-partitioned window over the fused candidate set (bounded by
+    k_text + k_vec per query)."""
+    from pyspark.sql import Window
+    contrib = F.expr(f"1000000 div ({int(k0)} + rank)")
+    fused = (rankings
+             .select(qid_col, id_col, contrib.alias("__c"))
+             .groupBy(qid_col, id_col)
+             .agg(F.sum("__c").cast("long").alias("rrf_micro"),
+                  F.count("*").alias("n_sources")))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(id_col))
+    return (fused.withColumn("rank",
+                             F.row_number().over(w).cast("long"))
+            .select(qid_col, id_col, "n_sources", "rrf_micro", "rank"))

@@ -270,3 +270,20 @@ def test_bm25_mrr_missing_doc_scores_zero(spark):
     relevance = spark.createDataFrame([(0, 3)], ["qid", "rel_id"])
     row = bm25_mrr(post, queries, relevance, k=5).collect()[0]
     assert row["rank"] is None and row["rr_ppm"] == 0
+
+
+def test_rrf_fuse_arithmetic_and_order(spark):
+    from ocr_engine_spark.functions.search import rrf_fuse
+    rows = [
+        (0, 10, 1, "text"), (0, 11, 2, "text"),
+        (0, 11, 1, "vec"), (0, 12, 2, "vec"),
+    ]
+    df = spark.createDataFrame(rows, ["qid", "doc_id", "rank", "source"])
+    got = {r["doc_id"]: r for r in rrf_fuse(df, k0=60).collect()}
+    # doc 11: both sources (1/62 + 1/61); doc 10: 1/61; doc 12: 1/62
+    assert got[11]["n_sources"] == 2
+    assert got[11]["rrf_micro"] == 1_000_000 // 61 + 1_000_000 // 62
+    assert got[10]["rrf_micro"] == 1_000_000 // 61
+    assert got[12]["rrf_micro"] == 1_000_000 // 62
+    assert got[11]["rank"] == 1
+    assert got[10]["rank"] == 2 and got[12]["rank"] == 3
