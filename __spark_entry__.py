@@ -3766,6 +3766,20 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_packing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning sweep (pack.packing_sweep): exact
+    projected packing outcomes for L in {128, 256, 512, 1024} —
+    sequence counts, tail waste, boundary-split doc counts — from ONE
+    offsets pass of the range-partition prefix engine. Oracle: the
+    shared pack tokenize/offset CTE chain + per-L aggregate
+    conjunctions."""
+    from ocr_engine_spark.functions.pack import packing_sweep
+    docs = _read(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 300).select("doc_id", "text")
+    return (packing_sweep(docs, [128, 256, 512, 1024])
+            .orderBy("seq_len"))
+
+
 def q_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-quality eval (search.bm25_batch_topk + bm25_mrr — TREC
     MRR, Voorhees 1999): ten queries, each carrying a planted unique
@@ -4009,6 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "bm25_mrr": q_bm25_mrr,
         "hybrid_rrf": q_hybrid_rrf,
+        "packing_sweep": q_packing_sweep,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -8960,6 +8975,46 @@ def _url_traps_oracle() -> str:
     """
 
 
+def _packing_sweep_oracle(seq_lens=(128, 256, 512, 1024)) -> str:
+    from ocr_engine_spark.functions.pack import EOD_ID, VOCAB_SIZE
+    bpe = BPE_PATTERN.replace(chr(39), chr(39) * 2)
+    split_aggs = ",\n".join(
+        f"sum(CASE WHEN start // {L} != (start + n - 1) // {L}"
+        f" THEN 1 ELSE 0 END)::BIGINT AS split_{L}"
+        for L in seq_lens)
+    rows = "\nUNION ALL ".join(
+        f"SELECT {L} AS seq_len, n_docs, total AS total_tokens,"
+        f" total // {L} AS n_seqs, total % {L} AS tail_waste,"
+        f" split_{L} AS n_docs_split,"
+        f" (split_{L} * 1000000) // n_docs AS split_ppm FROM a"
+        for L in seq_lens)
+    return rf"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id < 300),
+        tok AS (
+          SELECT doc_id,
+                 list_append(
+                   list_transform(
+                     regexp_extract_all(text, '{bpe}'),
+                     t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
+                          % {VOCAB_SIZE}),
+                   {EOD_ID}::BIGINT) AS ids
+          FROM d),
+        n AS (SELECT doc_id, len(ids) AS n FROM tok),
+        o AS (SELECT doc_id, n,
+                     (sum(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW))::BIGINT - n
+                       AS start
+              FROM n),
+        a AS (SELECT count(*)::BIGINT AS n_docs,
+                     sum(n)::BIGINT AS total,
+                     {split_aggs}
+              FROM o)
+        SELECT * FROM ({rows}) ORDER BY seq_len
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
@@ -9056,6 +9111,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank <= 5
         ORDER BY qid, rank
     """
+    d["packing_sweep"] = _packing_sweep_oracle()
     d["bm25_mrr"] = r"""
         WITH d AS (
           SELECT doc_id,

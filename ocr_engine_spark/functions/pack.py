@@ -131,13 +131,14 @@ def pack_sequences_with_spans(df: DataFrame, seq_len: int, *,
                                              "doc_spans")
 
 
-def _packed_slots(df: DataFrame, seq_len: int, *, id_col: str,
-                  text_col: str, partitions: int | None,
-                  tokenizer) -> DataFrame:
-    """Shared packing core: (``__id``, seq_id, ``__slot``, ``__tid``)
-    — one row per token of the global EOD-joined stream, tagged with
-    its sequence, in-sequence slot and source document. Both public
-    variants aggregate from here."""
+def _stream_offsets(df: DataFrame, *, id_col: str, text_col: str,
+                    partitions: int | None, tokenizer) -> DataFrame:
+    """(``__id``, ``__ids``, ``__n``, ``__start``): every document's
+    token ids, token count and exact global stream offset under the
+    range-partition prefix-sum engine (phase 1: one total per
+    partition to the driver; phase 2: bounded within-partition
+    window). The shared substrate of the packers AND the planning
+    sweep — extracted so the offset arithmetic exists once."""
     spark = df.sparkSession
     tokenizer = tokenizer or token_ids_col
     if partitions is None:
@@ -171,10 +172,21 @@ def _packed_slots(df: DataFrame, seq_len: int, *, id_col: str,
     # prefix IS the global prefix)
     w = (Window.partitionBy("__part").orderBy("__id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    d2 = (d.join(F.broadcast(off_df), "__part")
-          .withColumn("__start",
-                      F.col("__part_off") + F.sum("__n").over(w)
-                      - F.col("__n")))
+    return (d.join(F.broadcast(off_df), "__part")
+            .withColumn("__start",
+                        F.col("__part_off") + F.sum("__n").over(w)
+                        - F.col("__n")))
+
+
+def _packed_slots(df: DataFrame, seq_len: int, *, id_col: str,
+                  text_col: str, partitions: int | None,
+                  tokenizer) -> DataFrame:
+    """Shared packing core: (``__id``, seq_id, ``__slot``, ``__tid``)
+    — one row per token of the global EOD-joined stream, tagged with
+    its sequence, in-sequence slot and source document. Both public
+    variants aggregate from here."""
+    d2 = _stream_offsets(df, id_col=id_col, text_col=text_col,
+                         partitions=partitions, tokenizer=tokenizer)
     ex = d2.select("__id", "__start",
                    F.posexplode("__ids").alias("__pos", "__tid"))
     # integer `div`, not `/`: at 10^12-token scale a double division
@@ -184,3 +196,50 @@ def _packed_slots(df: DataFrame, seq_len: int, *, id_col: str,
                     F.expr(f"__gpos div {int(seq_len)}").alias("seq_id"),
                     F.pmod("__gpos", F.lit(seq_len)).alias("__slot"),
                     F.col("__tid")))
+
+
+def packing_sweep(df: DataFrame, seq_lens: list[int], *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  partitions: int | None = None,
+                  tokenizer=None) -> DataFrame:
+    """Context-length planning table: for each candidate ``seq_len``,
+    the EXACT projected packing outcome under pack_sequences'
+    contract (EOD-joined stream in id order, fixed slices, ragged
+    tail dropped) — (seq_len, n_docs, total_tokens, n_seqs,
+    tail_waste, n_docs_split, split_ppm). ``n_docs_split`` counts
+    documents crossing at least one sequence boundary — the
+    attention-mask fragmentation cost that pack_spans then has to
+    carry; sweeping L before packing prices the trade instead of
+    re-running the packer per candidate.
+
+    ONE offsets pass (the range-partition prefix engine) serves every
+    candidate length: per-L results are aggregate conjunctions over
+    (start, n) integer arithmetic, unfolded from the 1-row aggregate
+    exactly like funnel.filter_funnel's stages. Nothing explodes to
+    token granularity."""
+    d = _stream_offsets(df, id_col=id_col, text_col=text_col,
+                        partitions=partitions, tokenizer=tokenizer)
+    base = d.select("__id", "__n", "__start")
+    aggs = [F.count("*").alias("n_docs"),
+            F.sum("__n").alias("total")]
+    for L in seq_lens:
+        L = int(L)
+        split = (F.expr(f"__start div {L}")
+                 != F.expr(f"(__start + __n - 1) div {L}"))
+        aggs.append(F.sum(split.cast("long")).alias(f"__split_{L}"))
+    a = base.agg(*aggs)
+
+    def stage(L: int):
+        L = int(L)
+        return F.struct(
+            F.lit(L).alias("seq_len"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total").cast("long").alias("total_tokens"),
+            F.expr(f"total div {L}").alias("n_seqs"),
+            F.expr(f"total % {L}").alias("tail_waste"),
+            F.col(f"__split_{L}").cast("long").alias("n_docs_split"),
+            F.expr(f"(__split_{L} * 1000000) div n_docs")
+            .alias("split_ppm"))
+
+    stages = F.array(*[stage(L) for L in seq_lens])
+    return (a.select(F.explode(stages).alias("s")).select("s.*"))

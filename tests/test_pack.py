@@ -207,3 +207,27 @@ def test_pack_spans_doc_crossing_boundary(spark):
     for r in out:
         assert sum(s["span_end"] - s["span_start"]
                    for s in r.doc_spans) == L
+
+
+def test_packing_sweep_exact_projection(spark):
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.pack import (
+        pack_sequences, packing_sweep,
+    )
+    docs = (spark.read.parquet(
+        os.path.join(TESTDATA_SF001, "documents.parquet"))
+            .filter(F.col("doc_id") < 60).select("doc_id", "text"))
+    sweep = {r["seq_len"]: r
+             for r in packing_sweep(docs, [64, 256]).collect()}
+    # the projection must equal the real packer's output count
+    for L in (64, 256):
+        n_real = pack_sequences(docs, L).count()
+        assert sweep[L]["n_seqs"] == n_real
+        assert 0 <= sweep[L]["tail_waste"] < L
+        assert sweep[L]["total_tokens"] == \
+            sweep[L]["n_seqs"] * L + sweep[L]["tail_waste"]
+    # shorter sequences split fewer docs than they fit... sanity:
+    # split count monotone non-increasing as L grows is NOT guaranteed,
+    # but both must stay within [0, n_docs]
+    for L in (64, 256):
+        assert 0 <= sweep[L]["n_docs_split"] <= sweep[L]["n_docs"]
