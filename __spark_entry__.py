@@ -3766,6 +3766,24 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-sampling effective sample size (dsir.ess_report,
+    Kong 1992): ESS of the DSIR weights against the lang='en' target —
+    the health gate run before trusting a Gumbel resample. Log-sum-exp
+    max shift as a 1-row broadcast, micro-quantized exp, decimal-exact
+    sums. Oracle: the dsir chain through the weight table + the same
+    shift/quantize/sum replay."""
+    from ocr_engine_spark.functions.dsir import (
+        bucket_log_ratios, ess_report, importance_weights,
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
+    target = docs.filter(F.col("lang") == "en")
+    ratios = bucket_log_ratios(target, docs, buckets=4096)
+    w = importance_weights(docs, ratios, buckets=4096)
+    return ess_report(w)
+
+
 def q_packing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length planning sweep (pack.packing_sweep): exact
     projected packing outcomes for L in {128, 256, 512, 1024} —
@@ -4024,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_mrr": q_bm25_mrr,
         "hybrid_rrf": q_hybrid_rrf,
         "packing_sweep": q_packing_sweep,
+        "dsir_ess": q_dsir_ess,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -9112,6 +9131,59 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY qid, rank
     """
     d["packing_sweep"] = _packing_sweep_oracle()
+    d["dsir_ess"] = r"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, lang, t[i] AS g
+          FROM tok, unnest(generate_series(1, len(t))) AS u(i)
+          UNION ALL
+          SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS g
+          FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        b AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096
+                   AS bucket
+          FROM grams),
+        tgt AS (
+          SELECT bucket, count(*)::BIGINT AS ct
+          FROM b WHERE lang = 'en' GROUP BY bucket),
+        rawc AS (
+          SELECT bucket, count(*)::BIGINT AS cr
+          FROM b GROUP BY bucket),
+        tot AS (
+          SELECT (SELECT sum(cr) FROM rawc)::BIGINT AS tr,
+                 (SELECT sum(ct) FROM tgt)::BIGINT AS tt),
+        ratios AS (
+          SELECT r.bucket,
+                 CAST(round(
+                   ln(((coalesce(g.ct, 0) + 1.0) / (tot.tt + 4096.0))
+                      / ((r.cr + 1.0) / (tot.tr + 4096.0)))
+                   * 1000000.0) AS BIGINT) AS lr_micro
+          FROM rawc r LEFT JOIN tgt g USING (bucket), tot),
+        w AS (
+          SELECT doc_id,
+                 sum(lr_micro)::BIGINT AS weight_micro
+          FROM b JOIN ratios USING (bucket)
+          GROUP BY doc_id),
+        m AS (SELECT max(weight_micro) AS m FROM w),
+        uu AS (SELECT CAST(round(exp((w.weight_micro - m.m)::DOUBLE
+                                     / 1e6) * 1e6) AS BIGINT) AS u
+               FROM w, m),
+        s AS (SELECT count(*)::BIGINT AS n_docs,
+                     sum(u) AS su, sum(u * u) AS suu
+              FROM uu)
+        SELECT n_docs,
+               floor(su::DOUBLE * su::DOUBLE / suu::DOUBLE * 1000
+                     + 0.5)::BIGINT AS ess_milli,
+               floor(su::DOUBLE * su::DOUBLE / suu::DOUBLE * 1e6
+                     / n_docs::DOUBLE + 0.5)::BIGINT AS ess_frac_ppm
+        FROM s
+    """
     d["bm25_mrr"] = r"""
         WITH d AS (
           SELECT doc_id,

@@ -185,3 +185,39 @@ def dsir_select(docs: DataFrame, target: DataFrame, k: int, *,
                                  F.col(id_col)))))
     return ranked.select("rank", id_col, "n_grams", "weight_micro",
                          "key_micro")
+
+
+def ess_report(weights: DataFrame, *,
+               weight_col: str = "weight_micro") -> DataFrame:
+    """Effective sample size of the importance weights (Kong 1992 —
+    the standard importance-sampling health gate): ``ESS =
+    (Σw)² / Σw²``. An ESS collapsing toward 1 means a handful of
+    documents dominate the resample (target too narrow, buckets too
+    coarse) and the DSIR selection is running on noise — price it
+    BEFORE spending the token budget the selection feeds.
+
+    Log-weights (micro-nats) are exponentiated ONCE after the
+    log-sum-exp max shift — a 1-row broadcast, never a driver read —
+    and quantized to micro, so both engines sum identical integers
+    (u <= 1e6; the u² sum rides decimal(38,0) like host_gini's
+    arithmetic, safe at any corpus size). ESS and its
+    fraction-of-corpus are single double expressions over the exact
+    sums. Returns one row (n_docs, ess_milli, ess_frac_ppm)."""
+    m = weights.agg(F.max(weight_col).alias("__m"))
+    u = F.round(
+        F.exp((F.col(weight_col) - F.col("__m")).cast("double")
+              / F.lit(1e6)) * F.lit(1e6), 0).cast("long")
+    s = (weights.crossJoin(F.broadcast(m))
+         .select(u.alias("__u"))
+         .agg(F.count("*").alias("n_docs"),
+              F.sum(F.col("__u").cast("decimal(38,0)")).alias("__su"),
+              F.sum((F.col("__u") * F.col("__u"))
+                    .cast("decimal(38,0)")).alias("__suu")))
+    ess = (F.col("__su").cast("double") * F.col("__su").cast("double")
+           / F.col("__suu").cast("double"))
+    return s.select(
+        "n_docs",
+        F.floor(ess * 1000 + F.lit(0.5)).cast("long")
+        .alias("ess_milli"),
+        F.floor(ess * 1e6 / F.col("n_docs").cast("double")
+                + F.lit(0.5)).cast("long").alias("ess_frac_ppm"))

@@ -114,3 +114,27 @@ def test_plan_broadcast_scoring_no_cartesian(spark, toy):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ess_uniform_weights_equal_n(spark):
+    from ocr_engine_spark.functions.dsir import ess_report
+    w = spark.createDataFrame(
+        [(i, 5, 1000) for i in range(20)],
+        ["doc_id", "n_grams", "weight_micro"])
+    row = ess_report(w).collect()[0]
+    # identical weights: ESS == n exactly
+    assert row["n_docs"] == 20
+    assert row["ess_milli"] == 20_000
+    assert row["ess_frac_ppm"] == 1_000_000
+
+
+def test_ess_collapses_under_one_dominant_weight(spark):
+    from ocr_engine_spark.functions.dsir import ess_report
+    rows = [(0, 5, 20_000_000)] + [(i, 5, 0) for i in range(1, 50)]
+    w = spark.createDataFrame(rows,
+                              ["doc_id", "n_grams", "weight_micro"])
+    row = ess_report(w).collect()[0]
+    # one doc carries e^20 of the mass: ESS ~ 1
+    assert row["n_docs"] == 50
+    assert row["ess_milli"] < 1_100
+    assert row["ess_frac_ppm"] < 25_000
