@@ -3766,6 +3766,18 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold retention curve (funnel.threshold_sweep —
+    the DataComp/DCLM "tokens retained vs cut" table): ten candidate
+    micro-unit floors over the documents table, docs and tokens
+    retained per floor, ONE corpus scan. Oracle: same conjunction
+    sums over the shared _NTOK/_QUALITY_RAW twins."""
+    from ocr_engine_spark.functions.funnel import threshold_sweep
+    docs = _read(spark, sf_dir, "documents")
+    ths = [i * 100_000 for i in range(10)]
+    return threshold_sweep(docs, ths)
+
+
 def q_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance-sampling effective sample size (dsir.ess_report,
     Kong 1992): ESS of the DSIR weights against the lang='en' target —
@@ -4043,6 +4055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "packing_sweep": q_packing_sweep,
         "dsir_ess": q_dsir_ess,
+        "threshold_sweep": q_threshold_sweep,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -9131,6 +9144,36 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY qid, rank
     """
     d["packing_sweep"] = _packing_sweep_oracle()
+    d["threshold_sweep"] = f"""
+        WITH t AS (SELECT doc_id, text FROM documents),
+        qq AS (SELECT {_NTOK} AS ntok,
+                      floor({_QUALITY_RAW} * 1e6 + 0.5) AS q
+               FROM t),
+        a AS (SELECT count(*)::BIGINT AS n,
+                     sum(ntok)::BIGINT AS tok,
+                     sum(CASE WHEN q >= 0 THEN 1 ELSE 0 END)::BIGINT AS d_0, sum(CASE WHEN q >= 0 THEN ntok ELSE 0 END)::BIGINT AS t_0,
+                     sum(CASE WHEN q >= 100000 THEN 1 ELSE 0 END)::BIGINT AS d_100000, sum(CASE WHEN q >= 100000 THEN ntok ELSE 0 END)::BIGINT AS t_100000,
+                     sum(CASE WHEN q >= 200000 THEN 1 ELSE 0 END)::BIGINT AS d_200000, sum(CASE WHEN q >= 200000 THEN ntok ELSE 0 END)::BIGINT AS t_200000,
+                     sum(CASE WHEN q >= 300000 THEN 1 ELSE 0 END)::BIGINT AS d_300000, sum(CASE WHEN q >= 300000 THEN ntok ELSE 0 END)::BIGINT AS t_300000,
+                     sum(CASE WHEN q >= 400000 THEN 1 ELSE 0 END)::BIGINT AS d_400000, sum(CASE WHEN q >= 400000 THEN ntok ELSE 0 END)::BIGINT AS t_400000,
+                     sum(CASE WHEN q >= 500000 THEN 1 ELSE 0 END)::BIGINT AS d_500000, sum(CASE WHEN q >= 500000 THEN ntok ELSE 0 END)::BIGINT AS t_500000,
+                     sum(CASE WHEN q >= 600000 THEN 1 ELSE 0 END)::BIGINT AS d_600000, sum(CASE WHEN q >= 600000 THEN ntok ELSE 0 END)::BIGINT AS t_600000,
+                     sum(CASE WHEN q >= 700000 THEN 1 ELSE 0 END)::BIGINT AS d_700000, sum(CASE WHEN q >= 700000 THEN ntok ELSE 0 END)::BIGINT AS t_700000,
+                     sum(CASE WHEN q >= 800000 THEN 1 ELSE 0 END)::BIGINT AS d_800000, sum(CASE WHEN q >= 800000 THEN ntok ELSE 0 END)::BIGINT AS t_800000,
+                     sum(CASE WHEN q >= 900000 THEN 1 ELSE 0 END)::BIGINT AS d_900000, sum(CASE WHEN q >= 900000 THEN ntok ELSE 0 END)::BIGINT AS t_900000
+              FROM qq)
+        SELECT * FROM (SELECT 0::BIGINT AS threshold_micro, d_0 AS n_docs_kept, (d_0 * 1000000) // greatest(n, 1) AS docs_ppm, t_0 AS n_tokens_kept, (t_0 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a
+              UNION ALL SELECT 100000::BIGINT AS threshold_micro, d_100000 AS n_docs_kept, (d_100000 * 1000000) // greatest(n, 1) AS docs_ppm, t_100000 AS n_tokens_kept, (t_100000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a
+              UNION ALL SELECT 200000::BIGINT AS threshold_micro, d_200000 AS n_docs_kept, (d_200000 * 1000000) // greatest(n, 1) AS docs_ppm, t_200000 AS n_tokens_kept, (t_200000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a
+              UNION ALL SELECT 300000::BIGINT AS threshold_micro, d_300000 AS n_docs_kept, (d_300000 * 1000000) // greatest(n, 1) AS docs_ppm, t_300000 AS n_tokens_kept, (t_300000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a
+              UNION ALL SELECT 400000::BIGINT AS threshold_micro, d_400000 AS n_docs_kept, (d_400000 * 1000000) // greatest(n, 1) AS docs_ppm, t_400000 AS n_tokens_kept, (t_400000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a
+              UNION ALL SELECT 500000::BIGINT AS threshold_micro, d_500000 AS n_docs_kept, (d_500000 * 1000000) // greatest(n, 1) AS docs_ppm, t_500000 AS n_tokens_kept, (t_500000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a
+              UNION ALL SELECT 600000::BIGINT AS threshold_micro, d_600000 AS n_docs_kept, (d_600000 * 1000000) // greatest(n, 1) AS docs_ppm, t_600000 AS n_tokens_kept, (t_600000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a
+              UNION ALL SELECT 700000::BIGINT AS threshold_micro, d_700000 AS n_docs_kept, (d_700000 * 1000000) // greatest(n, 1) AS docs_ppm, t_700000 AS n_tokens_kept, (t_700000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a
+              UNION ALL SELECT 800000::BIGINT AS threshold_micro, d_800000 AS n_docs_kept, (d_800000 * 1000000) // greatest(n, 1) AS docs_ppm, t_800000 AS n_tokens_kept, (t_800000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a
+              UNION ALL SELECT 900000::BIGINT AS threshold_micro, d_900000 AS n_docs_kept, (d_900000 * 1000000) // greatest(n, 1) AS docs_ppm, t_900000 AS n_tokens_kept, (t_900000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a)
+        ORDER BY threshold_micro
+    """
     d["dsir_ess"] = r"""
         WITH tok AS (
           SELECT doc_id, lang,

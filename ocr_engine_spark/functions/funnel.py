@@ -58,3 +58,42 @@ def filter_funnel(docs: DataFrame, *, min_tokens: int = 25,
                            F.expr("((s.n_in - s.n_kept) * 1000000)"
                                   " div s.n_in"))
                     .alias("drop_ppm")))
+
+
+def threshold_sweep(docs: DataFrame, thresholds_micro: list[int], *,
+                    text_col: str = "text") -> DataFrame:
+    """Quality-threshold retention curve (the DataComp/DCLM sweep:
+    every filtering paper publishes "tokens retained vs threshold"
+    before picking the cut): for each candidate micro-unit quality
+    floor, documents and tokens retained, in counts and ppm — ONE
+    corpus scan, every threshold an aggregate conjunction over the
+    same once-computed quality column, rows unfolded funnel-style.
+    Returns (threshold_micro, n_docs_kept, docs_ppm, n_tokens_kept,
+    tokens_ppm) ordered by threshold."""
+    t = F.col(text_col)
+    q_micro = F.floor(quality_score_raw_col(t) * 1e6 + F.lit(0.5))
+    n_tok = token_count_col(t)
+    aggs = [F.count("*").alias("__n"),
+            F.sum(n_tok).alias("__tok")]
+    for th in thresholds_micro:
+        th = int(th)
+        keep = q_micro >= th
+        aggs.append(F.sum(keep.cast("long")).alias(f"__d_{th}"))
+        aggs.append(F.sum(F.when(keep, n_tok).otherwise(F.lit(0)))
+                    .alias(f"__t_{th}"))
+    a = docs.agg(*aggs)
+
+    def stage(th: int):
+        th = int(th)
+        return F.struct(
+            F.lit(th).cast("long").alias("threshold_micro"),
+            F.col(f"__d_{th}").cast("long").alias("n_docs_kept"),
+            F.expr(f"(__d_{th} * 1000000) div greatest(__n, 1)")
+            .alias("docs_ppm"),
+            F.col(f"__t_{th}").cast("long").alias("n_tokens_kept"),
+            F.expr(f"(__t_{th} * 1000000) div greatest(__tok, 1)")
+            .alias("tokens_ppm"))
+
+    stages = F.array(*[stage(th) for th in thresholds_micro])
+    return (a.select(F.explode(stages).alias("s")).select("s.*")
+            .orderBy("threshold_micro"))

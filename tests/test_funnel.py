@@ -31,3 +31,24 @@ def test_funnel_empty_corpus_null_ppm(spark):
     out = {r["stage_idx"]: r for r in filter_funnel(docs).collect()}
     assert out[0]["n_in"] == 0
     assert out[1]["drop_ppm"] is None
+
+
+def test_threshold_sweep_monotone(spark):
+    from ocr_engine_spark.functions.funnel import threshold_sweep
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs back to the old barn with a friend of the family "
+            "for a long while before it rests")
+    junk = "@@@ ### !!! ??? ;;; ::: ,,, ... ((( )))"
+    docs = spark.createDataFrame(
+        [(0, good), (1, good), (2, junk)], ["doc_id", "text"])
+    rows = threshold_sweep(docs, [0, 300_000, 990_000]).collect()
+    by_t = {r["threshold_micro"]: r for r in rows}
+    assert by_t[0]["n_docs_kept"] == 3
+    assert by_t[0]["docs_ppm"] == 1_000_000
+    # junk falls out by 0.3; retention is monotone non-increasing
+    assert by_t[300_000]["n_docs_kept"] == 2
+    assert by_t[990_000]["n_docs_kept"] <= 2
+    kept = [r["n_docs_kept"] for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    toks = [r["n_tokens_kept"] for r in rows]
+    assert toks == sorted(toks, reverse=True)
