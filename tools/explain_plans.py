@@ -17,6 +17,22 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NOTES = {
+    "quantile_sketch": "sketch side: TakeOrdered k-min + a k-bounded "
+                       "window; the exact side's single-partition "
+                       "window IS the full-sort cost being audited",
+    "bm25_mrr": "df/idf once per distinct term; every join on the "
+                "query side is broadcast; per-query top-k = "
+                "qid-partitioned window over bounded hit sets",
+    "hybrid_rrf": "both rankings bounded at k; fusion = one (qid, id) "
+                  "aggregate + bounded window; integer rrf terms",
+    "packing_sweep": "ONE offsets pass (range-partition prefix) "
+                     "serves every candidate L; per-L aggregates, no "
+                     "token-granularity explode",
+    "dsir_ess": "max shift rides a 1-row broadcast; decimal-exact "
+                "u/u-squared sums; one corpus aggregate",
+    "threshold_sweep": "single scan, all floors as aggregate "
+                       "conjunctions over one quality expression",
+
     "zipf_fit": "one vocab-bounded HashAggregate + TakeOrderedAndProject "
                 "top-100; the OLS window runs on 100 rows (the "
                 "single-partition WindowExec is bounded by top_n, "
@@ -489,6 +505,8 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "ai_optout", "kn_ppl", "kn3_ppl", "url_traps",
             "filter_funnel", "mixed_lang", "lexicon_scan",
             "luhn_cards", "jl_audit",
+            "quantile_sketch", "bm25_mrr", "hybrid_rrf",
+            "packing_sweep", "dsir_ess", "threshold_sweep",
             "extraction_pipeline"]
 
 
