@@ -3766,6 +3766,21 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_lang_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary cardinality via the GROUPED portable
+    HLL (sketch.hll_grouped_distinct): register state keyed
+    (lang, bucket), every group estimated with the global sketch's
+    pinned expressions, exact distinct alongside for the err audit.
+    Oracle: the full grouped register/estimate replay."""
+    from ocr_engine_spark.functions.generate import explode_nonull
+    from ocr_engine_spark.functions.sketch import hll_grouped_distinct
+    from ocr_engine_spark.functions.text import tokens_col
+    docs = _read(spark, sf_dir, "documents")
+    toks = explode_nonull(docs, tokens_col(F.lower(F.col("text"))),
+                          "v", F.col("lang"))
+    return hll_grouped_distinct(toks, "lang", "v").orderBy("lang")
+
+
 def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-threshold retention curve (funnel.threshold_sweep —
     the DataComp/DCLM "tokens retained vs cut" table): ten candidate
@@ -4056,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_sweep": q_packing_sweep,
         "dsir_ess": q_dsir_ess,
         "threshold_sweep": q_threshold_sweep,
+        "lang_vocab_hll": q_lang_vocab_hll,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -9173,6 +9189,54 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 800000::BIGINT AS threshold_micro, d_800000 AS n_docs_kept, (d_800000 * 1000000) // greatest(n, 1) AS docs_ppm, t_800000 AS n_tokens_kept, (t_800000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a
               UNION ALL SELECT 900000::BIGINT AS threshold_micro, d_900000 AS n_docs_kept, (d_900000 * 1000000) // greatest(n, 1) AS docs_ppm, t_900000 AS n_tokens_kept, (t_900000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a)
         ORDER BY threshold_micro
+    """
+    d["lang_vocab_hll"] = r"""
+        WITH vals AS (
+          SELECT lang AS g,
+                 unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS v
+          FROM documents WHERE length(trim(text)) > 0),
+        hh AS (SELECT g, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+               FROM vals),
+        rr AS (SELECT g, h % 1024 AS bucket,
+                      CASE WHEN (h // 1024) = 0 THEN 51
+                           ELSE 50 - length(bin(h // 1024)) + 1
+                      END AS rho
+               FROM hh),
+        regs AS (SELECT g, bucket, max(rho)::BIGINT AS register
+                 FROM rr GROUP BY g, bucket),
+        a AS (SELECT g, count(*)::BIGINT AS n_hit,
+                     sum(CASE WHEN register <= 30
+                              THEN (1::BIGINT << (30 - register))
+                              ELSE 0 END)::BIGINT AS sum_hit
+              FROM regs GROUP BY g),
+        a2 AS (SELECT g, n_hit, (1024 - n_hit)::BIGINT AS zeros,
+                      (sum_hit + (1024 - n_hit)
+                       * (1::BIGINT << 30))::BIGINT AS ss
+               FROM a),
+        a3 AS (SELECT *, CAST(floor((720541 * 1.0) * 1125899906842624
+                                    / 1000000.0 / ss) AS BIGINT)
+                           AS raw
+               FROM a2),
+        ex AS (SELECT g, count(DISTINCT v)::BIGINT AS n_exact
+               FROM vals GROUP BY g)
+        SELECT a3.g AS lang, 1024::BIGINT AS m,
+               a3.n_hit AS n_buckets_hit,
+               a3.zeros AS n_zero_buckets,
+               a3.ss AS sum_scaled,
+               CASE WHEN a3.raw < 2560 AND a3.zeros > 0
+                    THEN CAST(floor(1024 * ln(1024 * 1.0 / a3.zeros))
+                              AS BIGINT)
+                    ELSE a3.raw END AS estimate,
+               ex.n_exact,
+               ((CASE WHEN a3.raw < 2560 AND a3.zeros > 0
+                      THEN CAST(floor(1024 * ln(1024 * 1.0
+                                                / a3.zeros))
+                                AS BIGINT)
+                      ELSE a3.raw END - ex.n_exact) * 1000000)
+                 // ex.n_exact AS err_ppm
+        FROM a3 JOIN ex USING (g)
+        ORDER BY lang
     """
     d["dsir_ess"] = r"""
         WITH tok AS (

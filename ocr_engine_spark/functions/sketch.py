@@ -321,3 +321,67 @@ def sketch_quantiles(sketch: DataFrame,
     for q in parts[1:]:
         out = out.unionByName(q)
     return out
+
+
+def hll_grouped_distinct(df: DataFrame, group_col: str, col: str, *,
+                         b: int = 10) -> DataFrame:
+    """Per-GROUP portable HLL cardinality — the sketch composed along
+    a dimension (distinct tokens per language, distinct URLs per
+    host): register state keyed (group, bucket) so the shuffle
+    carries at most ``groups x m`` rows with map-side max-combine,
+    every group's estimate from the same pinned expressions as the
+    global sketch, and per-group register tables from different
+    systems still max-merge before estimating. The exact distinct
+    runs alongside (fixture scale) for the gated err_ppm audit.
+    Returns one row per group: (group, m, n_buckets_hit,
+    n_zero_buckets, sum_scaled, estimate, n_exact, err_ppm)."""
+    assert 7 <= int(b) <= 16
+    m = 1 << int(b)
+    am = _alpha_micro(m)
+    width = 60 - int(b)
+    h = md5_int60_col(F.col(col))
+    g = F.col(group_col).alias("__g")
+    rho = F.when(F.col("__r") == 0, F.lit(width + 1)) \
+           .otherwise(F.lit(width)
+                      - F.length(F.expr("bin(__r)")).cast("int")
+                      + F.lit(1))
+    d = (df.select(g, h.alias("__h"))
+         .withColumn("__r", F.expr(f"(__h div {m})"))
+         .select("__g", F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
+                 rho.alias("__rho")))
+    regs = (d.groupBy("__g", "bucket")
+            .agg(F.max("__rho").cast("long").alias("register")))
+    agg = regs.groupBy("__g").agg(
+        F.count("*").alias("n_buckets_hit"),
+        F.sum(F.expr(
+            "CASE WHEN register <= 30 THEN "
+            "shiftleft(1L, 30 - cast(register as int)) ELSE 0 END"))
+        .alias("__sum_hit"))
+    zeros = F.lit(m) - F.col("n_buckets_hit")
+    sum_scaled = (F.col("__sum_hit")
+                  + zeros.cast("long") * F.lit(1 << 30))
+    est_raw = F.expr(
+        f"CAST(floor(({am} * 1.0) * {m * m * (1 << 30)} / 1000000.0"
+        f" / __ss) AS BIGINT)")
+    lc = F.expr(
+        f"CAST(floor({m} * ln({m} * 1.0 / __zeros)) AS BIGINT)")
+    d2 = (agg.withColumn("__ss", sum_scaled)
+          .withColumn("__zeros", zeros.cast("long"))
+          .withColumn("__raw", est_raw))
+    est = (F.when((F.col("__raw") < int(2.5 * m))
+                  & (F.col("__zeros") > 0), lc)
+           .otherwise(F.col("__raw")))
+    exact = (df.groupBy(F.col(group_col).alias("__g"))
+             .agg(F.count_distinct(F.col(col)).alias("n_exact")))
+    out = (d2.withColumn("estimate", est.cast("long"))
+           .join(exact, "__g"))
+    err = F.expr("((estimate - n_exact) * 1000000) div n_exact")
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.lit(m).cast("long").alias("m"),
+        F.col("n_buckets_hit").cast("long").alias("n_buckets_hit"),
+        F.col("__zeros").alias("n_zero_buckets"),
+        F.col("__ss").alias("sum_scaled"),
+        "estimate",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        err.alias("err_ppm"))

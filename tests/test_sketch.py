@@ -214,3 +214,28 @@ def test_value_sample_sketch_mergeable(spark):
     direct = value_sample_sketch(df, "val", id_col="doc_id", k=k)
     assert sorted(tuple(r) for r in merged.collect()) == \
         sorted(tuple(r) for r in direct.collect())
+
+
+def test_hll_grouped_matches_global_per_group(spark):
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.sketch import (
+        hll_distinct, hll_grouped_distinct,
+    )
+    # two groups with different cardinalities; the grouped sketch must
+    # equal the global sketch run on each group alone
+    df = (spark.range(0, 700)
+          .select(F.when(F.col("id") < 200, F.lit("a"))
+                  .otherwise(F.lit("b")).alias("g"),
+                  F.concat(F.lit("v"),
+                           (F.col("id") % 400)).alias("v")))
+    grouped = {r["g"]: r for r in
+               hll_grouped_distinct(df, "g", "v").collect()}
+    for gname in ("a", "b"):
+        solo = hll_distinct(df.filter(F.col("g") == gname),
+                            "v").collect()[0]
+        got = grouped[gname]
+        assert got["estimate"] == solo["estimate"]
+        assert got["n_exact"] == solo["n_exact"]
+        assert got["sum_scaled"] == solo["sum_scaled"]
+    assert grouped["a"]["n_exact"] == 200
+    assert grouped["b"]["n_exact"] == 400
