@@ -3766,6 +3766,26 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare-URL extraction from prose (linkgraph.text_urls): per
+    doc_id residue class, inject a sentence-final URL (trailing dot
+    must strip), a parenthesized one (the close paren is a
+    delimiter), and a query-string one; harvest + host parse. Oracle:
+    same grammar via regexp_extract_all + trailing-punct strip."""
+    from ocr_engine_spark.functions.linkgraph import text_urls
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    inject = (F.when(F.col("doc_id") % 4 == 0,
+                     F.lit(" see https://ex0.example/a/1."))
+              .when(F.col("doc_id") % 4 == 1,
+                    F.lit(" info (http://ex1.example/b?q=2&x=3)"))
+              .when(F.col("doc_id") % 4 == 2,
+                    F.lit(" at https://Ex2.Example:8080/C#frag, ok"))
+              .otherwise(F.lit("")))
+    d = docs.select("doc_id",
+                    F.concat(F.col("text"), inject).alias("text"))
+    return text_urls(d).orderBy("doc_id", "pos")
+
+
 def q_lang_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language vocabulary cardinality via the GROUPED portable
     HLL (sketch.hll_grouped_distinct): register state keyed
@@ -4072,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_ess": q_dsir_ess,
         "threshold_sweep": q_threshold_sweep,
         "lang_vocab_hll": q_lang_vocab_hll,
+        "text_urls": q_text_urls,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -9189,6 +9210,31 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 800000::BIGINT AS threshold_micro, d_800000 AS n_docs_kept, (d_800000 * 1000000) // greatest(n, 1) AS docs_ppm, t_800000 AS n_tokens_kept, (t_800000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a
               UNION ALL SELECT 900000::BIGINT AS threshold_micro, d_900000 AS n_docs_kept, (d_900000 * 1000000) // greatest(n, 1) AS docs_ppm, t_900000 AS n_tokens_kept, (t_900000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a)
         ORDER BY threshold_micro
+    """
+    d["text_urls"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 4 = 0
+                     THEN ' see https://ex0.example/a/1.'
+                   WHEN doc_id % 4 = 1
+                     THEN ' info (http://ex1.example/b?q=2&x=3)'
+                   WHEN doc_id % 4 = 2
+                     THEN ' at https://Ex2.Example:8080/C#frag, ok'
+                   ELSE '' END AS t
+          FROM documents WHERE doc_id < 250),
+        m AS (
+          SELECT doc_id, u.i - 1 AS pos,
+                 regexp_replace(arr[u.i], '[.,;:!?]+$', '') AS url
+          FROM (SELECT doc_id,
+                       regexp_extract_all(t,
+                         'https?://[^\s<>"'')\]}]+') AS arr
+                FROM d),
+               LATERAL unnest(generate_series(1, len(arr))) u(i))
+        SELECT doc_id, pos::BIGINT AS pos, url,
+               lower(regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+        FROM m ORDER BY doc_id, pos
     """
     d["lang_vocab_hll"] = r"""
         WITH vals AS (

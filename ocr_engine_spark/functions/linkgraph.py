@@ -839,3 +839,27 @@ def recrawl_intervals(df: DataFrame, *, id_col: str = "user_id",
     return agg.select("page_id", "n_obs", "n_changes", "span_ms",
                       change_ppm.alias("change_ppm"),
                       recrawl.cast("long").alias("recrawl_ms"))
+
+
+_TEXT_URL_RE = r"""https?://[^\s<>"')\]}]+"""
+
+
+def text_urls(df: DataFrame, *, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Bare URLs in PLAIN TEXT — the discovery channel for corpora
+    with no markup left (forum dumps, chat logs, extracted text):
+    one codegen'd ``regexp_extract_all`` over a pinned RE2/Java-
+    portable grammar (scheme + non-delimiter run), trailing
+    sentence punctuation stripped AFTER the match (the standard
+    linkifier convention — 'see https://x/y.' must not keep the
+    dot). Returns (id, pos, url, host); map-side fan-out, no
+    shuffle. The href harvester (host_edges) covers markup; this
+    covers prose."""
+    from ocr_engine_spark.functions.scrub import host_col
+    raws = F.regexp_extract_all(F.col(text_col), F.lit(_TEXT_URL_RE), 0)
+    from ocr_engine_spark.functions.generate import posexplode_nonull
+    ex = posexplode_nonull(df, raws, "pos", "__raw", F.col(id_col))
+    url = F.regexp_replace(F.col("__raw"), r"[.,;:!?]+$", "")
+    return ex.select(id_col, F.col("pos").cast("long").alias("pos"),
+                     url.alias("url"),
+                     host_col(url).alias("host"))

@@ -758,3 +758,23 @@ def test_graph_stats_hand_counted(spark):
     assert r.max_out_deg == 2         # every linking host fans out 2
     assert r.n_reciprocal == 4        # a<->b, f<->g
     assert r.reciprocity_micro == (4 * 1_000_000) // 12
+
+
+def test_text_urls_linkifier_conventions(spark):
+    from ocr_engine_spark.functions.linkgraph import text_urls
+    rows = [
+        (0, "see https://a.example/x. and (http://b.example/y?q=1) "
+            "plus https://C.Example:8080/z#f, done"),
+        (1, "no urls here, https:// alone is not one either"),
+        # (the grammar needs >= 1 char after '//', so doc 1 is empty)
+        (2, "touching<https://d.example/w>brackets"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r["doc_id"], r["pos"], r["url"], r["host"])
+           for r in text_urls(df).orderBy("doc_id", "pos").collect()]
+    assert got == [
+        (0, 0, "https://a.example/x", "a.example"),
+        (0, 1, "http://b.example/y?q=1", "b.example"),
+        (0, 2, "https://C.Example:8080/z#f", "c.example:8080"),
+        (2, 0, "https://d.example/w", "d.example"),
+    ]
