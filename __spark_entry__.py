@@ -3766,6 +3766,26 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl novelty curve (snapshot.novelty_curve): per 50-doc
+    bucket, the share of docs whose content fingerprint is first seen
+    there — the doc-level rot detector next to vocab_growth. A
+    planted re-crawl (docs 200+ reuse text of doc_id-200) drags the
+    later buckets' novel rate down on schedule. Oracle: argmin +
+    count-join replay."""
+    from ocr_engine_spark.functions.snapshot import novelty_curve
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    # planted recrawl: the second half re-serves the first half's text
+    reused = (docs.alias("a")
+              .join(docs.selectExpr("doc_id + 200 AS doc_id",
+                                    "text AS old_text").alias("b"),
+                    "doc_id", "left"))
+    d = reused.select(
+        "doc_id",
+        F.coalesce(F.col("old_text"), F.col("text")).alias("text"))
+    return novelty_curve(d, bucket_docs=50).orderBy("bucket")
+
+
 def q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bare-URL extraction from prose (linkgraph.text_urls): per
     doc_id residue class, inject a sentence-final URL (trailing dot
@@ -4093,6 +4113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "lang_vocab_hll": q_lang_vocab_hll,
         "text_urls": q_text_urls,
+        "novelty_curve": q_novelty_curve,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -9210,6 +9231,33 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 800000::BIGINT AS threshold_micro, d_800000 AS n_docs_kept, (d_800000 * 1000000) // greatest(n, 1) AS docs_ppm, t_800000 AS n_tokens_kept, (t_800000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a
               UNION ALL SELECT 900000::BIGINT AS threshold_micro, d_900000 AS n_docs_kept, (d_900000 * 1000000) // greatest(n, 1) AS docs_ppm, t_900000 AS n_tokens_kept, (t_900000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a)
         ORDER BY threshold_micro
+    """
+    d["novelty_curve"] = r"""
+        WITH base AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id < 400),
+        d AS (
+          SELECT a.doc_id,
+                 coalesce(b.text, a.text) AS text
+          FROM base a
+          LEFT JOIN (SELECT doc_id + 200 AS doc_id, text
+                     FROM base) b USING (doc_id)),
+        fp AS (
+          SELECT doc_id // 50 AS bucket,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                                         'g'))) AS fp
+          FROM d),
+        firsts AS (
+          SELECT bucket, count(*)::BIGINT AS n_novel
+          FROM (SELECT fp, min(bucket) AS bucket FROM fp GROUP BY fp)
+          GROUP BY bucket),
+        totals AS (SELECT bucket, count(*)::BIGINT AS n_docs
+                   FROM fp GROUP BY bucket)
+        SELECT t.bucket, t.n_docs,
+               coalesce(f.n_novel, 0)::BIGINT AS n_novel,
+               (coalesce(f.n_novel, 0) * 1000000) // t.n_docs
+                 AS novel_ppm
+        FROM totals t LEFT JOIN firsts f USING (bucket)
+        ORDER BY t.bucket
     """
     d["text_urls"] = r"""
         WITH d AS (

@@ -87,3 +87,38 @@ def keep_latest_revision(df: DataFrame, *, key_col: str | None = None,
                  F.count("*").alias("n_revisions"))
             .select("__key", "n_revisions", "__row.*")
             .withColumnRenamed("__key", "canonical_url"))
+
+
+def novelty_curve(df, *, bucket_docs: int = 50,
+                  id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Crawl novelty curve — the doc-granularity companion of
+    text.vocab_growth's Heaps diagnostic: walking the corpus in
+    ``id_col`` order (crawl time in the fixture's convention), what
+    fraction of each bucket's documents carries a fingerprint never
+    seen in ANY earlier bucket?  A healthy crawl holds a high novel
+    rate; re-crawl loops, mirror floods and frontier starvation all
+    drag it down bucket by bucket — and unlike a global dup-rate, the
+    CURVE shows when the rot started.
+
+    Shape: one groupBy(fingerprint) argmin charges each fingerprint
+    to its first-occurrence bucket (bounded by distinct content, not
+    corpus rows; min(struct) needs no window), one bucket-keyed count
+    pair joins them — no window over docs, the same scale discipline
+    as vocab_growth. Returns (bucket, n_docs, n_novel, novel_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.functions.text import fingerprint_col
+    bucket = F.expr(f"{id_col} div {int(bucket_docs)}").alias("bucket")
+    fp = df.select(bucket, fingerprint_col(F.col(text_col)).alias("fp"))
+    firsts = (fp.groupBy("fp")
+              .agg(F.min("bucket").alias("bucket"))
+              .groupBy("bucket")
+              .agg(F.count("*").alias("n_novel")))
+    totals = fp.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+    return (totals.join(firsts, "bucket", "left")
+            .select("bucket", "n_docs",
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"))
+            .withColumn("novel_ppm",
+                        F.expr("(n_novel * 1000000) div n_docs")))

@@ -134,3 +134,18 @@ def test_keep_latest_revision_reapplies_to_own_output(spark):
     assert len(rows) == 1
     assert rows[0]["text"] == "v3"
     assert rows[0]["n_revisions"] == 2  # counts within THIS input
+
+
+def test_novelty_curve_detects_recrawl(spark):
+    from ocr_engine_spark.functions.snapshot import novelty_curve
+    rows = [(i, f"fresh text {i}") for i in range(100)]
+    rows += [(100 + i, f"fresh text {i}") for i in range(50)]  # reuse
+    rows += [(150 + i, f"late fresh {i}") for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["bucket"]: r for r in
+           novelty_curve(docs, bucket_docs=50).collect()}
+    assert got[0]["novel_ppm"] == 1_000_000
+    assert got[1]["novel_ppm"] == 1_000_000
+    assert got[2]["novel_ppm"] == 0          # pure re-crawl bucket
+    assert got[3]["novel_ppm"] == 1_000_000  # recovery
+    assert got[2]["n_docs"] == 50 and got[2]["n_novel"] == 0
