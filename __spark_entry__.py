@@ -3766,6 +3766,33 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_bpe_merge_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer merge-usage audit: how often each learned merge's
+    FINAL form survives in the encoded corpus — the dead-merge
+    detector a tokenizer refresh reads before growing the vocab
+    (merges whose form is always consumed by later merges, e.g.
+    'sm'/'sma' under 'small', legitimately read 0 — that is the
+    finding, not an error). Encode over the distinct-word fold, one
+    token explode + broadcast join against the merge table. Oracle:
+    the shared encode CTE replay + the same join/count."""
+    from ocr_engine_spark.functions.bpe import encode_bpe
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = [{"rank": i + 1, "p1": p1, "p2": p2, "merged": p1 + p2}
+              for i, (p1, p2) in enumerate(_BPE_FIXED_MERGES)]
+    toks = encode_bpe(docs, merges)
+    used = (toks.select(F.explode("tokens").alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("n_uses")))
+    mdf = spark.createDataFrame(
+        [(m["rank"], m["merged"]) for m in merges],
+        "rank long, merged string")
+    return (mdf.join(used, mdf["merged"] == used["tok"], "left")
+            .select("rank", "merged",
+                    F.coalesce("n_uses", F.lit(0)).cast("long")
+                    .alias("n_uses"))
+            .withColumn("dead", F.col("n_uses") == 0)
+            .orderBy("rank"))
+
+
 def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl novelty curve (snapshot.novelty_curve): per 50-doc
     bucket, the share of docs whose content fingerprint is first seen
@@ -4114,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_vocab_hll": q_lang_vocab_hll,
         "text_urls": q_text_urls,
         "novelty_curve": q_novelty_curve,
+        "bpe_merge_usage": q_bpe_merge_usage,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -9105,6 +9133,20 @@ def _packing_sweep_oracle(seq_lens=(128, 256, 512, 1024)) -> str:
     """
 
 
+def _bpe_merge_usage_oracle() -> str:
+    vals = ", ".join(f"({i + 1}, '{p1 + p2}')"
+                     for i, (p1, p2) in enumerate(_BPE_FIXED_MERGES))
+    return _bpe_encode_ctes() + f""",
+u AS (SELECT unnest(flat) AS tok FROM tok),
+uc AS (SELECT tok, count(*)::BIGINT AS n_uses FROM u GROUP BY tok),
+m(rank, merged) AS (VALUES {vals})
+SELECT m.rank::BIGINT AS rank, m.merged,
+       coalesce(uc.n_uses, 0)::BIGINT AS n_uses,
+       coalesce(uc.n_uses, 0) = 0 AS dead
+FROM m LEFT JOIN uc ON m.merged = uc.tok
+ORDER BY rank"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
@@ -9232,6 +9274,7 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 900000::BIGINT AS threshold_micro, d_900000 AS n_docs_kept, (d_900000 * 1000000) // greatest(n, 1) AS docs_ppm, t_900000 AS n_tokens_kept, (t_900000 * 1000000) // greatest(tok, 1) AS tokens_ppm FROM a)
         ORDER BY threshold_micro
     """
+    d["bpe_merge_usage"] = _bpe_merge_usage_oracle()
     d["novelty_curve"] = r"""
         WITH base AS (SELECT doc_id, text FROM documents
                       WHERE doc_id < 400),

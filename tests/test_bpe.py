@@ -155,3 +155,21 @@ def test_learned_bpe_through_pack_tokenizer_seam(spark):
         want.extend(r["bpe_ids"])
     assert flat == want[:len(flat)]
     assert all(0 <= t < len(tok_id) for t in flat)
+
+
+def test_merge_usage_counts_and_dead_merges(spark):
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.bpe import encode_bpe
+    merges = [{"rank": 1, "p1": "s", "p2": "m", "merged": "sm"},
+              {"rank": 2, "p1": "sm", "p2": "a", "merged": "sma"},
+              {"rank": 3, "p1": "q", "p2": "z", "merged": "qz"}]
+    docs = spark.createDataFrame(
+        [(0, "small smart sm"), (1, "smack")], ["doc_id", "text"])
+    toks = encode_bpe(docs, merges)
+    used = (toks.select(F.explode("tokens").alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("n")))
+    got = {r["tok"]: r["n"] for r in used.collect()}
+    # 'sma' consumed all 'sm' except the standalone word "sm"
+    assert got.get("sma") == 3          # small, smart, smack
+    assert got.get("sm") == 1           # the bare "sm" word
+    assert "qz" not in got              # dead merge never fires
