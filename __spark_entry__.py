@@ -3766,6 +3766,26 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_classifier_calibration(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Reliability bins for the spam-margin scores
+    (classify.calibration_bins): sigmoid(margin) once-quantized to
+    ppm, ten fixed bins, per-bin mean prediction vs empirical spam
+    rate and |gap| — the Guo et al. ECE substrate, published before
+    anyone reads NB margins as probabilities. Oracle: the shared NB
+    scoring CTE + margin + the same sigmoid quantization and bin
+    aggregate."""
+    from ocr_engine_spark.functions.classify import (
+        calibration_bins, nb_fit, nb_margin,
+    )
+    train, test = _spam_split(spark, sf_dir)
+    labels, cond = nb_fit(train, buckets=4096, alpha=1.0)
+    labels, cond = labels.persist(), cond.persist()
+    marg = nb_margin(test, labels, cond, pos_label="spam", buckets=4096)
+    return (calibration_bins(marg, test, pos_label="spam")
+            .orderBy("bin"))
+
+
 def q_bpe_merge_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer merge-usage audit: how often each learned merge's
     FINAL form survives in the encoded corpus — the dead-merge
@@ -4142,6 +4162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_urls": q_text_urls,
         "novelty_curve": q_novelty_curve,
         "bpe_merge_usage": q_bpe_merge_usage,
+        "classifier_calibration": q_classifier_calibration,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -9147,6 +9168,35 @@ FROM m LEFT JOIN uc ON m.merged = uc.tok
 ORDER BY rank"""
 
 
+def _classifier_calibration_oracle() -> str:
+    return _spam_nb_cte() + r"""
+        , margin AS (
+          SELECT doc_id, true_label = 'spam' AS pos,
+                 max(CASE WHEN label = 'spam' THEN score END)
+                 - max(CASE WHEN label <> 'spam' THEN score END)
+                   AS m
+          FROM scored GROUP BY doc_id, true_label),
+        pp AS (
+          SELECT pos,
+                 CAST(round(1e6 / (1.0 + exp((-(m::DOUBLE)) / 1e6)))
+                      AS BIGINT) AS pm
+          FROM margin),
+        bb AS (SELECT least(pm // 100000, 9)::BIGINT AS bin, pm, pos
+               FROM pp),
+        gg AS (SELECT bin, count(*)::BIGINT AS n_docs,
+                     sum(pm)::BIGINT AS sp,
+                     sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT
+                       AS np
+              FROM bb GROUP BY bin)
+        SELECT bin, n_docs,
+               sp // n_docs AS mean_pred_ppm,
+               (np * 1000000) // n_docs AS pos_rate_ppm,
+               abs(sp // n_docs
+                   - (np * 1000000) // n_docs)::BIGINT AS gap_ppm
+        FROM gg ORDER BY bin
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
@@ -9275,6 +9325,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY threshold_micro
     """
     d["bpe_merge_usage"] = _bpe_merge_usage_oracle()
+    d["classifier_calibration"] = _classifier_calibration_oracle()
     d["novelty_curve"] = r"""
         WITH base AS (SELECT doc_id, text FROM documents
                       WHERE doc_id < 400),

@@ -310,3 +310,44 @@ def load_nb_model(spark, path: str) -> tuple[DataFrame, DataFrame]:
     import os
     return (spark.read.parquet(os.path.join(path, "labels")),
             spark.read.parquet(os.path.join(path, "cond")))
+
+
+def calibration_bins(margins: DataFrame, truth: DataFrame, *,
+                     pos_label, n_bins: int = 10,
+                     id_col: str = "doc_id",
+                     label_col: str = "label") -> DataFrame:
+    """Reliability table for the margin scores (Guo et al. 2017's ECE
+    framing; Niculescu-Mizil & Caruana 2005 documented NB's chronic
+    over-confidence): ``p = sigmoid(margin)`` quantized ONCE to ppm,
+    fixed-width probability bins, per-bin mean predicted probability
+    vs empirical positive rate and their |gap| — ``Σ n_b·gap_b / N``
+    is the expected calibration error. The table that decides whether
+    the margin needs Platt scaling before anyone reads it as a
+    probability.
+
+    One join + one (bin) aggregate; every published number is exact
+    integer arithmetic over the once-quantized p. Returns (bin,
+    n_docs, mean_pred_ppm, pos_rate_ppm, gap_ppm) ordered by bin."""
+    width = 1_000_000 // int(n_bins)
+    t = truth.select(F.col(id_col),
+                     (F.col(label_col) == F.lit(pos_label))
+                     .alias("__pos"))
+    j = margins.join(t, id_col)
+    p_micro = F.round(
+        F.lit(1e6) / (F.lit(1.0)
+                      + F.exp((-F.col("margin_micro").cast("double"))
+                              / F.lit(1e6))), 0).cast("long")
+    binned = j.select(p_micro.alias("__p"), "__pos") \
+        .withColumn("bin", F.least(F.expr(f"__p div {width}"),
+                                   F.lit(int(n_bins) - 1)).cast("long"))
+    g = binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__p").alias("__sp"),
+        F.sum(F.col("__pos").cast("long")).alias("__np"))
+    return (g.select(
+        "bin", "n_docs",
+        F.expr("__sp div n_docs").alias("mean_pred_ppm"),
+        F.expr("(__np * 1000000) div n_docs").alias("pos_rate_ppm"))
+        .withColumn("gap_ppm",
+                    F.abs(F.col("mean_pred_ppm")
+                          - F.col("pos_rate_ppm"))))

@@ -253,3 +253,36 @@ def test_char_features_learn_language(spark):
             for r in nb_confusion(pred, test).collect()}
     n_ok = conf.get(("a", "a"), 0) + conf.get(("b", "b"), 0)
     assert n_ok == sum(conf.values()) == 40   # perfect held-out split
+
+
+def test_calibration_bins_perfectly_calibrated_synthetic(spark):
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.classify import calibration_bins
+    # synthetic margins whose sigmoid is ~0.25 and ~0.75, with truth
+    # drawn to match those rates exactly -> gaps near zero; and an
+    # over-confident margin (~0.95) with a 50% truth rate -> big gap
+    import math
+    m25 = int(round(math.log(0.25 / 0.75) * 1e6))
+    m75 = int(round(math.log(0.75 / 0.25) * 1e6))
+    m95 = int(round(math.log(0.95 / 0.05) * 1e6))
+    rows, truth = [], []
+    did = 0
+    for _ in range(20):
+        for (m, pos) in ((m25, False), (m25, False), (m25, False),
+                         (m25, True),
+                         (m75, True), (m75, True), (m75, True),
+                         (m75, False),
+                         (m95, True), (m95, False)):
+            rows.append((did, m))
+            truth.append((did, "spam" if pos else "ham"))
+            did += 1
+    margins = spark.createDataFrame(rows, ["doc_id", "margin_micro"])
+    t = spark.createDataFrame(truth, ["doc_id", "label"])
+    got = {r["bin"]: r for r in
+           calibration_bins(margins, t, pos_label="spam").collect()}
+    assert got[2]["pos_rate_ppm"] == 250_000       # bin [0.2, 0.3)
+    assert got[2]["gap_ppm"] < 2_000
+    assert got[7]["pos_rate_ppm"] == 750_000
+    assert got[7]["gap_ppm"] < 2_000
+    assert got[9]["pos_rate_ppm"] == 500_000       # over-confident
+    assert got[9]["gap_ppm"] > 400_000
