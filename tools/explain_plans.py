@@ -17,6 +17,17 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NOTES = {
+    "lang_vocab_hll": "register state keyed (group, bucket): shuffle "
+                      "bounded by groups x m with map-side max-combine",
+    "text_urls": "one codegen'd regexp_extract_all + outer generate; "
+                 "zero exchange before the presentation sort",
+    "novelty_curve": "groupBy(fingerprint) argmin bounded by distinct "
+                     "content + bucket count join; no doc window",
+    "bpe_merge_usage": "merge folds over the distinct-word table; one "
+                       "token explode + broadcast merge-table join",
+    "classifier_calibration": "broadcast model joins; one (bin) "
+                              "aggregate over once-quantized sigmoid",
+
     "quantile_sketch": "sketch side: TakeOrdered k-min + a k-bounded "
                        "window; the exact side's single-partition "
                        "window IS the full-sort cost being audited",
@@ -507,6 +518,8 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "luhn_cards", "jl_audit",
             "quantile_sketch", "bm25_mrr", "hybrid_rrf",
             "packing_sweep", "dsir_ess", "threshold_sweep",
+            "lang_vocab_hll", "text_urls", "novelty_curve",
+            "bpe_merge_usage", "classifier_calibration",
             "extraction_pipeline"]
 
 
