@@ -3766,6 +3766,26 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_tabular_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text tabular-data detection (text.tabular_report — The
+    Stack's delimiter-regularity triage, pointed at pasted CSV/TSV and
+    log dumps in a web corpus): docs doc_id%5==0 get a planted
+    6-line TSV appended (modal tab count 2, >=80% agreement), %5==1 a
+    ragged comma mix that must NOT flag. Oracle: line fan-out, both
+    vote tables, struct-min argmax and the flag logic replayed."""
+    from ocr_engine_spark.functions.text import tabular_report
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    tsv = ("\na\tb\tc\nd\te\tf\ng\th\ti\nj\tk\tl"
+           "\nm\tn\to\np\tq\tr")
+    ragged = "\nx,y\nz\nw,v,u,t\ns"
+    inject = (F.when(F.col("doc_id") % 5 == 0, F.lit(tsv))
+              .when(F.col("doc_id") % 5 == 1, F.lit(ragged))
+              .otherwise(F.lit("")))
+    d = docs.select("doc_id",
+                    F.concat(F.col("text"), inject).alias("text"))
+    return tabular_report(d).orderBy("doc_id")
+
+
 def q_classifier_calibration(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Reliability bins for the spam-margin scores
@@ -4163,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_curve": q_novelty_curve,
         "bpe_merge_usage": q_bpe_merge_usage,
         "classifier_calibration": q_classifier_calibration,
+        "tabular_docs": q_tabular_docs,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -9326,6 +9347,57 @@ def oracle_sql() -> dict[str, str]:
     """
     d["bpe_merge_usage"] = _bpe_merge_usage_oracle()
     d["classifier_calibration"] = _classifier_calibration_oracle()
+    d["tabular_docs"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 5 = 0 THEN chr(10) || 'a' || chr(9)
+                     || 'b' || chr(9) || 'c' || chr(10) || 'd'
+                     || chr(9) || 'e' || chr(9) || 'f' || chr(10)
+                     || 'g' || chr(9) || 'h' || chr(9) || 'i'
+                     || chr(10) || 'j' || chr(9) || 'k' || chr(9)
+                     || 'l' || chr(10) || 'm' || chr(9) || 'n'
+                     || chr(9) || 'o' || chr(10) || 'p' || chr(9)
+                     || 'q' || chr(9) || 'r'
+                   WHEN doc_id % 5 = 1 THEN chr(10) || 'x,y'
+                     || chr(10) || 'z' || chr(10) || 'w,v,u,t'
+                     || chr(10) || 's'
+                   ELSE '' END AS t
+          FROM documents WHERE doc_id < 250),
+        lines AS (
+          SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+          FROM d),
+        counted AS (
+          SELECT doc_id,
+                 length(line) - length(replace(line, chr(9), ''))
+                   AS tabs,
+                 length(line) - length(replace(line, ',', ''))
+                   AS commas
+          FROM lines),
+        tv AS (SELECT doc_id, tabs AS c, count(*)::BIGINT AS n
+               FROM counted GROUP BY doc_id, tabs),
+        tb AS (SELECT doc_id, sum(n)::BIGINT AS total,
+                      min({'nn': -n, 'c': c}) AS m
+               FROM tv GROUP BY doc_id),
+        cv AS (SELECT doc_id, commas AS c, count(*)::BIGINT AS n
+               FROM counted GROUP BY doc_id, commas),
+        cb AS (SELECT doc_id, sum(n)::BIGINT AS total,
+                      min({'nn': -n, 'c': c}) AS m
+               FROM cv GROUP BY doc_id)
+        SELECT tb.doc_id, tb.total AS n_lines,
+               tb.m.c::BIGINT AS tab_mode,
+               ((-tb.m.nn) * 1000000) // tb.total AS tab_agree_ppm,
+               cb.m.c::BIGINT AS comma_mode,
+               ((-cb.m.nn) * 1000000) // cb.total AS comma_agree_ppm,
+               (tb.total >= 3 AND
+                ((tb.m.c >= 1
+                  AND ((-tb.m.nn) * 1000000) // tb.total >= 800000)
+                 OR (cb.m.c >= 1
+                     AND ((-cb.m.nn) * 1000000) // cb.total
+                         >= 800000))) AS is_tabular
+        FROM tb JOIN cb USING (doc_id)
+        ORDER BY tb.doc_id
+    """
     d["novelty_curve"] = r"""
         WITH base AS (SELECT doc_id, text FROM documents
                       WHERE doc_id < 400),

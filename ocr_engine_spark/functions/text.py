@@ -640,3 +640,65 @@ def zipf_fit(df, *, top_n: int = 100, text_col: str = "text"):
         F.when(vary == 0, F.lit(None).cast("long"))
         .otherwise(F.floor(r2 * 1e6 + F.lit(0.5)).cast("long"))
         .alias("r2_micro"))
+
+
+def tabular_report(df, *, min_lines: int = 3,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Plain-text tabular-data detection (the code/data-corpus triage
+    motif — The Stack's filters treat delimiter-regular files as data,
+    not prose; a web corpus wants the same flag for pasted CSV/TSV
+    dumps and log files): per document, the MODAL per-line delimiter
+    count for tab and comma, and the share of lines agreeing with it.
+    A doc whose lines overwhelmingly carry the same nonzero delimiter
+    count is a table, whatever its extension said.
+
+    Returns (id, n_lines, tab_mode, tab_agree_ppm, comma_mode,
+    comma_agree_ppm, is_tabular) where ``is_tabular`` = either
+    delimiter's modal count >= 1 with agreement >= 80% over at least
+    ``min_lines`` lines.
+
+    Shape: line fan-out is map-side; two (doc, count) vote aggregates
+    with map-side combine; the per-doc argmax is the struct-min trick
+    (most votes, ties to the SMALLER delimiter count). No window over
+    lines, no UDF."""
+    from ocr_engine_spark.functions.generate import explode_nonull
+
+    lines = explode_nonull(
+        df, F.split(F.col(text_col), r"\n"), "__line", F.col(id_col))
+    counted = lines.select(
+        F.col(id_col),
+        (F.length("__line")
+         - F.length(F.regexp_replace("__line", r"\t", "")))
+        .alias("__tabs"),
+        (F.length("__line")
+         - F.length(F.regexp_replace("__line", ",", "")))
+        .alias("__commas"))
+
+    def modal(col: str, prefix: str):
+        votes = (counted.groupBy(id_col, col)
+                 .agg(F.count("*").alias("__n")))
+        best = (votes.groupBy(id_col)
+                .agg(F.sum("__n").alias("__total"),
+                     F.min(F.struct((-F.col("__n")).alias("nn"),
+                                    F.col(col).alias("c")))
+                     .alias("__m")))
+        return best.select(
+            F.col(id_col),
+            F.col("__total").cast("long").alias(f"{prefix}_lines"),
+            F.col("__m.c").cast("long").alias(f"{prefix}_mode"),
+            F.expr(f"((-__m.nn) * 1000000) div __total")
+            .alias(f"{prefix}_agree_ppm"))
+
+    t = modal("__tabs", "tab")
+    c = modal("__commas", "comma")
+    out = t.join(c, id_col)
+    is_tab = (
+        (F.col("tab_lines") >= int(min_lines))
+        & (((F.col("tab_mode") >= 1)
+            & (F.col("tab_agree_ppm") >= 800_000))
+           | ((F.col("comma_mode") >= 1)
+              & (F.col("comma_agree_ppm") >= 800_000))))
+    return out.select(
+        id_col, F.col("tab_lines").alias("n_lines"),
+        "tab_mode", "tab_agree_ppm", "comma_mode", "comma_agree_ppm",
+        is_tab.alias("is_tabular"))

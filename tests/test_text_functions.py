@@ -396,3 +396,19 @@ def test_zipf_fit_flat_corpus_zero_slope(spark):
     assert row["n_terms"] == 20
     assert row["slope_micro"] == 0
     assert row["r2_micro"] is None
+
+
+def test_tabular_report_flags_tsv_not_prose(spark):
+    from ocr_engine_spark.functions.text import tabular_report
+    tsv = "a\tb\tc\nd\te\tf\ng\th\ti\nj\tk\tl"
+    prose = ("this is a normal paragraph\nwith another line of text\n"
+             "and, for variety, one comma")
+    ragged = "x,y\nz\nw,v,u,t\ns"
+    df = spark.createDataFrame(
+        [(0, tsv), (1, prose), (2, ragged)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in tabular_report(df).collect()}
+    assert got[0]["is_tabular"]
+    assert got[0]["tab_mode"] == 2
+    assert got[0]["tab_agree_ppm"] == 1_000_000
+    assert not got[1]["is_tabular"]
+    assert not got[2]["is_tabular"]     # ragged commas never agree
