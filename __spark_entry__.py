@@ -3766,6 +3766,22 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-length burstiness (sentence.burstiness_report): cv of
+    per-sentence token counts — flat machine-ish docs vs bursty
+    prose; docs doc_id%3==0 get a planted flat 4x5-token tail that
+    drags cv down. Oracle: shared sentence-split twin + exact integer
+    S/SS sums + the single-sqrt cv replay."""
+    from ocr_engine_spark.functions.sentence import burstiness_report
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    flat = (" One two three four five. One two three four five."
+            " One two three four five. One two three four five.")
+    inject = F.when(F.col("doc_id") % 3 == 0, F.lit(flat))               .otherwise(F.lit(""))
+    d = docs.select("doc_id",
+                    F.concat(F.col("text"), inject).alias("text"))
+    return burstiness_report(d).orderBy("doc_id")
+
+
 def q_tabular_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain-text tabular-data detection (text.tabular_report — The
     Stack's delimiter-regularity triage, pointed at pasted CSV/TSV and
@@ -4184,6 +4200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_usage": q_bpe_merge_usage,
         "classifier_calibration": q_classifier_calibration,
         "tabular_docs": q_tabular_docs,
+        "burstiness": q_burstiness,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -9347,6 +9364,33 @@ def oracle_sql() -> dict[str, str]:
     """
     d["bpe_merge_usage"] = _bpe_merge_usage_oracle()
     d["classifier_calibration"] = _classifier_calibration_oracle()
+    d["burstiness"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 3 = 0
+                   THEN ' One two three four five.'
+                     || ' One two three four five.'
+                     || ' One two three four five.'
+                     || ' One two three four five.'
+                   ELSE '' END AS t
+          FROM documents WHERE doc_id < 250),
+        arrs AS (SELECT doc_id, {_sent_split_sql('t')} AS arr FROM d),
+        sl AS (SELECT doc_id,
+                      len(string_split(arr[i], ' '))::BIGINT AS n
+               FROM arrs,
+                    LATERAL unnest(generate_series(1, len(arr))) u(i)),
+        g AS (SELECT doc_id, count(*)::BIGINT AS n_sents,
+                     sum(n)::BIGINT AS total_tokens,
+                     sum(n * n)::BIGINT AS ss
+              FROM sl GROUP BY doc_id)
+        SELECT doc_id, n_sents, total_tokens,
+               (total_tokens * 1000) // n_sents AS mean_len_milli,
+               floor(sqrt((n_sents * ss
+                           - total_tokens * total_tokens)::DOUBLE)
+                     / total_tokens::DOUBLE * 1000 + 0.5)::BIGINT
+                 AS cv_milli
+        FROM g ORDER BY doc_id
+    """
     d["tabular_docs"] = r"""
         WITH d AS (
           SELECT doc_id,

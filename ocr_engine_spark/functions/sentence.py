@@ -171,3 +171,37 @@ def mixed_language_report(df: DataFrame, *, id_col: str = "doc_id",
                     F.expr("(__mn * 1000000) div n_sents")
                     .alias("majority_ppm"),
                     (F.col("n_langs") >= 2).alias("is_mixed")))
+
+
+def burstiness_report(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Sentence-length burstiness — coefficient of variation of
+    per-sentence token counts. Human prose is bursty (Madsen et al.
+    2005's term-burstiness observation generalizes: sentence lengths
+    vary a lot); template floods and much machine-generated text run
+    flat, so a LOW cv is a cheap uniformity alarm the quality stack
+    reads next to repetition and compression signals.
+
+    Exactness: per-doc sums S and SS are exact int64; ``cv =
+    sqrt(n·SS − S²) / S`` needs exactly ONE sqrt over an exact
+    integer (IEEE-correctly-rounded on both engines) and one divide,
+    quantized to milli at the end. Returns (id, n_sents,
+    total_tokens, mean_len_milli, cv_milli); docs with no sentences
+    are absent (the sentence fan-out's convention)."""
+    sents = sentences(df, id_col=id_col, text_col=text_col)
+    g = (sents.groupBy(id_col)
+         .agg(F.count("*").alias("n_sents"),
+              F.sum("n_tokens").alias("total_tokens"),
+              F.sum(F.col("n_tokens") * F.col("n_tokens"))
+              .alias("__ss")))
+    disc = (F.col("n_sents") * F.col("__ss")
+            - F.col("total_tokens") * F.col("total_tokens"))
+    cv = (F.sqrt(disc.cast("double"))
+          / F.col("total_tokens").cast("double"))
+    return g.select(
+        id_col,
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.expr("(total_tokens * 1000) div n_sents")
+        .alias("mean_len_milli"),
+        F.floor(cv * 1000 + F.lit(0.5)).cast("long").alias("cv_milli"))

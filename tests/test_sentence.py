@@ -118,3 +118,19 @@ def test_mixed_language_report_flags_code_switching(spark):
     assert got[1]["majority_lang"] == "en"
     assert got[1]["n_langs"] == 2
     assert got[1]["majority_ppm"] < 1_000_000
+
+
+def test_burstiness_flat_vs_bursty(spark):
+    from ocr_engine_spark.functions.sentence import burstiness_report
+    flat = ("One two three four five. One two three four five. "
+            "One two three four five. One two three four five.")
+    bursty = ("Short. This sentence is rather a great deal longer "
+              "than the first one by far. Tiny. "
+              "Another moderately sized sentence follows here.")
+    df = spark.createDataFrame(
+        [(0, flat), (1, bursty)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in burstiness_report(df).collect()}
+    assert got[0]["cv_milli"] == 0        # perfectly uniform
+    assert got[0]["mean_len_milli"] == 5000
+    assert got[1]["cv_milli"] > 500       # strongly bursty
+    assert got[1]["n_sents"] == 4
