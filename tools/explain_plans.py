@@ -17,6 +17,11 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NOTES = {
+    "tabular_docs": "line Generate map-side; two vote aggregates with "
+                    "map-side combine; struct-min argmax, no window",
+    "burstiness": "sentence Generate map-side; one (doc) aggregate; "
+                  "single sqrt over exact integer sums",
+
     "lang_vocab_hll": "register state keyed (group, bucket): shuffle "
                       "bounded by groups x m with map-side max-combine",
     "text_urls": "one codegen'd regexp_extract_all + outer generate; "
@@ -520,6 +525,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "packing_sweep", "dsir_ess", "threshold_sweep",
             "lang_vocab_hll", "text_urls", "novelty_curve",
             "bpe_merge_usage", "classifier_calibration",
+            "tabular_docs", "burstiness",
             "extraction_pipeline"]
 
 
