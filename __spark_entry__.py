@@ -3766,6 +3766,67 @@ def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "template"))
 
 
+def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing audit (Li & König 2010: storing only the
+    lowest b bits of each minhash slot cuts signature memory 32x at a
+    known accuracy cost): adjacent-doc pairs (template overlap gives a
+    Jaccard spread), exact Jaccard vs the full 64-perm estimate vs the
+    b=2 unbiased estimator (4·m̂ − 1)/3 clamped at 0. All-integer ppm
+    arithmetic. Oracle: md5 shingles, the 64-perm signature chain per
+    (doc, perm) row, both match counts and the estimator replayed."""
+    from ocr_engine_spark.functions.dedup import (
+        minhash_sig_from_hashes_col, shingle_hashes_col,
+    )
+    docs = _read(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 50).select("doc_id", "text")
+    hashed = docs.select(
+        "doc_id",
+        shingle_hashes_col(F.col("text"), 3, "md5").alias("sh"))
+    pa = (hashed.filter(F.col("doc_id") % 2 == 0)
+          .select(F.col("doc_id").alias("id_a"),
+                  F.col("sh").alias("sha")))
+    pb = (hashed.filter(F.col("doc_id") % 2 == 1)
+          .select((F.col("doc_id") - 1).alias("id_a"),
+                  F.col("doc_id").alias("id_b"),
+                  F.col("sh").alias("shb")))
+    ex = (pa.join(pb, "id_a")
+          .withColumn("__i", F.size(F.array_intersect("sha", "shb")))
+          .withColumn("__u", F.size("sha") + F.size("shb")
+                      - F.col("__i"))
+          .filter(F.col("__u") > 0)
+          .select("id_a", "id_b",
+                  F.expr("(__i * 1000000) div __u").alias("exact_ppm")))
+    sigrows = hashed.select(
+        "doc_id",
+        F.posexplode(minhash_sig_from_hashes_col(F.col("sh"), 64))
+        .alias("perm", "mh"))
+    sa = (sigrows.filter(F.col("doc_id") % 2 == 0)
+          .select(F.col("doc_id").alias("id_a"), "perm",
+                  F.col("mh").alias("ma")))
+    sb = (sigrows.filter(F.col("doc_id") % 2 == 1)
+          .select((F.col("doc_id") - 1).alias("id_a"), "perm",
+                  F.col("mh").alias("mb")))
+    m = (sa.join(sb, ["id_a", "perm"])
+         .groupBy("id_a")
+         .agg(F.sum((F.col("ma") == F.col("mb")).cast("long"))
+              .alias("__mf"),
+              F.sum((F.pmod(F.col("ma"), F.lit(4))
+                     == F.pmod(F.col("mb"), F.lit(4))).cast("long"))
+              .alias("__mb")))
+    out = (ex.join(m, "id_a")
+           .withColumn("mh_ppm", F.expr("(__mf * 1000000) div 64"))
+           .withColumn("__braw", F.expr("(__mb * 1000000) div 64"))
+           .withColumn("bbit_ppm",
+                       F.greatest(F.lit(0).cast("long"),
+                                  F.expr("(4 * __braw - 1000000)"
+                                         " div 3"))))
+    return (out.select(
+        "id_a", "id_b", "exact_ppm", "mh_ppm", "bbit_ppm",
+        (F.col("mh_ppm") - F.col("exact_ppm")).alias("err_mh_ppm"),
+        (F.col("bbit_ppm") - F.col("exact_ppm")).alias("err_bbit_ppm"))
+        .orderBy("id_a"))
+
+
 def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-length burstiness (sentence.burstiness_report): cv of
     per-sentence token counts — flat machine-ish docs vs bursty
@@ -4201,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration": q_classifier_calibration,
         "tabular_docs": q_tabular_docs,
         "burstiness": q_burstiness,
+        "bbit_minhash": q_bbit_minhash,
         "embedding_outliers": q_embedding_outliers,
         "corpus_overlap": q_corpus_overlap,
         "ai_optout": q_ai_optout,
@@ -9235,6 +9297,78 @@ def _classifier_calibration_oracle() -> str:
     """
 
 
+def _bbit_minhash_oracle() -> str:
+    from ocr_engine_spark.functions.dedup import MERSENNE_P, _perm_params
+    perms = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
+                      for i, (a, b) in enumerate(_perm_params(64, 42)))
+    p = MERSENNE_P
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents WHERE doc_id < 50),
+        sh AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(t) - 2, 0)),
+                     i -> array_to_string(t[i:i+2], ' '))) AS sh
+            FROM toks)),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(sh), 1, 15))::BIGINT % {p} AS hv
+          FROM sh),
+        ex AS (
+          SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b,
+                 count(*) FILTER (WHERE b.hv IS NOT NULL)::BIGINT
+                   AS i
+          FROM (SELECT doc_id, hv FROM h WHERE doc_id % 2 = 0) a
+          LEFT JOIN (SELECT doc_id, hv FROM h
+                     WHERE doc_id % 2 = 1) b
+            ON b.doc_id = a.doc_id + 1 AND b.hv = a.hv
+          GROUP BY a.doc_id),
+        sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM h
+               GROUP BY doc_id),
+        exj AS (
+          SELECT ex.id_a, ex.id_b,
+                 (ex.i * 1000000)
+                   // (sa.n + sb.n - ex.i) AS exact_ppm
+          FROM ex JOIN sz sa ON sa.doc_id = ex.id_a
+                  JOIN sz sb ON sb.doc_id = ex.id_b
+          WHERE sa.n + sb.n - ex.i > 0),
+        perms(perm, a, b) AS (VALUES {perms}),
+        sig AS (
+          SELECT d.doc_id, perms.perm,
+                 coalesce(min((h.hv * perms.a + perms.b) % {p}), {p})
+                   AS mh
+          FROM (SELECT DISTINCT doc_id FROM toks) d
+          CROSS JOIN perms
+          LEFT JOIN h ON h.doc_id = d.doc_id
+          GROUP BY d.doc_id, perms.perm),
+        mm AS (
+          SELECT a.doc_id AS id_a,
+                 sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::BIGINT
+                   AS mf,
+                 sum(CASE WHEN a.mh % 4 = b.mh % 4 THEN 1 ELSE 0
+                     END)::BIGINT AS mb
+          FROM (SELECT * FROM sig WHERE doc_id % 2 = 0) a
+          JOIN (SELECT * FROM sig WHERE doc_id % 2 = 1) b
+            ON b.doc_id = a.doc_id + 1 AND b.perm = a.perm
+          GROUP BY a.doc_id)
+        SELECT e.id_a, e.id_b, e.exact_ppm,
+               (m.mf * 1000000) // 64 AS mh_ppm,
+               greatest(0, (4 * ((m.mb * 1000000) // 64) - 1000000)
+                           // 3)::BIGINT AS bbit_ppm,
+               ((m.mf * 1000000) // 64 - e.exact_ppm)::BIGINT
+                 AS err_mh_ppm,
+               (greatest(0, (4 * ((m.mb * 1000000) // 64) - 1000000)
+                            // 3) - e.exact_ppm)::BIGINT
+                 AS err_bbit_ppm
+        FROM exj e JOIN mm m USING (id_a)
+        ORDER BY e.id_a
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql()
     d["zipf_fit"] = _ZIPF_FIT_ORACLE
@@ -9364,6 +9498,7 @@ def oracle_sql() -> dict[str, str]:
     """
     d["bpe_merge_usage"] = _bpe_merge_usage_oracle()
     d["classifier_calibration"] = _classifier_calibration_oracle()
+    d["bbit_minhash"] = _bbit_minhash_oracle()
     d["burstiness"] = f"""
         WITH d AS (
           SELECT doc_id,

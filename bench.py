@@ -72,7 +72,7 @@ HEADLINE = [
     "host_hits", "host_trustrank", "lsh_audit", "semantic_decontaminate", "containment", "graph_stats", "contamination_spans",
     "sessionize", "host_components", "funnel", "retention",
     "zipf_fit", "embedding_outliers", "corpus_overlap", "ai_optout",
-    "kn_ppl", "url_traps", "filter_funnel", "mixed_lang", "lexicon_scan", "luhn_cards", "jl_audit", "kn3_ppl", "quantile_sketch", "bm25_mrr", "hybrid_rrf", "packing_sweep", "dsir_ess", "threshold_sweep", "lang_vocab_hll", "text_urls", "novelty_curve", "bpe_merge_usage", "classifier_calibration", "tabular_docs", "burstiness",
+    "kn_ppl", "url_traps", "filter_funnel", "mixed_lang", "lexicon_scan", "luhn_cards", "jl_audit", "kn3_ppl", "quantile_sketch", "bm25_mrr", "hybrid_rrf", "packing_sweep", "dsir_ess", "threshold_sweep", "lang_vocab_hll", "text_urls", "novelty_curve", "bpe_merge_usage", "classifier_calibration", "tabular_docs", "burstiness", "bbit_minhash",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000

@@ -288,3 +288,40 @@ def test_containment_no_cross_join(spark):
             .executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bbit_estimator_tracks_exact_jaccard(spark):
+    # identical docs: full and b-bit estimates must both read 1.0;
+    # disjoint docs: full estimate 0, b-bit clamps at 0 after the
+    # (4m-1)/3 correction of its ~25% chance collisions.
+    import pyspark.sql.functions as F
+    from ocr_engine_spark.functions.dedup import (
+        minhash_sig_from_hashes_col, shingle_hashes_col,
+    )
+    same = "alpha beta gamma delta epsilon zeta eta theta iota"
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(0, same), (1, same), (2, same), (3, other)],
+        ["doc_id", "text"])
+    sig = df.select("doc_id", F.posexplode(
+        minhash_sig_from_hashes_col(
+            shingle_hashes_col(F.col("text"), 3, "md5"), 64))
+        .alias("perm", "mh"))
+    def matches(a, b, mod=None):
+        sa = sig.filter(F.col("doc_id") == a) \
+            .select("perm", F.col("mh").alias("ma"))
+        sb = sig.filter(F.col("doc_id") == b) \
+            .select("perm", F.col("mh").alias("mb"))
+        j = sa.join(sb, "perm")
+        ca = (F.pmod(F.col("ma"), F.lit(mod))
+              == F.pmod(F.col("mb"), F.lit(mod))) if mod else \
+            (F.col("ma") == F.col("mb"))
+        return j.agg(F.sum(ca.cast("long"))).collect()[0][0]
+    assert matches(0, 1) == 64
+    assert matches(0, 1, 4) == 64
+    assert matches(0, 3) == 0
+    m2 = matches(0, 3, 4)
+    # ~25% random collisions at b=2; clamped estimator reads ~0
+    assert m2 < 32
+    assert max(0, (4 * (m2 * 1_000_000 // 64) - 1_000_000) // 3) \
+        < 350_000
