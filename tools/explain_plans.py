@@ -17,6 +17,10 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NOTES = {
+    "bbit_minhash": "signature fold once per doc; pair joins on "
+                    "(id, perm) rows; both match counts in one "
+                    "aggregate — no cartesian",
+
     "tabular_docs": "line Generate map-side; two vote aggregates with "
                     "map-side combine; struct-min argmax, no window",
     "burstiness": "sentence Generate map-side; one (doc) aggregate; "
@@ -525,7 +529,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "packing_sweep", "dsir_ess", "threshold_sweep",
             "lang_vocab_hll", "text_urls", "novelty_curve",
             "bpe_merge_usage", "classifier_calibration",
-            "tabular_docs", "burstiness",
+            "tabular_docs", "burstiness", "bbit_minhash",
             "extraction_pipeline"]
 
 
