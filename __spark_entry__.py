@@ -10049,7 +10049,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_sents, n_langs,
                m.lang AS majority_lang,
                ((-m.nn) * 1000000) // n_sents AS majority_ppm,
-               n_langs >= 2 AS is_mixed
+               (n_langs >= 2 AND
+                ((-m.nn) * 1000000) // n_sents <= 950000) AS is_mixed
         FROM pd ORDER BY doc_id
     """
     d["filter_funnel"] = f"""

@@ -69,7 +69,10 @@ def threshold_sweep(docs: DataFrame, thresholds_micro: list[int], *,
     corpus scan, every threshold an aggregate conjunction over the
     same once-computed quality column, rows unfolded funnel-style.
     Returns (threshold_micro, n_docs_kept, docs_ppm, n_tokens_kept,
-    tokens_ppm) ordered by threshold."""
+    tokens_ppm) ordered by threshold. Duplicate threshold values are
+    collapsed (each yields one per-threshold alias column; a repeat
+    would make the alias ambiguous)."""
+    thresholds_micro = sorted({int(t) for t in thresholds_micro})
     t = F.col(text_col)
     q_micro = F.floor(quality_score_raw_col(t) * 1e6 + F.lit(0.5))
     n_tok = token_count_col(t)

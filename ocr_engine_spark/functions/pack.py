@@ -216,7 +216,10 @@ def packing_sweep(df: DataFrame, seq_lens: list[int], *,
     candidate length: per-L results are aggregate conjunctions over
     (start, n) integer arithmetic, unfolded from the 1-row aggregate
     exactly like funnel.filter_funnel's stages. Nothing explodes to
-    token granularity."""
+    token granularity. Duplicate candidate lengths are collapsed
+    (each yields one per-L alias column; a repeat would make the
+    alias ambiguous)."""
+    seq_lens = sorted({int(L) for L in seq_lens})
     d = _stream_offsets(df, id_col=id_col, text_col=text_col,
                         partitions=partitions, tokenizer=tokenizer)
     base = d.select("__id", "__n", "__start")

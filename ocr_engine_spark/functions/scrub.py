@@ -1698,10 +1698,15 @@ _PATHQ_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)"
 
 def url_template_col(url: Column) -> Column:
     """Path+query template: fragment dropped, >=8-char lowercase hex
-    runs -> 'H' (session ids, content hashes), digit runs -> 'N'
-    (dates, pagination, numeric ids), query VALUES -> 'V'. Applied in
-    that pinned order so a hex id never half-survives digit collapse.
-    Pure codegen'd regexp chain — zero shuffle, zero UDF."""
+    runs -> 'H' (session ids, content hashes; NOTE: pure-digit runs
+    of >=8 chars are hex-alphabet runs too, so long numeric ids and
+    8-digit dates like /archive/20240115 also collapse to 'H' — by
+    design, because a lookahead that demands a letter in the run is
+    not expressible in RE2 and the rule must replay identically in
+    the DuckDB oracle), SHORTER digit runs -> 'N' (pagination, small
+    numeric ids), query VALUES -> 'V'. Applied in that pinned order
+    so a hex id never half-survives digit collapse. Pure codegen'd
+    regexp chain — zero shuffle, zero UDF."""
     pq = F.regexp_extract(url, _PATHQ_RE, 1)
     pq = F.when(pq == "", F.lit("/")).otherwise(pq)
     t = F.regexp_replace(pq, "[0-9a-f]{8,}", "H")

@@ -341,9 +341,12 @@ def bm25_batch_topk(postings: DataFrame, queries: DataFrame, k: int, *,
     and the per-query top-k is a qid-partitioned window over each
     query's hit set (bounded by docs containing its terms). Returns
     (qid, rank, id, score_micro, n_terms_hit), same scoring contract
-    as bm25_topk."""
+    as bm25_topk (duplicate (qid, term) rows are deduplicated here,
+    mirroring bm25_topk's tokenize_query dedup, so a repeated query
+    term contributes once)."""
     from pyspark.sql import Window
 
+    queries = queries.dropDuplicates([qid_col, "term"])
     terms = queries.select("term").distinct()
     qt = postings.join(F.broadcast(terms), "term")
     st = (postings.groupBy(id_col).agg(F.first("dl").alias("dl"))

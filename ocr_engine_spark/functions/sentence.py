@@ -150,7 +150,12 @@ def mixed_language_report(df: DataFrame, *, id_col: str = "doc_id",
     ONE (doc, lang) count with map-side combine, the per-doc argmax is
     a min over (−n, lang) structs — smallest negated count = most
     votes, ties to the alphabetically first lang, identical to the
-    DuckDB struct-min. No window, no UDF, nothing quadratic."""
+    DuckDB struct-min. No window, no UDF, nothing quadratic.
+
+    ``is_mixed`` requires BOTH n_langs >= 2 AND a real minority
+    share (majority_ppm <= 950_000): a single misvoted sentence in a
+    long document no longer flags it — callers wanting the raw
+    multi-label signal should threshold majority_ppm themselves."""
     from ocr_engine_spark.functions.text import lang_guess_col
     sents = sentences(df, id_col=id_col, text_col=text_col)
     votes = sents.select(F.col(id_col),
@@ -170,7 +175,9 @@ def mixed_language_report(df: DataFrame, *, id_col: str = "doc_id",
                     F.col("__m.lang").alias("majority_lang"),
                     F.expr("(__mn * 1000000) div n_sents")
                     .alias("majority_ppm"),
-                    (F.col("n_langs") >= 2).alias("is_mixed")))
+                    ((F.col("n_langs") >= 2)
+                     & (F.expr("(__mn * 1000000) div n_sents")
+                        <= F.lit(950_000))).alias("is_mixed")))
 
 
 def burstiness_report(df: DataFrame, *, id_col: str = "doc_id",

@@ -765,7 +765,12 @@ def jl_projection_audit(embeddings: DataFrame, *, k: int = 16,
     (id_a, id_b, d2, d2p, ratio_ppm) for d2 > 0 pairs."""
     from ocr_engine_spark.functions.pq import sqdist_col
     emb = embeddings.filter(F.col(id_col) < max_id)
-    dim = len(emb.select(vec_col).first()[0])
+    probe = emb.select(vec_col).first()
+    if probe is None:
+        raise ValueError(
+            f"jl_projection_audit: no rows with {id_col} < {max_id}; "
+            "raise max_id or check the id column")
+    dim = len(probe[0])
     m = sparse_projection_matrix(dim, k)
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(F.col(id_col).alias("id"),

@@ -108,7 +108,12 @@ def test_mixed_language_report_flags_code_switching(spark):
     en = ("The cat is on the mat with a dog. The day is good for the "
           "friends of the family.")
     mixed = en + " Le chat dort sur la table avec les amis et une souris."
-    rows = [(0, en), (1, mixed)]
+    # 40 en sentences + 1 fr: majority 40/41 ~= 975_609 ppm > the
+    # 950_000 gate -> a lone misvote must NOT flag a long doc mixed
+    long_one_off = (en * 20
+                    + " Le chat dort sur la table avec les amis et une"
+                    " souris.")
+    rows = [(0, en), (1, mixed), (2, long_one_off)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r for r in mixed_language_report(df).collect()}
     assert not got[0]["is_mixed"]
@@ -118,6 +123,9 @@ def test_mixed_language_report_flags_code_switching(spark):
     assert got[1]["majority_lang"] == "en"
     assert got[1]["n_langs"] == 2
     assert got[1]["majority_ppm"] < 1_000_000
+    assert got[2]["n_langs"] == 2
+    assert got[2]["majority_ppm"] > 950_000
+    assert not got[2]["is_mixed"]
 
 
 def test_burstiness_flat_vs_bursty(spark):
