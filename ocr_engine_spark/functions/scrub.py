@@ -351,17 +351,28 @@ def host_concentration(pages: DataFrame, *, url_col: str = "url",
     total``.
 
     Scale shape: ONE count shuffle over pages (map-side combined);
-    the rank window runs over the HOST-COUNT table (corpus-sized in
-    hosts, not pages). At 10^8+ hosts, swap the single-partition
-    window for sample.py's range-partition prefix rank — same
-    algebra."""
+    the rank then runs over the HOST-COUNT table (corpus-sized in
+    hosts, not pages) via sample.py's range-partition prefix-rank
+    engine — ranked by (cnt asc, host asc) across
+    ``shuffle.partitions`` range partitions with a bounded
+    one-row-per-partition driver read, NO single-partition window
+    anywhere, so the rank holds at 10^8+ hosts (real Common-Crawl
+    host cardinality)."""
+    from ocr_engine_spark.functions.sample import global_stratum_ranks
+
     counts = (pages.select(host_col(F.col(url_col)).alias("host"))
-              .groupBy("host").agg(F.count("*").alias("cnt")))
-    w = Window.orderBy(F.col("cnt").asc(), F.col("host").asc())
-    ranked = counts.select(
-        "cnt", F.row_number().over(w).alias("rank"),
-        F.count("*").over(
-            Window.partitionBy(F.lit(1))).alias("n"))
+              .groupBy("host").agg(F.count("*").alias("cnt"))
+              .withColumn("__s", F.lit(1)))
+    granked = global_stratum_ranks(counts, strata_col="__s",
+                                   id_col="host", order_col="cnt")
+    if granked is None:  # empty corpus -> the agg's all-null 1-row
+        granked = counts.withColumn("__grank", F.lit(0).cast("int"))
+    # per-row total-host count via a broadcast 1-row aggregate (the
+    # repo-wide pattern for scalar fan-in; never a cartesian blowup)
+    n_row = granked.agg(F.count("*").cast("int").alias("n"))
+    ranked = (granked
+              .select("cnt", F.col("__grank").alias("rank"))
+              .crossJoin(F.broadcast(n_row)))
     return ranked.agg(
         F.max("n").cast("long").alias("n_hosts"),
         F.sum("cnt").cast("long").alias("n_pages"),

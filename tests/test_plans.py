@@ -227,3 +227,19 @@ def test_reshard_plan_single_scan_no_join(spark, entrymod):
     # both HRW assignments are columns of one scan: no join anywhere
     assert "Join" not in p
     assert p.count("Scan parquet") == 1
+
+
+def test_host_concentration_has_no_unpartitioned_window(spark):
+    """The Gini rank must use the range-partition prefix-rank engine:
+    every Window in the plan carries a partition spec (an
+    unpartitioned row_number would funnel all hosts through ONE task
+    — the declared scale path for 10^8-host corpora)."""
+    from ocr_engine_spark.functions.scrub import host_concentration
+    df = spark.createDataFrame(
+        [(f"http://h{i % 5}.com/p{i}",) for i in range(40)], ["url"])
+    plan = _plan(host_concentration(df))
+    for line in plan.splitlines():
+        if "+- Window [" in line or line.strip().startswith("Window ["):
+            # partitioned renders '], [parts], [order]' (3 groups);
+            # unpartitioned has no partition group (2)
+            assert len(line.split("], [")) >= 3, line
