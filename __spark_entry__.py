@@ -3330,6 +3330,27 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(emb, books, q, 10, shortlist=100)
 
 
+def q_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / query-many PQ lifecycle (pq.PqIndex): train +
+    encode ONCE into a persisted index (codes next to full-precision
+    vectors, codebooks as a bounded parquet), then answer the query
+    from the STORED codes — no per-query retrain/encode, the
+    amortization that matters when one codebook serves 10^12 rows.
+    Results are bit-identical to pq_search for the same (books,
+    query, shortlist), so the oracle is the same FULL SQL replay of
+    seeds, Lloyd means, ADC tables, shortlist and re-rank."""
+    import tempfile
+
+    from ocr_engine_spark.functions.pq import PqIndex
+    emb = _read(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_")
+    PqIndex.build(emb, path, m=8, k=16, iters=1)
+    idx = PqIndex.load(spark, path)
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return idx.topk(spark, q, 10, shortlist=100)
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog (functions/sketch.py): the pinned-register
     sketch replayed bit-for-bit by DuckDB (md5 buckets, binary-string
@@ -4284,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_triples": q_table_triples,
         "host_risk": q_host_risk,
         "pq_search": q_pq_search,
+        "pq_index": q_pq_index,
         "hll_cardinality": q_hll_cardinality,
         "cms_counts": q_cms_counts,
         "winnow_fp": q_winnow_fp,
@@ -10096,6 +10118,9 @@ def oracle_sql() -> dict[str, str]:
     d["table_triples"] = _table_triples_oracle()
     d["host_risk"] = _host_risk_oracle()
     d["pq_search"] = _PQ_SEARCH_ORACLE
+    # PqIndex.topk is bit-identical to pq_search for the same
+    # (books, query, shortlist): same training replay applies.
+    d["pq_index"] = _PQ_SEARCH_ORACLE
     d["hll_cardinality"] = _hll_cardinality_oracle()
     d["cms_counts"] = _CMS_COUNTS_ORACLE
     d["winnow_fp"] = _WINNOW_FP_ORACLE

@@ -155,6 +155,36 @@ def pq_encode(embeddings: DataFrame, books: list[Codebook], *,
     return out
 
 
+def _adc_tables(books: list[Codebook],
+                query_vec: list[float]) -> list[list[float]]:
+    """Per-subspace (query-subvector -> centroid) distance tables,
+    rounded ONCE to 6 before the m-term sum (the portability
+    contract)."""
+    m = len(books)
+    d = len(books[0][0][1])
+    q = [float(x) for x in query_vec]
+    return [[round(_sqdist_py(q[s * d:(s + 1) * d], cv), 6)
+             for _, cv in books[s]]
+            for s in range(m)]
+
+
+def _adc_over_codes(enc: DataFrame, books: list[Codebook],
+                    query_vec: list[float], topk: int,
+                    id_col: str) -> DataFrame:
+    """ADC top-k over a frame that ALREADY carries code_0..code_{m-1}
+    — m table lookups + a sum per row, map-only + TakeOrdered."""
+    tables = _adc_tables(books, query_vec)
+    adc = None
+    for s, tab in enumerate(tables):
+        tlit = F.array(*[F.lit(v) for v in tab])
+        term = F.element_at(tlit, F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    return (enc.select(F.col(id_col),
+                       F.round(adc, 6).alias("adc"))
+            .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+            .limit(topk))
+
+
 def pq_adc_topk(embeddings: DataFrame, books: list[Codebook],
                 query_vec: list[float], topk: int = 10, *,
                 id_col: str = "vec_id",
@@ -163,23 +193,8 @@ def pq_adc_topk(embeddings: DataFrame, books: list[Codebook],
     UNCOMPRESSED query to each centroid, summed over the stored
     codes. Returns (id, adc) ascending — approximate nearest
     neighbors at m lookups per candidate."""
-    m = len(books)
-    d = len(books[0][0][1])
-    q = [float(x) for x in query_vec]
-    tables = [
-        [round(_sqdist_py(q[s * d:(s + 1) * d], cv), 6)
-         for _, cv in books[s]]
-        for s in range(m)]
     enc = pq_encode(embeddings, books, vec_col=vec_col)
-    adc = None
-    for s in range(m):
-        tlit = F.array(*[F.lit(v) for v in tables[s]])
-        term = F.element_at(tlit, F.col(f"code_{s}") + 1)
-        adc = term if adc is None else adc + term
-    return (enc.select(F.col(id_col),
-                       F.round(adc, 6).alias("adc"))
-            .orderBy(F.col("adc").asc(), F.col(id_col).asc())
-            .limit(topk))
+    return _adc_over_codes(enc, books, query_vec, topk, id_col)
 
 
 def pq_search(embeddings: DataFrame, books: list[Codebook],
@@ -208,3 +223,108 @@ def pq_search(embeddings: DataFrame, books: list[Codebook],
             .select(F.col(id_col), F.round(d2, 6).alias("d2"))
             .orderBy(F.col("d2").asc(), F.col(id_col).asc())
             .limit(topk))
+
+
+class PqIndex:
+    """Build-once / query-many PQ lifecycle (the IvfIndex /
+    SearchIndex / MinHashIndex move applied to compression): ``build``
+    trains the codebooks and encodes the corpus ONCE, persisting both
+    — codes next to the full-precision vectors so a query pays m
+    table lookups per candidate plus an exact re-rank on the
+    shortlist only, never a retrain (codebook training dominates the
+    one-shot ``pq_search`` cost; at 10^12 rows you train offline on a
+    sample exactly once — the FAISS workflow). Codebooks persist as a
+    bounded (m*k)-row parquet through the SAME filesystem as the data
+    (driver-local open() would break on hdfs://- or s3a://-rooted
+    paths).
+
+    ``query`` results are bit-identical to ``pq_search`` with the
+    same (books, query, shortlist): the stored codes come from the
+    same ``pq_encode`` and the ADC tables round on the same grid."""
+
+    def __init__(self, path: str, books: list[Codebook],
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.path = path
+        self.books = books
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @property
+    def encoded_path(self) -> str:
+        import os
+        return os.path.join(self.path, "encoded")
+
+    @property
+    def codebooks_path(self) -> str:
+        import os
+        return os.path.join(self.path, "codebooks")
+
+    @classmethod
+    def build(cls, embeddings: DataFrame, path: str, *, m: int = 8,
+              k: int = 16, iters: int = 1, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "PqIndex":
+        spark = embeddings.sparkSession
+        books = train_pq_codebooks(embeddings, m=m, k=k, iters=iters,
+                                   id_col=id_col, vec_col=vec_col)
+        idx = cls(path, books, id_col, vec_col)
+        enc = pq_encode(embeddings, books, vec_col=vec_col).select(
+            id_col, vec_col, *[f"code_{s}" for s in range(m)])
+        enc.write.mode("overwrite").parquet(idx.encoded_path)
+        spark.createDataFrame(
+            [(s, j, v) for s, cb in enumerate(books) for j, v in cb],
+            "s int, code int, centroid array<double>") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(idx.codebooks_path)
+        return idx
+
+    @classmethod
+    def load(cls, spark, path: str, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> "PqIndex":
+        rows = spark.read.parquet(
+            cls(path, [], id_col, vec_col).codebooks_path) \
+            .orderBy("s", "code").collect()
+        books: list[Codebook] = []
+        for r in rows:
+            s = int(r["s"])
+            while len(books) <= s:
+                books.append([])
+            books[s].append((int(r["code"]),
+                             [float(x) for x in r["centroid"]]))
+        return cls(path, books, id_col, vec_col)
+
+    def append(self, embeddings: DataFrame) -> "PqIndex":
+        """Incremental ingest against the STORED codebooks — the
+        historical corpus is never re-encoded; when quantization
+        drift accumulates, rebuild (compact-then-swap). Caller
+        contract: new ids only (dedup upstream)."""
+        m = len(self.books)
+        enc = pq_encode(embeddings, self.books,
+                        vec_col=self.vec_col).select(
+            self.id_col, self.vec_col,
+            *[f"code_{s}" for s in range(m)])
+        enc.write.mode("append").parquet(self.encoded_path)
+        return self
+
+    def adc_topk(self, spark, query_vec: list[float],
+                 topk: int = 10) -> DataFrame:
+        """Compressed-domain top-k over the STORED codes: no
+        training, no encoding — m lookups + a sum per row."""
+        enc = spark.read.parquet(self.encoded_path)
+        return _adc_over_codes(enc, self.books, query_vec, topk,
+                               self.id_col)
+
+    def topk(self, spark, query_vec: list[float], k: int = 10, *,
+             shortlist: int = 100) -> DataFrame:
+        """ADC shortlist + exact re-rank from the stored vectors —
+        ``pq_search`` semantics (same rounding grid, same
+        presentation sort) without the per-query retrain/encode."""
+        short = self.adc_topk(spark, query_vec, shortlist) \
+            .select(self.id_col)
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        v = F.col(self.vec_col).cast("array<double>")
+        enc = spark.read.parquet(self.encoded_path)
+        return (enc.join(F.broadcast(short), self.id_col)
+                .select(F.col(self.id_col),
+                        F.round(sqdist_col(v, q), 6).alias("d2"))
+                .orderBy(F.col("d2").asc(), F.col(self.id_col).asc())
+                .limit(k))

@@ -68,3 +68,49 @@ def test_adc_self_distance_is_smallest(emb, books):
          emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
     top = pq_adc_topk(emb, books, q, 1).collect()[0]
     assert top.vec_id == 7
+
+
+def test_pq_index_build_load_query_matches_pq_search(emb, books, spark,
+                                                     tmp_path):
+    """The build-once lifecycle must return bit-identical results to
+    the one-shot pq_search for the same (books, query, shortlist) —
+    and the loaded codebooks must round-trip exactly."""
+    import time
+    from ocr_engine_spark.functions.pq import PqIndex, pq_search
+    path = str(tmp_path / "pqidx")
+    idx = PqIndex.build(emb, path, m=8, k=16, iters=1)
+    assert idx.books == books  # same training, same grid
+
+    loaded = PqIndex.load(spark, path)
+    assert loaded.books == books  # parquet round-trip is exact
+
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    t0 = time.monotonic()
+    got = [(r.vec_id, r.d2)
+           for r in loaded.topk(spark, q, 10, shortlist=100).collect()]
+    elapsed = time.monotonic() - t0
+    want = [(r.vec_id, r.d2)
+            for r in pq_search(emb, books, q, 10,
+                               shortlist=100).collect()]
+    assert got == want
+    # the amortization claim: query without retrain/encode is fast
+    assert elapsed < 10.0
+
+
+def test_pq_index_append_uses_stored_codebooks(emb, spark, tmp_path):
+    from ocr_engine_spark.functions.pq import PqIndex, pq_encode
+    path = str(tmp_path / "pqidx_app")
+    head = emb.filter(F.col("vec_id") < 100)
+    tail = emb.filter(F.col("vec_id") >= 100)
+    idx = PqIndex.build(head, path, m=8, k=16, iters=1)
+    idx.append(tail)
+    stored = spark.read.parquet(idx.encoded_path)
+    assert stored.count() == emb.count()
+    # appended rows carry codes from the HEAD-trained books
+    want = pq_encode(tail, idx.books).select("vec_id", "code_0")
+    wmap = {r.vec_id: r.code_0 for r in want.collect()}
+    gmap = {r.vec_id: r.code_0
+            for r in stored.filter(F.col("vec_id") >= 100)
+            .select("vec_id", "code_0").collect()}
+    assert gmap == wmap
