@@ -3351,6 +3351,62 @@ def q_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(spark, q, 10, shortlist=100)
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest end to end (sources/warc.py): a deterministic
+    2-file archive built from the documents table — part-a.warc
+    carries the even doc_ids as HTTP-enveloped ``response`` records
+    with the FINAL record truncated mid-body (the append-interrupted
+    crawl shape: the scan must stop gracefully and drop exactly that
+    record), part-b.warc.gz carries the odd doc_ids as
+    ``resource`` records in Common-Crawl member-per-record gzip
+    framing. read_warc (binaryFile one-file-per-task + ONE
+    mapInPandas splitter) then yields the pages shape; this query
+    aggregates per host: record counts, payload bytes, and the
+    WARC-Date range. The oracle replays record membership (doc_id <
+    64 minus the truncated 62), the URL->host grammar, UTF-8 payload
+    byte lengths and the hour-offset timestamps from the documents
+    view alone — framing and truncation are thereby value-checked,
+    not just pytest-asserted."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from ocr_engine_spark.functions.scrub import host_col
+    from ocr_engine_spark.sources.warc import build_warc_bytes, read_warc
+
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id", "text").orderBy("doc_id").collect())
+    base = datetime(2024, 1, 1)
+
+    def rec(r):
+        return {"url": f"http://w{r['doc_id'] % 7}.example.com"
+                       f"/doc/{r['doc_id']}",
+                "warc_ts": base + timedelta(hours=int(r["doc_id"])),
+                "payload": r["text"].encode("utf-8")}
+
+    even = [rec(r) for r in docs if r["doc_id"] % 2 == 0]
+    odd = [rec(r) for r in docs if r["doc_id"] % 2 == 1]
+    out = tempfile.mkdtemp(prefix="warc_fixture_")
+    a = build_warc_bytes(even, http_envelope=True)
+    with open(os.path.join(out, "part-a.warc"), "wb") as f:
+        f.write(a[:-10])  # truncate the final record mid-body
+    with open(os.path.join(out, "part-b.warc.gz"), "wb") as f:
+        f.write(build_warc_bytes(odd, http_envelope=False,
+                                 gzip_members=True))
+    pages = read_warc(spark, out)
+    return (pages
+            .select(host_col(F.col("url")).alias("host"),
+                    F.length("html").alias("nb"), "warc_ts")
+            .groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum("nb").cast("long").alias("total_bytes"),
+                 F.date_format(F.min("warc_ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("min_ts"),
+                 F.date_format(F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("max_ts"))
+            .orderBy("host"))
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog (functions/sketch.py): the pinned-register
     sketch replayed bit-for-bit by DuckDB (md5 buckets, binary-string
@@ -4306,6 +4362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_risk": q_host_risk,
         "pq_search": q_pq_search,
         "pq_index": q_pq_index,
+        "warc_extract": q_warc_extract,
         "hll_cardinality": q_hll_cardinality,
         "cms_counts": q_cms_counts,
         "winnow_fp": q_winnow_fp,
@@ -10121,6 +10178,24 @@ def oracle_sql() -> dict[str, str]:
     # PqIndex.topk is bit-identical to pq_search for the same
     # (books, query, shortlist): same training replay applies.
     d["pq_index"] = _PQ_SEARCH_ORACLE
+    d["warc_extract"] = """
+        WITH m AS (
+          SELECT doc_id,
+                 'w' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                   AS host,
+                 strlen(text) AS nb,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + doc_id * INTERVAL 1 HOUR AS ts
+          FROM documents
+          WHERE doc_id < 64 AND doc_id <> 62  -- 62 = truncated record
+        )
+        SELECT host,
+               count(*)::BIGINT AS n_pages,
+               sum(nb)::BIGINT AS total_bytes,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+        FROM m GROUP BY host ORDER BY host
+    """
     d["hll_cardinality"] = _hll_cardinality_oracle()
     d["cms_counts"] = _CMS_COUNTS_ORACLE
     d["winnow_fp"] = _WINNOW_FP_ORACLE
