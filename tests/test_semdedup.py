@@ -217,3 +217,58 @@ def test_semantic_dedup_guarded_end_to_end(spark):
     # the singleton always survives
     assert 1 + 1 <= n <= 6 + 1
     assert kept.select("vec_id").distinct().count() == n
+
+
+def test_hot_cell_guard_recall_and_candidate_bound(spark):
+    """Pin the documented hot-cell trade NUMERICALLY: at a forced
+    250-row hot cell with 50 planted exact-duplicate pairs, the
+    max_cell_rows=50 sub-split must (a) cut the candidate-pair count
+    by >3x and (b) still recover at least the hash-collision floor of
+    planted pairs (a pair survives iff both ids land in the same
+    xxhash64 sub-cell, ~1/n_sub in expectation; deterministic here)."""
+    import math
+
+    from ocr_engine_spark.functions.semdedup import within_cell_pairs
+
+    rows = []
+    # 150 noise vectors: unit circle in (x, y) 0.1 rad apart with
+    # z=+1 — the worst same-sign pair is 0.017 rad apart after the
+    # circle wraps (i, i+63), cosine (cos 0.017 + 1)/2 ~ 0.999928,
+    # still under the 0.99995 threshold
+    for i in range(150):
+        th = 0.1 * i
+        rows.append((i, [math.cos(th), math.sin(th), 1.0], 0))
+    # 50 planted duplicate pairs (id, id+10000) with z=-1: noise vs
+    # planted cosine is <= 0, planted vs planted distinct pairs top
+    # out at (cos 0.1 + 1)/2 ~ 0.9975; only exact dups reach 1.0
+    for j in range(50):
+        th = 0.1 * j
+        v = [math.cos(th), math.sin(th), -1.0]
+        rows.append((1000 + j, v, 0))
+        rows.append((11000 + j, v, 0))
+    scored = spark.createDataFrame(
+        rows, "id long, v array<double>, cell int")
+
+    def planted(df):
+        return {(r.id_a, r.id_b) for r in df.collect()
+                if r.id_b == r.id_a + 10000}
+
+    full = within_cell_pairs(scored, 0.99995)
+    assert planted(full) == {(1000 + j, 11000 + j) for j in range(50)}
+
+    guarded = within_cell_pairs(scored, 0.99995, max_cell_rows=50)
+    got = planted(guarded)
+    recall = len(got) / 50.0
+    # expectation 1/5 at n_sub=5; deterministic for xxhash64 —
+    # pinned floor well under expectation, strictly positive
+    assert recall >= 0.08, recall
+    # nothing outside the planted set can pass the threshold
+    assert {(r.id_a, r.id_b) for r in guarded.collect()} == got
+
+    # candidate bound: all-pairs (threshold -1) counts the actual
+    # join fan-out. Unguarded = C(250,2); guarded sums C(n_s,2) over
+    # ~5 sub-cells of ~50 rows
+    n_unguarded = within_cell_pairs(scored, -1.0).count()
+    assert n_unguarded == 250 * 249 // 2
+    n_guarded = within_cell_pairs(scored, -1.0, max_cell_rows=50).count()
+    assert n_guarded < n_unguarded / 3, (n_guarded, n_unguarded)
