@@ -2,13 +2,25 @@
 with typed metadata, processed by Arrow-batched kernels.
 
 The Spark-side plumbing — schemas, partitioning, mapInPandas signatures,
-batch shapes, explode semantics — is real and tested. The codec layer is
-a clearly-marked deterministic fake (``FIMG``/``FAUD``/``FVID`` headers
-+ arithmetic pixel/sample synthesis): this container has no image/audio
-libraries, so real decoders are gated behind import-try and raise
-``NotImplementedError`` for non-fake payloads (see ``_decode_real``).
-Swapping the fake codec for PIL/ffmpeg changes ONE function per kind;
-nothing in the Spark plan changes.
+batch shapes, explode semantics — is real and tested. The codec layer
+dispatches on magic bytes (``decode_image_pixels`` /
+``decode_audio_samples``):
+
+* ``FIMG``/``FAUD``/``FVID`` — the deterministic fake containers
+  (arithmetic pixel/sample synthesis), always available;
+* RIFF/WAVE — REAL PCM16 decode via the stdlib ``wave`` module,
+  exercised in-container by tests;
+* PNG — REAL header metadata (IHDR, pure struct); pixel decode via PIL
+  when importable;
+* JPEG/GIF — PIL when importable (reference parity:
+  surya_service.py:102-104), else a clear ``NotImplementedError``
+  carried as status='error' data. ``pytest.importorskip`` contract
+  tests light these paths up the moment the container gains PIL;
+* compressed audio / real video — would need ffmpeg; explicitly
+  unsupported, same errors-are-data seam.
+
+Nothing in the Spark plan changes across any of these — only the
+in-kernel codec branch.
 
 Design notes for 10^12-row scale:
   * payloads never leave Arrow buffers except inside the kernel batch
@@ -123,16 +135,96 @@ def decode_fake_samples(payload: bytes) -> np.ndarray:
     return (tri * 256).astype(np.int16)
 
 
-def _decode_real(payload: bytes) -> "np.ndarray":
-    """Real-decoder seam: PIL/ffmpeg would slot in here. The container
-    ships neither, so non-fake payloads are explicitly unsupported."""
-    try:  # pragma: no cover - PIL absent in this environment
-        from PIL import Image  # noqa: F401
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\x0a"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+_RIFF = b"RIFF"
+
+
+def _is_real_image(payload: bytes) -> bool:
+    return (payload[:8] == _PNG_MAGIC or payload[:3] == _JPEG_MAGIC
+            or payload[:6] in _GIF_MAGICS)
+
+
+def _is_wav(payload: bytes) -> bool:
+    return payload[:4] == _RIFF and payload[8:12] == b"WAVE"
+
+
+def _decode_real_image(payload: bytes) -> "np.ndarray":
+    """PNG/JPEG/GIF -> (h, w, 3) uint8 via PIL when the container has
+    it (reference parity: surya_service.py:102-104 opens uploads with
+    PIL.Image). Without PIL the payload is explicitly unsupported —
+    the same kernels light up the moment the dependency appears."""
+    try:
+        from PIL import Image
     except ImportError:
         raise NotImplementedError(
-            "real image/audio decoding requires PIL/ffmpeg (not in this "
-            "container); only FIMG/FAUD/FVID fake payloads are supported")
-    raise NotImplementedError("real decoder not wired")  # pragma: no cover
+            "real image decoding requires PIL (not in this container); "
+            "FIMG fake payloads and header-only metadata still work")
+    import io
+    im = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(im)
+
+
+def decode_image_pixels(payload: bytes) -> "np.ndarray":
+    """Magic-byte dispatch to (h, w, c) uint8: FIMG -> deterministic
+    fake synthesis; PNG/JPEG/GIF -> PIL (import-gated). Anything else
+    is a ValueError (errors-are-data upstream)."""
+    if payload[:4] == MAGIC_IMG:
+        return decode_fake_pixels(payload)
+    if _is_real_image(payload):
+        return _decode_real_image(payload)
+    raise ValueError("unknown image container")
+
+
+def _decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
+    """RIFF/WAVE PCM16 -> (int16 samples of channel 0, sample_rate)
+    with the stdlib ``wave`` module — a REAL decoder with no external
+    dependency, exercised in-container by tests."""
+    import io
+    import wave as _wave
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        n = w.getnframes()
+        raw = w.readframes(n)
+        arr = np.frombuffer(raw, dtype="<i2")
+        ch = w.getnchannels()
+        if ch > 1:
+            arr = arr[::ch]  # channel 0
+        return arr, int(w.getframerate())
+
+
+def decode_audio_samples(payload: bytes) -> tuple["np.ndarray", int]:
+    """Magic-byte dispatch to (int16 samples, sample_rate): FAUD ->
+    fake synthesis; RIFF/WAVE -> stdlib wave (real). Compressed
+    formats (mp3/ogg/...) would need ffmpeg — explicitly unsupported
+    here."""
+    if payload[:4] == MAGIC_AUD:
+        rate, _, _ = struct.unpack(">IIQ", payload[4:20])
+        return decode_fake_samples(payload), int(rate)
+    if _is_wav(payload):
+        return _decode_wav(payload)
+    raise ValueError("unknown audio container")
+
+
+def _png_meta(payload: bytes) -> tuple[int, int, int]:
+    """(w, h, channels) from the IHDR chunk — pure struct, no PIL.
+    IHDR is mandatory-first: bytes 16..24 are w/h, 25 the color type."""
+    w, h = struct.unpack(">II", payload[16:24])
+    color_type = payload[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 0)
+    if channels == 0:
+        raise ValueError(f"bad PNG color type {color_type}")
+    return int(w), int(h), channels
+
+
+def _wav_meta(payload: bytes) -> tuple[int, int]:
+    """(sample_rate, n_samples) via stdlib wave."""
+    import io
+    import wave as _wave
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        return int(w.getframerate()), int(w.getnframes())
 
 
 # ---------------------------------------------------------------------------
@@ -158,8 +250,20 @@ def _meta_of(payload: bytes | None) -> dict:
             w, h, nf, fps, _ = struct.unpack(">IIHBQ", payload[4:23])
             return {**none, "width": w, "height": h, "n_frames": nf,
                     "fps": fps}
-        _decode_real(bytes(payload))
-        raise AssertionError("unreachable")
+        raw = bytes(payload)
+        if raw[:8] == _PNG_MAGIC:  # real metadata, no PIL needed
+            w, h, c = _png_meta(raw)
+            return {**none, "width": w, "height": h, "channels": c}
+        if _is_wav(raw):  # real metadata via stdlib wave
+            rate, n = _wav_meta(raw)
+            return {**none, "sample_rate": rate, "n_samples": n}
+        if _is_real_image(raw):  # JPEG/GIF dims need PIL
+            px = _decode_real_image(raw)
+            return {**none, "width": px.shape[1], "height": px.shape[0],
+                    "channels": px.shape[2]}
+        raise NotImplementedError(
+            "unknown container; real video/compressed-audio metadata "
+            "requires ffmpeg (not in this container)")
     except NotImplementedError as exc:
         return {**none, "status": "error", "error": str(exc)}
     except Exception as exc:
@@ -189,9 +293,10 @@ def _image_feature_batches(batches: Iterator[pd.DataFrame]
         for mid, payload in zip(b["media_id"], b["payload"]):
             ids.append(mid)
             try:
-                if payload is None or bytes(payload[:4]) != MAGIC_IMG:
-                    raise ValueError("not a FIMG payload")
-                px = decode_fake_pixels(bytes(payload)).astype(np.float64)
+                if payload is None:
+                    raise ValueError("empty payload")
+                px = decode_image_pixels(bytes(payload)) \
+                    .astype(np.float64)
                 means.append(float(px.mean()))
                 stds.append(float(px.std()))
                 hist, _ = np.histogram(px, bins=8, range=(0, 256))
@@ -217,11 +322,11 @@ def _audio_feature_batches(batches: Iterator[pd.DataFrame]
         rows = []
         for mid, payload in zip(b["media_id"], b["payload"]):
             try:
-                if payload is None or bytes(payload[:4]) != MAGIC_AUD:
-                    raise ValueError("not a FAUD payload")
-                raw = bytes(payload)
-                rate, n, _ = struct.unpack(">IIQ", raw[4:20])
-                wave = decode_fake_samples(raw).astype(np.float64)
+                if payload is None:
+                    raise ValueError("empty payload")
+                samples, rate = decode_audio_samples(bytes(payload))
+                wave = samples.astype(np.float64)
+                n = len(wave)
                 rms = float(np.sqrt((wave ** 2).mean())) if n else 0.0
                 zc = int(((wave[:-1] * wave[1:]) < 0).sum()) if n > 1 else 0
                 rows.append((mid, rms, zc, n * 1000.0 / rate, "success"))
@@ -388,10 +493,8 @@ def _phash_batches_factory(payload_col: str):
                 ids.append(mid)
                 fnos.append(fno)
                 try:
-                    raw = bytes(payload)
-                    if raw[:4] != MAGIC_IMG:
-                        raise ValueError("not a FIMG payload")
-                    hashes.append(ahash64(decode_fake_pixels(raw)))
+                    hashes.append(ahash64(
+                        decode_image_pixels(bytes(payload))))
                     statuses.append("ok")
                 except Exception as exc:  # errors are data
                     hashes.append(None)
