@@ -73,6 +73,8 @@ HEADLINE = [
     "sessionize", "host_components", "funnel", "retention",
     "zipf_fit", "embedding_outliers", "corpus_overlap", "ai_optout",
     "kn_ppl", "url_traps", "filter_funnel", "mixed_lang", "lexicon_scan", "luhn_cards", "jl_audit", "kn3_ppl", "quantile_sketch", "bm25_mrr", "hybrid_rrf", "packing_sweep", "dsir_ess", "threshold_sweep", "lang_vocab_hll", "text_urls", "novelty_curve", "bpe_merge_usage", "classifier_calibration", "tabular_docs", "burstiness", "bbit_minhash",
+    "classifier_pr", "minhash_signatures", "media_profile",
+    "pq_index", "warc_extract", "curation_pipeline",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000
@@ -84,6 +86,38 @@ BENCH_PARTITIONS = None  # default: 4 x defaultParallelism (extract_pages)
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
     return float(m.group(1)) if m else 0.1
+
+
+# --- box-health self-gate -------------------------------------------------
+# This VM has documented ~2x host-steal windows (BENCH.md r2-r4): a
+# framework-free probe runs INTERLEAVED with the suite so every timing
+# carries the health of its window, and queries timed under a degraded
+# window are re-run — committed numbers no longer need prose caveats.
+
+HEALTH_BAR = 0.70   # the bare-multiprocessing control itself caps ~0.84
+PROBE_EVERY = 25    # headline queries between probes
+
+
+def _probe_unit(_):
+    x = 123456789
+    for _ in range(1_500_000):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+    return x
+
+
+def _box_health(pool, n_workers: int) -> float:
+    """Parallel efficiency of a pure-CPU xorshift workload: 1 task
+    timed alone vs n_workers tasks on n_workers processes — ideal
+    1.0, a host-steal wave (or oversubscription) drags it down."""
+    t0 = time.perf_counter()
+    pool.map(_probe_unit, [0])
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pool.map(_probe_unit, range(n_workers))
+    t_par = time.perf_counter() - t0
+    return round(t_one / t_par, 3) if t_par > 0 else 1.0
 
 
 def main() -> None:
@@ -102,6 +136,12 @@ def main() -> None:
     # warm the JVM + Python workers once so per-query timings measure the
     # plan, not session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    from multiprocessing import Pool
+    probe_pool = Pool(int(cpus))
+    probe_pool.map(_probe_unit, range(int(cpus)))  # warm worker spawn
+    probes: list[float] = [_box_health(probe_pool, int(cpus))]
+    q_probe_idx: dict[str, int] = {}  # query -> index of preceding probe
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -126,6 +166,30 @@ def main() -> None:
             # heap pressure
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        q_probe_idx[name] = len(probes) - 1
+        if len(q_probe_idx) % PROBE_EVERY == 0:
+            probes.append(_box_health(probe_pool, int(cpus)))
+    probes.append(_box_health(probe_pool, int(cpus)))
+
+    # self-gate: a query's window health is the min of the probes
+    # bracketing it; anything non-trivial timed under a degraded
+    # window is re-run once (steal waves are transient) and keeps the
+    # better number
+    def _win_health(name: str) -> float:
+        i = q_probe_idx[name]
+        return min(probes[i], probes[i + 1])
+
+    reruns: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        if _win_health(name) < HEALTH_BAR and timings[name] > 1.0:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+            reruns[name] = [timings[name], dt]
+            timings[name] = min(timings[name], dt)
+    if reruns:
+        probes.append(_box_health(probe_pool, int(cpus)))
 
     # flagship: the extraction pipeline at a corpus scaled to the SF
     n_pages = max(300, int(PAGES_PER_SF * sf))
@@ -165,6 +229,21 @@ def main() -> None:
     timings["extraction_heavy"] = round(hdt, 3)
     docs_per_sec_heavy = round(n_hout / hdt, 2)
 
+    probes.append(_box_health(probe_pool, int(cpus)))
+    probe_pool.close()
+    probe_pool.join()
+    box_health = {
+        "probes": probes,
+        "bar": HEALTH_BAR,
+        "min": min(probes),
+        "median": sorted(probes)[len(probes) // 2],
+        "reruns": reruns,  # name -> [degraded-window time, re-run time]
+        "method": f"pure-CPU xorshift parallel efficiency on {cpus} "
+                  "processes, probed every "
+                  f"{PROBE_EVERY} queries; queries >1s timed in a "
+                  "window under the bar are re-run once",
+    }
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline query suite wall time (extraction + relational"
@@ -183,6 +262,7 @@ def main() -> None:
         "extraction_heavy_runs": hruns,
         "heavy_page_bytes": 32_000,
         "cpus": int(cpus),
+        "box_health": box_health,
     }
     # full per-query detail goes to a file: ~107 timings make one JSON
     # line big enough that the driver's tail capture truncates it
@@ -209,6 +289,9 @@ def main() -> None:
         "docs_per_sec": docs_per_sec,
         "docs_per_sec_heavy": docs_per_sec_heavy,
         "cpus": int(cpus),
+        "box_health_min": box_health["min"],
+        "box_health_median": box_health["median"],
+        "n_health_reruns": len(reruns),
         "detail_file": "BENCH_detail.json",
     }))
     spark.stop()
