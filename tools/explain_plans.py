@@ -91,6 +91,22 @@ NOTES = {
                 "(no matrix join); the pair join is bounded by "
                 "max_id",
 
+    "pq_index": "build-once lifecycle: the shown plan reads STORED "
+                "codes from the index parquet — ADC is m element_at "
+                "lookups + a sum in the scan Project, shortlist is "
+                "TakeOrderedAndProject, re-rank joins a broadcast "
+                "shortlist; no training job anywhere in the query plan",
+    "warc_extract": "binaryFile scan = one file per task (WARC is not "
+                    "byte-splittable); ONE mapInPandas splitter emits "
+                    "pages rows; the per-host report is a single "
+                    "map-side-combined aggregate",
+    "curation_pipeline": "gate -> dedup -> quota sample in ONE plan: "
+                         "the quality gate is a codegen'd Filter under "
+                         "the fingerprint aggregate's map side, the "
+                         "keep rule is a struct-min partial agg, the "
+                         "sample reuses the range-partition prefix-rank "
+                         "engine (no unpartitioned Window), per-lang "
+                         "aggregates join at bounded cardinality",
     "filter_pushdown": "all three predicates appear in PushedFilters on "
                        "the parquet scan; ReadSchema carries only the 3 "
                        "touched columns",
@@ -347,10 +363,13 @@ NOTES = {
     "readability": "counts + floored micro divisions in one map-side "
                    "Project over (doc_id, text) — zero shuffle, zero "
                    "UDF, no HOF lambdas (split-size counting only)",
-    "host_gini": "one map-side-combined count shuffle over pages; "
-                 "the rank window runs on the HOST-COUNT table (one "
-                 "narrow single-partition sort of n_hosts rows), then "
-                 "a scalar aggregate",
+    "host_gini": "one map-side-combined count shuffle over pages; the "
+                 "rank (round 5) runs through the range-partition "
+                 "prefix-rank engine — range Exchange on (stratum, "
+                 "cnt, host), offsets enter as a BroadcastHashJoin, "
+                 "every Window carries a partition spec "
+                 "(plan-asserted); no one-task rank at 10^8-host "
+                 "cardinality",
     "template_spam": "skeleton strip + hash are map-side (the shuffle "
                      "key is the 8-byte md5-int60, never the 4 KB "
                      "skeleton); ONE (host, skeleton) count shuffle "
@@ -530,6 +549,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "lang_vocab_hll", "text_urls", "novelty_curve",
             "bpe_merge_usage", "classifier_calibration",
             "tabular_docs", "burstiness", "bbit_minhash",
+            "pq_index", "warc_extract", "curation_pipeline",
             "extraction_pipeline"]
 
 
