@@ -358,6 +358,16 @@ def main(argv: list[str] | None = None) -> int:
     oo.add_argument("--agents", default="gptbot,ccbot,*",
                     help="comma-separated agent tokens")
 
+    cu = sub.add_parser("curate", help="gate -> exact-dedup -> per-"
+                        "language quota sample, one composed plan")
+    cu.add_argument("--input", required=True,
+                    help="documents parquet (doc_id, text, lang)")
+    cu.add_argument("--output", required=True,
+                    help="output dir (sample parquet + summary json)")
+    cu.add_argument("--min-tokens", type=int, default=25)
+    cu.add_argument("--min-quality-micro", type=int, default=350_000)
+    cu.add_argument("--per-lang", type=int, default=20)
+
     args = ap.parse_args(argv)
 
     from ocr_engine_spark.engine.session import build_session
@@ -1023,6 +1033,23 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"order": args.order, "docs": st["docs"],
                           "log_ppl_micro_min": int(st["min"]),
                           "log_ppl_micro_max": int(st["max"])}))
+    elif args.cmd == "curate":
+        import os as _os
+
+        from ocr_engine_spark.functions.curation import (
+            curate_corpus, curation_summary,
+        )
+        docs = spark.read.parquet(args.input)
+        kw = dict(min_tokens=args.min_tokens,
+                  min_quality_micro=args.min_quality_micro,
+                  n_per_lang=args.per_lang)
+        curate_corpus(docs, **kw).write.mode("overwrite") \
+            .parquet(_os.path.join(args.output, "sample"))
+        rows = [r.asDict() for r in
+                curation_summary(docs, **kw).collect()]
+        print(json.dumps({"langs": rows,
+                          "sample": _os.path.join(args.output,
+                                                  "sample")}))
     elif args.cmd == "optout":
         from pyspark.sql import functions as F
         from ocr_engine_spark.functions.robots import robots_decisions
