@@ -73,8 +73,12 @@ def curation_summary(docs: DataFrame, *, min_tokens: int = 25,
                      lang_col: str = "lang") -> DataFrame:
     """Per-language funnel of the composed pipeline: (lang, n_gated,
     n_unique, n_sampled, tokens_sampled) — the acceptance report read
-    before committing a training mix. All three stage frames come from
-    the SAME single plan (no re-reads: the gate subtree is shared)."""
+    before committing a training mix. The three stage aggregates are
+    branches of one logical plan; Catalyst reuses only IDENTICAL
+    exchanges, so the map-side gate re-executes per branch (columnar
+    scan + expression chain — cheap). At 100 TB run `curate_corpus`
+    for the sample and derive the report from its materialized
+    output instead of re-gating three times."""
     gated = (docs
              .select(F.col(id_col), F.col(lang_col).alias("lang"),
                      F.col(text_col).alias("__text"),

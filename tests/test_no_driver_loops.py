@@ -48,6 +48,7 @@ COLLECT_ALLOWLIST = {
     "functions/pq.py": [
         ".limit(k).select(vec_col).collect())",  # codebook seed: k rows
         '.collect())  # m x k x d rows, bounded',  # Lloyd sub-means
+        '.orderBy("s", "code").collect()',  # stored codebooks: m*k rows
     ],
     "functions/bpe.py": [
         ".first())  # 1-row argmax read, IVF-seed discipline",
