@@ -4292,6 +4292,19 @@ def q_lexicon_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexicon_scan(docs, _LEXICON).orderBy("doc_id")
 
 
+def q_lexicon_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick lexicon scan (functions/aho.py — the 10^5-term
+    scale path): ONE automaton pass per document instead of one
+    regexp pass per term, automaton built once driver-side and
+    shipped in the Arrow kernel closure. Value-identical to
+    scrub.lexicon_scan for the same lexicon (pinned by tests on
+    adversarial grammars) — the oracle is lexicon_scan's replay
+    verbatim."""
+    from ocr_engine_spark.functions.aho import lexicon_scan_ac
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return lexicon_scan_ac(docs, _LEXICON).orderBy("doc_id")
+
+
 def q_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-switching detection (sentence.mixed_language_report —
     Kreutzer et al. 2022's top web-corpus audit finding): docs
@@ -4383,6 +4396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "host_gini": q_host_gini,
         # --- remaining never-driver-checked (local oracle green) ---
+        "lexicon_ac": q_lexicon_ac,
         "html_tables": q_html_tables,
         "mixture_allocate": q_mixture_allocate,
         "mixture_epochs": q_mixture_epochs,
@@ -10120,6 +10134,9 @@ def oracle_sql() -> dict[str, str]:
                  // greatest(n_tokens, 1) AS hit_ppm
         FROM c ORDER BY doc_id
     """
+    # Aho-Corasick twin: value-identical to the regexp chain by
+    # contract, so the same replay gates both implementations.
+    d["lexicon_ac"] = d["lexicon_scan"]
     d["mixed_lang"] = f"""
         WITH d AS (
           SELECT doc_id,
