@@ -4292,6 +4292,30 @@ def q_lexicon_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexicon_scan(docs, _LEXICON).orderBy("doc_id")
 
 
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM segmentation audit
+    (functions/unigram.py, Kudo 2018): seed vocab = all occurring
+    chars + top multi-char substrings by (count desc, piece asc) with
+    integer micro-nat costs, then Viterbi over the top-200 distinct
+    words minimizing the packed integer cost*1000+n_pieces (ties to
+    fewer pieces). Oracle: FULL SQL replay — substring seed counts,
+    char-coverage union + ranked prune, ln costs on the same libm,
+    and the DP unrolled to 16 positions with lateral column aliases
+    and correlated piece-cost lookups."""
+    from ocr_engine_spark.functions.bpe import word_table
+    from ocr_engine_spark.functions.unigram import (
+        build_seed_vocab, segment_words,
+    )
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    vocab = build_seed_vocab(docs, vocab_size=128, max_piece_len=4)
+    top = (word_table(docs).filter(F.length("word") <= 16)
+           .orderBy(F.col("wcount").desc(), F.col("word").asc())
+           .limit(200))
+    return (segment_words(top, vocab)
+            .select("word", "wcount", "cost_micro", "n_pieces")
+            .orderBy("word"))
+
+
 def q_lexicon_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aho-Corasick lexicon scan (functions/aho.py — the 10^5-term
     scale path): ONE automaton pass per document instead of one
@@ -4397,6 +4421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_gini": q_host_gini,
         # --- remaining never-driver-checked (local oracle green) ---
         "lexicon_ac": q_lexicon_ac,
+        "unigram_segment": q_unigram_segment,
         "html_tables": q_html_tables,
         "mixture_allocate": q_mixture_allocate,
         "mixture_epochs": q_mixture_epochs,
@@ -4553,6 +4578,71 @@ _QUALITY_RAW = f"""
   )
 """
 _QUALITY = f"round({_QUALITY_RAW}, 4)"
+
+
+def _unigram_segment_oracle() -> str:
+    """Unrolled 16-position Viterbi DP over the seed unigram vocab.
+    best_j is the packed integer cost*1000+n_pieces of the best
+    segmentation of word[:j]; candidates add a correlated piece-cost
+    lookup; unreachable states carry a sentinel that any real path
+    undercuts (char coverage makes every prefix reachable)."""
+    sent = 1 << 60
+
+    def cand(j: int, k: int) -> str:
+        return (f"coalesce(b{j - k} + (SELECT c FROM vocab v WHERE "
+                f"v.piece = substr(word, {j - k + 1}, {k})) * 1000 + 1,"
+                f" {sent})")
+
+    # DuckDB forbids lateral alias references whose expression holds a
+    # subquery, so the DP unrolls as a CTE chain: dp{j} adds b{j}.
+    dps = ["dp0 AS (SELECT word, wcount, 0 AS b0 FROM tw)"]
+    for j in range(1, 17):
+        cands = [cand(j, k) for k in range(1, min(4, j) + 1)]
+        dps.append(
+            f"dp{j} AS (SELECT *, least(" + ", ".join(cands)
+            + f") AS b{j} FROM dp{j - 1})")
+    best = ("CASE length(word) "
+            + " ".join(f"WHEN {j} THEN b{j}" for j in range(1, 17))
+            + " END")
+    return f"""
+        WITH w AS (
+          SELECT word, count(*)::BIGINT AS wcount FROM (
+            SELECT unnest(string_split_regex(lower(text),
+                                             '[^0-9a-z]+')) AS word
+            FROM documents WHERE doc_id < 150)
+          WHERE word <> '' AND length(word) <= 64
+          GROUP BY word),
+        pc AS (
+          SELECT piece, sum(wcount)::BIGINT AS cnt FROM (
+            SELECT substr(word, i, k) AS piece, wcount
+            FROM w,
+                 LATERAL unnest(generate_series(1, length(word))) u(i),
+                 LATERAL unnest(generate_series(1, 4)) v(k)
+            WHERE i + k - 1 <= length(word))
+          GROUP BY piece),
+        chars AS (SELECT piece, cnt FROM pc WHERE length(piece) = 1),
+        multi AS (
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece ASC)
+                     AS rn
+            FROM pc WHERE length(piece) > 1)
+          WHERE rn <= 128 - (SELECT count(*) FROM chars)),
+        vocab0 AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+        tot AS (SELECT sum(cnt)::DOUBLE AS t FROM vocab0),
+        vocab AS (
+          SELECT piece,
+                 floor(-ln(cnt / (SELECT t FROM tot)) * 1e6
+                       + 0.5)::BIGINT AS c
+          FROM vocab0),
+        tw AS (SELECT word, wcount FROM w WHERE length(word) <= 16
+               ORDER BY wcount DESC, word ASC LIMIT 200),
+        {", ".join(dps)}
+        SELECT word, wcount,
+               ({best}) // 1000 AS cost_micro,
+               ({best}) % 1000 AS n_pieces
+        FROM dp16 ORDER BY word
+    """
 
 
 def _minhash_signatures_oracle() -> str:
@@ -10137,6 +10227,7 @@ def oracle_sql() -> dict[str, str]:
     # Aho-Corasick twin: value-identical to the regexp chain by
     # contract, so the same replay gates both implementations.
     d["lexicon_ac"] = d["lexicon_scan"]
+    d["unigram_segment"] = _unigram_segment_oracle()
     d["mixed_lang"] = f"""
         WITH d AS (
           SELECT doc_id,

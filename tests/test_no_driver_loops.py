@@ -53,6 +53,11 @@ COLLECT_ALLOWLIST = {
     "functions/bpe.py": [
         ".first())  # 1-row argmax read, IVF-seed discipline",
     ],
+    "functions/unigram.py": [
+        'F.length("piece") == 1).collect())',   # char layer: <=36 rows
+        '.limit(vocab_size - len(chars)).collect()]',  # vocab-bounded
+        ".collect())  # bounded by vocab_size",  # M-step usage counts
+    ],
     "functions/shards.py": [
         '.alias("q")).first()',     # manifest totals: 1 row
         '.select("seqs_per_shard").first()',  # manifest param: 1 row
