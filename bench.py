@@ -94,8 +94,17 @@ def _sf_of(sf_dir: str) -> float:
 # framework-free probe runs INTERLEAVED with the suite so every timing
 # carries the health of its window, and queries timed under a degraded
 # window are re-run — committed numbers no longer need prose caveats.
+#
+# The bar is RELATIVE to the run's own baseline (max of the first two
+# probes): the probe's absolute reading is width-dependent — measured
+# on this box: ~0.97 at 4 procs, ~0.85 at 8, ~0.68 at 32 even when
+# quiet (vCPU oversubscription eats the last doubling) — so a fixed
+# absolute bar at width 32 would flag permanently. A probe below
+# 0.8x baseline (or the 0.5 absolute floor) marks a TRANSIENT
+# steal window; that is what the re-run policy targets.
 
-HEALTH_BAR = 0.70   # the bare-multiprocessing control itself caps ~0.84
+HEALTH_REL_BAR = 0.80   # fraction of the run's own baseline
+HEALTH_ABS_FLOOR = 0.50  # catastrophic-contention floor
 PROBE_EVERY = 25    # headline queries between probes
 
 
@@ -176,13 +185,16 @@ def main() -> None:
     # bracketing it; anything non-trivial timed under a degraded
     # window is re-run once (steal waves are transient) and keeps the
     # better number
+    baseline = max(probes[:2])
+    bar = max(HEALTH_ABS_FLOOR, HEALTH_REL_BAR * baseline)
+
     def _win_health(name: str) -> float:
         i = q_probe_idx[name]
         return min(probes[i], probes[i + 1])
 
     reruns: dict[str, list[float]] = {}
     for name in HEADLINE:
-        if _win_health(name) < HEALTH_BAR and timings[name] > 1.0:
+        if _win_health(name) < bar and timings[name] > 1.0:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             dt = round(time.perf_counter() - t0, 3)
@@ -235,14 +247,18 @@ def main() -> None:
     probe_pool.join()
     box_health = {
         "probes": probes,
-        "bar": HEALTH_BAR,
+        "baseline": baseline,
+        "bar": round(bar, 3),
         "min": min(probes),
         "median": sorted(probes)[len(probes) // 2],
         "reruns": reruns,  # name -> [degraded-window time, re-run time]
         "method": f"pure-CPU xorshift parallel efficiency on {cpus} "
-                  "processes, probed every "
-                  f"{PROBE_EVERY} queries; queries >1s timed in a "
-                  "window under the bar are re-run once",
+                  f"processes, probed every {PROBE_EVERY} queries; "
+                  "bar = max(0.5, 0.8 x run baseline) — the absolute "
+                  "reading is probe-width-dependent (~0.68 quiet at "
+                  "32 procs on this box), so only TRANSIENT drops "
+                  "below the run's own baseline trigger re-runs of "
+                  ">1s queries",
     }
 
     total = round(sum(timings.values()), 3)
