@@ -4292,6 +4292,30 @@ def q_lexicon_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexicon_scan(docs, _LEXICON).orderBy("doc_id")
 
 
+def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (functions/linkage.py — blocking + bounded
+    levenshtein + pointer-jumping CC, the Fellegi-Sunter workload):
+    planted corpus = originals, suffix-truncated twins (+100000,
+    last 7 chars dropped — same block key, dist <= 7, MUST link) and
+    prefix-shifted twins (+200000, 'zz ' prepended — block key moved,
+    must NOT link the original; they link each other instead,
+    mirroring the originals). Oracle replays block keys, prefix edit
+    distances, the match threshold and the recursive-CTE transitive
+    closure."""
+    from ocr_engine_spark.functions.linkage import link_report
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 60).select("doc_id", "text"))
+    trunc = docs.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.expr("substr(text, 1, greatest(length(text) - 7, 1))")
+        .alias("text"))
+    shifted = docs.select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.concat(F.lit("zz "), F.col("text")).alias("text"))
+    corpus = docs.unionByName(trunc).unionByName(shifted)
+    return link_report(corpus)
+
+
 def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram-LM segmentation audit
     (functions/unigram.py, Kudo 2018): seed vocab = all occurring
@@ -4422,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- remaining never-driver-checked (local oracle green) ---
         "lexicon_ac": q_lexicon_ac,
         "unigram_segment": q_unigram_segment,
+        "fuzzy_linkage": q_fuzzy_linkage,
         "html_tables": q_html_tables,
         "mixture_allocate": q_mixture_allocate,
         "mixture_epochs": q_mixture_epochs,
@@ -10228,6 +10253,41 @@ def oracle_sql() -> dict[str, str]:
     # contract, so the same replay gates both implementations.
     d["lexicon_ac"] = d["lexicon_scan"]
     d["unigram_segment"] = _unigram_segment_oracle()
+    d["fuzzy_linkage"] = r"""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + 100000,
+                 substr(text, 1, greatest(length(text) - 7, 1))
+          FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + 200000, 'zz ' || text
+          FROM documents WHERE doc_id < 60),
+        keyed AS (
+          SELECT doc_id,
+                 substr(trim(lower(text)), 1, 16) AS blk,
+                 substr(trim(lower(text)), 1, 64) AS pfx
+          FROM corpus),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 levenshtein(a.pfx, b.pfx) AS dist
+          FROM keyed a JOIN keyed b
+            ON a.blk = b.blk AND a.doc_id < b.doc_id
+          WHERE levenshtein(a.pfx, b.pfx) <= 10),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(n, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
+        comp AS (SELECT n AS node, min(r) AS component
+                 FROM reach GROUP BY n)
+        SELECT component::BIGINT AS cluster_id,
+               count(*)::BIGINT AS n_members,
+               min(node)::BIGINT AS min_id,
+               max(node)::BIGINT AS max_id
+        FROM comp GROUP BY component ORDER BY cluster_id
+    """
     d["mixed_lang"] = f"""
         WITH d AS (
           SELECT doc_id,

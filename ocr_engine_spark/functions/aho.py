@@ -25,6 +25,11 @@ Per-row Python is confined to the Arrow-batched kernel (the
 extraction/multimodal discipline); the automaton walk is dict-hop
 per character. No shuffle anywhere — map-only, like the regexp chain
 it replaces.
+
+One divergence from the regexp chain, by choice: a NULL text yields
+the zero row (0 hits, dropped=false) here, where the regexp chain
+propagates NULL through its counts — empty and missing documents are
+the same non-event to a lexicon gate.
 """
 
 from __future__ import annotations
