@@ -91,6 +91,20 @@ NOTES = {
                 "(no matrix join); the pair join is bounded by "
                 "max_id",
 
+    "lexicon_ac": "ONE mapInPandas stage over (id, text) — the "
+                  "automaton rides the task closure, no join, no "
+                  "shuffle; scales in terms without touching the plan "
+                  "(the regexp chain's per-term projection cost is "
+                  "gone)",
+    "unigram_segment": "seed counts = one substring explode + "
+                       "groupBy; vocab collapses to a driver-bounded "
+                       "literal in the Viterbi kernel's closure; the "
+                       "top-words TakeOrdered bounds the audited set",
+    "fuzzy_linkage": "candidate pairs from ONE equi-join on the "
+                     "16-char block key (no cartesian, "
+                     "plan-asserted); levenshtein on bounded "
+                     "prefixes JVM-side; components iterate over "
+                     "match pairs only",
     "pq_index": "build-once lifecycle: the shown plan reads STORED "
                 "codes from the index parquet — ADC is m element_at "
                 "lookups + a sum in the scan Project, shortlist is "
@@ -550,6 +564,7 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "bpe_merge_usage", "classifier_calibration",
             "tabular_docs", "burstiness", "bbit_minhash",
             "pq_index", "warc_extract", "curation_pipeline",
+            "lexicon_ac", "unigram_segment", "fuzzy_linkage",
             "extraction_pipeline"]
 
 
