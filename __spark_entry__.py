@@ -4292,6 +4292,25 @@ def q_lexicon_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexicon_scan(docs, _LEXICON).orderBy("doc_id")
 
 
+def q_vocab_growth_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative vocabulary growth via HLL register prefix-max
+    (sketch.hll_growth_curve) — the mergeable-sketch path for the
+    exact vocab_growth at 100 TB: per-(crawl-bucket, hash-bucket)
+    max-rho state, running union = per-hash-bucket cumulative max,
+    per-bucket estimate from the pinned b=10 expressions, exact
+    cumulative distinct alongside for the err audit. Oracle replays
+    registers, the window prefix-max over the bucket x m grid, the
+    estimator (incl. linear-counting branch) and the first-occurrence
+    exact curve."""
+    from ocr_engine_spark.functions.sketch import hll_growth_curve
+    toks = (_read(spark, sf_dir, "documents")
+            .select((F.col("doc_id") % 8).alias("tb"),
+                    F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                    .alias("tok"))
+            .filter(F.col("tok") != ""))
+    return hll_growth_curve(toks, "tb", "tok")
+
+
 def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage (functions/linkage.py — blocking + bounded
     levenshtein + pointer-jumping CC, the Fellegi-Sunter workload):
@@ -4447,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon_ac": q_lexicon_ac,
         "unigram_segment": q_unigram_segment,
         "fuzzy_linkage": q_fuzzy_linkage,
+        "vocab_growth_hll": q_vocab_growth_hll,
         "html_tables": q_html_tables,
         "mixture_allocate": q_mixture_allocate,
         "mixture_epochs": q_mixture_epochs,
@@ -10418,6 +10438,72 @@ def oracle_sql() -> dict[str, str]:
         FROM m GROUP BY host ORDER BY host
     """
     d["hll_cardinality"] = _hll_cardinality_oracle()
+    d["vocab_growth_hll"] = r"""
+        WITH t AS (
+          SELECT doc_id % 8 AS tb,
+                 unnest(string_split_regex(trim(lower(text)),
+                                           '\s+')) AS v
+          FROM documents WHERE length(trim(text)) > 0),
+        t2 AS (SELECT tb, v FROM t WHERE v <> ''),
+        hh AS (SELECT tb,
+                      ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+               FROM t2),
+        r AS (SELECT tb, h % 1024 AS bucket,
+                     CASE WHEN (h // 1024) = 0 THEN 51
+                          ELSE 50 - length(bin(h // 1024)) + 1
+                     END AS rho
+              FROM hh),
+        regs AS (SELECT tb, bucket, max(rho)::BIGINT AS reg
+                 FROM r GROUP BY 1, 2),
+        tbs AS (SELECT DISTINCT tb FROM t2),
+        grid AS (SELECT tbs.tb, u.b AS bucket
+                 FROM tbs,
+                      LATERAL unnest(generate_series(0, 1023)) u(b)),
+        cum AS (
+          SELECT g.tb, g.bucket,
+                 max(coalesce(r2.reg, 0)) OVER (
+                   PARTITION BY g.bucket ORDER BY g.tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS creg
+          FROM grid g LEFT JOIN regs r2
+            ON r2.tb = g.tb AND r2.bucket = g.bucket),
+        agg AS (
+          SELECT tb,
+                 sum(CASE WHEN creg > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_hit,
+                 sum(CASE WHEN creg > 0 AND creg <= 30
+                          THEN (1::BIGINT << (30 - creg))
+                          ELSE 0 END)::BIGINT AS sum_hit
+          FROM cum GROUP BY tb),
+        e1 AS (
+          SELECT tb, n_hit, (1024 - n_hit)::BIGINT AS zeros,
+                 (sum_hit + (1024 - n_hit)
+                  * (1::BIGINT << 30))::BIGINT AS ss
+          FROM agg),
+        e2 AS (
+          SELECT tb, zeros, ss,
+                 CAST(floor((720541 * 1.0) * 1125899906842624
+                            / 1000000.0 / ss) AS BIGINT) AS raw
+          FROM e1),
+        est AS (
+          SELECT tb,
+                 CASE WHEN raw < 2560 AND zeros > 0
+                      THEN CAST(floor(1024 * ln(1024 * 1.0 / zeros))
+                                AS BIGINT)
+                      ELSE raw END AS estimate
+          FROM e2),
+        firsts AS (SELECT v, min(tb) AS ftb FROM t2 GROUP BY v),
+        cexact AS (
+          SELECT tbs.tb, count(*)::BIGINT AS n_exact_cum
+          FROM tbs JOIN firsts f ON f.ftb <= tbs.tb
+          GROUP BY tbs.tb)
+        SELECT e.tb AS bucket, 1024::BIGINT AS m, e.estimate,
+               c.n_exact_cum,
+               ((e.estimate - c.n_exact_cum) * 1000000)
+                 // c.n_exact_cum AS err_ppm
+        FROM est e JOIN cexact c ON e.tb = c.tb
+        ORDER BY bucket
+    """
     d["cms_counts"] = _CMS_COUNTS_ORACLE
     d["winnow_fp"] = _WINNOW_FP_ORACLE
     d["bitext_align"] = _bitext_align_oracle()

@@ -75,7 +75,7 @@ HEADLINE = [
     "kn_ppl", "url_traps", "filter_funnel", "mixed_lang", "lexicon_scan", "luhn_cards", "jl_audit", "kn3_ppl", "quantile_sketch", "bm25_mrr", "hybrid_rrf", "packing_sweep", "dsir_ess", "threshold_sweep", "lang_vocab_hll", "text_urls", "novelty_curve", "bpe_merge_usage", "classifier_calibration", "tabular_docs", "burstiness", "bbit_minhash",
     "classifier_pr", "minhash_signatures", "media_profile",
     "pq_index", "warc_extract", "curation_pipeline", "lexicon_ac",
-    "unigram_segment", "fuzzy_linkage",
+    "unigram_segment", "fuzzy_linkage", "vocab_growth_hll",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000

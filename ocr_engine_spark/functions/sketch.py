@@ -385,3 +385,84 @@ def hll_grouped_distinct(df: DataFrame, group_col: str, col: str, *,
         "estimate",
         F.col("n_exact").cast("long").alias("n_exact"),
         err.alias("err_ppm"))
+
+
+def hll_growth_curve(df: DataFrame, bucket_col: str, col: str, *,
+                     b: int = 10) -> DataFrame:
+    """Cumulative distinct-value curve via PREFIX-MAX of HLL registers
+    — the sketch path for ``vocab_growth`` at 100 TB, where the exact
+    first-occurrence argmin over every token is the thing that does
+    not fit: sketch union is register max, so the running per-bucket
+    max over time order IS the union of all earlier buckets' sketches,
+    and each time bucket's estimate comes from the same pinned
+    expressions as ``hll_distinct``.
+
+    Plan shape: register state is (time_bucket, hash_bucket) max-rho —
+    ONE shuffle bounded by buckets x m with map-side max-combine; the
+    cumulative max windows PARTITION BY hash bucket (m partitions of
+    <= n_time_buckets rows, never corpus-sized); the per-time-bucket
+    estimator aggregates the m-row grid. The exact cumulative distinct
+    runs alongside for the fixture-scale err audit — it is precisely
+    the side that would not scale.
+
+    Returns (bucket, m, estimate, n_exact_cum, err_ppm) ordered by
+    bucket."""
+    from pyspark.sql import Window
+    assert 7 <= int(b) <= 16
+    m = 1 << int(b)
+    am = _alpha_micro(m)
+    width = 60 - int(b)
+    h = md5_int60_col(F.col(col))
+    rho = F.when(F.col("__r") == 0, F.lit(width + 1)) \
+           .otherwise(F.lit(width)
+                      - F.length(F.expr("bin(__r)")).cast("int")
+                      + F.lit(1))
+    vals = df.select(F.col(bucket_col).alias("tb"), h.alias("__h"))
+    d = (vals.withColumn("__r", F.expr(f"(__h div {m})"))
+         .select("tb", F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
+                 rho.alias("__rho")))
+    regs = (d.groupBy("tb", "bucket")
+            .agg(F.max("__rho").cast("long").alias("reg")))
+    tbs = vals.select("tb").distinct()
+    grid = tbs.select(
+        "tb", F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+        .alias("bucket"))
+    w = (Window.partitionBy("bucket").orderBy("tb")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (grid.join(regs, ["tb", "bucket"], "left")
+           .withColumn("creg",
+                       F.max(F.coalesce(F.col("reg"), F.lit(0)))
+                       .over(w)))
+    agg = cum.groupBy("tb").agg(
+        F.sum((F.col("creg") > 0).cast("long")).alias("n_hit"),
+        F.sum(F.expr(
+            "CASE WHEN creg > 0 AND creg <= 30 THEN "
+            "shiftleft(1L, 30 - cast(creg as int)) ELSE 0 END"))
+        .alias("__sum_hit"))
+    zeros = (F.lit(m) - F.col("n_hit")).cast("long")
+    ss = F.col("__sum_hit") + zeros * F.lit(1 << 30)
+    d2 = (agg.withColumn("__zeros", zeros).withColumn("__ss", ss)
+          .withColumn("__raw", F.expr(
+              f"CAST(floor(({am} * 1.0) * {m * m * (1 << 30)}"
+              f" / 1000000.0 / __ss) AS BIGINT)")))
+    lc = F.expr(f"CAST(floor({m} * ln({m} * 1.0 / __zeros)) AS BIGINT)")
+    est = (F.when((F.col("__raw") < int(2.5 * m))
+                  & (F.col("__zeros") > 0), lc)
+           .otherwise(F.col("__raw")))
+    # exact cumulative distinct: first-occurrence bucket per value,
+    # then an inequality join against the bounded bucket table
+    firsts = (df.select(F.col(bucket_col).alias("ftb"),
+                        F.col(col).alias("__v"))
+              .groupBy("__v").agg(F.min("ftb").alias("ftb")))
+    cexact = (tbs.join(firsts, F.col("ftb") <= F.col("tb"))
+              .groupBy("tb")
+              .agg(F.count("*").cast("long").alias("n_exact_cum")))
+    out = (d2.withColumn("estimate", est.cast("long"))
+           .join(cexact, "tb"))
+    err = F.expr("((estimate - n_exact_cum) * 1000000)"
+                 " div n_exact_cum")
+    return (out.select(F.col("tb").alias("bucket"),
+                       F.lit(m).cast("long").alias("m"),
+                       "estimate", "n_exact_cum",
+                       err.alias("err_ppm"))
+            .orderBy("bucket"))

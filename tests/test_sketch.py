@@ -239,3 +239,32 @@ def test_hll_grouped_matches_global_per_group(spark):
         assert got["sum_scaled"] == solo["sum_scaled"]
     assert grouped["a"]["n_exact"] == 200
     assert grouped["b"]["n_exact"] == 400
+
+
+def test_hll_growth_curve_monotone_and_matches_final_sketch(spark):
+    """The prefix-union estimate must (a) be monotone non-decreasing,
+    (b) equal the plain grouped-union sketch at the LAST bucket (the
+    union of everything), and (c) track the exact cumulative distinct
+    within HLL error at m=1024 (~3.25%; assert a loose 10% band)."""
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.functions.sketch import (
+        hll_distinct, hll_growth_curve,
+    )
+    docs = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select((F.col("doc_id") % 8).alias("tb"),
+                F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                .alias("tok"))
+        .filter(F.col("tok") != ""))
+    curve = hll_growth_curve(docs, "tb", "tok").collect()
+    assert [r.bucket for r in curve] == sorted({r.bucket for r in curve})
+    ests = [r.estimate for r in curve]
+    assert ests == sorted(ests)  # union only grows
+    exacts = [r.n_exact_cum for r in curve]
+    assert exacts == sorted(exacts)
+    for r in curve:
+        assert abs(r.err_ppm) < 100_000, r
+    final = hll_distinct(docs, "tok").collect()[0]
+    assert curve[-1].estimate == final["estimate"]
+    assert curve[-1].n_exact_cum == final["n_exact"]
