@@ -4292,6 +4292,19 @@ def q_lexicon_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexicon_scan(docs, _LEXICON).orderBy("doc_id")
 
 
+def q_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-term proximity feature (search.term_proximity — the first
+    non-BM25 ranking signal): per document containing both 'join' and
+    'filter', occurrence counts and the minimum token gap, computed
+    with the merge-scan (doc-partitioned lag window over the two
+    terms' merged positions) instead of the O(n_a x n_b) pair join.
+    The oracle RUNS the pair join — brute-force truth pinning the
+    merge-scan's equivalence on every fixture document."""
+    from ocr_engine_spark.functions.search import term_proximity
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return term_proximity(docs, "join", "filter")
+
+
 def q_vocab_growth_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative vocabulary growth via HLL register prefix-max
     (sketch.hll_growth_curve) — the mergeable-sketch path for the
@@ -4467,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_segment": q_unigram_segment,
         "fuzzy_linkage": q_fuzzy_linkage,
         "vocab_growth_hll": q_vocab_growth_hll,
+        "term_proximity": q_term_proximity,
         "html_tables": q_html_tables,
         "mixture_allocate": q_mixture_allocate,
         "mixture_epochs": q_mixture_epochs,
@@ -10273,6 +10287,34 @@ def oracle_sql() -> dict[str, str]:
     # contract, so the same replay gates both implementations.
     d["lexicon_ac"] = d["lexicon_scan"]
     d["unigram_segment"] = _unigram_segment_oracle()
+    d["term_proximity"] = r"""
+        WITH toks AS (
+          SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+')
+                         AS t
+                FROM documents
+                WHERE doc_id < 400 AND length(trim(text)) > 0) s,
+               LATERAL unnest(generate_series(1, len(t))) u(i)
+          WHERE t[u.i] IN ('join', 'filter')),
+        counts AS (
+          SELECT doc_id,
+                 sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_a,
+                 sum(CASE WHEN tok = 'filter' THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_b
+          FROM toks GROUP BY doc_id),
+        gaps AS (
+          SELECT a.doc_id, min(abs(a.pos - b.pos))::BIGINT AS min_gap
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id
+           AND a.tok = 'join' AND b.tok = 'filter'
+          GROUP BY a.doc_id)
+        SELECT c.doc_id, c.n_a, c.n_b, g.min_gap
+        FROM counts c JOIN gaps g ON c.doc_id = g.doc_id
+        WHERE c.n_a > 0 AND c.n_b > 0
+        ORDER BY c.doc_id
+    """
     d["fuzzy_linkage"] = r"""
         WITH RECURSIVE corpus AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 60

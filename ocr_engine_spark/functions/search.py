@@ -421,3 +421,45 @@ def rrf_fuse(rankings: DataFrame, *, k0: int = 60,
     return (fused.withColumn("rank",
                              F.row_number().over(w).cast("long"))
             .select(qid_col, id_col, "n_sources", "rrf_micro", "rank"))
+
+
+def term_proximity(docs: DataFrame, term_a: str, term_b: str, *,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Minimum token-distance between two terms per document — the
+    classic proximity ranking feature (Clarke et al.'s cover-density
+    lineage; "terms near each other beat terms far apart" is the
+    first non-BM25 signal every ranker adds). Returns (id, n_a, n_b,
+    min_gap) for documents containing BOTH terms, ``min_gap`` in
+    token positions.
+
+    Scale shape — the merge-scan, not the pair join: the minimal gap
+    between two occurrence sets is always achieved by ADJACENT
+    occurrences of different terms in the merged position order, so
+    one doc-partitioned lag window over the filtered positions
+    (bounded by the two terms' occurrence counts, never doc length)
+    replaces the O(n_a x n_b) pair join — which is exactly what the
+    DuckDB oracle runs, pinning the equivalence."""
+    from pyspark.sql import Window
+    a, b = term_a.lower(), term_b.lower()
+    toks = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))),
+                             r"\s+")).alias("pos", "tok"))
+        .filter(F.col("tok").isin(a, b)))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gaps = (toks
+            .withColumn("__ptok", F.lag("tok").over(w))
+            .withColumn("__ppos", F.lag("pos").over(w))
+            .filter(F.col("__ptok").isNotNull()
+                    & (F.col("__ptok") != F.col("tok"))))
+    mins = gaps.groupBy(id_col).agg(
+        F.min(F.col("pos") - F.col("__ppos")).cast("long")
+        .alias("min_gap"))
+    counts = toks.groupBy(id_col).agg(
+        F.sum((F.col("tok") == a).cast("long")).alias("n_a"),
+        F.sum((F.col("tok") == b).cast("long")).alias("n_b"))
+    return (counts.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+            .join(mins, id_col)
+            .select(id_col, "n_a", "n_b", "min_gap")
+            .orderBy(id_col))

@@ -287,3 +287,43 @@ def test_rrf_fuse_arithmetic_and_order(spark):
     assert got[12]["rrf_micro"] == 1_000_000 // 62
     assert got[11]["rank"] == 1
     assert got[10]["rank"] == 2 and got[12]["rank"] == 3
+
+
+def test_term_proximity_merge_scan_equals_bruteforce(spark):
+    from itertools import product
+
+    from ocr_engine_spark.functions.search import term_proximity
+    rows = [
+        (0, "alpha x x beta x alpha"),        # gaps: 3, 2 -> 2
+        (1, "alpha beta"),                    # adjacent -> 1
+        (2, "beta x x x x alpha beta alpha"), # -> 1
+        (3, "alpha only here"),               # no beta -> absent
+        (4, "x beta x"),                      # no alpha -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_a, r.n_b, r.min_gap)
+           for r in term_proximity(df, "alpha", "beta").collect()}
+    # brute-force truth
+    want = {}
+    for did, text in rows:
+        toks = text.split()
+        pa = [i for i, t in enumerate(toks) if t == "alpha"]
+        pb = [i for i, t in enumerate(toks) if t == "beta"]
+        if pa and pb:
+            want[did] = (len(pa), len(pb),
+                         min(abs(a - b) for a, b in product(pa, pb)))
+    assert got == want
+
+
+def test_term_proximity_plan_is_windowed_not_pair_join(spark):
+    from ocr_engine_spark.functions.search import term_proximity
+    df = spark.createDataFrame([(0, "alpha beta")],
+                               "doc_id long, text string")
+    plan = term_proximity(df, "alpha", "beta") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every window carries a partition spec (doc-partitioned lag)
+    for line in plan.splitlines():
+        if "+- Window [" in line or line.strip().startswith("Window ["):
+            assert len(line.split("], [")) >= 3, line
