@@ -4305,6 +4305,19 @@ def q_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_proximity(docs, "join", "filter")
 
 
+def q_min_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cover density's minimal window (search.min_cover_window,
+    Clarke et al. 2000): tightest token span containing 'join',
+    'hash' AND 'row' per document — k conditional cumulative-max
+    windows + a least() sweep (linear in occurrences) vs the oracle's
+    3-way position join computing min(greatest-least+1) over every
+    occurrence triple — brute-force truth for the sweep on every
+    fixture document."""
+    from ocr_engine_spark.functions.search import min_cover_window
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return min_cover_window(docs, ["join", "hash", "row"])
+
+
 def q_vocab_growth_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative vocabulary growth via HLL register prefix-max
     (sketch.hll_growth_curve) — the mergeable-sketch path for the
@@ -4481,6 +4494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_linkage": q_fuzzy_linkage,
         "vocab_growth_hll": q_vocab_growth_hll,
         "term_proximity": q_term_proximity,
+        "min_cover": q_min_cover,
         "html_tables": q_html_tables,
         "mixture_allocate": q_mixture_allocate,
         "mixture_epochs": q_mixture_epochs,
@@ -10314,6 +10328,27 @@ def oracle_sql() -> dict[str, str]:
         FROM counts c JOIN gaps g ON c.doc_id = g.doc_id
         WHERE c.n_a > 0 AND c.n_b > 0
         ORDER BY c.doc_id
+    """
+    d["min_cover"] = r"""
+        WITH toks AS (
+          SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+')
+                         AS t
+                FROM documents
+                WHERE doc_id < 300 AND length(trim(text)) > 0) s,
+               LATERAL unnest(generate_series(1, len(t))) u(i)
+          WHERE t[u.i] IN ('join', 'hash', 'row'))
+        SELECT a.doc_id,
+               min(greatest(a.pos, b.pos, c.pos)
+                   - least(a.pos, b.pos, c.pos) + 1)::BIGINT
+                 AS min_window
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.tok = 'hash'
+        JOIN toks c ON a.doc_id = c.doc_id AND c.tok = 'row'
+        WHERE a.tok = 'join'
+        GROUP BY a.doc_id
+        ORDER BY a.doc_id
     """
     d["fuzzy_linkage"] = r"""
         WITH RECURSIVE corpus AS (

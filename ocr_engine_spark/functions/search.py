@@ -463,3 +463,49 @@ def term_proximity(docs: DataFrame, term_a: str, term_b: str, *,
             .join(mins, id_col)
             .select(id_col, "n_a", "n_b", "min_gap")
             .orderBy(id_col))
+
+
+def min_cover_window(docs: DataFrame, terms: list[str], *,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Minimal token window covering ALL ``terms`` per document —
+    cover density's core quantity (Clarke, Cormack & Tudhope 2000):
+    the tightest span where the whole query co-occurs. Returns
+    (id, min_window) in token counts (window includes both ends) for
+    documents containing every term.
+
+    Scale shape — the sweep, not the k-way join: over the merged
+    doc-ordered positions of the query terms, the minimal cover
+    ENDING at position p is ``p - min_t(last occurrence of t at or
+    before p) + 1``; each term's "last occurrence so far" is ONE
+    conditional cumulative max over the same doc-partitioned window,
+    so the whole sweep is k conditional windows + a least() — per-doc
+    cost linear in the terms' occurrence counts, vs the oracle's
+    O(prod n_t) k-way position join that pins the equivalence."""
+    from pyspark.sql import Window
+    ts = [t.lower() for t in terms]
+    if len(ts) < 2:
+        raise ValueError("need at least two terms")
+    toks = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))),
+                             r"\s+")).alias("pos", "tok"))
+        .filter(F.col("tok").isin(ts)))
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lasts = toks
+    for i, t in enumerate(ts):
+        lasts = lasts.withColumn(
+            f"__l{i}",
+            F.max(F.when(F.col("tok") == t, F.col("pos"))).over(w))
+    all_seen = None
+    for i in range(len(ts)):
+        c = F.col(f"__l{i}").isNotNull()
+        all_seen = c if all_seen is None else (all_seen & c)
+    span = (F.col("pos")
+            - F.least(*[F.col(f"__l{i}") for i in range(len(ts))])
+            + F.lit(1))
+    return (lasts.filter(all_seen)
+            .groupBy(id_col)
+            .agg(F.min(span).cast("long").alias("min_window"))
+            .orderBy(id_col))

@@ -327,3 +327,38 @@ def test_term_proximity_plan_is_windowed_not_pair_join(spark):
     for line in plan.splitlines():
         if "+- Window [" in line or line.strip().startswith("Window ["):
             assert len(line.split("], [")) >= 3, line
+
+
+def test_min_cover_window_sweep_equals_bruteforce(spark):
+    from itertools import product
+
+    from ocr_engine_spark.functions.search import min_cover_window
+    rows = [
+        (0, "a x b x x c"),            # cover 0..5 -> 6
+        (1, "c b a"),                  # 3
+        (2, "a b x x x a c"),          # best: b(1)..c(6)=6 w/ a(5) -> 3? 
+        (3, "a b x c x b a c"),        # tight tail
+        (4, "a b a b"),                # no c -> absent
+        (5, "c c c"),                  # only c -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.min_window
+           for r in min_cover_window(df, ["a", "b", "c"]).collect()}
+    want = {}
+    for did, text in rows:
+        toks = text.split()
+        ps = [[i for i, t in enumerate(toks) if t == q]
+              for q in ("a", "b", "c")]
+        if all(ps):
+            want[did] = min(max(c) - min(c) + 1
+                            for c in product(*ps))
+    assert got == want
+
+
+def test_min_cover_window_rejects_single_term(spark):
+    import pytest
+
+    from ocr_engine_spark.functions.search import min_cover_window
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        min_cover_window(df, ["a"])
