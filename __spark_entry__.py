@@ -4305,6 +4305,26 @@ def q_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_proximity(docs, "join", "filter")
 
 
+def q_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-broken Spearman rank correlation (stats.spearman_micro)
+    between the quality score and the token count — the
+    signal-redundancy diagnostic read before adding a scorer to a
+    gate. Ranks come from TWO passes of the range-partition
+    prefix-rank engine (no single-task window); rho in exact
+    wide-decimal integral arithmetic. Oracle: row_number ranks over
+    the same (signal, id) order + the identical integer formula."""
+    from ocr_engine_spark.functions.stats import spearman_micro
+    from ocr_engine_spark.functions.text import (
+        quality_score_raw_col, token_count_col,
+    )
+    docs = _read(spark, sf_dir, "documents")
+    return spearman_micro(
+        docs,
+        F.floor(quality_score_raw_col(F.col("text")) * 1e6
+                + F.lit(0.5)).cast("long"),
+        token_count_col(F.col("text")))
+
+
 def q_min_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cover density's minimal window (search.min_cover_window,
     Clarke et al. 2000): tightest token span containing 'join',
@@ -4495,6 +4515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_hll": q_vocab_growth_hll,
         "term_proximity": q_term_proximity,
         "min_cover": q_min_cover,
+        "signal_corr": q_signal_corr,
         "html_tables": q_html_tables,
         "mixture_allocate": q_mixture_allocate,
         "mixture_epochs": q_mixture_epochs,
@@ -10328,6 +10349,31 @@ def oracle_sql() -> dict[str, str]:
         FROM counts c JOIN gaps g ON c.doc_id = g.doc_id
         WHERE c.n_a > 0 AND c.n_b > 0
         ORDER BY c.doc_id
+    """
+    d["signal_corr"] = f"""
+        WITH q AS (
+          SELECT doc_id,
+                 floor({_QUALITY_RAW} * 1e6 + 0.5)::BIGINT AS a,
+                 {_NTOK}::BIGINT AS b
+          FROM documents),
+        ra AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY a, doc_id) AS rank_a
+               FROM q),
+        rb AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY b, doc_id) AS rank_b
+               FROM q),
+        j AS (SELECT ra.rank_a, rb.rank_b
+              FROM ra JOIN rb ON ra.doc_id = rb.doc_id)
+        SELECT count(*)::BIGINT AS n,
+               sum((rank_a - rank_b) * (rank_a - rank_b))::BIGINT
+                 AS sum_d2,
+               CASE WHEN count(*) < 2 THEN NULL ELSE
+                 (1000000 - (6 * sum((rank_a - rank_b)
+                                     * (rank_a - rank_b)) * 1000000)
+                  // (count(*)::HUGEINT
+                      * (count(*)::HUGEINT * count(*) - 1)))::BIGINT
+               END AS rho_micro
+        FROM j
     """
     d["min_cover"] = r"""
         WITH toks AS (
