@@ -105,6 +105,19 @@ NOTES = {
                      "plan-asserted); levenshtein on bounded "
                      "prefixes JVM-side; components iterate over "
                      "match pairs only",
+    "vocab_growth_hll": "register state bounded by buckets x m; "
+                        "cumulative max windows PARTITION BY hash "
+                        "bucket; exact side is the audited "
+                        "non-scaling path",
+    "term_proximity": "merge-scan: one doc-partitioned lag window "
+                      "over filtered positions — no pair join "
+                      "(the oracle runs the pair join as truth)",
+    "min_cover": "k conditional cumulative maxes on ONE "
+                 "doc-partitioned window + least() — linear in "
+                 "occurrences vs the oracle's 3-way position join",
+    "signal_corr": "two range-partition prefix ranks (no single-task "
+                   "window), one co-keyed join, wide-decimal "
+                   "integral-div rho in a single aggregate",
     "pq_index": "build-once lifecycle: the shown plan reads STORED "
                 "codes from the index parquet — ADC is m element_at "
                 "lookups + a sum in the scan Project, shortlist is "
@@ -565,6 +578,8 @@ HEADLINE = ["filter_pushdown", "pricing_summary", "top_customers",
             "tabular_docs", "burstiness", "bbit_minhash",
             "pq_index", "warc_extract", "curation_pipeline",
             "lexicon_ac", "unigram_segment", "fuzzy_linkage",
+            "vocab_growth_hll", "term_proximity", "min_cover",
+            "signal_corr",
             "extraction_pipeline"]
 
 
