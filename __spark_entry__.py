@@ -4305,6 +4305,32 @@ def q_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_proximity(docs, "join", "filter")
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (scrub.benford_report): lead-digit
+    distribution of >=3-digit numbers across the corpus vs the
+    log10(1+1/d) expectation in micro units — the numeric-content
+    forensic next to tabular detection. One regexp_extract_all +
+    explode + 9-key aggregate. Oracle replays the word-bound number
+    grammar, lead-digit counts, integer shares and the plan-time
+    Benford constants. The fixture text carries no multi-digit
+    numbers, so each doc plants two deterministic numerics (a
+    geometric-growth price and a doc_id-derived quantity) — the
+    geometric series is exactly the mechanism Benford's law comes
+    from, so digit 1 must lead the planted corpus too."""
+    from ocr_engine_spark.functions.scrub import benford_report
+    docs = (_read(spark, sf_dir, "documents")
+            .select(F.concat(
+                F.col("text"),
+                F.lit(" price "),
+                F.floor(F.lit(100.0)
+                        * F.pow(F.lit(1.13), F.col("doc_id") % 97))
+                .cast("long").cast("string"),
+                F.lit(" qty "),
+                ((F.col("doc_id") * F.col("doc_id") + 100)
+                 .cast("string"))).alias("text")))
+    return benford_report(docs)
+
+
 def q_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-broken Spearman rank correlation (stats.spearman_micro)
     between the quality score and the token count — the
@@ -4516,6 +4542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_proximity": q_term_proximity,
         "min_cover": q_min_cover,
         "signal_corr": q_signal_corr,
+        "benford": q_benford,
         "html_tables": q_html_tables,
         "mixture_allocate": q_mixture_allocate,
         "mixture_epochs": q_mixture_epochs,
@@ -10349,6 +10376,38 @@ def oracle_sql() -> dict[str, str]:
         FROM counts c JOIN gaps g ON c.doc_id = g.doc_id
         WHERE c.n_a > 0 AND c.n_b > 0
         ORDER BY c.doc_id
+    """
+    d["benford"] = r"""
+        WITH planted AS (
+          SELECT text || ' price '
+                 || floor(100.0 * pow(1.13, doc_id % 97))::BIGINT
+                      ::VARCHAR
+                 || ' qty '
+                 || (doc_id * doc_id + 100)::VARCHAR AS text
+          FROM documents),
+        nums AS (
+          SELECT substr(m, 1, 1)::BIGINT AS digit
+          FROM (SELECT unnest(regexp_extract_all(
+                         text, '\b[1-9][0-9]{2,}\b')) AS m
+                FROM planted)),
+        cnt AS (SELECT digit, count(*)::BIGINT AS n
+                FROM nums GROUP BY digit),
+        tot AS (SELECT sum(n)::BIGINT AS t FROM cnt),
+        dig AS (
+          SELECT u.d AS digit,
+                 floor(log10(1 + 1.0 / u.d) * 1e6 + 0.5)::BIGINT
+                   AS benford_ppm
+          FROM (SELECT unnest(generate_series(1, 9)) AS d) u)
+        SELECT d.digit,
+               coalesce(c.n, 0)::BIGINT AS n,
+               (coalesce(c.n, 0) * 1000000)
+                 // greatest((SELECT t FROM tot), 1) AS share_ppm,
+               d.benford_ppm,
+               ((coalesce(c.n, 0) * 1000000)
+                 // greatest((SELECT t FROM tot), 1)
+                - d.benford_ppm) AS dev_ppm
+        FROM dig d LEFT JOIN cnt c ON c.digit = d.digit
+        ORDER BY d.digit
     """
     d["signal_corr"] = f"""
         WITH q AS (

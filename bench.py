@@ -76,7 +76,7 @@ HEADLINE = [
     "classifier_pr", "minhash_signatures", "media_profile",
     "pq_index", "warc_extract", "curation_pipeline", "lexicon_ac",
     "unigram_segment", "fuzzy_linkage", "vocab_growth_hll",
-    "term_proximity", "min_cover", "signal_corr",
+    "term_proximity", "min_cover", "signal_corr", "benford",
 ]
 
 # pages-per-unit-SF for the synthetic extraction corpus: sf0.1 -> 3000

@@ -1843,3 +1843,48 @@ def luhn_card_report(df: DataFrame, *, id_col: str = "doc_id",
                     .alias("n_candidates"),
                     F.coalesce("n_valid", F.lit(0)).cast("long")
                     .alias("n_valid")))
+
+
+_NUMBER_RE = r"\b[1-9][0-9]{2,}\b"
+
+
+def benford_report(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Benford first-digit audit of the corpus's numeric content
+    (Benford 1938; Nigrini's fraud-audit usage): naturally-occurring
+    multi-digit numbers lead with digit d at probability
+    ``log10(1 + 1/d)``; fabricated/synthetic numeric dumps and
+    template-generated tables drift toward uniform — a cheap forensic
+    read next to tabular_report before trusting scraped numerics.
+
+    Counts numbers of >= 3 digits with a non-zero lead (``\\b``-bound
+    so ids inside words don't match); returns one row per digit 1-9:
+    (digit, n, share_ppm, benford_ppm, dev_ppm) with
+    ``dev_ppm = share_ppm - benford_ppm`` — signed, so systematic
+    over/under-representation reads directly. Expected shares are
+    plan-time integer constants (micro-quantized log10 on the
+    driver); the scan is ONE regexp_extract_all + explode + 9-key
+    aggregate — map-side, zero UDF. Digits absent from the corpus
+    still get a row (share 0)."""
+    import math
+    spark = df.sparkSession
+    nums = (df.select(F.explode(
+        F.regexp_extract_all(F.col(text_col), F.lit(_NUMBER_RE),
+                             F.lit(0)))
+        .alias("num"))
+        .select(F.substring("num", 1, 1).cast("long").alias("digit"))
+        .groupBy("digit").agg(F.count("*").alias("n")))
+    digits = spark.createDataFrame(
+        [(d, int(math.floor(math.log10(1 + 1 / d) * 1e6 + 0.5)))
+         for d in range(1, 10)], "digit bigint, benford_ppm bigint")
+    total = nums.agg(F.sum("n").alias("__t"))
+    return (digits.join(nums, "digit", "left")
+            .crossJoin(F.broadcast(total))
+            .select("digit",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                    .alias("n"),
+                    F.expr("coalesce(n, 0) * 1000000"
+                           " div greatest(__t, 1)").alias("share_ppm"),
+                    "benford_ppm")
+            .withColumn("dev_ppm",
+                        F.col("share_ppm") - F.col("benford_ppm"))
+            .orderBy("digit"))

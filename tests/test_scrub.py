@@ -1067,3 +1067,32 @@ def test_luhn_card_detection(spark):
     assert got[2] == (0, 0)
     assert got[3] == (1, 1)
     assert got[4] == (0, 0)
+
+
+def test_benford_report_planted_distributions(spark):
+    import math
+
+    from ocr_engine_spark.functions.scrub import benford_report
+    # corpus A: Benford-ish powers (1, 1.xx growth) vs corpus B:
+    # uniform fabricated leads
+    rows_a = [(0, " ".join(str(int(100 * (1.17 ** i)))
+                           for i in range(60)))]
+    df_a = spark.createDataFrame(rows_a, "doc_id long, text string")
+    got = {r.digit: r for r in benford_report(df_a).collect()}
+    assert set(got) == set(range(1, 10))
+    assert sum(r.n for r in got.values()) == 60
+    # digit 1 dominates a geometric series (Benford's mechanism)
+    assert got[1].share_ppm > got[9].share_ppm
+    assert got[1].benford_ppm == int(
+        math.floor(math.log10(2) * 1e6 + 0.5))
+    # uniform leads: every digit off its Benford share in a known
+    # direction (1 under, 9 over)
+    uni = [(1, " ".join(f"{d}00" for d in range(1, 10)) * 10)]
+    df_u = spark.createDataFrame(uni, "doc_id long, text string")
+    gu = {r.digit: r for r in benford_report(df_u).collect()}
+    assert gu[1].dev_ppm < 0 < gu[9].dev_ppm
+    # word-embedded digit runs never count; short numbers don't either
+    none = spark.createDataFrame([(2, "ab123cd 42 7 x99")],
+                                 "doc_id long, text string")
+    gn = benford_report(none).collect()
+    assert all(r.n == 0 and r.share_ppm == 0 for r in gn)
